@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators over the TPC-H-ish test tables: aggregation,
+  * top-k, joins (broadcast + shuffle), windows, dedup, union-by-name.
+  *
+  * These generalize the reference's aggregate/sort/dedup surface
+  * (SURVEY.md §2.3-§2.6; e.g. top-k retrieval `src/storage.py:231-246`,
+  * value counts `src/storage.py:507-513`, key dedup
+  * `src/transformation.py:64-73`, multi-source union
+  * `src/ingestion.py:256`) and add the join-bearing queries the reference
+  * only declared via FK (`src/storage.py:95`).
+  *
+  * Scale notes (100 TB design):
+  *  - dimension joins (nation/region) are explicit `broadcast()`;
+  *  - fact-fact joins shuffle on their join key once and aggregate with
+  *    partial (map-side) aggregation — no repartition in between;
+  *  - top-k is expressed as orderBy+limit so Catalyst plans
+  *    TakeOrderedAndProject (no global sort materialization);
+  *  - keyed dedup is a window over the key partition (single shuffle),
+  *    not a global dropDuplicates row-pick which is non-deterministic.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (generalizes A10/A13 revenue
+    * aggregates, `src/storage.py:495-530`). Filter is pushed to the
+    * parquet scan; aggregation is hash-agg with map-side partials. */
+  val q01PricingSummary: QuerySpec = QuerySpec(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2)      AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4)      AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 6)      AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Top-k retrieval: `SELECT * ... ORDER BY ... LIMIT n`
+    * (`src/storage.py:231-246`). Catalyst plans TakeOrderedAndProject —
+    * per-partition top-k then driver merge; no full sort at 100 TB. */
+  val q02TopkOrders: QuerySpec = QuerySpec(
+    "q02_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderpriority"))
+  }
+
+  /** Revenue per customer: customer ⨝ orders ⨝ lineitem, shuffle joins on
+    * the fact keys, then hash-agg + top-k. */
+  val q03RevenueByCustomer: QuerySpec = QuerySpec(
+    "q03_revenue_by_customer",
+    """SELECT c_custkey, c_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Revenue by region: broadcast the small dims (region/nation →
+    * customer), shuffle only on the fact join. Exercises the
+    * broadcast-hash-join path that matters at 1000 executors. */
+  val q04RegionRevenue: QuerySpec = QuerySpec(
+    "q04_region_revenue",
+    """SELECT r_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM region
+      |JOIN nation   ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY r_name
+      |ORDER BY revenue DESC, r_name""".stripMargin) { (s, dir) =>
+    val dims = broadcast(
+      Tables.region(s, dir)
+        .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey")))
+    Tables.customer(s, dir)
+      .join(dims, col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("r_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("r_name"))
+  }
+
+  /** Per-customer running revenue + order sequence — the windowed query
+    * SURVEY.md §2.7 plans (reference's only window is the degenerate
+    * global record_id, `src/transformation.py:323-325`). One shuffle on
+    * the partition key; running sum accumulates in order within the
+    * partition, so it scales with the widest customer, not the table. */
+  val q05RunningRevenue: QuerySpec = QuerySpec(
+    "q05_running_revenue",
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS order_seq,
+      |  round(sum(o_totalprice) OVER w, 2) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, order_seq""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("order_seq"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  /** Top-10 value counts (`value_counts().head(10)`,
+    * `src/storage.py:507-513`): group-count + top-k. */
+  val q06PriorityCounts: QuerySpec = QuerySpec(
+    "q06_priority_counts",
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY n DESC, o_orderpriority
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+      .limit(10)
+  }
+
+  /** Full-row dedup (`drop_duplicates()`, `src/transformation.py:54-62`)
+    * on a projection: one shuffle on all grouped columns. */
+  val q07DedupFull: QuerySpec = QuerySpec(
+    "q07_dedup_full",
+    """SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus", "l_shipdate")
+      .dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
+  }
+
+  /** Keyed dedup with deterministic keep-first semantics
+    * (`drop_duplicates(subset=['order_id'], keep='first')`,
+    * `src/transformation.py:64-73`): row_number over the key partition
+    * ordered by the arrival column — NOT dropDuplicates(key), whose row
+    * pick is arbitrary and irreproducible across runs/engines
+    * (SURVEY.md §7.4). Keeps each customer's earliest order. */
+  val q08DedupKeyKeepFirst: QuerySpec = QuerySpec(
+    "q08_dedup_key_keepfirst",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(o_totalprice, 2) AS o_totalprice
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** Name-aligned, null-filling union across heterogeneous sources
+    * (`pd.concat(ignore_index=True)`, `src/ingestion.py:256,:329,:410` →
+    * `unionByName(allowMissingColumns=true)`; plain positional union
+    * would be wrong, SURVEY.md §1.2). */
+  val q09UnionByName: QuerySpec = QuerySpec(
+    "q09_union_by_name",
+    """SELECT * FROM (
+      |  SELECT c_custkey AS entity_key, c_name AS entity_name,
+      |         c_acctbal AS acctbal, c_mktsegment AS segment
+      |  FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT s_suppkey AS entity_key, s_name AS entity_name,
+      |         s_acctbal AS acctbal
+      |  FROM supplier)
+      |ORDER BY entity_name, entity_key""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("entity_key"), col("c_name").as("entity_name"),
+      col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+    val sup = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("entity_key"), col("s_name").as("entity_name"),
+      col("s_acctbal").as("acctbal"))
+    c.unionByName(sup, allowMissingColumns = true)
+      .orderBy("entity_name", "entity_key")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q01PricingSummary, q02TopkOrders, q03RevenueByCustomer, q04RegionRevenue,
+    q05RunningRevenue, q06PriorityCounts, q07DedupFull, q08DedupKeyKeepFirst,
+    q09UnionByName)
+}
