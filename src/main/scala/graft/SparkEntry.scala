@@ -15,11 +15,14 @@ object SparkEntry {
 
   // Single source of truth for the registered capability surface.
   private lazy val queries_registry: Seq[QuerySpec] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.PipelineQueries.all ++
+      graft.queries.Profiling.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference pipeline: adapter → clean → enrich → standardize. */
   def entry(spark: SparkSession): DataFrame =
-    queries.head._2(spark, "/root/testdata/sf0.001")
+    queries("q13_full_transform")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable column-expression functions (SURVEY.md §2.5, §2.9).
+  *
+  * Everything here is a pure Catalyst expression composition — no Scala
+  * UDFs — so whole-stage codegen, constant folding, and predicate pushdown
+  * survive (`SURVEY.md §4.2`). These replace the reference's row-wise
+  * `Series.apply` helpers (`src/transformation.py:339-568`).
+  */
+object Functions {
+
+  /** Keyword-containment classifier (ref `extract_brand`
+    * `src/transformation.py:388-407`, `categorize_product` `:412-433`):
+    * first (label, keywords) whose keyword is contained in lower(col) wins;
+    * null input → `nullLabel`, no match → `default`. Folds to one
+    * codegen'd CASE WHEN chain — at 100 TB this is a scan-local map with
+    * zero shuffle; if keyword lists ever grow beyond literals, swap for a
+    * broadcast join against a keyword table. */
+  def keywordClassify(
+      c: Column,
+      mapping: Seq[(String, Seq[String])],
+      default: String,
+      nullLabel: String = "Unknown"): Column = {
+    val lowered = lower(c)
+    val matched = mapping.foldLeft(when(c.isNull, nullLabel)) {
+      case (acc, (label, keywords)) =>
+        val pred = keywords.map(k => lowered.contains(lit(k))).reduce(_ || _)
+        acc.when(pred, label)
+    }
+    matched.otherwise(default)
+  }
+
+  /** Right-closed binning, `pd.cut(bins=[b0..bn], labels)` semantics
+    * (`src/transformation.py:354-358`, `:438-442`, `:477-481`): value in
+    * (b_i, b_{i+1}] → label_i; outside (≤ b0) or null → null. The last
+    * bound may be Double.PositiveInfinity. */
+  def cutRightClosed(c: Column, bounds: Seq[Double], labels: Seq[String]): Column = {
+    require(bounds.length == labels.length + 1, "need n+1 bounds for n labels")
+    val cases = labels.indices.map { i =>
+      val lo = bounds(i)
+      val hi = bounds(i + 1)
+      val pred =
+        if (hi.isPosInfinity) c > lit(lo)
+        else c > lit(lo) && c <= lit(hi)
+      (pred, labels(i))
+    }
+    cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+      case (acc, (p, l)) => acc.when(p, l)
+    } // no otherwise → null outside all bins, matching pd.cut
+  }
+
+  /** Threshold ladder (first `value >= threshold` wins), e.g. customer
+    * segmentation `src/transformation.py:339-349`. Thresholds must be
+    * descending. */
+  def thresholdLadder(c: Column, ladder: Seq[(Double, String)], default: String): Column =
+    ladder.foldLeft[Option[Column]](None) {
+      case (None, (t, l))      => Some(when(c >= lit(t), l))
+      case (Some(acc), (t, l)) => Some(acc.when(c >= lit(t), l))
+    }.map(_.otherwise(default)).get
+
+  /** `safe_divide` (`src/utils.py:120-125`): 0 or null denominator →
+    * default instead of null/Inf. */
+  def safeDivide(n: Column, d: Column, default: Double = 0.0): Column =
+    when(d =!= 0 && d.isNotNull, n / d).otherwise(lit(default))
+
+  /** Season from month (`src/transformation.py:508-518`). */
+  def season(month: Column): Column =
+    when(month.isin(12, 1, 2), "Winter")
+      .when(month.isin(3, 4, 5), "Spring")
+      .when(month.isin(6, 7, 8), "Summer")
+      .otherwise("Fall")
+
+  /** Order risk score (`src/transformation.py:539-556`): additive flags,
+    * capped at 100 — pure expression instead of the reference's
+    * `DataFrame.apply(axis=1)` Python row loop. */
+  def riskScore(totalAmount: Column, customerName: Column, weekdayName: Column): Column =
+    least(lit(100),
+      when(totalAmount > 1000, 30).otherwise(0)
+        + when(customerName.isNotNull && customerName.contains("Unknown"), 20).otherwise(0)
+        + when(weekdayName.isin("Saturday", "Sunday"), 10).otherwise(0))
+
+  /** Risk level from score (`src/transformation.py:560-568`). */
+  def riskLevel(score: Column): Column =
+    when(score >= 50, "High").when(score >= 25, "Medium").otherwise("Low")
+
+  /** Quality level from overall score (`src/validation.py:239-250`). */
+  def qualityLevel(score: Column): Column =
+    when(score >= 95, "excellent")
+      .when(score >= 85, "good")
+      .when(score >= 70, "fair")
+      .when(score >= 50, "poor")
+      .otherwise("critical")
+
+  /** Estimated profit margin step function (`src/transformation.py:457-467`). */
+  def profitMargin(price: Column): Column =
+    when(price < 100, 0.15)
+      .when(price < 500, 0.20)
+      .when(price < 1000, 0.25)
+      .otherwise(0.30)
+
+  /** Cross-engine-deterministic 2-decimal rounding (money fields,
+    * `src/transformation.py:634-638`). Spark's `round()` goes through a
+    * decimal-string HALF_UP while DuckDB rounds the binary double — they
+    * disagree on .xx5 ties, which breaks oracle hash-parity. The floor
+    * form is pure IEEE arithmetic, identical in any engine. */
+  def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+
+  /** SQL fragment equivalent of [[round2]] for the DuckDB oracle. */
+  def round2Sql(expr: String): String = s"floor(($expr) * 100 + 0.5) / 100"
+
+  /** Email domain (`split('@')[-1]`, `src/transformation.py:366`). */
+  def emailDomain(email: Column): Column = substring_index(email, "@", -1)
+
+  /** Customer type from email domain (`src/transformation.py:363-373`). */
+  def customerType(email: Column): Column = {
+    val domain = lower(emailDomain(email))
+    val business = Seq("company.com", "corp.com", "business.com")
+      .map(bd => domain.contains(lit(bd))).reduce(_ || _)
+    when(email.isNull, "Unknown").when(business, "Business").otherwise("Individual")
+  }
+}

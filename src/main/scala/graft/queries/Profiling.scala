@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.pipeline.OrdersDomain
+import org.apache.spark.sql.functions._
+
+/** Profiling / summary-statistics operators (SURVEY.md §2.4 A9-A15,
+  * ref `validation.py:296-320` field analysis and
+  * `storage.py:485-530` summary report).
+  *
+  * Each profile is ONE wide hash-aggregate pass producing a 1-row frame,
+  * pivoted to long format with an `explode(array(struct(...)))` projection —
+  * never one scan per column (the reference's `describe()`-style loop) and
+  * never a driver-side collect of the base table.
+  */
+object Profiling {
+
+  /** A9 field-analysis profile over orders: per column null count, distinct
+    * count, numeric min/max/mean/std, string avg/max length. */
+  val q15FieldProfile: QuerySpec = QuerySpec(
+    "q15_field_profile",
+    """SELECT * FROM (
+      |  SELECT 'o_orderkey' AS column_name,
+      |    CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+      |    round(min(o_orderkey), 4) AS min_v, round(max(o_orderkey), 4) AS max_v,
+      |    round(avg(o_orderkey), 4) AS avg_v, round(stddev(o_orderkey), 4) AS std_v,
+      |    CAST(NULL AS DOUBLE) AS avg_len, CAST(NULL AS BIGINT) AS max_len
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice',
+      |    CAST(count(*) - count(o_totalprice) AS BIGINT),
+      |    CAST(count(DISTINCT o_totalprice) AS BIGINT),
+      |    round(min(o_totalprice), 4), round(max(o_totalprice), 4),
+      |    round(avg(o_totalprice), 4), round(stddev(o_totalprice), 4),
+      |    NULL, NULL
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus',
+      |    CAST(count(*) - count(o_orderstatus) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+      |    NULL, NULL, NULL, NULL,
+      |    round(avg(length(o_orderstatus)), 4),
+      |    CAST(max(length(o_orderstatus)) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority',
+      |    CAST(count(*) - count(o_orderpriority) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+      |    NULL, NULL, NULL, NULL,
+      |    round(avg(length(o_orderpriority)), 4),
+      |    CAST(max(length(o_orderpriority)) AS BIGINT)
+      |  FROM orders)
+      |ORDER BY column_name""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val numCols = Seq("o_orderkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val aggs =
+      numCols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        round(min(col(c)).cast("double"), 4).as(s"${c}__min"),
+        round(max(col(c)).cast("double"), 4).as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__avg"),
+        round(stddev_samp(col(c)), 4).as(s"${c}__std"))) ++
+        strCols.flatMap(c => Seq(
+          (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          round(avg(length(col(c))), 4).as(s"${c}__avg_len"),
+          max(length(col(c))).cast("long").as(s"${c}__max_len")))
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      numCols.map(c => struct(
+        lit(c).as("column_name"), col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"), col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"), col(s"${c}__avg").as("avg_v"),
+        col(s"${c}__std").as("std_v"),
+        lit(null).cast("double").as("avg_len"), lit(null).cast("long").as("max_len"))) ++
+        strCols.map(c => struct(
+          lit(c).as("column_name"), col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          lit(null).cast("double").as("min_v"), lit(null).cast("double").as("max_v"),
+          lit(null).cast("double").as("avg_v"), lit(null).cast("double").as("std_v"),
+          col(s"${c}__avg_len").as("avg_len"), col(s"${c}__max_len").as("max_len")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("column_name")
+  }
+
+  /** A14 missing-values map over the dirty domain (`storage.py:490`). */
+  val q16MissingMap: QuerySpec = QuerySpec(
+    "q16_missing_map",
+    "WITH " + OrdersDomain.OracleCte + ",\n" + OrdersDomain.DirtyOracleCte + "\n" +
+      """SELECT * FROM (
+        |  SELECT 'customer_name' AS column_name,
+        |    CAST(count(*) - count(customer_name) AS BIGINT) AS n_missing FROM dirty_domain
+        |  UNION ALL SELECT 'product', CAST(count(*) - count(product) AS BIGINT) FROM dirty_domain
+        |  UNION ALL SELECT 'quantity', CAST(count(*) - count(quantity) AS BIGINT) FROM dirty_domain
+        |  UNION ALL SELECT 'discount', CAST(count(*) - count(discount) AS BIGINT) FROM dirty_domain
+        |  UNION ALL SELECT 'price', CAST(count(*) - count(price) AS BIGINT) FROM dirty_domain)
+        |ORDER BY column_name""".stripMargin) { (s, dir) =>
+    val d = OrdersDomain.dirtyFromTpch(s, dir)
+    val cols = Seq("customer_name", "product", "quantity", "discount", "price")
+    val one = d.agg(
+      (count(lit(1)) - count(col(cols.head))).as(cols.head),
+      cols.tail.map(c => (count(lit(1)) - count(col(c))).as(c)): _*)
+    one.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"), col(c).as("n_missing"))): _*)).as("p"))
+      .select("p.*").orderBy("column_name")
+  }
+
+  /** A13 revenue summary (`storage.py:524-530`). */
+  val q17RevenueSummary: QuerySpec = QuerySpec(
+    "q17_revenue_summary",
+    "WITH " + OrdersDomain.OracleCte + "\n" +
+      """SELECT
+        |  round(sum(total_amount), 2) AS total_revenue,
+        |  round(avg(total_amount), 4) AS avg_order_value,
+        |  round(max(total_amount), 2) AS max_order,
+        |  round(min(total_amount), 2) AS min_order,
+        |  count(*) AS n_orders
+        |FROM orders_domain""".stripMargin) { (s, dir) =>
+    OrdersDomain.fromTpch(s, dir).agg(
+      round(sum(col("total_amount")), 2).as("total_revenue"),
+      round(avg(col("total_amount")), 4).as("avg_order_value"),
+      round(max(col("total_amount")), 2).as("max_order"),
+      round(min(col("total_amount")), 2).as("min_order"),
+      count(lit(1)).as("n_orders"))
+  }
+
+  /** A10 numeric summary with exact median (`storage.py:495-504`).
+    * Exact `percentile` here (test scale); `percentile_approx` is the
+    * 100 TB variant (SURVEY.md §7.4). */
+  val q18NumericSummary: QuerySpec = QuerySpec(
+    "q18_numeric_summary",
+    """SELECT * FROM (
+      |  SELECT 'l_quantity' AS column_name, count(l_quantity) AS n,
+      |    round(avg(l_quantity), 4) AS mean_v, round(stddev(l_quantity), 4) AS std_v,
+      |    round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+      |    round(quantile_cont(l_quantity, 0.5), 4) AS median_v
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', count(l_extendedprice),
+      |    round(avg(l_extendedprice), 4), round(stddev(l_extendedprice), 4),
+      |    round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+      |    round(quantile_cont(l_extendedprice, 0.5), 4)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', count(l_discount),
+      |    round(avg(l_discount), 4), round(stddev(l_discount), 4),
+      |    round(min(l_discount), 4), round(max(l_discount), 4),
+      |    round(quantile_cont(l_discount, 0.5), 4)
+      |  FROM lineitem)
+      |ORDER BY column_name""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      round(avg(col(c)), 4).as(s"${c}__mean"),
+      round(stddev_samp(col(c)), 4).as(s"${c}__std"),
+      round(min(col(c)), 4).as(s"${c}__min"),
+      round(max(col(c)), 4).as(s"${c}__max"),
+      round(expr(s"percentile($c, 0.5)"), 4).as(s"${c}__median")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map(c => struct(
+      lit(c).as("column_name"), col(s"${c}__n").as("n"),
+      col(s"${c}__mean").as("mean_v"), col(s"${c}__std").as("std_v"),
+      col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"),
+      col(s"${c}__median").as("median_v"))): _*)).as("p"))
+      .select("p.*").orderBy("column_name")
+  }
+
+  /** A11/A12 top-10 product value counts over the canonical domain
+    * (`storage.py:507-513`). */
+  val q19TopProducts: QuerySpec = QuerySpec(
+    "q19_top_products",
+    "WITH " + OrdersDomain.OracleCte + "\n" +
+      """SELECT product, count(*) AS n
+        |FROM orders_domain
+        |GROUP BY product
+        |ORDER BY n DESC, product
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+    OrdersDomain.fromTpch(s, dir)
+      .groupBy("product").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("product"))
+      .limit(10)
+  }
+
+  /** S14 db-stats probe with pinned as-of date (`storage.py:333-376`,
+    * F6 today-filter `storage.py:354`). */
+  val q20DbStats: QuerySpec = QuerySpec(
+    "q20_db_stats",
+    """SELECT
+      |  (SELECT count(*) FROM orders) AS orders_count,
+      |  (SELECT count(*) FROM lineitem) AS lineitem_count,
+      |  (SELECT count(*) FROM orders
+      |    WHERE CAST(o_orderdate AS DATE) = DATE '2001-07-11') AS asof_day_orders,
+      |  (SELECT round(avg(o_totalprice), 4) FROM orders) AS avg_total_price""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val ordersCount = o.agg(
+      count(lit(1)).as("orders_count"),
+      sum(when(to_date(col("o_orderdate")) === lit("2001-07-11").cast("date"), 1L)
+        .otherwise(0L)).as("asof_day_orders"),
+      round(avg(col("o_totalprice")), 4).as("avg_total_price"))
+    val liCount = li.agg(count(lit(1)).as("lineitem_count"))
+    ordersCount.crossJoin(liCount)
+      .select(col("orders_count"), col("lineitem_count"),
+        col("asof_day_orders"), col("avg_total_price"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
+    q19TopProducts, q20DbStats)
+}
