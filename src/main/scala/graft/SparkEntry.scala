@@ -17,7 +17,10 @@ object SparkEntry {
   private lazy val queries_registry: Seq[QuerySpec] =
     graft.queries.Relational.all ++
       graft.queries.PipelineQueries.all ++
-      graft.queries.Profiling.all
+      graft.queries.Profiling.all ++
+      graft.ext.TextAnalysis.all ++
+      graft.ext.Dedup.all ++
+      graft.ext.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline: adapter → clean → enrich → standardize. */

@@ -1,0 +1,228 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents`: exact (hash-groupBy), n-gram
+  * Jaccard near-dup, MinHash+LSH, and SimHash (north-star training-data
+  * ops).
+  *
+  * Scale design:
+  *  - exact dedup is one shuffle on the 16-byte digest, never on the text;
+  *  - exact pairwise Jaccard is O(pairs-sharing-a-shingle) — fine for a
+  *    bounded slice, quadratic at corpus scale, so it is deliberately
+  *    restricted (doc_id bound) and exists as the *oracle* for the
+  *    sub-quadratic MinHash/LSH path, which is the 100 TB route:
+  *    signatures are a fixed-width aggregate per doc, banding turns
+  *    near-dup search into an equi-join on (band, band-hash);
+  *  - SimHash reduces each doc to 16 bits; hamming-ball search joins on
+  *    rotated bucket keys instead of all-pairs.
+  */
+object Dedup {
+
+  /** Distinct 3-gram word shingles per document, exploded to
+    * (doc_id, shingle) rows. Docs shorter than 3 tokens are dropped. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")))
+        .as("shingle"))
+
+  /** Exact content dedup: group by md5 digest, keep the smallest doc_id
+    * (D2/D3 generalized to corpora; one digest shuffle). */
+  def exactDedupGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact pairwise Jaccard over distinct shingle sets via shingle
+    * equi-join (candidate generation) + per-pair intersection counts. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val common = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** k universal hash functions over a base 64-bit shingle hash:
+    * h_i(x) = (a_i·x + b_i) mod p (public MinHash construction). Base hash
+    * is xxhash64 — engine-specific, hence no SQL oracle; semantics are
+    * asserted against exact Jaccard in ScalaTest. */
+  final val MinhashK = 16
+  final val Bands = 4 // 4 bands × 4 rows
+  private final val P = 4294967311L // first prime > 2^32
+  private def hashParams(i: Int): (Long, Long) =
+    (1103515245L + 12345L * (i + 1), 97531L * (i + 1) + 12582917L)
+
+  /** Per-doc MinHash signature columns sig_0..sig_{k-1}. Base hash is
+    * folded into 2^31 space first so a·h + b stays well inside Long under
+    * ANSI arithmetic (Spark 4 default). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(2147483647L)))
+    val sigs = (0 until MinhashK).map { i =>
+      val (a, b) = hashParams(i)
+      min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
+    }
+    sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH banding: (doc_id, band, band_key) rows; docs sharing a band key
+    * are near-dup candidates — an equi-join, not an all-pairs scan. */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val rows = MinhashK / Bands
+    val bandCols = (0 until Bands).map { bnd =>
+      val parts = (0 until rows).map(r => col(s"sig_${bnd * rows + r}"))
+      struct(lit(bnd).as("band"),
+        xxhash64(concat_ws("_", parts.map(_.cast("string")): _*)).as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs from band collisions, scored by signature agreement
+    * (estimates Jaccard). */
+  def minhashCandidates(docs: DataFrame, minEstimate: Double): DataFrame = {
+    val sigs = minhashSignatures(docs).cache()
+    val bands = lshBands(sigs)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
+    val sigB = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigA, col("doc_a") === col("a_doc_id"))
+      .join(sigB, col("doc_b") === col("b_doc_id"))
+      .withColumn("est_jaccard",
+        round(agree.cast("double") / MinhashK, 4))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  final val SimhashBits = 16
+
+  /** 16-bit SimHash per doc from token-frequency-weighted bit votes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"bit_$b")
+    }
+    val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimhashBits)
+      .map(b => when(col(s"bit_$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    agged.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance within a bounded slice. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val s = simhash(docs)
+    val a = s.toDF("doc_a", "sim_a")
+    val b = s.toDF("doc_b", "sim_b")
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ---- registered queries ----------------------------------------------
+
+  /** Exact dedup with injected duplicates (docs with doc_id%7==0 appear
+    * twice) so the collapse is observable. */
+  val q26ExactDedup: QuerySpec = QuerySpec(
+    "q26_exact_dedup",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+      |SELECT md5(text) AS fingerprint,
+      |  min(doc_id) AS keeper_doc_id,
+      |  count(*) AS n_copies
+      |FROM corpus
+      |GROUP BY md5(text)
+      |ORDER BY keeper_doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    exactDedupGroups(corpus)
+      .select(col("fingerprint"), col("keeper_doc_id"), col("n_copies"))
+      .orderBy("keeper_doc_id")
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs on a bounded slice — the oracle
+    * for the MinHash path. */
+  val q27NgramJaccard: QuerySpec = QuerySpec(
+    "q27_ngram_jaccard",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |      i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |    FROM docs)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash+LSH near-dup candidates over the FULL corpus — the
+    * sub-quadratic scale path (no SQL oracle: xxhash64 base hash;
+    * semantics pinned by DedupSpec against q27). */
+  val q28MinhashLsh: QuerySpec = QuerySpec.noOracle("q28_minhash_lsh") { (s, dir) =>
+    minhashCandidates(Tables.documents(s, dir), 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs on the bounded slice (no SQL oracle). */
+  val q29Simhash: QuerySpec = QuerySpec.noOracle("q29_simhash") { (s, dir) =>
+    simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash)
+}

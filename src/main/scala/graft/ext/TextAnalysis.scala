@@ -1,0 +1,189 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * marker-based language ID, quality scoring, token counting, and document
+  * fingerprinting (north-star training-data ops, SURVEY.md §7.2 phase 5).
+  *
+  * Everything is built from codegen'd string expressions (split/replace/
+  * length/md5) — no UDFs — so each query is one scan-local projection or
+  * one hash-aggregate at any scale. Occurrence counting uses the
+  * replace-delta trick ((len(x) - len(replace(x, m, ''))) / len(m)), which
+  * has identical non-overlapping semantics in Spark and DuckDB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The corpus is single-space separated; a literal
+    * ' ' split keeps Spark/DuckDB semantics identical. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count non-overlapping occurrences of `marker` in `padded`. */
+  def occurrences(padded: Column, marker: String): Column =
+    (length(padded) - length(replace(padded, lit(marker), lit("")))) / marker.length
+
+  private def padded(text: Column): Column =
+    concat(lit(" "), text, lit(" "))
+
+  /** Marker-word score for one language: total occurrences of its
+    * stopword markers as standalone tokens. */
+  def markerScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => occurrences(padded(text), s" $m ")).reduce(_ + _).cast("int")
+
+  /** Stopword marker lists for the language-ID heuristic (public-knowledge
+    * high-frequency function words). */
+  final val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "les", "et", "des"))
+
+  /** Argmax over language scores, first-listed language wins ties;
+    * all-zero → 'unknown'. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, "unknown")) {
+      case (acc, (l, s)) => acc.when(s === best, l)
+    }.otherwise("unknown")
+  }
+
+  val q21TextStats: QuerySpec = QuerySpec(
+    "q21_text_stats",
+    """SELECT doc_id, lang, source,
+      |  length(text) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+      |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 4) AS avg_token_len,
+      |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 4) AS type_token_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val toks = tokens(col("text"))
+    d.select(
+      col("doc_id"), col("lang"), col("source"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      round((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks), 4)
+        .as("avg_token_len"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("type_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q22LangId: QuerySpec = QuerySpec(
+    "q22_lang_id", {
+      def sql(markers: Seq[String]): String = markers.map { m =>
+        s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) / ${m.length + 2} AS INT)"
+      }.mkString("(", " + ", ")")
+      val scores = LangMarkers.map { case (l, ms) => l -> sql(ms) }
+      val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+      val cases = scores.map { case (l, e) => s"WHEN $e = best THEN '$l'" }
+      s"""SELECT doc_id, lang,
+         |  ${scores.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n  ")},
+         |  CASE WHEN best <= 0 THEN 'unknown' ${cases.mkString(" ")}
+         |    ELSE 'unknown' END AS predicted_lang
+         |FROM (SELECT *, $best AS best FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val scoreCols = LangMarkers.map { case (l, ms) =>
+      markerScore(col("text"), ms).as(s"score_$l")
+    }
+    d.select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
+      .withColumn("predicted_lang", {
+        val scores = LangMarkers.map { case (l, _) => l -> col(s"score_$l") }
+        val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+        scores.foldLeft(when(best <= 0, "unknown")) {
+          case (acc, (l, sc)) => acc.when(sc === best, l)
+        }.otherwise("unknown")
+      })
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic document quality score: length saturation, lexical
+    * diversity, and stopword density (generalizes the reference's
+    * weighted-component scoring pattern, `src/validation.py:64-69`, to
+    * text corpora). */
+  val q23DocQuality: QuerySpec = QuerySpec(
+    "q23_doc_quality",
+    """SELECT doc_id,
+      |  round(len_score, 4) AS len_score,
+      |  round(ttr, 4) AS diversity_score,
+      |  round(stop_ratio, 4) AS stopword_ratio,
+      |  round(0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5)), 4) AS quality_score,
+      |  CASE WHEN 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5)) >= 0.6 THEN 'high'
+      |       WHEN 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5)) >= 0.4 THEN 'medium'
+      |       ELSE 'low' END AS quality_band
+      |FROM (
+      |  SELECT doc_id,
+      |    least(1.0, CAST(length(text) AS DOUBLE) / 400) AS len_score,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr,
+      |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+      |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val toks = tokens(col("text"))
+    val base = d.select(
+      col("doc_id"),
+      least(lit(1.0), length(col("text")).cast("double") / 400).as("len_score"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+      ((occurrences(padded(col("text")), " the ")
+        + occurrences(padded(col("text")), " a ")).cast("double") / size(toks))
+        .as("stop_ratio"))
+    val q = col("len_score") * 0.4 + col("ttr") * 0.4 +
+      (lit(1.0) - least(lit(1.0), col("stop_ratio") * 5)) * 0.2
+    base.select(
+      col("doc_id"),
+      round(col("len_score"), 4).as("len_score"),
+      round(col("ttr"), 4).as("diversity_score"),
+      round(col("stop_ratio"), 4).as("stopword_ratio"),
+      round(q, 4).as("quality_score"),
+      when(q >= 0.6, "high").when(q >= 0.4, "medium").otherwise("low")
+        .as("quality_band"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-style subword estimate
+    * (≈ chars/4, the public ~4-chars-per-token rule of thumb). */
+  val q24TokenCount: QuerySpec = QuerySpec(
+    "q24_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS n_bpe_est,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      ceil(length(col("text")).cast("double") / 4).cast("long").as("n_bpe_est"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized text — the
+    * batch-friendly stand-in for a rolling hash; identical cross-engine. */
+  val q25Fingerprint: QuerySpec = QuerySpec(
+    "q25_fingerprint",
+    """SELECT doc_id,
+      |  md5(lower(trim(text))) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(lower(trim(col("text")))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint)
+}

