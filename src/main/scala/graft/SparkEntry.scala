@@ -20,7 +20,9 @@ object SparkEntry {
       graft.queries.Profiling.all ++
       graft.ext.TextAnalysis.all ++
       graft.ext.Dedup.all ++
-      graft.ext.Similarity.all
+      graft.ext.Similarity.all ++
+      graft.pipeline.Ingest.all ++
+      graft.ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline: adapter → clean → enrich → standardize. */

@@ -23,7 +23,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
+    * raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every
+    * session builder here). Truncate to micros — the same ns→µs truncation
+    * DuckDB applies — so both engines see identical timestamps. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,142 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extraction /
+  * frame-sampling operators (north-star training-data ops).
+  *
+  * The real codec step is STUBBED — this container has no image/audio
+  * libraries — behind [[FakeDecoder]]: a deterministic byte-level
+  * transform with the exact batching shape a real decoder would use
+  * (`mapPartitions` over an iterator ≙ PySpark's `mapInPandas` batch
+  * loop: amortized per-partition init, streaming batches, no
+  * whole-partition materialization). Swap `FakeDecoder.decode` for a
+  * JNI/opencv/ffmpeg call and nothing else changes.
+  *
+  * Scale notes: payloads never pass through a shuffle — every operator
+  * here is scan-local (projection or mapPartitions); frame sampling
+  * explodes bounded `sequence()`s, not data-dependent unbounded arrays.
+  */
+object Multimodal {
+
+  final val Kinds = Seq("image", "audio", "video")
+
+  /** Synthesize a media table from `documents`: payload = utf8 bytes,
+    * kind from a key residue, typed metadata struct. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(Kinds.map(lit): _*),
+        pmod(col("doc_id"), lit(3)).cast("int") + 1).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).as("n_bytes"),
+        (pmod(col("doc_id"), lit(16)) * 64 + 256).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(9)) * 64 + 256).cast("int").as("height"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  /** Expression-level fake feature vector: k chunk digests of the payload,
+    * normalized to [0,1) — codegen'd, no UDF, deterministic. */
+  def chunkFeatures(payload: Column, k: Int = 8, chunk: Int = 32): Column =
+    array((0 until k).map { i =>
+      round(crc32(substring(payload, i * chunk + 1, chunk)).cast("double")
+        / 4294967296.0, 6)
+    }: _*)
+
+  /** Frame sampling for video-kind rows: fixed-length byte windows as
+    * frame payloads (stand-in for ffmpeg keyframe extraction). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, maxFrames: Int = 8): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .withColumn("n_frames",
+        least(lit(maxFrames),
+          ceil(length(col("payload")).cast("double") / frameBytes).cast("int")))
+      .select(col("media_id"), col("n_frames"),
+        posexplode(expr(s"sequence(0, n_frames - 1)")).as(Seq("frame_idx", "_s")))
+      .drop("_s")
+
+  /** Typed record for the batched decode path. */
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+  final case class DecodedMedia(media_id: Long, kind: String, n_bytes: Int,
+      checksum: Long, feature0: Double)
+
+  /** STUB decoder — deterministic fake standing in for the real codec
+    * (pillow/librosa/ffmpeg are not installed in this container). The
+    * batching contract is the real one. */
+  object FakeDecoder {
+    def decode(r: MediaRecord): DecodedMedia = {
+      val crc = new java.util.zip.CRC32
+      crc.update(r.payload)
+      DecodedMedia(r.media_id, r.kind, r.payload.length, crc.getValue,
+        (crc.getValue % 1000000L).toDouble / 1000000.0)
+    }
+  }
+
+  /** mapPartitions-batched decode: per-partition decoder init amortized
+    * across the iterator, exactly how a real codec binding is driven. */
+  def decodeBatch(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRecord]
+      .mapPartitions { iter =>
+        // real decoder handle would be created once per partition here
+        iter.map(FakeDecoder.decode)
+      }
+  }
+
+  // ---- registered queries ----------------------------------------------
+
+  /** Media metadata plane (oracle-checked: byte lengths, kinds, frame
+    * plans are plain arithmetic over the documents table). */
+  val q37MultimodalMeta: QuerySpec = QuerySpec(
+    "q37_multimodal_meta",
+    """SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CAST(doc_id % 16 * 64 + 256 AS INT) AS width,
+      |  CAST(doc_id % 9 * 64 + 256 AS INT) AS height,
+      |  CAST(least(8, ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64)) AS INT) AS planned_frames
+      |FROM documents
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    mediaFromDocuments(Tables.documents(s, dir))
+      .select(col("media_id"), col("kind"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        least(lit(8), ceil(col("meta.n_bytes").cast("double") / 64).cast("int"))
+          .as("planned_frames"))
+      .orderBy("media_id")
+  }
+
+  /** Frame-sampling plan for video rows (oracle: bounded sequence
+    * arithmetic). */
+  val q38FrameSample: QuerySpec = QuerySpec(
+    "q38_frame_sample",
+    """WITH v AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(least(8, ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64)) AS INT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT media_id, n_frames,
+      |  CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
+      |FROM v
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    sampleFrames(mediaFromDocuments(Tables.documents(s, dir)))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Feature extraction over payload bytes (no SQL oracle: crc32 digests;
+    * pinned by MultimodalSpec determinism checks). */
+  val q39MediaFeatures: QuerySpec = QuerySpec.noOracle("q39_media_features") { (s, dir) =>
+    mediaFromDocuments(Tables.documents(s, dir))
+      .select(col("media_id"), col("kind"),
+        chunkFeatures(col("payload")).as("features"))
+      .select(col("media_id"), col("kind"),
+        round(expr("aggregate(features, 0D, (a, v) -> a + v * v)"), 6).as("feature_sq_norm"),
+        element_at(col("features"), 1).as("feature0"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q37MultimodalMeta, q38FrameSample, q39MediaFeatures)
+}

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion stage (ref `src/ingestion.py`): the posts→orders synthesizer,
+  * CSV/JSON directory readers with the reference's envelope tolerance, and
+  * the multi-source name-aligned combine.
+  *
+  * The REST fetch itself (`src/ingestion.py:56-107`) is a driver-side
+  * connector concern (session pooling / retry / rate limit); in this
+  * zero-egress environment the synthesizer takes any posts-shaped
+  * DataFrame, which is exactly what a DataSource V2 REST reader would
+  * produce partition-by-partition at scale.
+  */
+object Ingest {
+
+  /** Keyword → product map (`src/ingestion.py:174-182`). */
+  final val ProductMapping: Seq[(String, String)] = Seq(
+    "phone" -> "iPhone 15",
+    "computer" -> "MacBook Pro",
+    "music" -> "AirPods Pro",
+    "watch" -> "Apple Watch",
+    "tablet" -> "iPad Air",
+    "game" -> "Nintendo Switch",
+    "book" -> "Kindle Paperwhite")
+
+  /** Fallback list indexed by title hash (`src/ingestion.py:188-190`).
+    * The reference uses Python's process-seeded `hash()` — irreproducible
+    * even run-to-run; we pin md5-prefix arithmetic, identical in any
+    * engine (SURVEY.md §7.4 semantic-not-bitwise). */
+  final val DefaultProducts =
+    Seq("iPhone 15", "MacBook Pro", "AirPods Pro", "iPad Air", "Apple Watch")
+
+  def productName(title: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lowered = lower(title)
+    val hashIdx = pmod(conv(substring(md5(title), 1, 8), 16, 10).cast("long"),
+      lit(DefaultProducts.length)).cast("int")
+    val fallback = element_at(array(DefaultProducts.map(lit): _*), hashIdx + 1)
+    ProductMapping.foldLeft(when(lit(false), "")) {
+      case (acc, (k, p)) => acc.when(lowered.contains(k), p)
+    }.otherwise(fallback)
+  }
+
+  /** posts(id, userId, title) → canonical order records
+    * (`src/ingestion.py:110-160`); `asOf` pins the reference's
+    * `datetime.now()` order/ingest dates. */
+  def postsToOrders(posts: DataFrame, asOf: String = Enrich.DefaultAsOf): DataFrame =
+    posts.select(
+      format_string("API-%04d", col("id")).as("order_id"),
+      concat(lit("Customer "), col("userId")).as("customer_name"),
+      concat(lit("customer"), col("userId"), lit("@example.com")).as("customer_email"),
+      productName(col("title")).as("product"),
+      lit("Electronics").as("product_category"),
+      lit(1).as("quantity"),
+      graft.functions.Functions.round2(lit(50.0) + pmod(col("id"), lit(20)) * 25.99).as("price"),
+      lit(0.0).as("discount"),
+      lit(asOf).cast("date").as("order_date"),
+      lit("api_rest").as("source"),
+      lit(asOf).cast("timestamp").as("ingested_at"),
+      col("id").as("api_post_id"))
+      .withColumn("total_amount",
+        graft.functions.Functions.round2(col("price") * col("quantity") - col("discount")))
+
+  /** CSV directory scan (`src/ingestion.py:213-272`): header + inferred
+    * schema + per-file provenance columns (S5). */
+  def readCsvDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(dir)
+      .withColumn("source", lit("file_csv"))
+      .withColumn("source_file", input_file_name())
+
+  /** JSON directory scan tolerating the reference's three envelope shapes
+    * (`src/ingestion.py:293-305`): top-level array, {"orders": [...]},
+    * single object. */
+  def readJsonDir(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(dir)
+    val unwrapped =
+      if (raw.columns.contains("orders"))
+        raw.select(explode(col("orders")).as("o")).select("o.*")
+      else raw
+    unwrapped
+      .withColumn("source", lit("file_json"))
+      .withColumn("source_file", input_file_name())
+  }
+
+  /** Multi-source combine (`src/ingestion.py:356-420`): name-aligned
+    * null-filling union + deterministic keep-first dedup on order_id.
+    * The reference's `keep='first'` after `pd.concat([api, csv, json])`
+    * is really source priority by concat order — encoded here as an
+    * explicit priority column so the semantics survive distribution. */
+  def collectAll(sources: Seq[DataFrame]): DataFrame = {
+    val prioritized = sources.zipWithIndex.map { case (df, i) =>
+      df.withColumn("__src_priority", lit(i))
+    }
+    val unioned = prioritized.reduce(_.unionByName(_, allowMissingColumns = true))
+    Clean.dedupKeepFirst(unioned,
+        orderCols = "__src_priority" +: Clean.KeepFirstTiebreak)
+      .drop("__src_priority")
+  }
+
+  // ---- registered queries ----------------------------------------------
+
+  /** Posts synthesized deterministically from `documents` (id=doc_id+1,
+    * userId from doc residue, title=text) → the S2 synthesizer, oracle-
+    * checked including the md5 fallback branch. */
+  val q34PostsToOrders: QuerySpec = QuerySpec(
+    "q34_posts_to_orders",
+    """WITH posts AS (
+      |  SELECT doc_id + 1 AS id, doc_id % 10 + 1 AS userId, text AS title
+      |  FROM documents)
+      |SELECT
+      |  printf('API-%04d', id) AS order_id,
+      |  'Customer ' || userId AS customer_name,
+      |  'customer' || userId || '@example.com' AS customer_email,
+      |  CASE WHEN contains(lower(title), 'phone') THEN 'iPhone 15'
+      |       WHEN contains(lower(title), 'computer') THEN 'MacBook Pro'
+      |       WHEN contains(lower(title), 'music') THEN 'AirPods Pro'
+      |       WHEN contains(lower(title), 'watch') THEN 'Apple Watch'
+      |       WHEN contains(lower(title), 'tablet') THEN 'iPad Air'
+      |       WHEN contains(lower(title), 'game') THEN 'Nintendo Switch'
+      |       WHEN contains(lower(title), 'book') THEN 'Kindle Paperwhite'
+      |       ELSE (['iPhone 15','MacBook Pro','AirPods Pro','iPad Air','Apple Watch'])[
+      |         CAST(CAST(('0x' || substr(md5(title), 1, 8)) AS BIGINT) % 5 AS INT) + 1]
+      |  END AS product,
+      |  'Electronics' AS product_category,
+      |  1 AS quantity,
+      |  floor((50.0 + (id % 20) * 25.99) * 100 + 0.5) / 100 AS price,
+      |  CAST(0.0 AS DOUBLE) AS discount,
+      |  DATE '2002-01-01' AS order_date,
+      |  'api_rest' AS source,
+      |  TIMESTAMP '2002-01-01 00:00:00' AS ingested_at,
+      |  id AS api_post_id,
+      |  floor((floor((50.0 + (id % 20) * 25.99) * 100 + 0.5) / 100) * 100 + 0.5) / 100 AS total_amount
+      |FROM posts
+      |ORDER BY order_id""".stripMargin) { (s, dir) =>
+    val posts = Tables.documents(s, dir).select(
+      (col("doc_id") + 1).as("id"),
+      (col("doc_id") % 10 + 1).as("userId"),
+      col("text").as("title"))
+    postsToOrders(posts).orderBy("order_id")
+  }
+
+  /** Batch twin of the streaming tumbling-window aggregation over
+    * `events` (SURVEY.md §2.8): hourly windows × event_type. */
+  val q35EventsWindow: QuerySpec = QuerySpec(
+    "q35_events_window",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Semi-structured JSON extraction from `events.props`
+    * (S4's payload-parsing capability in-plane). */
+  val q36EventsJson: QuerySpec = QuerySpec(
+    "q36_events_json",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q34PostsToOrders, q35EventsWindow, q36EventsJson)
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.pipeline.{Clean, Enrich, Standardize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming re-design of the reference's batch-glob directory
+  * "monitoring" (`src/ingestion.py:213-345`; SURVEY.md §2.8):
+  *
+  *  - the file source replaces the glob loop, with `cleanSource=archive`
+  *    standing in for the processed/-directory moves
+  *    (`src/ingestion.py:243-252`);
+  *  - `foreachBatch` runs the same clean→enrich→standardize stages per
+  *    micro-batch — one code path for batch and stream;
+  *  - dedup-by-order_id across batches becomes a watermarked
+  *    `dropDuplicates` (bounded state — an unbounded key set at 100 TB/day
+  *    would OOM the state store);
+  *  - quality-metrics-over-time (`src/storage.py:301-331`) becomes a
+  *    watermarked tumbling-window aggregation over event time.
+  */
+object Streaming {
+
+  /** Directory-watch CSV source with archive semantics (S6). */
+  def csvFileSource(spark: SparkSession, inDir: String, schema: StructType,
+      archiveDir: Option[String] = None): DataFrame = {
+    val base = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+    val withArchive = archiveDir.fold(base) { dir =>
+      base.option("cleanSource", "archive").option("sourceArchiveDir", dir)
+    }
+    withArchive.csv(inDir)
+      .withColumn("source", lit("file_csv"))
+      .withColumn("source_file", input_file_name())
+  }
+
+  /** Parquet file source (used to replay the `events` table as a stream). */
+  def parquetFileSource(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Bounded-state keyed dedup: keep the first-seen order_id within the
+    * watermark horizon (replaces the SQLite UNIQUE upsert,
+    * `src/storage.py:170-196`, for the streaming plane). */
+  def watermarkedDedup(orders: DataFrame, eventTimeCol: String = "ingested_at",
+      horizon: String = "1 hour"): DataFrame =
+    orders
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicates("order_id", eventTimeCol)
+
+  /** The full transform pipeline applied per micro-batch, appended to a
+    * parquet orders table. */
+  def transformStream(orders: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+    orders.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Standardize(Enrich(Clean(batch)))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
+  /** Watermarked tumbling-window event metrics (streaming twin of
+    * q35_events_window). */
+  def windowedEventMetrics(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run a streaming frame to a named in-memory sink until drained
+    * (test/debug harness). */
+  def drainToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

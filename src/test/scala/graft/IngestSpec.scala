@@ -1,0 +1,72 @@
+package graft
+
+import graft.pipeline.Ingest
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IngestSpec extends SparkSpec {
+
+  private def postsDf(rows: (Long, Long, String)*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (i, u, t) => Row(i, u, t) }: _*),
+    StructType(Seq(StructField("id", LongType), StructField("userId", LongType),
+      StructField("title", StringType))))
+
+  test("postsToOrders: mock API posts fixture (tests.py:61-64, test_2.py:47-48)") {
+    val posts = postsDf((1L, 1L, "iPhone post"), (2L, 2L, "MacBook post"))
+    val orders = Ingest.postsToOrders(posts).orderBy("order_id").collect()
+    assert(orders(0).getAs[String]("order_id") == "API-0001")
+    assert(orders(0).getAs[String]("product") == "iPhone 15") // 'phone' keyword
+    assert(orders(0).getAs[String]("customer_name") == "Customer 1")
+    assert(orders(0).getAs[String]("customer_email") == "customer1@example.com")
+    // price formula: 50 + (id % 20) * 25.99 (ingestion.py:137)
+    assert(orders(0).getAs[Double]("price") == 75.99)
+    assert(orders(1).getAs[Double]("price") == 101.98)
+    assert(orders(0).getAs[Double]("total_amount") == 75.99)
+  }
+
+  test("postsToOrders: md5 fallback lands in the default product list (ingestion.py:188-190)") {
+    val posts = postsDf((3L, 1L, "zzz qqq unmatched title"))
+    val p = Ingest.postsToOrders(posts).collect().head.getAs[String]("product")
+    assert(Ingest.DefaultProducts.contains(p))
+  }
+
+  test("readJsonDir accepts all three envelope shapes (ingestion.py:297-305)") {
+    def run(content: String): Long = {
+      val dir = Files.createTempDirectory("json_in").toString
+      Files.writeString(Paths.get(dir, "data.json"), content)
+      Ingest.readJsonDir(spark, dir).count()
+    }
+    assert(run("""[{"order_id": "A", "price": 1.0}, {"order_id": "B", "price": 2.0}]""") == 2)
+    assert(run("""{"orders": [{"order_id": "A", "price": 1.0}, {"order_id": "B", "price": 2.0}]}""") == 2)
+    assert(run("""{"order_id": "A", "price": 1.0}""") == 1)
+  }
+
+  test("readCsvDir infers header and types, adds provenance (S3/S5)") {
+    val dir = Files.createTempDirectory("csv_in").toString
+    Files.writeString(Paths.get(dir, "a.csv"),
+      "order_id,price\nCSV-0001,12.5\nCSV-0002,99.0")
+    val df = Ingest.readCsvDir(spark, dir)
+    assert(df.count() == 2)
+    assert(df.schema("price").dataType == DoubleType)
+    assert(df.columns.contains("source_file"))
+    assert(df.select("source").distinct().collect().head.getString(0) == "file_csv")
+  }
+
+  test("collectAll: name-aligned union + keep-first dedup (ingestion.py:356-420)") {
+    val api = Ingest.postsToOrders(postsDf((1L, 1L, "iPhone post")))
+    val csvish = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("API-0001", 5.0),  // duplicate key, later ingest ts missing → keep-first wins
+        Row("FILE-0001", 7.0)),
+      StructType(Seq(StructField("order_id", StringType), StructField("price", DoubleType))))
+    val all = Ingest.collectAll(Seq(api, csvish))
+    assert(all.count() == 2)
+    val a1 = all.filter(col("order_id") === "API-0001").collect().head
+    // union-by-name null-fills the csv frame's missing columns
+    assert(all.filter(col("order_id") === "FILE-0001")
+      .collect().head.getAs[String]("customer_name") == null)
+    assert(a1.getAs[String]("customer_name") != null)
+  }
+}
