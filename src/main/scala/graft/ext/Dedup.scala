@@ -22,13 +22,17 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct 3-gram word shingles per document, exploded to
-    * (doc_id, shingle) rows. Docs shorter than 3 tokens are dropped. */
+    * (doc_id, shingle) rows. Docs shorter than 3 tokens are dropped.
+    * The words array is materialized as its own projection first —
+    * inlining `split()` into each `slice()` re-tokenizes the text once
+    * per shingle, turning an O(words) row into O(words²). */
   def shingleRows(docs: DataFrame): DataFrame =
     docs
-      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(1, size(split(text, ' ')) - 2), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")))
+        expr("transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', slice(w, i, 3)))")))
         .as("shingle"))
 
   /** Exact content dedup: group by md5 digest, keep the smallest doc_id
