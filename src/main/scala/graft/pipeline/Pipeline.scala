@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine configuration (ref `config/config.yaml` + dot-access Config,
+  * `src/utils.py`/`tests.py:260-280`): only the keys actual reference code
+  * reads are modeled. */
+final case class GraftConfig(
+    batchSize: Int = 1000,
+    qualityThreshold: Double = 80.0,
+    requiredFields: Seq[String] = Quality.RequiredFields,
+    enableValidation: Boolean = true,
+    enableCleaning: Boolean = true,
+    enableEnrichment: Boolean = true,
+    enableStandardization: Boolean = true,
+    asOf: String = Enrich.DefaultAsOf)
+
+/** Orchestrator (ref `PipelineManager.run_pipeline`, `src/pipeline.py:68-208`,
+  * and `transform_all`, `src/transformation.py:669-726`) with the
+  * reference's exact stage policy:
+  *   - validation failure is NON-fatal (`pipeline.py:126-129`);
+  *   - cleaning failure is FATAL (`transformation.py:697-701`);
+  *   - enrichment / standardization failures are NON-fatal — the stage is
+  *     skipped and the previous frame flows on (`transformation.py:710-725`).
+  *
+  * Unlike the reference's eager stage-at-a-time materialization, the
+  * composed stages stay ONE lazy Catalyst plan; only the sinks (store,
+  * metric aggregation) trigger jobs.
+  */
+object Pipeline {
+
+  final case class StageResult(stage: String, success: Boolean,
+      seconds: Double, error: Option[String])
+  final case class PipelineReport(runId: String, success: Boolean,
+      stages: Seq[StageResult], recordsStored: Long,
+      qualityScore: Option[Double], qualityLevel: Option[String])
+
+  private def timed[A](stage: String)(body: => A): (Option[A], StageResult) = {
+    val t0 = System.nanoTime()
+    try {
+      val r = body
+      (Some(r), StageResult(stage, success = true, (System.nanoTime() - t0) / 1e9, None))
+    } catch {
+      case e: Exception =>
+        (None, StageResult(stage, success = false, (System.nanoTime() - t0) / 1e9,
+          Some(e.getMessage)))
+    }
+  }
+
+  /** Deterministic run id (ref `RUN-{ts}-{uuid8}`, `pipeline.py:79` — the
+    * uuid becomes a content-free counter-less token from nanotime; callers
+    * needing reproducibility pass their own). */
+  def newRunId(): String =
+    f"RUN-${System.currentTimeMillis()}%d-${(System.nanoTime() % 0xffffffffL)}%08x"
+
+  /** Run ingest → validate → clean → enrich → standardize → store.
+    *
+    * @param sources  already-loaded source frames (api/csv/json), combined
+    *                 with source-priority keep-first semantics
+    * @param outDir   parquet table root (orders/, pipeline_runs/, metrics/)
+    */
+  def run(spark: SparkSession, sources: Seq[DataFrame], outDir: String,
+      config: GraftConfig = GraftConfig(), runId: String = newRunId()): PipelineReport = {
+    val stages = Seq.newBuilder[StageResult]
+    val startTime = java.time.Instant.now().toString
+
+    // Stage 1: ingestion combine (fatal if it fails)
+    val (ingested, s1) = timed("ingestion") { Ingest.collectAll(sources) }
+    stages += s1
+    if (ingested.isEmpty) {
+      return PipelineReport(runId, success = false, stages.result(), 0L, None, None)
+    }
+    var current = ingested.get
+
+    // Stage 2: validation (non-fatal)
+    var quality: Option[(Double, String)] = None
+    if (config.enableValidation) {
+      val (q, s2) = timed("validation") {
+        val schemaReport = SchemaCheck.validate(current, config.requiredFields)
+        val m = Quality.metrics(current, config.asOf).collect().head
+        (m.getAs[Double]("overall_score"), m.getAs[String]("quality_level"),
+          schemaReport.valid)
+      }
+      stages += s2
+      quality = q.map(t => (t._1, t._2))
+    }
+
+    // Stage 3a: cleaning (FATAL on failure)
+    if (config.enableCleaning) {
+      val (cleaned, s3) = timed("cleaning") { Clean(current) }
+      stages += s3
+      if (cleaned.isEmpty) {
+        return PipelineReport(runId, success = false, stages.result(), 0L,
+          quality.map(_._1), quality.map(_._2))
+      }
+      current = cleaned.get
+    }
+
+    // Stage 3b/3c: enrichment, standardization (non-fatal, skip-on-error)
+    if (config.enableEnrichment) {
+      val (enriched, s4) = timed("enrichment") { Enrich(current, config.asOf) }
+      stages += s4
+      enriched.foreach(current = _)
+    }
+    if (config.enableStandardization) {
+      val (std, s5) = timed("standardization") { Standardize(current) }
+      stages += s5
+      std.foreach(current = _)
+    }
+
+    // Stage 4: storage — upsert + telemetry + metrics
+    val (stored, s6) = timed("storage") {
+      val n = Store.upsertOrders(spark, current, s"$outDir/orders")
+      quality.foreach { case (score, _) =>
+        Store.appendQualityMetrics(spark, s"$outDir/metrics", runId,
+          Seq("data_quality_score" -> score), "quality", "orders", startTime)
+      }
+      n
+    }
+    stages += s6
+
+    val endTime = java.time.Instant.now().toString
+    val all = stages.result()
+    val ok = all.forall(_.success)
+    Store.appendPipelineRun(spark, s"$outDir/pipeline_runs", runId, "graft",
+      startTime, endTime, if (ok) "completed" else "failed",
+      stored.getOrElse(0L), 0L,
+      all.find(!_.success).flatMap(_.error))
+    PipelineReport(runId, ok, all, stored.getOrElse(0L),
+      quality.map(_._1), quality.map(_._2))
+  }
+
+  // ---- health check (§3.2) ----------------------------------------------
+
+  final case class ComponentHealth(component: String, status: String,
+      detail: String)
+  final case class HealthReport(overall: String, components: Seq[ComponentHealth])
+
+  /** Probe data availability, storage writability, and the session itself;
+    * roll up healthy/degraded/unhealthy like `pipeline.py:441-450`.
+    * (The reference's probe calls a method that doesn't exist and always
+    * reports `error` — `pipeline.py:409`, SURVEY.md §3.2; that latent bug
+    * is deliberately not reproduced.) */
+  def healthCheck(spark: SparkSession, dataDir: String, outDir: String): HealthReport = {
+    def probe(name: String)(body: => String): ComponentHealth =
+      try ComponentHealth(name, "healthy", body)
+      catch { case e: Exception => ComponentHealth(name, "unhealthy",
+        String.valueOf(e.getMessage)) }
+
+    val comps = Seq(
+      probe("spark_session") { s"version=${spark.version}" },
+      probe("data_source") {
+        val n = spark.read.parquet(s"$dataDir/orders.parquet").count()
+        s"orders_rows=$n"
+      },
+      probe("file_system") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(outDir)
+        if (!fs.exists(p)) fs.mkdirs(p)
+        s"writable=$outDir"
+      })
+    val healthy = comps.count(_.status == "healthy")
+    val overall =
+      if (healthy == comps.length) "healthy"
+      else if (healthy * 2 >= comps.length) "degraded"
+      else "unhealthy"
+    HealthReport(overall, comps)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage stage (ref `src/storage.py`): keyed upsert into the orders
+  * table, run-telemetry and quality-metric sinks, file exports, retrieval,
+  * and database stats.
+  *
+  * The reference's SQLite `INSERT OR REPLACE` with per-row loops
+  * (`storage.py:167-203`) becomes: union existing ∪ incoming → keep-latest
+  * per key (one window shuffle) → atomic directory swap. At real scale the
+  * same call-sites swap to Delta/Iceberg `MERGE INTO` — the upsert
+  * *semantic* (latest-wins by ingest time, unique `order_id`) is what this
+  * module pins down. No per-row driver loops anywhere.
+  */
+object Store {
+
+  /** Latest-wins keyed upsert into a parquet table directory (S7).
+    * `orderCol` decides recency (ties → incoming wins via priority). */
+  def upsertOrders(spark: SparkSession, incoming: DataFrame, tablePath: String,
+      key: String = "order_id", orderCol: String = "ingested_at"): Long = {
+    val existing = readTable(spark, tablePath)
+    val merged = existing match {
+      case Some(cur) =>
+        val all = cur.withColumn("__gen", lit(0))
+          .unionByName(incoming.withColumn("__gen", lit(1)), allowMissingColumns = true)
+        val ord =
+          (if (all.columns.contains(orderCol)) Seq(col(orderCol).desc_nulls_last) else Nil) ++
+            Seq(col("__gen").desc)
+        val w = Window.partitionBy(key).orderBy(ord: _*)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__gen")
+      case None => incoming
+    }
+    // staging write + swap: never read and overwrite the same files
+    val staging = tablePath + "__staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(tablePath)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    spark.read.parquet(tablePath).count()
+  }
+
+  private def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Some(spark.read.parquet(path))
+    else None
+  }
+
+  /** Run-telemetry sink (S9; `pipeline_runs` DDL `storage.py:70-82`). */
+  def appendPipelineRun(spark: SparkSession, path: String, runId: String,
+      pipelineName: String, startTime: String, endTime: String, status: String,
+      recordsProcessed: Long, recordsFailed: Long,
+      errorMessage: Option[String]): Unit = {
+    import spark.implicits._
+    Seq((runId, pipelineName, startTime, endTime, status, recordsProcessed,
+      recordsFailed, errorMessage.orNull))
+      .toDF("run_id", "pipeline_name", "start_time", "end_time", "status",
+        "records_processed", "records_failed", "error_message")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Long-format quality-metrics sink (S10; DDL `storage.py:85-97`). */
+  def appendQualityMetrics(spark: SparkSession, path: String, runId: String,
+      metrics: Seq[(String, Double)], metricType: String, sourceTable: String,
+      measuredAt: String): Unit = {
+    import spark.implicits._
+    metrics.map { case (name, value) =>
+      (runId, name, value, metricType, sourceTable, measuredAt)
+    }.toDF("run_id", "metric_name", "metric_value", "metric_type",
+      "source_table", "measured_at")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** A15: average of a named metric over time (`storage.py:358-360`). */
+  def avgMetric(spark: SparkSession, metricsPath: String, metricName: String): Option[Double] = {
+    readTable(spark, metricsPath).flatMap { df =>
+      val r = df.filter(col("metric_name") === metricName)
+        .agg(avg(col("metric_value")).as("v")).collect().head
+      Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue())
+    }
+  }
+
+  /** File exports S11-S13 (`storage.py:392-442`). */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+  def exportParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S8 retrieval: `SELECT * ORDER BY col DESC LIMIT n` — planned by
+    * Catalyst as TakeOrderedAndProject (per-partition top-k). */
+  def getOrders(spark: SparkSession, tablePath: String, limit: Int,
+      orderBy: String = "ingested_at"): DataFrame =
+    spark.read.parquet(tablePath).orderBy(col(orderBy).desc).limit(limit)
+
+  /** S14 stats probe over a stored orders table. */
+  def tableStats(spark: SparkSession, tablePath: String): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    df.agg(
+      count(lit(1)).as("row_count"),
+      countDistinct(col("order_id")).as("distinct_orders"),
+      max(col("ingested_at")).as("latest_ingest"))
+  }
+}

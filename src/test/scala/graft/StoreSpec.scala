@@ -1,0 +1,132 @@
+package graft
+
+import graft.pipeline.{GraftConfig, Ingest, Pipeline, SchemaCheck, Store}
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StoreSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private val schema = StructType(Seq(
+    StructField("order_id", StringType), StructField("price", DoubleType),
+    StructField("ingested_at", TimestampType)))
+
+  private def ordersDf(rows: (String, Double, String)*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (o, p, t) =>
+      Row(o, p, java.sql.Timestamp.valueOf(t)) }: _*), schema)
+
+  test("upsert: unique keys, latest-wins replace (storage.py:114-228)") {
+    val table = tmp("orders_tbl") + "/orders"
+    val n1 = Store.upsertOrders(spark, ordersDf(
+      ("A-1", 10.0, "2024-01-01 00:00:00"),
+      ("A-2", 20.0, "2024-01-01 00:00:00")), table)
+    assert(n1 == 2)
+    // newer row replaces A-1; stale row for A-2 loses; A-3 inserts
+    val n2 = Store.upsertOrders(spark, ordersDf(
+      ("A-1", 11.0, "2024-02-01 00:00:00"),
+      ("A-2", 19.0, "2023-12-01 00:00:00"),
+      ("A-3", 30.0, "2024-01-05 00:00:00")), table)
+    assert(n2 == 3)
+    val rows = spark.read.parquet(table).orderBy("order_id").collect()
+    assert(rows.map(_.getAs[Double]("price")).toSeq == Seq(11.0, 20.0, 30.0))
+  }
+
+  test("upsert: same-timestamp rerun is idempotent, incoming wins ties") {
+    val table = tmp("orders_tbl2") + "/orders"
+    val df = ordersDf(("B-1", 5.0, "2024-01-01 00:00:00"))
+    Store.upsertOrders(spark, df, table)
+    val n = Store.upsertOrders(spark, ordersDf(("B-1", 6.0, "2024-01-01 00:00:00")), table)
+    assert(n == 1)
+    assert(spark.read.parquet(table).collect().head.getAs[Double]("price") == 6.0)
+  }
+
+  test("exports + topk retrieval + stats (S8, S11-S14)") {
+    val base = tmp("exports")
+    val df = ordersDf(
+      ("C-1", 1.0, "2024-01-01 00:00:00"),
+      ("C-2", 2.0, "2024-01-02 00:00:00"),
+      ("C-3", 3.0, "2024-01-03 00:00:00"))
+    Store.exportCsv(df, s"$base/csv")
+    Store.exportJson(df, s"$base/json")
+    Store.exportParquet(df, s"$base/pq")
+    assert(spark.read.option("header", "true").csv(s"$base/csv").count() == 3)
+    assert(spark.read.json(s"$base/json").count() == 3)
+    val top = Store.getOrders(spark, s"$base/pq", 2)
+    assert(top.collect().map(_.getString(0)).toSeq == Seq("C-3", "C-2"))
+    val stats = Store.tableStats(spark, s"$base/pq").collect().head
+    assert(stats.getAs[Long]("row_count") == 3)
+    assert(stats.getAs[Long]("distinct_orders") == 3)
+  }
+
+  test("metric sink + avgMetric (S10, A15)") {
+    val path = tmp("metrics") + "/metrics"
+    Store.appendQualityMetrics(spark, path, "RUN-1",
+      Seq("data_quality_score" -> 90.0), "quality", "orders", "2024-01-01")
+    Store.appendQualityMetrics(spark, path, "RUN-2",
+      Seq("data_quality_score" -> 80.0), "quality", "orders", "2024-01-02")
+    assert(Store.avgMetric(spark, path, "data_quality_score").contains(85.0))
+    assert(Store.avgMetric(spark, path, "no_such_metric").isEmpty)
+  }
+
+  test("schema check: family validation and missing-required report") {
+    val good = SchemaCheck.validate(
+      graft.pipeline.OrdersDomain.fromTpch(spark, sf))
+    assert(good.valid, good.toString)
+    val bad = SchemaCheck.validate(ordersDf(("A", 1.0, "2024-01-01 00:00:00")))
+    assert(!bad.valid)
+    assert(bad.missingRequired.contains("customer_name"))
+  }
+
+  test("pipeline E2E: sources → stages → stored table + telemetry (pipeline.py:68-208)") {
+    val out = tmp("pipe_out")
+    val posts = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 1L, "iPhone post"), Row(2L, 2L, "plain post")),
+      StructType(Seq(StructField("id", LongType), StructField("userId", LongType),
+        StructField("title", StringType))))
+    val report = Pipeline.run(spark,
+      Seq(Ingest.postsToOrders(posts)), out, GraftConfig(asOf = "2024-06-01"),
+      runId = "RUN-TEST-1")
+    assert(report.success, report.toString)
+    assert(report.recordsStored == 2)
+    assert(report.stages.map(_.stage) ==
+      Seq("ingestion", "validation", "cleaning", "enrichment", "standardization", "storage"))
+    assert(report.qualityScore.exists(_ > 0))
+    val stored = spark.read.parquet(s"$out/orders")
+    assert(stored.count() == 2)
+    assert(stored.columns.contains("customer_segment"))
+    val runs = spark.read.parquet(s"$out/pipeline_runs").collect()
+    assert(runs.head.getAs[String]("status") == "completed")
+    assert(spark.read.parquet(s"$out/metrics")
+      .filter(col("metric_name") === "data_quality_score").count() == 1)
+    // rerun upserts, doesn't duplicate
+    val report2 = Pipeline.run(spark,
+      Seq(Ingest.postsToOrders(posts)), out, GraftConfig(asOf = "2024-06-01"),
+      runId = "RUN-TEST-2")
+    assert(report2.recordsStored == 2)
+  }
+
+  test("pipeline: stage toggles honored (run_pipeline.py:56-66)") {
+    val out = tmp("pipe_min")
+    val posts = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 1L, "iPhone post")),
+      StructType(Seq(StructField("id", LongType), StructField("userId", LongType),
+        StructField("title", StringType))))
+    val report = Pipeline.run(spark, Seq(Ingest.postsToOrders(posts)), out,
+      GraftConfig(enableValidation = false, enableEnrichment = false,
+        enableStandardization = false))
+    assert(report.success)
+    assert(report.stages.map(_.stage) == Seq("ingestion", "cleaning", "storage"))
+    assert(!spark.read.parquet(s"$out/orders").columns.contains("customer_segment"))
+  }
+
+  test("health check rolls up component status (pipeline.py:398-460)") {
+    val h = Pipeline.healthCheck(spark, sf, tmp("health_out"))
+    assert(h.overall == "healthy", h.toString)
+    assert(h.components.length == 3)
+    val broken = Pipeline.healthCheck(spark, "/nonexistent_dir", tmp("health_out2"))
+    assert(broken.overall == "degraded")
+  }
+}
