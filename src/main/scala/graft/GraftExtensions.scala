@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL use. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName,
+        "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ArrayDotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ with double accumulation. */
+  /** Σ aᵢ·bᵢ with double accumulation — the native codegen'd
+    * [[graft.functions.ArrayDotProduct]] expression (one fused loop; the
+    * composed `aggregate(zip_with(...))` form allocates a product array
+    * per row and is kept in [[dotComposed]] for the parity test). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDotProduct.dot(a, b)
+
+  /** Higher-order-function composition with identical semantics. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
