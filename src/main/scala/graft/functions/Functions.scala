@@ -101,6 +101,23 @@ object Functions {
       .when(price < 1000, 0.25)
       .otherwise(0.30)
 
+  /** Two-phase salted aggregation for skewed keys (100 TB design rule,
+    * SURVEY.md §7.4): phase 1 aggregates on (key, salt) spreading a hot
+    * key over `saltBuckets` reducers; phase 2 combines the partials on the
+    * key alone. Correct for any algebraic aggregate expressed as
+    * (partial, combine) — here sum/count, which also yields avg. AQE's
+    * skew-join handling covers joins; this covers the groupBy side. */
+  def saltedSumCount(df: org.apache.spark.sql.DataFrame, key: String,
+      valueCol: String, saltBuckets: Int = 16): org.apache.spark.sql.DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n"))
+  }
+
   /** Cross-engine-deterministic 2-decimal rounding (money fields,
     * `src/transformation.py:634-638`). Spark's `round()` goes through a
     * decimal-string HALF_UP while DuckDB rounds the binary double — they

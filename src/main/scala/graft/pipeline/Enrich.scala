@@ -133,6 +133,22 @@ object Enrich {
       .withColumn("days_since_order",
         datediff(lit(asOf).cast("date"), col("order_date").cast("date")))
 
+  /** Record id (M12, `src/transformation.py:323-325`). The reference's
+    * `record_id = range(1, n+1)` forces a global order; at 100 TB a
+    * sequential id is a single-partition sort, so the DEFAULT here is
+    * `monotonically_increasing_id` (unique, partition-prefixed, fully
+    * parallel). Pass `sequentialBy` only when a true 1..n sequence is
+    * required and the data is small enough to window globally. */
+  def addRecordId(df: DataFrame, sequentialBy: Option[Seq[String]] = None): DataFrame =
+    sequentialBy match {
+      case Some(orderCols) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(orderCols.map(col): _*)
+        df.withColumn("record_id", row_number().over(w).cast("long"))
+      case None =>
+        df.withColumn("record_id", monotonically_increasing_id())
+    }
+
   /** Risk assessment (`src/transformation.py:534-575`). */
   def addRiskAssessment(df: DataFrame): DataFrame = {
     val total: Column = if (has(df, "total_amount")) col("total_amount") else lit(0.0)

@@ -88,6 +88,15 @@ object Store {
     }
   }
 
+  /** Partitioned parquet write: the scale-path layout (partition pruning
+    * replaces the reference's SQLite B-tree indexes, SURVEY.md §4.1).
+    * A filter on a partition column shows up as PartitionFilters in the
+    * scan and skips directories entirely. */
+  def exportPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** File exports S11-S13 (`storage.py:392-442`). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.Functions
+import graft.pipeline.{Clean, Enrich, Store}
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2): ScalaCheck generators with
+  * fixed seeds (the scalatestplus Checkers bridge isn't in the offline
+  * cache, so samples are drawn explicitly — still generative, still
+  * deterministic). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("round2 is idempotent and within half a cent (property, 500 samples)") {
+    samples(Gen.chooseNum(-1e9, 1e9), 500).foreach { d =>
+      val r = math.floor(d * 100 + 0.5) / 100
+      val r2 = math.floor(r * 100 + 0.5) / 100
+      assert(r == r2, s"not idempotent at $d")
+      assert(math.abs(r - d) <= 0.005 + math.ulp(d) * 100, s"drift at $d")
+    }
+  }
+
+  test("dedup idempotence: Clean.dedupFull twice equals once") {
+    val df = Tables.orders(spark, sf).select("o_orderstatus", "o_orderpriority")
+    val once = Clean.dedupFull(df)
+    val twice = Clean.dedupFull(once)
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).count() == 0)
+  }
+
+  test("keep-first dedup: output keys unique, subset of input, stable under re-run") {
+    val df = graft.pipeline.OrdersDomain.dirtyFromTpch(spark, sf)
+    val a = Clean.dedupKeepFirst(df)
+    val b = Clean.dedupKeepFirst(df)
+    assert(a.groupBy("order_id").count().filter(col("count") > 1).count() == 0)
+    assert(a.exceptAll(b).count() == 0, "same pick on every run")
+  }
+
+  test("union-by-name schema closure: result schema is the union of source schemas") {
+    val a = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
+    val b = Tables.supplier(spark, sf).select("s_suppkey", "s_name")
+      .withColumnRenamed("s_suppkey", "c_custkey")
+      .withColumnRenamed("s_name", "extra_col")
+    val u = a.unionByName(b, allowMissingColumns = true)
+    assert(u.columns.toSet == a.columns.toSet ++ b.columns.toSet)
+    assert(u.count() == a.count() + b.count())
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("sum_value"), count(lit(1)).as("n"))
+    val salted = Functions.saltedSumCount(li, "l_returnflag", "l_quantity")
+    val joined = direct.as("d").join(salted.as("s"), Seq("l_returnflag"))
+      .filter(abs(col("d.sum_value") - col("s.sum_value")) > 1e-6 ||
+        col("d.n") =!= col("s.n"))
+    assert(joined.count() == 0)
+  }
+
+  test("record id: monotonic variant is unique; sequential variant is 1..n") {
+    val df = Tables.orders(spark, sf).limit(500)
+    val mono = Enrich.addRecordId(df)
+    assert(mono.select("record_id").distinct().count() == 500)
+    val seq = Enrich.addRecordId(df, sequentialBy = Some(Seq("o_orderkey")))
+    val ids = seq.select("record_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 500L))
+  }
+
+  test("partitioned export prunes partitions on read") {
+    val out = Files.createTempDirectory("part_out").toString + "/by_year"
+    val df = Enrich.addTemporalAnalytics(
+      graft.pipeline.OrdersDomain.fromTpch(spark, sf))
+    Store.exportPartitioned(df.select("order_id", "total_amount", "order_year"),
+      out, Seq("order_year"))
+    val read = spark.read.parquet(out).filter(col("order_year") === 1997)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan.take(800))
+    assert(read.count() > 0)
+  }
+
+  test("langId total function: never null on generated strings (property)") {
+    val gen = Gen.listOfN(8, Gen.oneOf("the", "la", "und", "les", "xyz", "data", "el"))
+      .map(_.mkString(" "))
+    val texts = samples(gen, 40)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(texts.map(Row(_)): _*),
+      StructType(Seq(StructField("text", StringType))))
+    val out = df.select(graft.ext.TextAnalysis.langId(col("text")).as("l")).collect()
+    assert(out.forall(r => r.getString(0) != null))
+    assert(out.forall(r => Set("en", "es", "de", "fr", "unknown").contains(r.getString(0))))
+  }
+}
