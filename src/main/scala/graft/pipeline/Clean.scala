@@ -98,10 +98,19 @@ object Clean {
     if (has(d2, "quantity")) d2.filter(col("quantity") > 0) else d2
   }
 
-  /** Full stage in the reference's order. */
+  /** Full stage in the reference's order.
+    *
+    * Shuffle fusion: the reference runs full-row dedup then keyed
+    * keep-first (`transformation.py:54-73`) — two passes. With a TOTAL
+    * tiebreak order, the keep-first window already collapses identical
+    * rows to the same deterministic pick, so running it alone produces
+    * the same output with one exchange instead of two (hash-agg exchange
+    * + window exchange). `dedupFull` remains the standalone D2 operator
+    * (q07). Equivalence is pinned by the q11/q13 oracle and
+    * PropertySpec's stability law. */
   def apply(df: DataFrame): DataFrame =
     removeInvalid(imputeMissing(cleanText(repairTypes(
-      dedupKeepFirst(dedupFull(df))))))
+      dedupKeepFirst(df)))))
 
   /** Oracle CTE chain reproducing [[apply]] over `dirty_domain`
     * (keep-first dedup is a no-op on unique order_ids but is still encoded
