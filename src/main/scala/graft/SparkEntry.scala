@@ -22,7 +22,8 @@ object SparkEntry {
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
       graft.pipeline.Ingest.all ++
-      graft.ext.Multimodal.all
+      graft.ext.Multimodal.all ++
+      graft.queries.Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline: adapter → clean → enrich → standardize. */

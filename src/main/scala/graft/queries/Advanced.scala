@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.AsOfJoin
+import graft.pipeline.{Ingest, OrdersDomain}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced operators: the DataSource V2 REST scan, as-of join,
+  * gap-based sessionization, and grouped quality — capabilities beyond
+  * the reference's surface that a production engine at scale needs
+  * (SURVEY.md §7.2 phases 4-6). */
+object Advanced {
+
+  /** The DSv2 posts source (partition-per-page) feeding the S2
+    * synthesizer — the full "REST → orders" path through a real
+    * `spark.read.format(...)` scan with limit pushdown. Oracle rebuilds
+    * the deterministic pages from generate_series. */
+  val q40RestSource: QuerySpec = QuerySpec(
+    "q40_rest_source",
+    """WITH posts AS (
+      |  SELECT i AS id, (i - 1) // 10 + 1 AS userId,
+      |    'post ' || i || ' about ' ||
+      |    (['phone cases','computer parts','music apps','watch bands',
+      |      'tablet stands','game reviews','book clubs','garden tools',
+      |      'desk lamps'])[CAST((i - 1) % 9 AS INT) + 1] AS title
+      |  FROM generate_series(1, 500) t(i))
+      |SELECT
+      |  printf('API-%04d', id) AS order_id,
+      |  'Customer ' || userId AS customer_name,
+      |  CASE WHEN contains(lower(title), 'phone') THEN 'iPhone 15'
+      |       WHEN contains(lower(title), 'computer') THEN 'MacBook Pro'
+      |       WHEN contains(lower(title), 'music') THEN 'AirPods Pro'
+      |       WHEN contains(lower(title), 'watch') THEN 'Apple Watch'
+      |       WHEN contains(lower(title), 'tablet') THEN 'iPad Air'
+      |       WHEN contains(lower(title), 'game') THEN 'Nintendo Switch'
+      |       WHEN contains(lower(title), 'book') THEN 'Kindle Paperwhite'
+      |       ELSE (['iPhone 15','MacBook Pro','AirPods Pro','iPad Air','Apple Watch'])[
+      |         CAST(CAST(('0x' || substr(md5(title), 1, 8)) AS BIGINT) % 5 AS INT) + 1]
+      |  END AS product,
+      |  floor((50.0 + (id % 20) * 25.99) * 100 + 0.5) / 100 AS price,
+      |  id AS api_post_id
+      |FROM posts
+      |ORDER BY order_id""".stripMargin) { (s, _) =>
+    val posts = s.read.format("graft.sources.PostsDataSource")
+      .option("limit", "500").option("pageSize", "100").load()
+    Ingest.postsToOrders(posts)
+      .select("order_id", "customer_name", "product", "price", "api_post_id")
+      .orderBy("order_id")
+  }
+
+  /** As-of join: each purchase event matched to the user's most recent
+    * signup at-or-before it (union-tag single-shuffle pattern; oracle is
+    * DuckDB's native ASOF LEFT JOIN). */
+  val q41AsofJoin: QuerySpec = QuerySpec(
+    "q41_asof_join",
+    """SELECT p.event_id, p.user_id,
+      |  s.event_id AS signup_event_id,
+      |  round(s.value, 4) AS signup_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asof(purchases, signups, key = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      valueCols = Map("event_id" -> "signup_event_id", "value" -> "signup_value"),
+      tiebreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("signup_event_id"),
+        round(col("signup_value"), 4).as("signup_value"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag → new-session
+    * flag → running sum = session id; per-session stats. The batch twin of
+    * Structured Streaming's session windows (SURVEY.md §2.8). */
+  val q42Sessionize: QuerySpec = QuerySpec(
+    "q42_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start,
+      |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("new_session",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Per-source quality components in one grouped pass — what the
+    * QualityAggregator enables; here as plain grouped aggregates so the
+    * oracle can check it. */
+  val q43QualityBySource: QuerySpec = QuerySpec(
+    "q43_quality_by_source",
+    "WITH " + OrdersDomain.OracleCte + ",\n" + OrdersDomain.DirtyOracleCte + "\n" +
+      """SELECT source,
+        |  count(*) AS n,
+        |  round(CAST(count(customer_name) + count(product) + count(quantity)
+        |    + count(discount) AS DOUBLE) / (4 * count(*)) * 100, 4) AS completeness,
+        |  round(avg(CASE WHEN price IS NOT NULL AND price > 0 THEN 1.0 ELSE 0.0 END) * 100, 4) AS price_validity,
+        |  round(avg(CASE WHEN quantity IS NOT NULL AND quantity >= 1 AND quantity <= 100
+        |    THEN 1.0 ELSE 0.0 END) * 100, 4) AS quantity_accuracy
+        |FROM dirty_domain
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+    def frac(pred: org.apache.spark.sql.Column) =
+      avg(when(pred, 1.0).otherwise(0.0))
+    OrdersDomain.dirtyFromTpch(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        round((count(col("customer_name")) + count(col("product"))
+          + count(col("quantity")) + count(col("discount"))).cast("double")
+          / (count(lit(1)) * 4) * 100, 4).as("completeness"),
+        round(frac(col("price").isNotNull && col("price") > 0) * 100, 4)
+          .as("price_validity"),
+        round(frac(col("quantity").isNotNull && col("quantity") >= 1
+          && col("quantity") <= 100) * 100, 4).as("quantity_accuracy"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource)
+}
