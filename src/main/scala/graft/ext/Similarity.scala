@@ -115,6 +115,53 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  // ---- IVF (inverted-file) ANN -----------------------------------------
+
+  final val IvfCells = 16
+  final val IvfProbes = 4
+
+  /** Coarse quantizer: the first `IvfCells` vectors (by vec_id) act as
+    * deterministic seed centroids — no training iterations, which keeps
+    * the index reproducible; swapping in k-means centroids changes only
+    * this frame. Centroids broadcast; assignment is scan-local. */
+  def ivfCentroids(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+
+  /** Assign each vector to its top-`n` nearest cells by cosine. */
+  private def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell_id"))
+    df.join(broadcast(centroids))
+      .withColumn("cell_cos", cosine(col("embedding"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= n)
+      .drop("centroid", "cell_cos", "cell_rank")
+  }
+
+  /** IVF ANN top-k: corpus vectors live in 1 cell; queries probe their
+    * `IvfProbes` nearest cells — candidates shrink to ~nprobe/cells of
+    * the corpus, an equi-join on cell_id. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val cents = ivfCentroids(corpus)
+    val corpusCells = assignCells(
+      corpus.select(col("vec_id").as("cand_id"), col("embedding")), cents, "cand_id", 1)
+      .withColumnRenamed("embedding", "ce")
+    val queryCells = assignCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding")), cents, "query_id", IvfProbes)
+      .withColumnRenamed("embedding", "qe")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    queryCells.join(corpusCells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   // ---- registered queries ----------------------------------------------
 
   /** Per-vector L2 norms (oracle via list_dot_product on DOUBLE[] casts). */
@@ -183,6 +230,13 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-bucketed ANN top-5 (no SQL oracle; recall vs q31 in ExtSpec). */
+  val q44AnnIvf: QuerySpec = QuerySpec.noOracle("q44_ann_ivf") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    ivfTopK(e.filter(col("vec_id") < 10), e, 5)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh)
+    q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf)
 }
