@@ -162,6 +162,40 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  // ---- embedding-cosine near-dup ---------------------------------------
+
+  /** Exact near-dup pairs: all (a < b) with cosine ≥ `minCos` — the
+    * correctness baseline (O(N²) pairs; the reference's dedup suite has no
+    * embedding plane, this is a north-star op). Norms are computed once
+    * per side before the join so the pair loop is a single fused dot. */
+  def cosineNearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Sub-quadratic scale path: candidate pairs must share an LSH bucket in
+    * ≥1 of the [[LshTables]] tables (equi-join on (table, bucket), like
+    * the MinHash band join), then the exact cosine filter — recall vs the
+    * exact pairs is asserted in ExtSpec. */
+  def cosineNearDupLsh(corpus: DataFrame, minCos: Double): DataFrame = {
+    val pa = lshProbes(corpus, "id_a").withColumnRenamed("embedding", "ea")
+    val pb = lshProbes(corpus, "id_b").withColumnRenamed("embedding", "eb")
+    pa.join(pb, Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
   // ---- registered queries ----------------------------------------------
 
   /** Per-vector L2 norms (oracle via list_dot_product on DOUBLE[] casts). */
@@ -237,6 +271,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact embedding-cosine near-dup pairs at the 0.4 threshold the
+    * synthetic corpus supports (max observed pairwise cosine ≈ 0.48). */
+  val q45EmbeddingNearDup: QuerySpec = QuerySpec(
+    "q45_embedding_neardup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v))
+      |         * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos, 6) AS cosine
+      |FROM p WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** LSH-bucketed near-dup pairs (no SQL oracle — xxhash64 hyperplanes;
+    * recall vs q45 asserted in ExtSpec). */
+  val q46EmbeddingNearDupLsh: QuerySpec =
+    QuerySpec.noOracle("q46_embedding_neardup_lsh") { (s, dir) =>
+      cosineNearDupLsh(Tables.embeddings(s, dir), 0.4)
+        .orderBy("id_a", "id_b")
+    }
+
   val all: Seq[QuerySpec] = Seq(
-    q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf)
+    q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
+    q45EmbeddingNearDup, q46EmbeddingNearDupLsh)
 }

@@ -120,6 +120,18 @@ class ExtSpec extends SparkSpec {
     // ann cosines must match brute-force cosines where pairs overlap
   }
 
+  test("embedding near-dup: lsh pairs are a subset of exact pairs with decent recall") {
+    val exact = SparkEntry.queries("q45_embedding_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = SparkEntry.queries("q46_embedding_neardup_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.nonEmpty, "no exact near-dup pairs at threshold — lower it")
+    // the LSH path filters by the SAME exact cosine, so it can only miss
+    assert(lsh.subsetOf(exact), s"lsh produced non-exact pairs: ${lsh.diff(exact)}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"near-dup LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("all ext queries return rows at sf0.001") {
     Seq("q21_text_stats", "q26_exact_dedup", "q27_ngram_jaccard",
       "q28_minhash_lsh", "q30_embedding_norms", "q32_label_centroids")
