@@ -40,13 +40,16 @@ object Similarity {
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Exact brute-force cosine top-k: `queries` × `corpus` with per-query
-    * window top-k (self-matches excluded). */
+    * window top-k (self-matches excluded). Norms are computed once per
+    * side (O(Q+N) dots) so the pair loop is a single fused dot; the small
+    * query side broadcasts, so the corpus never shuffles. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      l2Norm(col("embedding")).as("qn"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-      col("label").as("cand_label"))
-    val scored = q.join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      col("label").as("cand_label"), l2Norm(col("embedding")).as("cn"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     scored
@@ -66,49 +69,69 @@ object Similarity {
   final val LshTables = 6
   final val BitsPerTable = 3
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * xxhash64 of the index pair, mapped to [-1, 1). Engine-side only (no
-    * SQL oracle); recall is asserted against brute force in ScalaTest. */
-  private def planeWeight(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p) * 4096 + d), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  private final val MaxPlaneDim = 256
 
-  private def signBit(e: Column, p: Int): Column = {
-    val proj = aggregate(
-      zip_with(e, sequence(lit(0), size(e) - 1),
-        (x, i) => x.cast("double") * planeWeight(p, i)),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj >= 0, 1L).otherwise(0L)
-  }
-
-  /** (table, bucket) probe rows for an embedding frame. */
-  def lshProbes(df: DataFrame, idCol: String): DataFrame = {
-    val probes = (0 until LshTables).map { t =>
-      val bits = (0 until BitsPerTable)
-        .map(b => signBit(col("embedding"), t * BitsPerTable + b) * (1L << b))
-        .reduce(_ + _)
-      struct(lit(t).as("table_id"), bits.as("bucket"))
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1): splitmix64
+    * of the (plane, dim) index pair, generated driver-side ONCE and shipped
+    * as literal arrays — a projection is then one fused codegen'd [[dot]],
+    * where the previous expression-tree form (a hash call per element
+    * inside `aggregate(zip_with(...))`) allocated two dim-length arrays
+    * per row per plane. Engine-side only (no SQL oracle); recall is
+    * asserted against brute force in ScalaTest. Planes are sized to
+    * [[MaxPlaneDim]]; [[dot]] iterates the shorter length, so any
+    * embedding dim ≤ 256 projects against a deterministic prefix. */
+  private def planeVector(p: Int): Array[Double] =
+    Array.tabulate(MaxPlaneDim) { d =>
+      var z = (p.toLong * MaxPlaneDim + d) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
+      (java.lang.Math.floorMod(z, 2000001L) - 1000000L).toDouble / 1000000.0
     }
-    df.select(col("vec_id").as(idCol), col("embedding"),
-      explode(array(probes: _*)).as("pr"))
-      .select(col(idCol), col("embedding"),
-        col("pr.table_id").as("table_id"), col("pr.bucket").as("bucket"))
+
+  private def signBit(e: Column, p: Int): Column =
+    when(dot(e, lit(planeVector(p))) >= 0, 1L).otherwise(0L)
+
+  /** (table, bucket) probe rows for an embedding frame — ids only. The
+    * embedding arrays are deliberately NOT carried: bucket joins shuffle
+    * (id, bucket) pairs and the vectors re-attach after candidate dedup,
+    * so the wide arrays cross the wire O(candidates) once, not
+    * O(tables × bucket-pairs). */
+  def lshProbes(df: DataFrame, idCol: String, tables: Int = LshTables,
+      bits: Int = BitsPerTable, planeOffset: Int = 0): DataFrame = {
+    val probes = (0 until tables).map { t =>
+      val bucket = (0 until bits)
+        .map(b => signBit(col("embedding"), planeOffset + t * bits + b) * (1L << b))
+        .reduce(_ + _)
+      struct(lit(t).as("table_id"), bucket.as("bucket"))
+    }
+    df.select(col("vec_id").as(idCol), explode(array(probes: _*)).as("pr"))
+      .select(col(idCol), col("pr.table_id").as("table_id"),
+        col("pr.bucket").as("bucket"))
   }
+
+  /** Vectors keyed for a pair side, with the L2 norm precomputed once per
+    * vector so pair scoring is a single fused dot. */
+  private def sideVectors(df: DataFrame, idAs: String, embAs: String,
+      normAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+      l2Norm(col("embedding")).as(normAs))
 
   /** ANN top-k: candidates = union of the query's buckets across tables —
-    * an equi-join on (table, bucket), never an all-pairs scan. */
+    * an equi-join on (table, bucket) over id-only probes, never an
+    * all-pairs scan; embeddings re-attach post-dedup (queries broadcast). */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val bq = lshProbes(queries, "query_id")
-      .withColumnRenamed("embedding", "qe")
-    val bc = lshProbes(corpus, "cand_id")
-      .withColumnRenamed("embedding", "ce")
-    val cand = bq.join(bc, Seq("table_id", "bucket"))
+    val cand = lshProbes(queries, "query_id")
+      .join(lshProbes(corpus, "cand_id"), Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "qe", "cand_id", "ce")
+      .select("query_id", "cand_id")
       .dropDuplicates("query_id", "cand_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     cand
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .join(broadcast(sideVectors(queries, "query_id", "qe", "qn")), "query_id")
+      .join(sideVectors(corpus, "cand_id", "ce", "cn"), "cand_id")
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"),
@@ -128,34 +151,42 @@ object Similarity {
     corpus.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
 
-  /** Assign each vector to its top-`n` nearest cells by cosine. */
+  /** Assign each vector to its top-`n` nearest cells by cosine — id-only
+    * output; centroid norms precomputed once on the broadcast side, vector
+    * norms once per row (not once per (row, centroid)). */
   private def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
       n: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell_id"))
-    df.join(broadcast(centroids))
-      .withColumn("cell_cos", cosine(col("embedding"), col("centroid")))
+    val c = centroids.select(col("cell_id"), col("centroid"),
+      l2Norm(col("centroid")).as("cnrm"))
+    df.withColumn("nrm", l2Norm(col("embedding")))
+      .join(broadcast(c))
+      .withColumn("cell_cos",
+        dot(col("embedding"), col("centroid")) / (col("nrm") * col("cnrm")))
       .withColumn("cell_rank", row_number().over(w))
       .filter(col("cell_rank") <= n)
-      .drop("centroid", "cell_cos", "cell_rank")
+      .select(col(idCol), col("cell_id"))
   }
 
   /** IVF ANN top-k: corpus vectors live in 1 cell; queries probe their
     * `IvfProbes` nearest cells — candidates shrink to ~nprobe/cells of
-    * the corpus, an equi-join on cell_id. */
+    * the corpus, an equi-join on cell_id over id-only assignments;
+    * embeddings re-attach post-dedup. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val cents = ivfCentroids(corpus)
     val corpusCells = assignCells(
       corpus.select(col("vec_id").as("cand_id"), col("embedding")), cents, "cand_id", 1)
-      .withColumnRenamed("embedding", "ce")
     val queryCells = assignCells(
       queries.select(col("vec_id").as("query_id"), col("embedding")), cents, "query_id", IvfProbes)
-      .withColumnRenamed("embedding", "qe")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     queryCells.join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id")
       .dropDuplicates("query_id", "cand_id")
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .join(broadcast(sideVectors(queries, "query_id", "qe", "qn")), "query_id")
+      .join(sideVectors(corpus, "cand_id", "ce", "cn"), "cand_id")
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"),
@@ -181,17 +212,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Near-dup pair mining needs finer buckets than top-k probing: at the
+    * ANN config (3 bits) a random pair collides in a table with prob
+    * ~0.5³ = 1/8, so 6 tables keep ~3/4 of ALL pairs — no pruning. 5 bits
+    * × 12 tables keeps a true pair (cos ≥ 0.4, per-plane agreement ≈ 0.63)
+    * with prob 1-(1-0.63⁵)¹² ≈ 0.72 while pruning random pairs to ≈ 0.3 —
+    * and the fraction pruned GROWS as thresholds tighten, which is the
+    * regime real near-dup dedup runs at (cos ≥ 0.9 → recall ≈ 1, candidates
+    * ≈ 0). A disjoint plane-index range keeps the tables independent of
+    * the ANN tables. */
+  final val NearDupTables = 12
+  final val NearDupBits = 5
+  private final val NearDupPlaneOffset = 100
+
   /** Sub-quadratic scale path: candidate pairs must share an LSH bucket in
-    * ≥1 of the [[LshTables]] tables (equi-join on (table, bucket), like
-    * the MinHash band join), then the exact cosine filter — recall vs the
-    * exact pairs is asserted in ExtSpec. */
+    * ≥1 of the [[NearDupTables]] tables (equi-join on (table, bucket) over
+    * id-only probes, like the MinHash band join), then the exact cosine
+    * filter after re-attaching vectors — so output pairs are always a
+    * subset of the exact pairs; recall is asserted in ExtSpec. */
   def cosineNearDupLsh(corpus: DataFrame, minCos: Double): DataFrame = {
-    val pa = lshProbes(corpus, "id_a").withColumnRenamed("embedding", "ea")
-    val pb = lshProbes(corpus, "id_b").withColumnRenamed("embedding", "eb")
-    pa.join(pb, Seq("table_id", "bucket"))
+    val probes = lshProbes(corpus, "vec_id", NearDupTables, NearDupBits,
+      NearDupPlaneOffset)
+    probes.select(col("vec_id").as("id_a"), col("table_id"), col("bucket"))
+      .join(probes.select(col("vec_id").as("id_b"), col("table_id"), col("bucket")),
+        Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .join(sideVectors(corpus, "id_a", "ea", "na"), "id_a")
+      .join(sideVectors(corpus, "id_b", "eb", "nb"), "id_b")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
