@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Storage stage (ref `src/storage.py`): keyed upsert into the orders
@@ -10,7 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * The reference's SQLite `INSERT OR REPLACE` with per-row loops
   * (`storage.py:167-203`) becomes: union existing ∪ incoming → keep-latest
-  * per key (one window shuffle) → atomic directory swap. At real scale the
+  * per key (one hash aggregate with map-side combine) → atomic directory
+  * swap. At real scale the
   * same call-sites swap to Delta/Iceberg `MERGE INTO` — the upsert
   * *semantic* (latest-wins by ingest time, unique `order_id`) is what this
   * module pins down. No per-row driver loops anywhere.
@@ -26,13 +26,18 @@ object Store {
       case Some(cur) =>
         val all = cur.withColumn("__gen", lit(0))
           .unionByName(incoming.withColumn("__gen", lit(1)), allowMissingColumns = true)
-        val ord =
-          (if (all.columns.contains(orderCol)) Seq(col(orderCol).desc_nulls_last) else Nil) ++
-            Seq(col("__gen").desc)
-        val w = Window.partitionBy(key).orderBy(ord: _*)
-        all.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn", "__gen")
+        // keep-latest = max(struct(orderCol, __gen, rest…)) per key: struct
+        // ordering is field-by-field with nulls smallest, so max ≡ the old
+        // window's (orderCol DESC NULLS LAST, __gen DESC) pick — but with a
+        // map-side partial combine instead of a full sort of every version.
+        val outCols = all.columns.filterNot(_ == "__gen")
+        val ordCols =
+          (if (all.columns.contains(orderCol)) Seq(orderCol) else Nil) :+ "__gen"
+        val rest = outCols.filterNot(c => c == key || ordCols.contains(c))
+        val packed = struct((ordCols ++ rest).map(col): _*)
+        all.groupBy(col(key)).agg(max(packed).as("__row"))
+          .select(outCols.map(c =>
+            if (c == key) col(c) else col(s"__row.$c").as(c)): _*)
       case None => incoming
     }
     // staging write + swap: never read and overwrite the same files
