@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions for SQL use. Enable with
+  * expressions for SQL use and its optimizer rules. Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   */
@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ArrayDotProduct(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.KeepFirstToAggregate)
   }
 }
