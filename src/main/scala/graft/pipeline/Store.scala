@@ -102,6 +102,22 @@ object Store {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Bucketed table write: the co-located-join layout. Two tables
+    * bucketed by the same key into the same bucket count join WITHOUT a
+    * shuffle exchange on either side — at 100 TB, pre-bucketing the orders
+    * table by `order_id` turns every upsert/merge/retrieval join into a
+    * local zipper (replaces the reference's SQLite B-tree index role for
+    * joins, as partition pruning does for point lookups). `sortCols`
+    * additionally persists per-bucket sort order so sort-merge joins skip
+    * their sort. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** File exports S11-S13 (`storage.py:392-442`). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -208,7 +208,33 @@ object Profiling {
         col("asof_day_orders"), col("avg_total_price"))
   }
 
+  /** The 100 TB variant of q15/q18 promised in SURVEY.md §7.4: sketch
+    * aggregates — HLL++ `approx_count_distinct` (fixed-size state, no
+    * per-value shuffle like exact `count(DISTINCT)`) and GK
+    * `percentile_approx` (bounded memory vs exact percentile's full sort
+    * per group). No SQL oracle — DuckDB's sketches differ bit-for-bit —
+    * so the gate is ProfilingSpec's error bounds against the exact q18
+    * values. */
+  val q47ApproxProfile: QuerySpec =
+    QuerySpec.noOracle("q47_approx_profile") { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cols.flatMap(c => Seq(
+        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__nd"),
+        round(expr(s"percentile_approx($c, 0.5, 10000)").cast("double"), 4)
+          .as(s"${c}__p50"),
+        round(expr(s"percentile_approx($c, 0.99, 10000)").cast("double"), 4)
+          .as(s"${c}__p99")))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col(s"${c}__nd").as("approx_distinct"),
+        col(s"${c}__p50").as("p50"),
+        col(s"${c}__p99").as("p99"))): _*)).as("p"))
+        .select("p.*").orderBy("column_name")
+    }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
-    q19TopProducts, q20DbStats)
+    q19TopProducts, q20DbStats, q47ApproxProfile)
 }

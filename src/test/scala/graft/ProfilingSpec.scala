@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q47's sketch aggregates against q18's exact values: the scale variants
+  * must stay within published error bounds at test SF. */
+class ProfilingSpec extends SparkSpec {
+
+  test("approx profile tracks exact distinct counts and percentiles") {
+    val exactNd = Tables.lineitem(spark, sf)
+      .agg(
+        countDistinct(col("l_quantity")).as("l_quantity"),
+        countDistinct(col("l_extendedprice")).as("l_extendedprice"),
+        countDistinct(col("l_discount")).as("l_discount"))
+      .collect().head
+    val exactP50 = Tables.lineitem(spark, sf)
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("l_quantity"),
+        expr("percentile(l_extendedprice, 0.5)").as("l_extendedprice"),
+        expr("percentile(l_discount, 0.5)").as("l_discount"))
+      .collect().head
+    val approx = SparkEntry.queries("q47_approx_profile")(spark, sf)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount")) {
+      val nd = exactNd.getAs[Long](c).toDouble
+      val and = approx(c).getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(and - nd) / nd <= 0.05,
+        s"$c approx_count_distinct $and vs exact $nd")
+      val p50 = exactP50.getAs[Double](c)
+      val ap50 = approx(c).getAs[Double]("p50")
+      // GK sketch: rank error ≤ 1/accuracy; translate loosely to value space
+      val span = math.max(math.abs(p50), 1.0)
+      assert(math.abs(ap50 - p50) / span <= 0.05,
+        s"$c percentile_approx $ap50 vs exact $p50")
+      assert(approx(c).getAs[Double]("p99") >= ap50, s"$c p99 < p50")
+    }
+  }
+}

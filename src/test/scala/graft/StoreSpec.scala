@@ -122,6 +122,29 @@ class StoreSpec extends SparkSpec {
     assert(!spark.read.parquet(s"$out/orders").columns.contains("customer_segment"))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val d = pipeline.OrdersDomain.fromTpch(spark, sf).dropDuplicates("order_id")
+    Store.writeBucketed(d.select("order_id", "price", "quantity"),
+      "bk_orders", 4, Seq("order_id"), Seq("order_id"))
+    Store.writeBucketed(d.select("order_id", "customer_name"),
+      "bk_custs", 4, Seq("order_id"), Seq("order_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bk_orders").join(spark.table("bk_custs"), "order_id")
+      assert(j.count() == d.count())
+      val planStr = j.queryExecution.toString
+      assert(!planStr.contains("ShuffleExchange") && !planStr.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$planStr")
+      assert(planStr.contains("SelectedBucketsCount") || planStr.contains("Bucketed: true"),
+        "scan did not report bucketing")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_custs")
+    }
+  }
+
   test("health check rolls up component status (pipeline.py:398-460)") {
     val h = Pipeline.healthCheck(spark, sf, tmp("health_out"))
     assert(h.overall == "healthy", h.toString)
