@@ -147,6 +147,26 @@ object Advanced {
       .orderBy("source")
   }
 
+  /** View→click attribution: the batch twin of the watermarked
+    * stream-stream interval join (`Streaming.attributionJoin`) —
+    * StreamingSpec proves stream ≡ batch on this exact frame. */
+  val q48EventAttribution: QuerySpec = QuerySpec(
+    "q48_event_attribution",
+    """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+      |  c.event_id AS click_id, c.ts AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.streaming.Streaming.attributionJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource)
+    q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
+    q48EventAttribution)
 }

@@ -75,6 +75,27 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Key + time-interval join, usable on batch AND streaming frames: each
+    * left (view) row matches right (click) rows of the same user with
+    * `click_ts ∈ [view_ts, view_ts + within]`. For streams, watermark both
+    * inputs first — the range condition is exactly what lets Spark bound
+    * the join state (left rows expire once the right watermark passes
+    * `view_ts + within`); without it a stream-stream join holds every row
+    * forever. Batch callers get an ordinary range join and the DuckDB
+    * oracle (q48). */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      within: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts"))
+    val c = clicks.select(col("user_id").as("click_user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    v.join(c,
+        col("user_id") === col("click_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+  }
+
   /** Run a streaming frame to a named in-memory sink until drained
     * (test/debug harness). */
   def drainToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {

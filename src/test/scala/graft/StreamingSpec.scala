@@ -57,6 +57,25 @@ class StreamingSpec extends SparkSpec {
     assert(n.getAs[Long]("c") == 2)
   }
 
+  test("stream-stream interval join agrees with the batch twin (q48)") {
+    val evDir = tmpDir("events_ssj")
+    Tables.events(spark, sf).write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    def side(tpe: String) = Streaming.parquetFileSource(spark, evDir, schema)
+      .filter(col("event_type") === tpe)
+      .withWatermark("ts", "2 hours")
+    Streaming.drainToMemory(
+      Streaming.attributionJoin(side("view"), side("click")), "attribution")
+    val streamed = spark.sql(
+      "SELECT user_id, view_id, view_ts, click_id, click_ts FROM attribution")
+    val batch = SparkEntry.queries("q48_event_attribution")(spark, sf)
+    assert(streamed.count() == batch.count(),
+      "stream-stream join emitted a different match count than batch")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stream-stream join pairs disagree with the batch interval join")
+  }
+
   test("windowed event metrics: streaming results agree with the batch twin") {
     // replay the events table as a file stream
     val evDir = tmpDir("events_stream")
