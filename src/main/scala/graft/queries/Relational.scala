@@ -238,8 +238,133 @@ object Relational {
       .orderBy("entity_name", "entity_key")
   }
 
+  /** Grouped top-k: top-3 customers by revenue per nation. rank ≤ k with
+    * k > 1 keeps the window form on purpose — Catalyst plans it as
+    * WindowGroupLimit (per-partition top-k before the exchange), the right
+    * physical shape when k rows per group must survive. */
+  val q49GroupedTopk: QuerySpec = QuerySpec(
+    "q49_grouped_topk",
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey, c_name,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  FROM nation
+      |  JOIN customer ON n_nationkey = c_nationkey
+      |  JOIN orders   ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY n_name, c_custkey, c_name)
+      |SELECT n_name, rnk, c_custkey, c_name, revenue FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY n_name
+      |    ORDER BY revenue DESC, c_custkey) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin) { (s, dir) =>
+    val rev = broadcast(Tables.nation(s, dir))
+      .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("n_name", "c_custkey", "c_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+    rev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("n_name", "rnk", "c_custkey", "c_name", "revenue")
+      .orderBy("n_name", "rnk")
+  }
+
+  /** Multi-granularity totals in one pass: revenue by (region, nation)
+    * with ROLLUP — one shuffle computes all three grouping levels, where
+    * the naive form is three scans + a union. */
+  val q50Rollup: QuerySpec = QuerySpec(
+    "q50_rollup",
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  round(sum(o_totalprice), 2) AS revenue,
+      |  count(*) AS n_orders
+      |FROM region
+      |JOIN nation   ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders   ON c_custkey = o_custkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin) { (s, dir) =>
+    val dims = broadcast(
+      Tables.region(s, dir)
+        .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey")))
+    Tables.customer(s, dir)
+      .join(dims, col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      // ROLLUP spelled as its grouping sets: Dataset.rollup over a
+      // join-derived frame trips Spark 4.1's ambiguous-self-join detection
+      // under count() (Expand duplicates the grouping attrs); groupingSets
+      // plans the identical Expand+Aggregate without the false positive
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"), col("n_orders"))
+      .orderBy("region", "nation")
+  }
+
+  /** Pivot: order counts by status × priority. Pivot values are pinned
+    * (not inferred) so the plan is a single pass with no value-discovery
+    * job — mandatory at scale. */
+  val q51Pivot: QuerySpec = QuerySpec(
+    "q51_pivot",
+    """SELECT o_orderstatus,
+      |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1_urgent,
+      |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2_high,
+      |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3_medium,
+      |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4_not_specified,
+      |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5_low
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val renames = vals.map(v =>
+      v -> ("p" + v.head + "_" + v.drop(2).toLowerCase.replace(' ', '_')))
+    val pivoted = Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", vals)
+      .count()
+    renames.foldLeft(pivoted) { case (d, (from, to)) =>
+      d.withColumn(to, coalesce(col(s"`$from`"), lit(0L))).drop(from)
+    }
+      .orderBy("o_orderstatus")
+  }
+
+  /** Left semi + anti joins: customers with / without a >$400k order.
+    * Semi/anti never materialize the probe side's payload — the build side
+    * carries only the join key, and the o_totalprice filter is pushed to
+    * the orders scan. */
+  val q52SemiAnti: QuerySpec = QuerySpec(
+    "q52_semi_anti",
+    """SELECT 'with_big_order' AS cohort, count(*) AS n_customers FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |UNION ALL
+      |SELECT 'without_big_order', count(*) FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY cohort""".stripMargin) { (s, dir) =>
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000).select("o_custkey")
+    val c = Tables.customer(s, dir)
+    val semi = c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(lit("with_big_order").as("cohort"), col("n_customers"))
+    val anti = c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(lit("without_big_order").as("cohort"), col("n_customers"))
+    semi.unionByName(anti).orderBy("cohort")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02TopkOrders, q03RevenueByCustomer, q04RegionRevenue,
     q05RunningRevenue, q06PriorityCounts, q07DedupFull, q08DedupKeyKeepFirst,
-    q09UnionByName)
+    q09UnionByName, q49GroupedTopk, q50Rollup, q51Pivot, q52SemiAnti)
 }
