@@ -21,6 +21,7 @@ object SparkEntry {
       graft.ext.TextAnalysis.all ++
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
+      graft.ext.Sampling.all ++
       graft.pipeline.Ingest.all ++
       graft.ext.Multimodal.all ++
       graft.queries.Advanced.all

@@ -132,6 +132,24 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"near-dup LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("stratified sample: deterministic, correct rates, de kept whole") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val s1 = graft.ext.Sampling.stratifiedSample(docs, "lang", col("doc_id"),
+      Seq("en" -> 20, "de" -> 100), defaultPct = 50)
+    val s2 = graft.ext.Sampling.stratifiedSample(docs, "lang", col("doc_id"),
+      Seq("en" -> 20, "de" -> 100), defaultPct = 50)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0,
+      "sample not deterministic across runs")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled("de") == byLang("de"), "de stratum must be kept whole")
+    val enRate = sampled("en").toDouble / byLang("en")
+    assert(enRate > 0.08 && enRate < 0.35, s"en rate $enRate far from 20%")
+  }
+
   test("all ext queries return rows at sf0.001") {
     Seq("q21_text_stats", "q26_exact_dedup", "q27_ngram_jaccard",
       "q28_minhash_lsh", "q30_embedding_norms", "q32_label_centroids")
