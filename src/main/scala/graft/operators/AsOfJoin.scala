@@ -53,4 +53,40 @@ object AsOfJoin {
     carried.filter(col("__tag") === 1)
       .select((leftCols ++ outputs).map(col): _*)
   }
+
+  /** The same as-of semantics through the native physical operator
+    * ([[graft.plans.AsOfJoinExec]]) — a streaming merge with O(1) state per
+    * partition instead of a window carry over the union. Registers the
+    * planner strategy on the session idempotently via the public
+    * `experimental.extraStrategies` hook.
+    *
+    * `left` and `right` must not share attribute lineage (load the right
+    * side separately rather than filtering one frame twice) — the node
+    * binds key/time columns by exprId. */
+  def asofNative(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      valueCols: Map[String, String],
+      tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = left.sparkSession
+    Bridge.registerStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(right)
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "asofNative sides must not share attribute lineage; re-read the right side")
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asofNative: column $n not found"))
+    val pairs = valueCols.toSeq
+    val carried = pairs.map { case (in, out) =>
+      org.apache.spark.sql.catalyst.expressions
+        .AttributeReference(out, attr(rPlan, in).dataType, nullable = true)()
+    }
+    Bridge.ofRows(spark, graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      pairs.map { case (in, _) => attr(rPlan, in) },
+      attr(rPlan, tiebreak), carried))
+  }
 }

@@ -166,7 +166,37 @@ object Advanced {
       .orderBy("user_id", "view_id", "click_id")
   }
 
+  /** q41's semantics through the NATIVE as-of operator
+    * (`plans/AsOfJoinExec`: custom LogicalPlan + SparkStrategy + SparkPlan,
+    * streaming merge with O(1) state) — same DuckDB ASOF oracle, so the
+    * custom physical operator is hash-checked row-for-row against a
+    * different engine's native implementation. Right side re-read so the
+    * two sides carry distinct attribute lineage. */
+  val q54AsofNative: QuerySpec = QuerySpec(
+    "q54_asof_join_native",
+    """SELECT p.event_id, p.user_id,
+      |  s.event_id AS signup_event_id,
+      |  round(s.value, 4) AS signup_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asofNative(purchases, signups, key = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      valueCols = Map("event_id" -> "signup_event_id", "value" -> "signup_value"),
+      tiebreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("signup_event_id"),
+        round(col("signup_value"), 4).as("signup_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
-    q48EventAttribution)
+    q48EventAttribution, q54AsofNative)
 }

@@ -26,4 +26,14 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to the session (the public
+    * `experimental.extraStrategies` hook — works on any session, no
+    * SparkSessionExtensions needed at build time). */
+  def registerStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(strategy))
+      s.experimental.extraStrategies = strategy +: s.experimental.extraStrategies
+  }
 }
