@@ -132,15 +132,18 @@ object Dedup {
 
   final val SimhashBits = 16
 
-  /** 16-bit SimHash per doc from token-frequency-weighted bit votes. */
+  /** 16-bit SimHash per doc from token-frequency-weighted bit votes.
+    * Votes are summed ±1 per token OCCURRENCE in a single doc_id
+    * aggregation — identical totals to the textbook per-(doc, token)
+    * count-then-weight form (Σ_tokens cnt·sign ≡ Σ_occurrences sign), but
+    * one shuffle instead of two and no (doc, token) aggregation state. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("token")))
     val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"bit_$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"bit_$b")
     }
     val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until SimhashBits)
