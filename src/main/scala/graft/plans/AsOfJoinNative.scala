@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Native as-of join: logical node + planner strategy + physical operator —
   * the tier-(c) path of SURVEY.md §7.3 (custom `LogicalPlan` +
@@ -62,6 +63,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] = left.output ++ carriedOut
   override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
@@ -90,6 +95,8 @@ case class AsOfJoinExec(
     val numValues = rightValues.length
 
     val outputAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
@@ -127,6 +134,7 @@ case class AsOfJoinExec(
       }
 
       lIter.map { lRow =>
+        numOutputRows += 1
         val k = lRow.get(lKeyIdx, keyType)
         val t = lRow.get(lTimeIdx, timeType)
         if (k == null || t == null) toUnsafe(joined(lRow, nullValues))
@@ -143,9 +151,10 @@ case class AsOfJoinExec(
               advanceRight()
             } else done = true
           }
-          if (bestValues != null && bestKey != null && keyOrd.compare(bestKey, k) == 0)
+          if (bestValues != null && bestKey != null && keyOrd.compare(bestKey, k) == 0) {
+            numMatched += 1
             toUnsafe(joined(lRow, bestValues))
-          else toUnsafe(joined(lRow, nullValues))
+          } else toUnsafe(joined(lRow, nullValues))
         }
       }
     }
