@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, top-k planning, exchange counts)
+  * asserted against the explain output, so a refactor that silently turns
+  * a broadcast join into a shuffle join or widens a scan fails CI. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE
+    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    // assertions (especially operator counts) must see only the final one
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q01: filter pushed to parquet, scan pruned to needed columns") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q04: dimension joins broadcast, no cartesian fallback") {
+    val p = planOf("q04_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "cartesian fallback appeared")
+  }
+
+  test("q02: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = planOf("q02_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not take-ordered:\n$p")
+  }
+
+  test("q08: raw keep-first window idiom gets the WindowGroupLimit trim") {
+    // q08 deliberately spells the raw row_number()=1 idiom (the
+    // KeepFirstToAggregate rule's target — extension-session behavior is
+    // pinned in PlansSpec); in a plain session it must at least plan the
+    // per-partition top-1 trim and a single hash exchange.
+    val p = planOf("q08_dedup_key_keepfirst")
+    assert(p.contains("WindowGroupLimit"), s"no per-key limit pushdown:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"dedup hash-shuffles $exchanges times:\n$p")
+  }
+
+  test("q49: grouped top-k keeps the WindowGroupLimit optimization") {
+    val p = planOf("q49_grouped_topk")
+    assert(p.contains("WindowGroupLimit"), s"per-group limit not pushed:\n$p")
+  }
+
+  test("q31: brute-force top-k broadcasts the query side") {
+    val p = planOf("q31_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+  }
+}
