@@ -66,6 +66,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric containment: |shingles(a) ∩ shingles(b)| / |shingles(a)| —
+    * catches quotes/excerpts/supersets that symmetric Jaccard misses (a
+    * short doc fully contained in a long one scores low Jaccard but 1.0
+    * containment). Same candidate equi-join as [[jaccardPairs]]; both
+    * directions emitted per unordered pair. */
+  def containmentPairs(docs: DataFrame, minContainment: Double): DataFrame = {
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .withColumn("containment", col("n_common").cast("double") / col("n_a"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   // ---- MinHash ----------------------------------------------------------
 
   /** k universal hash functions over a base 64-bit shingle hash:
@@ -230,6 +251,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shingle-containment pairs on the bounded slice (direction a→b:
+    * fraction of a's shingles appearing in b). */
+  val q55Containment: QuerySpec = QuerySpec(
+    "q55_containment",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |      i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |    FROM docs)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(n_common AS DOUBLE) / sa.n, 4) AS containment
+      |FROM common JOIN sizes sa ON sa.doc_id = doc_a
+      |WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    containmentPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash)
+    q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment)
 }

@@ -184,6 +184,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language vocabulary: top-5 tokens by frequency — the corpus
+    * profiling pass a tokenizer/vocab build starts from. One explode →
+    * one (lang, token) count with map-side partials → per-lang
+    * WindowGroupLimit top-k; no collect, no per-language scan. */
+  val q56VocabTopk: QuerySpec = QuerySpec(
+    "q56_vocab_topk",
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |counts AS (
+      |  SELECT lang, token, count(*) AS n FROM tok
+      |  WHERE token <> '' GROUP BY lang, token)
+      |SELECT lang, rnk, token, n FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY n DESC, token) AS rnk
+      |  FROM counts)
+      |WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("lang", "rnk", "token", "n")
+      .orderBy("lang", "rnk")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint)
+    q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
+    q56VocabTopk)
 }
