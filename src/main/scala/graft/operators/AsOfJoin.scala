@@ -32,26 +32,32 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       valueCols: Map[String, String], // right col -> output name
       tiebreak: String): DataFrame = {
-    val outputs = valueCols.values.toSeq
+    val pairs = valueCols.toSeq
+    val outputs = pairs.map(_._2)
     val leftCols = left.columns.toSeq
-    val l = outputs.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))) {
-      case (df, out) => df.withColumn(out, lit(null))
-    }
-    val r0 = right.select(
-      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__tag"),
-        col(tiebreak).as("__tb")) ++
-        valueCols.map { case (in, out) => col(in).as(out) }.toSeq: _*)
-    val unioned = l.withColumn("__tb", col(tiebreak))
-      .unionByName(r0, allowMissingColumns = true)
+    // Carry ALL right values as ONE struct: per-column last(ignoreNulls)
+    // would graft an older row's value over a newer row's legitimate NULL,
+    // fabricating a row that never existed. The struct itself is non-null
+    // exactly for right rows, so one carry moves the whole matched row
+    // atomically. Right rows with null key/time are dropped up front —
+    // SQL equality/inequality never matches them (DuckDB ASOF agrees).
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(1))
+    val r0 = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(col(key), col(rightTime).as("__t"), lit(0).as("__tag"),
+        col(tiebreak).as("__tb"),
+        struct(pairs.map { case (in, out) => col(in).as(out) }: _*).as("__vals"))
+    // left rows don't need a tiebreak: __tag already sorts them after every
+    // equal-time right row, and their order among themselves is irrelevant
+    // to the carried value (unionByName null-fills __tb / __vals)
+    val unioned = l.unionByName(r0, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col("__t"), col("__tag"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = outputs.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
-      .select((leftCols ++ outputs).map(col): _*)
+    unioned
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ outputs.map(o => col(s"__vals.$o").as(o)): _*)
   }
 
   /** The same as-of semantics through the native physical operator

@@ -34,6 +34,9 @@ case class AsOfJoinNode(
     rightValues: Seq[Attribute],
     rightTiebreak: Attribute,
     carriedOut: Seq[Attribute]) extends BinaryNode {
+  require(carriedOut.length == rightValues.length &&
+    carriedOut.zip(rightValues).forall { case (c, v) => c.dataType == v.dataType },
+    "carriedOut must mirror rightValues in arity and types")
   override def output: Seq[Attribute] = left.output ++ carriedOut
   override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
   override protected def withNewChildrenInternal(

@@ -71,23 +71,28 @@ object KeepFirstToAggregate extends Rule[LogicalPlan] {
           order.forall(s => s.direction == Ascending &&
             s.nullOrdering == NullsFirst && s.child.deterministic) &&
           orderable(order.map(_.child) ++ child.output) =>
-      rewrite(part.map(_.asInstanceOf[Attribute]), order.map(_.child),
+      rewrite(part.map(_.asInstanceOf[Attribute]), order,
         alias.toAttribute, child)
   }
 
   private def orderable(es: Seq[Expression]): Boolean =
     es.forall(e => RowOrdering.isOrderable(e.dataType))
 
-  private def rewrite(part: Seq[Attribute], order: Seq[Expression],
+  private def rewrite(part: Seq[Attribute], orderSpec: Seq[SortOrder],
       rn: Attribute, rawChild: LogicalPlan): LogicalPlan = {
+    val order = orderSpec.map(_.child)
     // InferWindowGroupLimit may already have slid a per-key top-1 limiter
     // under the Window; it would force the very sort this rewrite removes,
     // and min-over-top-1-by-the-same-order ≡ min-over-all, so unwrap it.
+    // Compare FULL SortOrders (direction + null ordering, not just the
+    // children) — a limiter trimming by a different direction keeps a
+    // different row set and must stay.
     val child = rawChild match {
       case WindowGroupLimit(p, o, _, limit, grandchild)
           if limit >= 1 &&
             p.map(_.canonicalized) == part.map(_.canonicalized) &&
-            o.map(_.child.canonicalized) == order.map(_.canonicalized) =>
+            o.map(so => (so.child.canonicalized, so.direction, so.nullOrdering)) ==
+              orderSpec.map(so => (so.child.canonicalized, so.direction, so.nullOrdering)) =>
         grandchild
       case other => other
     }

@@ -35,6 +35,40 @@ class AsOfNativeSpec extends SparkSpec {
       !plan.contains("Window("), "composed-shape operators leaked into the native plan")
   }
 
+  test("null right values carry atomically; null keys/times never match") {
+    import spark.implicits._
+    // right rows: (k=1,t=10) has v=5/w=1; (k=1,t=20) has v=null/w=2 — a
+    // left row at t=30 must get the WHOLE t=20 row (null v included), not
+    // an older v grafted onto a newer w. Null-key/time rows never match.
+    val l = Seq((Option(1L), Option(30L)), (Option.empty[Long], Option(30L)),
+      (Option(2L), Option.empty[Long]))
+      .toDF("user_id", "ts")
+    def r = Seq(
+      (Option(1L), Option(10L), Option(5.0), Option(1L)),
+      (Option(1L), Option(20L), Option.empty[Double], Option(2L)),
+      (Option.empty[Long], Option(10L), Option(9.0), Option(3L)),
+      (Option(2L), Option.empty[Long], Option(9.0), Option(4L)))
+      .toDF("user_id", "ts", "v", "w")
+    val vals = Map("v" -> "m_v", "w" -> "m_w")
+    val native = AsOfJoin.asofNative(l, r, "user_id", "ts", "ts", vals, "w")
+      .orderBy("user_id")
+    val composed = AsOfJoin.asof(l, r, "user_id", "ts", "ts", vals, "w")
+      .orderBy("user_id")
+    for (out <- Seq(native, composed)) {
+      val rows = out.collect()
+      assert(rows.length == 3)
+      val matched = rows.find(x => !x.isNullAt(x.fieldIndex("m_w")) &&
+        x.getAs[Long]("m_w") == 2L)
+        .getOrElse(fail(s"t=20 row not matched in ${rows.mkString(";")}"))
+      assert(matched.isNullAt(matched.fieldIndex("m_v")),
+        "older v grafted over the matched row's null v")
+      assert(rows.count(x => x.isNullAt(x.fieldIndex("m_w"))) == 2,
+        "null-key/null-time left rows must not match")
+    }
+    assert(native.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(native).count() == 0)
+  }
+
   test("left rows before any right match carry nulls") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100.0), (1L, 30L, 200.0), (2L, 5L, 300.0))
