@@ -126,9 +126,13 @@ object Dedup {
   }
 
   /** Candidate pairs from band collisions, scored by signature agreement
-    * (estimates Jaccard). */
+    * (estimates Jaccard). Signatures are recomputed per consumer rather
+    * than cached: a `.cache()` inside a lazy operator leaks an
+    * InMemoryRelation per invocation for the session's lifetime. At real
+    * scale the signature frame is persisted once as a table by the caller
+    * and both the band join and the re-join read it. */
   def minhashCandidates(docs: DataFrame, minEstimate: Double): DataFrame = {
-    val sigs = minhashSignatures(docs).cache()
+    val sigs = minhashSignatures(docs)
     val bands = lshBands(sigs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")

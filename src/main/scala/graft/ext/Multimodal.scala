@@ -24,6 +24,12 @@ object Multimodal {
 
   final val Kinds = Seq("image", "audio", "video")
 
+  /** Frame-sampling geometry, shared by the operator, q37's plan column,
+    * and q38's oracle SQL — one source of truth for the stand-in codec
+    * parameters. */
+  final val FrameBytes = 64
+  final val MaxFrames = 8
+
   /** Synthesize a media table from `documents`: payload = utf8 bytes,
     * kind from a key residue, typed metadata struct. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
@@ -47,13 +53,18 @@ object Multimodal {
     }: _*)
 
   /** Frame sampling for video-kind rows: fixed-length byte windows as
-    * frame payloads (stand-in for ffmpeg keyframe extraction). */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 64, maxFrames: Int = 8): DataFrame =
+    * frame payloads (stand-in for ffmpeg keyframe extraction). Zero-frame
+    * rows (empty payload) are filtered BEFORE the sequence: Spark's
+    * `sequence(0, -1)` defaults to step -1 and yields [0, -1] — two
+    * phantom frames — where the oracle's generate_series is empty. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = FrameBytes,
+      maxFrames: Int = MaxFrames): DataFrame =
     media
       .filter(col("kind") === "video")
       .withColumn("n_frames",
         least(lit(maxFrames),
           ceil(length(col("payload")).cast("double") / frameBytes).cast("int")))
+      .filter(col("n_frames") > 0)
       .select(col("media_id"), col("n_frames"),
         posexplode(expr(s"sequence(0, n_frames - 1)")).as(Seq("frame_idx", "_s")))
       .drop("_s")
@@ -92,19 +103,20 @@ object Multimodal {
     * plans are plain arithmetic over the documents table). */
   val q37MultimodalMeta: QuerySpec = QuerySpec(
     "q37_multimodal_meta",
-    """SELECT doc_id AS media_id,
+    s"""SELECT doc_id AS media_id,
       |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
       |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
       |  CAST(doc_id % 16 * 64 + 256 AS INT) AS width,
       |  CAST(doc_id % 9 * 64 + 256 AS INT) AS height,
-      |  CAST(least(8, ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64)) AS INT) AS planned_frames
+      |  CAST(least($MaxFrames, ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes)) AS INT) AS planned_frames
       |FROM documents
       |ORDER BY media_id""".stripMargin) { (s, dir) =>
     mediaFromDocuments(Tables.documents(s, dir))
       .select(col("media_id"), col("kind"),
         col("meta.n_bytes").as("n_bytes"),
         col("meta.width").as("width"), col("meta.height").as("height"),
-        least(lit(8), ceil(col("meta.n_bytes").cast("double") / 64).cast("int"))
+        least(lit(MaxFrames),
+          ceil(col("meta.n_bytes").cast("double") / FrameBytes).cast("int"))
           .as("planned_frames"))
       .orderBy("media_id")
   }
@@ -113,13 +125,13 @@ object Multimodal {
     * arithmetic). */
   val q38FrameSample: QuerySpec = QuerySpec(
     "q38_frame_sample",
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT doc_id AS media_id,
-      |    CAST(least(8, ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64)) AS INT) AS n_frames
+      |    CAST(least($MaxFrames, ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes)) AS INT) AS n_frames
       |  FROM documents WHERE doc_id % 3 = 2)
       |SELECT media_id, n_frames,
       |  CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
-      |FROM v
+      |FROM v WHERE n_frames > 0
       |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
     sampleFrames(mediaFromDocuments(Tables.documents(s, dir)))
       .select(col("media_id"), col("n_frames"), col("frame_idx"))

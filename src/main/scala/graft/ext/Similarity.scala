@@ -28,7 +28,13 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.ArrayDotProduct.dot(a, b)
 
-  /** Higher-order-function composition with identical semantics. */
+  /** Higher-order-function composition — same left-to-right double
+    * accumulation on equal-length, null-free arrays (the parity test's
+    * domain), but NOT identical at the edges: zip_with null-pads the
+    * shorter array and `acc + null` poisons the sum to null, where the
+    * native [[dot]] iterates the shorter length and skips null elements.
+    * Callers relying on the prefix-dot behavior (signBit's fixed-size
+    * plane literals) must use [[dot]]. */
   def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -143,12 +149,15 @@ object Similarity {
   final val IvfCells = 16
   final val IvfProbes = 4
 
-  /** Coarse quantizer: the first `IvfCells` vectors (by vec_id) act as
-    * deterministic seed centroids — no training iterations, which keeps
-    * the index reproducible; swapping in k-means centroids changes only
-    * this frame. Centroids broadcast; assignment is scan-local. */
+  /** Coarse quantizer: the `IvfCells` LOWEST vec_ids act as deterministic
+    * seed centroids (orderBy+limit → TakeOrderedAndProject, cheap for a
+    * small k) — no training iterations, which keeps the index
+    * reproducible; swapping in k-means centroids changes only this frame.
+    * Works for any id range — an absolute `vec_id < k` filter would
+    * silently build an EMPTY index on corpora whose ids don't start at 0.
+    * Centroids broadcast; assignment is scan-local. */
   def ivfCentroids(corpus: DataFrame): DataFrame =
-    corpus.filter(col("vec_id") < IvfCells)
+    corpus.orderBy("vec_id").limit(IvfCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
 
   /** Assign each vector to its top-`n` nearest cells by cosine — id-only
@@ -306,8 +315,8 @@ object Similarity {
       .orderBy("label", "dim_idx")
   }
 
-  /** LSH-bucketed ANN top-5 (no SQL oracle — hyperplanes derive from
-    * xxhash64; recall vs q31 asserted in SimilaritySpec). */
+  /** LSH-bucketed ANN top-5 (no SQL oracle — the hyperplanes are
+    * engine-side literal arrays; recall vs q31 asserted in ExtSpec). */
   val q33AnnLsh: QuerySpec = QuerySpec.noOracle("q33_ann_lsh") { (s, dir) =>
     val e = Tables.embeddings(s, dir)
     annTopK(e.filter(col("vec_id") < 10), e, 5)
@@ -340,8 +349,8 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** LSH-bucketed near-dup pairs (no SQL oracle — xxhash64 hyperplanes;
-    * recall vs q45 asserted in ExtSpec). */
+  /** LSH-bucketed near-dup pairs (no SQL oracle — engine-side literal
+    * hyperplanes; recall vs q45 asserted in ExtSpec). */
   val q46EmbeddingNearDupLsh: QuerySpec =
     QuerySpec.noOracle("q46_embedding_neardup_lsh") { (s, dir) =>
       cosineNearDupLsh(Tables.embeddings(s, dir), 0.4)

@@ -40,15 +40,19 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "die", "das"),
     "fr" -> Seq("le", "les", "et", "des"))
 
-  /** Argmax over language scores, first-listed language wins ties;
-    * all-zero → 'unknown'. */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
+  /** Argmax fold over (language, score) columns: first-listed language
+    * wins ties; all-zero → 'unknown'. ONE definition shared by [[langId]]
+    * and q22's registered query so the tie-break rule can't drift between
+    * the operator and the oracle-checked form. */
+  def predictLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best <= 0, "unknown")) {
       case (acc, (l, s)) => acc.when(s === best, l)
     }.otherwise("unknown")
   }
+
+  def langId(text: Column): Column =
+    predictLang(LangMarkers.map { case (l, ms) => l -> markerScore(text, ms) })
 
   val q21TextStats: QuerySpec = QuerySpec(
     "q21_text_stats",
@@ -96,13 +100,8 @@ object TextAnalysis {
       markerScore(col("text"), ms).as(s"score_$l")
     }
     d.select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
-      .withColumn("predicted_lang", {
-        val scores = LangMarkers.map { case (l, _) => l -> col(s"score_$l") }
-        val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-        scores.foldLeft(when(best <= 0, "unknown")) {
-          case (acc, (l, sc)) => acc.when(sc === best, l)
-        }.otherwise("unknown")
-      })
+      .withColumn("predicted_lang",
+        predictLang(LangMarkers.map { case (l, _) => l -> col(s"score_$l") }))
       .orderBy("doc_id")
   }
 
