@@ -128,6 +128,12 @@ object Functions {
   /** SQL fragment equivalent of [[round2]] for the DuckDB oracle. */
   def round2Sql(expr: String): String = s"floor(($expr) * 100 + 0.5) / 100"
 
+  /** 4-decimal variant of [[round2]] (same cross-engine tie rationale). */
+  def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
+  /** SQL fragment equivalent of [[round4]] for the DuckDB oracle. */
+  def round4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
+
   /** Email domain (`split('@')[-1]`, `src/transformation.py:366`). */
   def emailDomain(email: Column): Column = substring_index(email, "@", -1)
 

@@ -118,9 +118,13 @@ object Clean {
     * + window exchange). `dedupFull` remains the standalone D2 operator
     * (q07). Equivalence is pinned by the q11/q13 oracle and
     * PropertySpec's stability law. */
-  def apply(df: DataFrame): DataFrame =
-    removeInvalid(imputeMissing(cleanText(repairTypes(
-      dedupKeepFirst(df)))))
+  def apply(df: DataFrame): DataFrame = {
+    // keyless frames still get the reference's unconditional full-row
+    // dedup — the fusion argument only covers frames with the key
+    val deduped =
+      if (has(df, "order_id")) dedupKeepFirst(df) else dedupFull(df)
+    removeInvalid(imputeMissing(cleanText(repairTypes(deduped))))
+  }
 
   /** Oracle CTE chain reproducing [[apply]] over `dirty_domain`
     * (keep-first dedup is a no-op on unique order_ids but is still encoded

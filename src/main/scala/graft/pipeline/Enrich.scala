@@ -108,8 +108,10 @@ object Enrich {
       df.withColumn("estimated_profit_margin", profitMargin(col("price")))
     else df
     val d2 = if (has(d1, "total_amount") && has(d1, "estimated_profit_margin"))
+      // rounded HERE so the stage output matches oracleSelectList verbatim
+      // (consumers shouldn't need to know to re-round money columns)
       d1.withColumn("estimated_profit",
-        col("total_amount") * col("estimated_profit_margin"))
+        round2(col("total_amount") * col("estimated_profit_margin")))
     else d1
     if (has(d2, "total_amount"))
       d2.withColumn("revenue_tier",

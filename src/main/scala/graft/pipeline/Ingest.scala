@@ -77,9 +77,20 @@ object Ingest {
   def readJsonDir(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(dir)
     val unwrapped =
-      if (raw.columns.contains("orders"))
-        raw.select(explode(col("orders")).as("o")).select("o.*")
-      else raw
+      if (!raw.columns.contains("orders")) raw
+      else {
+        // one directory can MIX envelope shapes: wrapped files carry rows
+        // under `orders`, bare files (top-level array / single object)
+        // carry them in top-level columns with orders = null after schema
+        // merge — a bare explode would silently drop every bare-file row
+        val wrapped = raw.filter(col("orders").isNotNull)
+          .select(explode(col("orders")).as("o")).select("o.*")
+        val bareCols = raw.columns.filterNot(_ == "orders")
+        if (bareCols.isEmpty) wrapped
+        else wrapped.unionByName(
+          raw.filter(col("orders").isNull).select(bareCols.map(col): _*),
+          allowMissingColumns = true)
+      }
     unwrapped
       .withColumn("source", lit("file_json"))
       .withColumn("source_file", input_file_name())
@@ -148,16 +159,16 @@ object Ingest {
     "q35_events_window",
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       |  count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value,
-      |  round(avg(value), 4) AS avg_value
+      |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+      |  floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        graft.functions.Functions.round2(sum(col("value"))).as("sum_value"),
+        graft.functions.Functions.round4(avg(col("value"))).as("avg_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("avg_value"))
       .orderBy("window_start", "event_type")
@@ -169,7 +180,7 @@ object Ingest {
     "q36_events_json",
     """SELECT event_type,
       |  count(*) AS n,
-      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+      |  floor(avg(CAST(json_extract_string(props, '$.k') AS INT)) * 10000 + 0.5) / 10000 AS avg_k,
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
       |FROM events
       |GROUP BY event_type
@@ -178,7 +189,7 @@ object Ingest {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        round(avg(col("k")), 4).as("avg_k"),
+        graft.functions.Functions.round4(avg(col("k"))).as("avg_k"),
         max(col("k")).as("max_k"))
       .orderBy("event_type")
   }

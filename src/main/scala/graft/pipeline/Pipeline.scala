@@ -72,17 +72,35 @@ object Pipeline {
     }
     var current = ingested.get
 
-    // Stage 2: validation (non-fatal)
+    // Stage 2: validation (non-fatal: a failed check is RECORDED but the
+    // run continues, pipeline.py:126-129)
     var quality: Option[(Double, String)] = None
     if (config.enableValidation) {
       val (q, s2) = timed("validation") {
         val schemaReport = SchemaCheck.validate(current, config.requiredFields)
         val m = Quality.metrics(current, config.asOf).collect().head
-        (m.getAs[Double]("overall_score"), m.getAs[String]("quality_level"),
-          schemaReport.valid)
+        // empty input aggregates to NULL score — getAs[Double] would
+        // silently unbox it to 0.0 and report 'critical' for vacuous data
+        val score = Option(m.getAs[java.lang.Double]("overall_score"))
+          .map(_.doubleValue())
+        (score, Option(m.getAs[String]("quality_level")), schemaReport.valid)
       }
-      stages += s2
-      quality = q.map(t => (t._1, t._2))
+      val checked = q match {
+        case Some((scoreOpt, levelOpt, schemaValid)) =>
+          quality = scoreOpt.zip(levelOpt)
+          val problems =
+            (if (schemaValid) Nil else Seq("schema validation failed")) ++
+              (scoreOpt match {
+                case Some(sc) if sc < config.qualityThreshold =>
+                  Seq(f"quality score $sc%.2f below threshold ${config.qualityThreshold}%.1f")
+                case None => Seq("no quality score (empty input)")
+                case _ => Nil
+              })
+          if (problems.isEmpty) s2
+          else s2.copy(success = false, error = Some(problems.mkString("; ")))
+        case None => s2
+      }
+      stages += checked
     }
 
     // Stage 3a: cleaning (FATAL on failure)

@@ -40,56 +40,78 @@ object Quality {
   def metrics(df: DataFrame, asOf: String = Enrich.DefaultAsOf): DataFrame = {
     val cols = CanonicalColumns.filter(df.columns.contains(_))
     val strCols = StringColumns.filter(df.columns.contains(_))
+    def has(cs: String*): Boolean = cs.forall(df.columns.contains(_))
 
     def frac(pred: Column): Column = avg(when(pred, 1.0).otherwise(0.0))
 
+    // Every check is guarded on column presence — the reference scores
+    // only the fields a source actually has (`validation.py:103-237`
+    // guards with `if field in data.columns`), and the stage must compose
+    // over raw CSV/JSON schemas, not just the canonical domain. On the
+    // canonical schema all guards pass, so oracle parity is unchanged.
+
     // --- completeness (validation.py:103-112): non-null cells / cells
-    val nonNullCells = cols.map(c => count(col(c))).reduce(_ + _)
-    val totalCells = count(lit(1)) * cols.length
+    val nonNullCells =
+      if (cols.isEmpty) lit(0L) else cols.map(c => count(col(c))).reduce(_ + _)
+    val totalCells = count(lit(1)) * math.max(cols.length, 1)
+    val completeness =
+      if (cols.isEmpty) lit(100.0)
+      else nonNullCells.cast("double") / totalCells * 100
 
     // --- validity checks (validation.py:114-154), fixed reference order
     val validityChecks: Seq[Column] =
-      Seq(frac(col("order_id").rlike(OrderIdPattern)),
-        frac(col("customer_email").rlike(EmailPattern))) ++
-        PositiveNumericFields.map(f => frac(col(f).isNotNull && col(f) > 0)) :+
-        frac(col("order_date").isNotNull)
+      (if (has("order_id")) Seq(frac(col("order_id").rlike(OrderIdPattern))) else Nil) ++
+        (if (has("customer_email")) Seq(frac(col("customer_email").rlike(EmailPattern))) else Nil) ++
+        PositiveNumericFields.filter(has(_))
+          .map(f => frac(col(f).isNotNull && col(f) > 0)) ++
+        (if (has("order_date")) Seq(frac(col("order_date").isNotNull)) else Nil)
 
     // --- consistency (validation.py:156-190)
-    val uniqueRatio = countDistinct(col("order_id")).cast("double") / count(lit(1))
+    val uniqueRatio =
+      if (has("order_id"))
+        Seq(countDistinct(col("order_id")).cast("double") / count(lit(1)))
+      else Nil
     // np.isclose(price*qty, total, rtol=0.01) = |a-b| <= 1e-8 + 0.01|b|
-    val totalsClose = frac(
-      abs(col("price") * col("quantity") - col("total_amount"))
-        <= lit(1e-8) + lit(0.01) * abs(col("total_amount")))
+    val totalsClose =
+      if (has("price", "quantity", "total_amount"))
+        Seq(frac(abs(col("price") * col("quantity") - col("total_amount"))
+          <= lit(1e-8) + lit(0.01) * abs(col("total_amount"))))
+      else Nil
     val lengthConsistency: Seq[Column] = strCols.map { c =>
       val lens = length(col(c))
       least(lit(1.0), greatest(lit(0.0),
         coalesce(lit(1.0) - stddev_samp(lens) / avg(lens), lit(1.0))))
     }
-    val consistencyChecks = Seq(uniqueRatio, totalsClose) ++ lengthConsistency
+    val consistencyChecks = uniqueRatio ++ totalsClose ++ lengthConsistency
 
     // --- accuracy (validation.py:192-237)
     val asOfTs = lit(asOf).cast("timestamp")
-    val accuracyChecks: Seq[Column] = Seq(
-      frac(col("price") >= 1 && col("price") <= 10000),
-      frac(col("quantity") >= 1 && col("quantity") <= 100),
-      frac(length(col("customer_name")) >= 2 && length(col("customer_name")) <= 100),
-      frac(length(col("product")) >= 2 && length(col("product")) <= 200),
-      frac(col("order_date") >= asOfTs - expr("INTERVAL 1825 DAY")
-        && col("order_date") <= asOfTs))
+    val accuracyChecks: Seq[Column] =
+      (if (has("price")) Seq(frac(col("price") >= 1 && col("price") <= 10000)) else Nil) ++
+        (if (has("quantity")) Seq(frac(col("quantity") >= 1 && col("quantity") <= 100)) else Nil) ++
+        (if (has("customer_name"))
+          Seq(frac(length(col("customer_name")) >= 2 && length(col("customer_name")) <= 100)) else Nil) ++
+        (if (has("product"))
+          Seq(frac(length(col("product")) >= 2 && length(col("product")) <= 200)) else Nil) ++
+        (if (has("order_date"))
+          Seq(frac(col("order_date") >= asOfTs - expr("INTERVAL 1825 DAY")
+            && col("order_date") <= asOfTs)) else Nil)
 
     // --- per-record validity (validation.py:252-282) — one vectorized pass
     val rowChecks = RequiredFields.filter(df.columns.contains(_))
       .map(col(_).isNotNull) ++
       (if (df.columns.contains("price")) Seq(col("price") > 0) else Nil) ++
       (if (df.columns.contains("quantity")) Seq(col("quantity") > 0) else Nil)
-    val rowValid = rowChecks.reduce(_ && _)
+    val rowValid = rowChecks.reduceOption(_ && _).getOrElse(lit(true))
     val validRecords = sum(when(rowValid, 1L).otherwise(0L))
 
+    // a dimension with nothing to check scores perfect (vacuous truth),
+    // matching the reference's skip-absent-fields behavior
     def mean(cs: Seq[Column]): Column =
-      cs.reduce(_ + _) / cs.length
+      if (cs.isEmpty) lit(1.0) else cs.reduce(_ + _) / cs.length
 
     val agged = df.agg(
-      (nonNullCells.cast("double") / totalCells * 100).as("completeness"),
+      completeness.as("completeness"),
       (mean(validityChecks) * 100).as("validity"),
       (mean(consistencyChecks) * 100).as("consistency"),
       (mean(accuracyChecks) * 100).as("accuracy"),

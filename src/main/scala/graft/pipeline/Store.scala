@@ -21,33 +21,51 @@ object Store {
     * `orderCol` decides recency (ties → incoming wins via priority). */
   def upsertOrders(spark: SparkSession, incoming: DataFrame, tablePath: String,
       key: String = "order_id", orderCol: String = "ingested_at"): Long = {
-    val existing = readTable(spark, tablePath)
-    val merged = existing match {
-      case Some(cur) =>
-        val all = cur.withColumn("__gen", lit(0))
-          .unionByName(incoming.withColumn("__gen", lit(1)), allowMissingColumns = true)
-        // keep-latest = max(struct(orderCol, __gen, rest…)) per key: struct
-        // ordering is field-by-field with nulls smallest, so max ≡ the old
-        // window's (orderCol DESC NULLS LAST, __gen DESC) pick — but with a
-        // map-side partial combine instead of a full sort of every version.
-        val outCols = all.columns.filterNot(_ == "__gen")
-        val ordCols =
-          (if (all.columns.contains(orderCol)) Seq(orderCol) else Nil) :+ "__gen"
-        val rest = outCols.filterNot(c => c == key || ordCols.contains(c))
-        val packed = struct((ordCols ++ rest).map(col): _*)
-        all.groupBy(col(key)).agg(max(packed).as("__row"))
+    // keep-latest = max(struct(orderCol, __gen, rest…)) per key: struct
+    // ordering is field-by-field with nulls smallest, so max ≡ a window's
+    // (orderCol DESC NULLS LAST, __gen DESC) pick — but with a map-side
+    // partial combine instead of a full sort of every version. Applied on
+    // FIRST write too: an incoming batch can itself carry duplicate keys,
+    // and the unique-key invariant must hold from the first version.
+    def keepLatest(df: DataFrame): DataFrame = {
+      val outCols = df.columns.filterNot(_ == "__gen")
+      val ordCols =
+        (if (df.columns.contains(orderCol)) Seq(orderCol) else Nil) ++
+          (if (df.columns.contains("__gen")) Seq("__gen") else Nil)
+      val rest = outCols.filterNot(c => c == key || ordCols.contains(c))
+      val packedCols = ordCols ++ rest
+      if (packedCols.isEmpty) df.dropDuplicates(key)
+      else {
+        val packed = struct(packedCols.map(col): _*)
+        df.groupBy(col(key)).agg(max(packed).as("__row"))
           .select(outCols.map(c =>
             if (c == key) col(c) else col(s"__row.$c").as(c)): _*)
-      case None => incoming
+      }
     }
-    // staging write + swap: never read and overwrite the same files
-    val staging = tablePath + "__staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val merged = readTable(spark, tablePath) match {
+      case Some(cur) =>
+        keepLatest(cur.withColumn("__gen", lit(0))
+          .unionByName(incoming.withColumn("__gen", lit(1)),
+            allowMissingColumns = true))
+      case None => keepLatest(incoming)
+    }
+    // staging write, then swap via backup: the old table is moved aside,
+    // not deleted, before the new one is published — a crash between the
+    // renames leaves a recoverable __backup instead of no table at all
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(tablePath + "__staging")
+    val backup = new org.apache.hadoop.fs.Path(tablePath + "__backup")
     val target = new org.apache.hadoop.fs.Path(tablePath)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"upsert swap: could not move $target aside")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(backup)) fs.rename(backup, target)
+      sys.error(s"upsert swap: could not publish $staging over $target")
+    }
+    fs.delete(backup, true)
     spark.read.parquet(tablePath).count()
   }
 

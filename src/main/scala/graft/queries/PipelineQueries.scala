@@ -56,8 +56,6 @@ object PipelineQueries {
         col("order_month"), col("order_day"), col("order_weekday"),
         col("order_quarter"), col("season"), col("days_since_order"),
         col("risk_score"), col("risk_level"))
-      .withColumn("estimated_profit",
-        graft.functions.Functions.round2(col("estimated_profit")))
       .orderBy("order_id")
   }
 

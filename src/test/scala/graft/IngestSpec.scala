@@ -43,6 +43,20 @@ class IngestSpec extends SparkSpec {
     assert(run("""{"order_id": "A", "price": 1.0}""") == 1)
   }
 
+  test("readJsonDir: one directory mixing envelope shapes loses no rows") {
+    val dir = Files.createTempDirectory("json_mixed").toString
+    Files.writeString(Paths.get(dir, "wrapped.json"),
+      """{"orders": [{"order_id": "W1", "price": 1.0}, {"order_id": "W2", "price": 2.0}]}""")
+    Files.writeString(Paths.get(dir, "bare.json"),
+      """[{"order_id": "B1", "price": 3.0}]""")
+    Files.writeString(Paths.get(dir, "single.json"),
+      """{"order_id": "S1", "price": 4.0}""")
+    val out = Ingest.readJsonDir(spark, dir)
+    val ids = out.select("order_id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("W1", "W2", "B1", "S1"),
+      s"rows dropped from a mixed-envelope directory: got $ids")
+  }
+
   test("readCsvDir infers header and types, adds provenance (S3/S5)") {
     val dir = Files.createTempDirectory("csv_in").toString
     Files.writeString(Paths.get(dir, "a.csv"),

@@ -122,6 +122,18 @@ class StoreSpec extends SparkSpec {
     assert(!spark.read.parquet(s"$out/orders").columns.contains("customer_segment"))
   }
 
+  test("upsert: duplicate keys in the FIRST write collapse to latest-wins") {
+    val table = tmp("orders_first") + "/orders"
+    val n = Store.upsertOrders(spark, ordersDf(
+      ("A-1", 10.0, "2024-01-01 00:00:00"),
+      ("A-1", 11.0, "2024-02-01 00:00:00"),
+      ("A-2", 20.0, "2024-01-01 00:00:00")), table)
+    assert(n == 2, "unique-key invariant must hold from the first version")
+    val a1 = spark.read.parquet(table).filter(col("order_id") === "A-1").collect()
+    assert(a1.length == 1 && a1.head.getAs[Double]("price") == 11.0,
+      "latest version must win within the first batch")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val d = pipeline.OrdersDomain.fromTpch(spark, sf).dropDuplicates("order_id")
     Store.writeBucketed(d.select("order_id", "price", "quantity"),
