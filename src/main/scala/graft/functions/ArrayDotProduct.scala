@@ -18,9 +18,14 @@ import org.apache.spark.sql.types._
   * fused, allocation-free loop and participates in whole-stage codegen —
   * the hot inner kernel of the similarity operators at scale.
   *
-  * Semantics match the composed form exactly (left-to-right IEEE double
-  * accumulation), so DuckDB oracle parity is unchanged. Null array → null;
-  * null elements contribute 0; length mismatch uses the shorter length.
+  * Semantics: left-to-right IEEE double accumulation — identical to the
+  * composed form (and to DuckDB `list_dot_product`) on equal-length,
+  * null-free arrays, which is what the oracle-checked queries feed it.
+  * At the edges the forms deliberately DIVERGE: null array → null in
+  * both, but null ELEMENTS contribute 0 here (composed form poisons the
+  * sum to null) and a length mismatch uses the shorter length (composed
+  * form null-pads → null) — the total-function behavior the LSH
+  * fixed-size plane literals rely on. FunctionsSpec pins these edges.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,18 +45,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
         s"graft_dot expects array<float|double> inputs, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
+  // resolved once, not per interpreted-eval row
+  @transient private lazy val leftIsFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightIsFloat = elemType(right).contains(FloatType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lt = elemType(left).get
-    val rt = elemType(right).get
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+        val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
         acc += xv * yv
       }
       i += 1

@@ -38,6 +38,7 @@ object Functions {
     * (b_i, b_{i+1}] → label_i; outside (≤ b0) or null → null. The last
     * bound may be Double.PositiveInfinity. */
   def cutRightClosed(c: Column, bounds: Seq[Double], labels: Seq[String]): Column = {
+    require(labels.nonEmpty, "cutRightClosed needs at least one label")
     require(bounds.length == labels.length + 1, "need n+1 bounds for n labels")
     val cases = labels.indices.map { i =>
       val lo = bounds(i)
@@ -55,11 +56,13 @@ object Functions {
   /** Threshold ladder (first `value >= threshold` wins), e.g. customer
     * segmentation `src/transformation.py:339-349`. Thresholds must be
     * descending. */
-  def thresholdLadder(c: Column, ladder: Seq[(Double, String)], default: String): Column =
+  def thresholdLadder(c: Column, ladder: Seq[(Double, String)], default: String): Column = {
+    require(ladder.nonEmpty, "thresholdLadder needs at least one (threshold, label)")
     ladder.foldLeft[Option[Column]](None) {
       case (None, (t, l))      => Some(when(c >= lit(t), l))
       case (Some(acc), (t, l)) => Some(acc.when(c >= lit(t), l))
     }.map(_.otherwise(default)).get
+  }
 
   /** `safe_divide` (`src/utils.py:120-125`): 0 or null denominator →
     * default instead of null/Inf. */
@@ -109,8 +112,13 @@ object Functions {
     * skew-join handling covers joins; this covers the groupBy side. */
   def saltedSumCount(df: org.apache.spark.sql.DataFrame, key: String,
       valueCol: String, saltBuckets: Int = 16): org.apache.spark.sql.DataFrame = {
+    // salt must be DETERMINISTIC per row content: a partition-id or
+    // monotonic-id salt changes across task retries, so a partial stage
+    // retry re-buckets rows mid-aggregation and silently drops or
+    // double-counts them. Hashing (key, value) keeps the hot key spread
+    // whenever its values vary while staying stable across attempts.
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(xxhash64(col(key), col(valueCol)), lit(saltBuckets)))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

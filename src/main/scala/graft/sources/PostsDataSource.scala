@@ -83,6 +83,8 @@ class PostsScanBuilder(var limit: Int, pageSize: Int)
 case class PostsPage(page: Int, pageSize: Int, limit: Int) extends InputPartition
 
 class PostsScan(limit: Int, pageSize: Int) extends Scan with Batch {
+  require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+  require(limit >= 0, s"limit must be non-negative, got $limit")
   override def readSchema(): StructType = PostsDataSource.Schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {

@@ -49,7 +49,13 @@ object SessionState {
     sorted.foreach { e =>
       open match {
         case Some(s) if e.ts.getTime - s.last.getTime <= GapMs =>
-          open = Some(OpenSession(s.start, e.ts, s.nEvents + 1))
+          // a cross-batch out-of-order event (>= watermark but < s.last)
+          // folds in WITHOUT regressing the envelope: a plain last := e.ts
+          // would move session_end backwards and emit negative durations
+          open = Some(OpenSession(
+            if (e.ts.before(s.start)) e.ts else s.start,
+            if (e.ts.after(s.last)) e.ts else s.last,
+            s.nEvents + 1))
         case Some(s) =>
           closed += close(s)
           open = Some(OpenSession(e.ts, e.ts, 1))

@@ -45,22 +45,30 @@ object Streaming {
 
   /** Bounded-state keyed dedup: keep the first-seen order_id within the
     * watermark horizon (replaces the SQLite UNIQUE upsert,
-    * `src/storage.py:170-196`, for the streaming plane). */
+    * `src/storage.py:170-196`, for the streaming plane).
+    * `dropDuplicatesWithinWatermark` keys state on order_id ALONE — a
+    * retried ingest usually re-stamps `ingested_at`, and including the
+    * event-time column in the dedup key would wave those duplicates
+    * through. */
   def watermarkedDedup(orders: DataFrame, eventTimeCol: String = "ingested_at",
       horizon: String = "1 hour"): DataFrame =
     orders
       .withWatermark(eventTimeCol, horizon)
-      .dropDuplicates("order_id", eventTimeCol)
+      .dropDuplicatesWithinWatermark("order_id")
 
-  /** The full transform pipeline applied per micro-batch, appended to a
-    * parquet orders table. */
+  /** The full transform pipeline applied per micro-batch, written to a
+    * parquet orders table. Each batch OVERWRITES its own batch-id
+    * partition rather than appending to the root: foreachBatch is
+    * at-least-once, and a batch replayed after a crash between the write
+    * and the checkpoint commit must not duplicate its rows. Readers see
+    * one table at `outPath` (partition discovery adds a `batch` column). */
   def transformStream(orders: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
     orders.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Standardize(Enrich(Clean(batch)))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .start()
 

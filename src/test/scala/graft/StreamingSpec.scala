@@ -43,17 +43,21 @@ class StreamingSpec extends SparkSpec {
 
   test("watermarked dedup drops repeated order_ids inside the horizon") {
     val in = tmpDir("dedup_in")
+    // API-0001 arrives three times: an exact duplicate AND a retried
+    // ingest with a re-stamped ingested_at — all must collapse to one row
     Files.writeString(Paths.get(in, "a.csv"),
       """order_id,customer_name,customer_email,product,quantity,price,order_date,ingested_at
         |API-0001,a,a@x.com,P1,1,10.0,2024-01-15,2024-01-20 10:00:00
         |API-0001,a,a@x.com,P1,1,10.0,2024-01-15,2024-01-20 10:00:00
+        |API-0001,a,a@x.com,P1,1,10.0,2024-01-15,2024-01-20 10:07:00
         |API-0002,b,b@x.com,P2,1,20.0,2024-01-15,2024-01-20 10:05:00""".stripMargin)
     val stream = Streaming.csvFileSource(spark, in, ordersCsvSchema)
       .withColumn("ingested_at", col("ingested_at").cast("timestamp"))
     val deduped = Streaming.watermarkedDedup(stream)
     Streaming.drainToMemory(deduped, "dedup_out")
     val n = spark.sql("SELECT count(DISTINCT order_id) c, count(*) n FROM dedup_out").collect().head
-    assert(n.getAs[Long]("n") == 2, "exact duplicate must be dropped in-stream")
+    assert(n.getAs[Long]("n") == 2,
+      "duplicates (exact AND re-stamped) must be dropped in-stream")
     assert(n.getAs[Long]("c") == 2)
   }
 
