@@ -16,6 +16,11 @@ object RunPipeline {
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
     val flags = args.filter(_.startsWith("--")).toSet
+    val known = Set("--health", "--no-validation", "--no-enrichment",
+      "--no-standardization")
+    val unknown = flags -- known
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.mkString(", ")} — known: ${known.toSeq.sorted.mkString(", ")}")
     val Array(sfDir, outDir) = positional.take(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")

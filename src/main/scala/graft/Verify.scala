@@ -21,8 +21,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output from a previous run into the same dir —
+        // the checker must see a MISSING result, not silently pass old data
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)
       }
     }
+    // manifest of every registered query, so the checker can flag queries
+    // whose output is missing (failed) rather than only checking what exists
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .mkString("[\"", "\",\"", "\"]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

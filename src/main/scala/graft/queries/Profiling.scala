@@ -113,17 +113,17 @@ object Profiling {
     "q17_revenue_summary",
     "WITH " + OrdersDomain.OracleCte + "\n" +
       """SELECT
-        |  round(sum(total_amount), 2) AS total_revenue,
-        |  round(avg(total_amount), 4) AS avg_order_value,
-        |  round(max(total_amount), 2) AS max_order,
-        |  round(min(total_amount), 2) AS min_order,
+        |  floor(sum(total_amount) * 100 + 0.5) / 100 AS total_revenue,
+        |  floor(avg(total_amount) * 10000 + 0.5) / 10000 AS avg_order_value,
+        |  floor(max(total_amount) * 100 + 0.5) / 100 AS max_order,
+        |  floor(min(total_amount) * 100 + 0.5) / 100 AS min_order,
         |  count(*) AS n_orders
         |FROM orders_domain""".stripMargin) { (s, dir) =>
     OrdersDomain.fromTpch(s, dir).agg(
-      round(sum(col("total_amount")), 2).as("total_revenue"),
-      round(avg(col("total_amount")), 4).as("avg_order_value"),
-      round(max(col("total_amount")), 2).as("max_order"),
-      round(min(col("total_amount")), 2).as("min_order"),
+      graft.functions.Functions.round2(sum(col("total_amount"))).as("total_revenue"),
+      graft.functions.Functions.round4(avg(col("total_amount"))).as("avg_order_value"),
+      graft.functions.Functions.round2(max(col("total_amount"))).as("max_order"),
+      graft.functions.Functions.round2(min(col("total_amount"))).as("min_order"),
       count(lit(1)).as("n_orders"))
   }
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
+import graft.functions.Functions.round2
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,7 +83,7 @@ object Relational {
   val q03RevenueByCustomer: QuerySpec = QuerySpec(
     "q03_revenue_by_customer",
     """SELECT c_custkey, c_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
       |  count(*) AS n_lines
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
@@ -95,7 +96,7 @@ object Relational {
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy("c_custkey", "c_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -108,7 +109,7 @@ object Relational {
   val q04RegionRevenue: QuerySpec = QuerySpec(
     "q04_region_revenue",
     """SELECT r_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
       |  count(*) AS n_lines
       |FROM region
       |JOIN nation   ON r_regionkey = n_regionkey
@@ -126,7 +127,7 @@ object Relational {
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy("r_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("r_name"))
@@ -141,7 +142,7 @@ object Relational {
     "q05_running_revenue",
     """SELECT o_custkey, o_orderkey,
       |  row_number() OVER w AS order_seq,
-      |  round(sum(o_totalprice) OVER w, 2) AS running_total
+      |  floor(sum(o_totalprice) OVER w * 100 + 0.5) / 100 AS running_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -152,8 +153,8 @@ object Relational {
       .select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(w).as("order_seq"),
-        round(sum(col("o_totalprice"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        round2(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .as("running_total"))
       .orderBy(col("o_custkey"), col("order_seq"))
   }
@@ -246,7 +247,7 @@ object Relational {
     "q49_grouped_topk",
     """WITH rev AS (
       |  SELECT n_name, c_custkey, c_name,
-      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |    floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
       |  FROM nation
       |  JOIN customer ON n_nationkey = c_nationkey
       |  JOIN orders   ON c_custkey = o_custkey
@@ -263,7 +264,7 @@ object Relational {
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy("n_name", "c_custkey", "c_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue"))
     val w = Window.partitionBy("n_name")
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -280,7 +281,7 @@ object Relational {
     "q50_rollup",
     """SELECT coalesce(r_name, 'ALL') AS region,
       |  coalesce(n_name, 'ALL') AS nation,
-      |  round(sum(o_totalprice), 2) AS revenue,
+      |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue,
       |  count(*) AS n_orders
       |FROM region
       |JOIN nation   ON r_regionkey = n_regionkey
@@ -302,7 +303,7 @@ object Relational {
       .groupingSets(
         Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
         col("r_name"), col("n_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      .agg(round2(sum(col("o_totalprice"))).as("revenue"),
         count(lit(1)).as("n_orders"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -316,11 +317,11 @@ object Relational {
   val q51Pivot: QuerySpec = QuerySpec(
     "q51_pivot",
     """SELECT o_orderstatus,
-      |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1_urgent,
-      |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2_high,
-      |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3_medium,
-      |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4_not_specified,
-      |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5_low
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+      |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+      |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+      |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+      |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>

@@ -72,6 +72,14 @@ def main(sfdir, outdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     names = sorted(d.split("/")[-1] for d in glob.glob(f"{outdir}/*")
                    if not d.endswith(".json"))
+    # Verify writes a manifest of every registered query; anything listed
+    # there but absent on disk FAILED (Verify deletes stale outputs) and
+    # must be flagged, not silently skipped
+    try:
+        manifest = json.load(open(f"{outdir}/queries.json"))
+        names = sorted(set(names) | set(manifest))
+    except FileNotFoundError:
+        pass
     n_pass = n_fail = 0
     for name in names:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
