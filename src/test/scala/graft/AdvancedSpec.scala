@@ -25,9 +25,15 @@ class AdvancedSpec extends SparkSpec {
       .option("limit", "500").option("pageSize", "100").load()
       .limit(42)
     assert(df.count() == 42)
-    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
-    // pushed limit 42 → a single 100-row page planned, not 5
-    assert(df.queryExecution.executedPlan.toString.contains("BatchScan"))
+    // pushed limit 42 → a single 100-row page planned, not 5: assert on
+    // the BatchScan's actual input partitions (the limit operator itself
+    // always runs single-partition, so rdd partition counts prove nothing)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScan planned")
+    assert(scans.head.inputPartitions.length == 1,
+      s"limit not pushed: ${scans.head.inputPartitions.length} pages planned")
   }
 
   test("asof join: inclusive match, no-prior-row yields null, ties right-before-left") {

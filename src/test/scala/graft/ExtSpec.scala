@@ -109,15 +109,22 @@ class ExtSpec extends SparkSpec {
   }
 
   test("ann lsh: identical vectors share a bucket; recall vs brute force is nonzero") {
-    val e = Tables.embeddings(spark, sf)
     val brute = SparkEntry.queries("q31_cosine_topk")(spark, sf).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+        -> r.getAs[Double]("cosine")).toMap
     val ann = SparkEntry.queries("q33_ann_lsh")(spark, sf).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
-    assert(ann.nonEmpty)
-    val recall = brute.intersect(ann).size.toDouble / brute.size
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+        -> r.getAs[Double]("cosine")).toMap
+    assert(brute.nonEmpty && ann.nonEmpty)
+    val overlap = brute.keySet.intersect(ann.keySet)
+    val recall = overlap.size.toDouble / brute.size
     assert(recall > 0.1, s"ANN recall $recall")
-    // ann cosines must match brute-force cosines where pairs overlap
+    // ann cosines must match brute-force cosines where pairs overlap —
+    // wrong norm wiring in the candidate re-attach joins would show here
+    overlap.foreach { k =>
+      assert(math.abs(brute(k) - ann(k)) < 1e-9,
+        s"cosine mismatch at $k: brute=${brute(k)} ann=${ann(k)}")
+    }
   }
 
   test("embedding near-dup: lsh pairs are a subset of exact pairs with decent recall") {

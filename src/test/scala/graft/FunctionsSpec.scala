@@ -13,7 +13,9 @@ class FunctionsSpec extends SparkSpec {
     val both = e.select(
       Similarity.dot(col("embedding"), col("embedding")).as("native"),
       Similarity.dotComposed(col("embedding"), col("embedding")).as("composed"))
-    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    // null-safe inequality: plain =!= evaluates to NULL (filtered away)
+    // when either side is NULL — exactly the divergence class to catch
+    assert(both.filter(!(col("native") <=> col("composed"))).count() == 0)
   }
 
   test("native dot participates in whole-stage codegen (no fallback)") {
@@ -31,14 +33,23 @@ class FunctionsSpec extends SparkSpec {
       "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM emb_v ORDER BY vec_id LIMIT 1")
       .collect().head
     assert(r.getAs[Double]("d") > 0)
-    // extensions path builds a session with the same function pre-registered
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    assert(s2.sessionState.functionRegistry
-      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+    // extensions path: force a FRESH session — getOrCreate on an active
+    // session ignores withExtensions, which would make this vacuous
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")),
+        "GraftExtensions did not register graft_dot in a fresh session")
+    } finally {
+      SparkSession.setDefaultSession(SparkSpec.spark)
+      SparkSession.setActiveSession(SparkSpec.spark)
+    }
   }
 
   test("null and length-mismatch semantics of graft_dot") {

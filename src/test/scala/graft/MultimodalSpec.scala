@@ -17,15 +17,19 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeBatch: deterministic stub decode over mapPartitions") {
-    val once = Multimodal.decodeBatch(spark, media.limit(50)).collect()
+    // key the subset on media_id, not limit(): limit without orderBy may
+    // pick different rows per execution, making the comparison unsound
+    def subset(n: Int) = media.filter(col("media_id") < n)
+    val once = Multimodal.decodeBatch(spark, subset(50)).collect()
       .map(d => d.media_id -> d.checksum).toMap
-    val twice = Multimodal.decodeBatch(spark, media.limit(50)).collect()
+    val twice = Multimodal.decodeBatch(spark, subset(50)).collect()
       .map(d => d.media_id -> d.checksum).toMap
     assert(once == twice, "decode must be deterministic")
-    val lens = Multimodal.decodeBatch(spark, media.limit(10)).collect()
-    val expected = media.limit(10)
+    val lens = Multimodal.decodeBatch(spark, subset(10)).collect()
+    val expected = subset(10)
       .select(col("media_id"), col("meta.n_bytes").as("n")).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("n")).toMap
+    assert(lens.nonEmpty)
     lens.foreach(d => assert(d.n_bytes == expected(d.media_id)))
   }
 

@@ -19,10 +19,16 @@ class PropertySpec extends SparkSpec {
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
 
   test("round2 is idempotent and within half a cent (property, 500 samples)") {
-    samples(Gen.chooseNum(-1e9, 1e9), 500).foreach { d =>
-      val r = math.floor(d * 100 + 0.5) / 100
-      val r2 = math.floor(r * 100 + 0.5) / 100
-      assert(r == r2, s"not idempotent at $d")
+    import spark.implicits._
+    // evaluate the PRODUCT expression through Spark, not a re-implemented
+    // local formula — a regression in Functions.round2 must fail here
+    val rows = samples(Gen.chooseNum(-1e9, 1e9), 500).toDF("d")
+      .select(col("d"), Functions.round2(col("d")).as("r"),
+        Functions.round2(Functions.round2(col("d"))).as("rr"))
+      .collect()
+    rows.foreach { row =>
+      val (d, r, rr) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(r == rr, s"not idempotent at $d")
       assert(math.abs(r - d) <= 0.005 + math.ulp(d) * 100, s"drift at $d")
     }
   }
@@ -107,10 +113,14 @@ class PropertySpec extends SparkSpec {
       id <- Gen.chooseNum(0L, 1000000L)
       v <- Gen.chooseNum(-100.0, 100.0)
     } yield (k, t, id, v)
+    // one seed per frame — samples(gen, 8) draws with Seed(0..7); drawing
+    // samples(gen, 1) inside the loop would replay Seed(0) eight times
+    val lFrames = samples(Gen.listOfN(40, rowGen), 8)
+    val rFrames = samples(Gen.listOfN(25, rowGen), 8)
     for (i <- 0 until 8) {
-      val lRows = samples(Gen.listOfN(40, rowGen), 1).head.zipWithIndex
+      val lRows = lFrames(i).zipWithIndex
         .map { case ((k, t, _, v), ix) => (k, t, ix.toLong, v) }
-      val rRows = samples(Gen.listOfN(25, rowGen), 1).head
+      val rRows = rFrames(i)
       val l = lRows.toDF("user_id", "ts", "event_id", "lv")
       val r1 = rRows.toDF("user_id", "ts", "event_id", "value")
       val r2 = rRows.toDF("user_id", "ts", "event_id", "value")
