@@ -234,7 +234,31 @@ object Profiling {
         .select("p.*").orderBy("column_name")
     }
 
+  /** A10 grouped: exact per-group percentiles (p50/p90/p99 of event value
+    * by type) — one grouped aggregate, interpolated identically by Spark's
+    * `percentile` and DuckDB's `quantile_cont`. The ungrouped q18 profile
+    * and the sketch q47 are the single-pass and scale variants. */
+  val q57GroupedPercentiles: QuerySpec = QuerySpec(
+    "q57_grouped_percentiles",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+      |  floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+      |  floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    graft.Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.Functions.round4(expr("percentile(value, 0.5)")).as("p50"),
+        graft.functions.Functions.round4(expr("percentile(value, 0.9)")).as("p90"),
+        graft.functions.Functions.round4(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
-    q19TopProducts, q20DbStats, q47ApproxProfile)
+    q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles)
 }
