@@ -196,7 +196,43 @@ object Advanced {
       .orderBy("event_id")
   }
 
+  /** Sequential conversion funnel: per user, FIRST signup → later view →
+    * later purchase. One grouped pass pivots each user's first event time
+    * per stage (conditional min — no joins, no self-unions), then a 1-row
+    * reduce counts stage survivors. The classic product-analytics op;
+    * scales as a single hash aggregate on user_id. */
+  val q58Funnel: QuerySpec = QuerySpec(
+    "q58_event_funnel",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signed_up,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS viewed_after_signup,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+      |    AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS completed_funnel
+      |FROM per_user""".stripMargin) { (s, dir) =>
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("signed_up"),
+      sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup"),
+        1L).otherwise(0L)).as("viewed_after_signup"),
+      sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup")
+        && col("t_purchase") > col("t_view"), 1L).otherwise(0L))
+        .as("completed_funnel"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
-    q48EventAttribution, q54AsofNative)
+    q48EventAttribution, q54AsofNative, q58Funnel)
 }
