@@ -14,8 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName,
         "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.ArrayDotProduct(exprs(0), exprs(1))))
+      graft.functions.ArrayDotProduct.build _))
     e.injectOptimizerRule(_ => graft.plans.KeepFirstToAggregate)
   }
 }

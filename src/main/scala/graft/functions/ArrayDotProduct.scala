@@ -99,8 +99,22 @@ object ArrayDotProduct {
     Bridge.column(
       ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Shared SQL builder with arity validation — wrong argument counts get
+    * a proper analysis error instead of IndexOutOfBoundsException. */
+  def build(exprs: Seq[Expression]): ArrayDotProduct = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`graft_dot`",
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    ArrayDotProduct(exprs(0), exprs(1))
+  }
+
   /** SQL registration: `SELECT graft_dot(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "scala_udf")
+      "graft_dot", build, "scala_udf")
 }

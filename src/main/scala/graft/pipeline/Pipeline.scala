@@ -33,7 +33,8 @@ object Pipeline {
       seconds: Double, error: Option[String])
   final case class PipelineReport(runId: String, success: Boolean,
       stages: Seq[StageResult], recordsStored: Long,
-      qualityScore: Option[Double], qualityLevel: Option[String])
+      qualityScore: Option[Double], qualityLevel: Option[String],
+      recordsFailed: Long = 0L)
 
   private def timed[A](stage: String)(body: => A): (Option[A], StageResult) = {
     val t0 = System.nanoTime()
@@ -126,6 +127,17 @@ object Pipeline {
       std.foreach(current = _)
     }
 
+    // Records dropped by clean/dedup (ref records removed counts in its
+    // run telemetry): ingested minus what survived the transform stages.
+    // One extra count job on each side — the frames are about to be
+    // materialized by the storage stage anyway.
+    val recordsFailed =
+      if (config.enableCleaning) {
+        val nIn = ingested.get.count()
+        val nOut = current.count()
+        math.max(0L, nIn - nOut)
+      } else 0L
+
     // Stage 4: storage — upsert + telemetry + metrics
     val (stored, s6) = timed("storage") {
       val n = Store.upsertOrders(spark, current, s"$outDir/orders")
@@ -142,10 +154,10 @@ object Pipeline {
     val ok = all.forall(_.success)
     Store.appendPipelineRun(spark, s"$outDir/pipeline_runs", runId, "graft",
       startTime, endTime, if (ok) "completed" else "failed",
-      stored.getOrElse(0L), 0L,
+      stored.getOrElse(0L), recordsFailed,
       all.find(!_.success).flatMap(_.error))
     PipelineReport(runId, ok, all, stored.getOrElse(0L),
-      quality.map(_._1), quality.map(_._2))
+      quality.map(_._1), quality.map(_._2), recordsFailed)
   }
 
   // ---- health check (§3.2) ----------------------------------------------

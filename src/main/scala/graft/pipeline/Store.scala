@@ -69,11 +69,18 @@ object Store {
     spark.read.parquet(tablePath).count()
   }
 
+  /** Read the published table; if the target directory is absent but a
+    * `__backup` exists, a crash interrupted [[upsertOrders]]' swap between
+    * its two renames (old moved aside, new not yet published) — recover by
+    * re-publishing the backup so readers and the next upsert see the last
+    * committed version instead of a missing table. */
   private def readTable(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      Some(spark.read.parquet(path))
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    if (fs.exists(target)) Some(spark.read.parquet(path))
     else None
   }
 

@@ -52,6 +52,16 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_dot wrong arity raises an analysis error, not IndexOutOfBounds") {
+    ArrayDotProduct.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_arity_v")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(embedding) FROM emb_arity_v").collect()
+    }
+    assert(!e.isInstanceOf[IndexOutOfBoundsException])
+    assert(e.getMessage.contains("graft_dot"))
+  }
+
   test("null and length-mismatch semantics of graft_dot") {
     val schema = StructType(Seq(
       StructField("a", ArrayType(DoubleType)), StructField("b", ArrayType(DoubleType))))

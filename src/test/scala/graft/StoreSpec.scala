@@ -43,6 +43,22 @@ class StoreSpec extends SparkSpec {
     assert(spark.read.parquet(table).collect().head.getAs[Double]("price") == 6.0)
   }
 
+  test("upsert: interrupted swap (table at __backup only) is recovered") {
+    val table = tmp("orders_tbl3") + "/orders"
+    Store.upsertOrders(spark, ordersDf(("D-1", 1.0, "2024-01-01 00:00:00")), table)
+    // simulate a crash between the two renames: old moved aside, new lost
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + "__backup")))
+    // the next upsert must see the backed-up version, not start empty
+    val n = Store.upsertOrders(spark,
+      ordersDf(("D-2", 2.0, "2024-01-02 00:00:00")), table)
+    assert(n == 2, "backup row was lost across an interrupted swap")
+    assert(spark.read.parquet(table).orderBy("order_id").collect()
+      .map(_.getAs[String]("order_id")).toSeq == Seq("D-1", "D-2"))
+  }
+
   test("exports + topk retrieval + stats (S8, S11-S14)") {
     val base = tmp("exports")
     val df = ordersDf(

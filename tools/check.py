@@ -30,8 +30,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 lambda v: hasattr(v, "as_tuple"), na_action="ignore").any():
             df[c] = df[c].astype(float)
     if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort",
-                            na_position="last").reset_index(drop=True)
+        # Sort non-float columns first, then ROUNDED float columns, so
+        # sub-tolerance cross-engine float drift cannot permute row
+        # pairing (a raw float sort key would misalign rows whose floats
+        # differ by <1e-6 but straddle a sort boundary).
+        nonf = [c for c in df.columns
+                if not pd.api.types.is_float_dtype(df[c])]
+        flt = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+        keys = df[nonf].copy() if nonf else pd.DataFrame(index=df.index)
+        for c in flt:
+            keys[c] = df[c].round(4)
+        order = keys.sort_values(by=nonf + flt, kind="mergesort",
+                                 na_position="last").index
+        df = df.loc[order].reset_index(drop=True)
     return df
 
 
