@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at `SPARK_GRAFT_SF_DIR`.
+  *
+  * Methodology (round 3 — noise-robust): each query runs
+  * `SPARK_GRAFT_BENCH_ITERS` times (default 3) and reports the MEDIAN, so a
+  * single contended run on a shared machine cannot masquerade as a
+  * regression (round 2's committed bench was load-contaminated for exactly
+  * this reason). Warmup is a trivial scan of each base table through the
+  * noop sink — NOT a benchmark-set query — so no query's reported time is
+  * systematically advantaged by absorbing JVM/JIT/codegen warmup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,33 +24,64 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: one small untimed pass through the noop sink absorbs
-    // one-time JVM/JIT, codegen-compiler, and parquet-footer costs that
-    // would otherwise land on whichever query happens to run first.
-    try SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
+    // Warmup outside the benchmark set: scan every base table once through
+    // the noop sink (absorbs parquet-footer reads, codegen compiler and JIT
+    // warmup without favoring any timed query).
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       // noop sink evaluates the FULL plan (projections + sorts) — count()
       // would let Catalyst prune the very expressions being benchmarked
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // iteration-major order (all queries, then repeat): consecutive runs of
+    // the same query would share page-cache/JIT state unrealistically
+    val samples = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    (1 to iters).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
+        timeOnce(name, fn) match {
+          case Some(sec) => samples(name) = samples(name) :+ sec
+          case None => if (!failed.contains(name)) failed += name
+        }
+      }
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> (median(samples(name)), samples(name).sorted.headOption.getOrElse(0.0))
+    }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     // failed queries are excluded from the headline total so the
     // aggregate reflects only successful runs (they still appear in
-    // "queries" and the "failed" array for diagnosis)
+    // the "failed" array for diagnosis)
     val total = results.collect {
-      case (k, v) if !failed.contains(k) => v
+      case (k, (med, _)) if !failed.contains(k) => med
+    }.sum
+    val minTotal = results.collect {
+      case (k, (_, mn)) if !failed.contains(k) => mn
     }.sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.mkString(",\"failed\":[\"", "\",\"", "\"]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"min_total":$minTotal,"queries":$qs,"query_min":$mins,"sf":"$sfDir"$failedJson}""")
     spark.stop()
   }
 }

@@ -127,15 +127,25 @@ object Pipeline {
       std.foreach(current = _)
     }
 
+    // The transformed frame feeds BOTH the drop-accounting count and the
+    // storage upsert — persist it so the clean/enrich plan executes once,
+    // not once per consumer (at 100 TB each re-execution is a full pass).
+    current.persist()
+
     // Records dropped by clean/dedup (ref records removed counts in its
     // run telemetry): ingested minus what survived the transform stages.
-    // One extra count job on each side — the frames are about to be
-    // materialized by the storage stage anyway.
+    // Counting EXECUTES the lazy clean plan, so a runtime error (e.g. an
+    // ANSI cast failure) can surface here — swallow it into the
+    // stage-failure contract (recordsFailed defaults to 0; the storage
+    // stage below executes the same plan and records the failure), never
+    // propagate an uncaught exception out of run().
     val recordsFailed =
       if (config.enableCleaning) {
-        val nIn = ingested.get.count()
-        val nOut = current.count()
-        math.max(0L, nIn - nOut)
+        try {
+          val nIn = ingested.get.count()
+          val nOut = current.count()
+          math.max(0L, nIn - nOut)
+        } catch { case _: Exception => 0L }
       } else 0L
 
     // Stage 4: storage — upsert + telemetry + metrics
@@ -148,6 +158,7 @@ object Pipeline {
       n
     }
     stages += s6
+    current.unpersist()
 
     val endTime = java.time.Instant.now().toString
     val all = stages.result()

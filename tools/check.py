@@ -30,17 +30,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 lambda v: hasattr(v, "as_tuple"), na_action="ignore").any():
             df[c] = df[c].astype(float)
     if len(df):
-        # Sort non-float columns first, then ROUNDED float columns, so
-        # sub-tolerance cross-engine float drift cannot permute row
-        # pairing (a raw float sort key would misalign rows whose floats
-        # differ by <1e-6 but straddle a sort boundary).
+        # Sort non-float columns first; float columns join the key ONLY
+        # when the non-float columns don't already uniquely identify rows
+        # (then rounded, so sub-tolerance cross-engine drift can't permute
+        # row pairing). When non-floats are a unique key, float values
+        # play no part in ordering at all — no boundary-straddle hazard.
         nonf = [c for c in df.columns
                 if not pd.api.types.is_float_dtype(df[c])]
         flt = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+        unique_nonf = bool(nonf) and not df.duplicated(subset=nonf).any()
         keys = df[nonf].copy() if nonf else pd.DataFrame(index=df.index)
-        for c in flt:
-            keys[c] = df[c].round(4)
-        order = keys.sort_values(by=nonf + flt, kind="mergesort",
+        sort_cols = list(nonf)
+        if not unique_nonf:
+            for c in flt:
+                keys[c] = df[c].round(4)
+            sort_cols += flt
+        order = keys.sort_values(by=sort_cols, kind="mergesort",
                                  na_position="last").index
         df = df.loc[order].reset_index(drop=True)
     return df
