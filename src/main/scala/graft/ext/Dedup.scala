@@ -16,10 +16,28 @@ import org.apache.spark.sql.functions._
   *    sub-quadratic MinHash/LSH path, which is the 100 TB route:
   *    signatures are a fixed-width aggregate per doc, banding turns
   *    near-dup search into an equi-join on (band, band-hash);
-  *  - SimHash reduces each doc to 16 bits; hamming-ball search joins on
-  *    rotated bucket keys instead of all-pairs.
+  *  - SimHash reduces each doc to 16 bits; hamming-ball search is a
+  *    pigeonhole band equi-join (split the signature into maxHamming+1
+  *    bands — any pair within the hamming budget shares ≥1 exact band),
+  *    never an all-pairs scan.
+  *
+  * Base hashes are md5-arithmetic (`conv(substr(md5(x),1,8),16,10)` — a
+  * uniform 32-bit value) rather than xxhash64: bitwise reproducible in any
+  * engine with md5 (DuckDB: `CAST('0x'||substr(md5(x),1,8) AS BIGINT)`),
+  * which is what lets MinHash/SimHash carry full value-level SQL oracles.
+  * md5 costs more per call than xxhash64 but is computed once per
+  * shingle/token occurrence in a scan-local projection — not in a shuffle
+  * or join path — so the scale shape is unchanged.
   */
 object Dedup {
+
+  /** Cross-engine-deterministic 32-bit base hash of a string column. */
+  private def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** The DuckDB spelling of [[md5Hash32]] applied to SQL fragment `x`. */
+  private def md5Hash32Sql(x: String): String =
+    s"CAST('0x'||substr(md5($x),1,8) AS BIGINT)"
 
   /** Distinct 3-gram word shingles per document, exploded to
     * (doc_id, shingle) rows. Docs shorter than 3 tokens are dropped.
@@ -89,10 +107,11 @@ object Dedup {
 
   // ---- MinHash ----------------------------------------------------------
 
-  /** k universal hash functions over a base 64-bit shingle hash:
+  /** k universal hash functions over a base 32-bit shingle hash:
     * h_i(x) = (a_i·x + b_i) mod p (public MinHash construction). Base hash
-    * is xxhash64 — engine-specific, hence no SQL oracle; semantics are
-    * asserted against exact Jaccard in ScalaTest. */
+    * is [[md5Hash32]] — cross-engine deterministic, so q28 carries a full
+    * value-level DuckDB oracle; semantics are additionally asserted against
+    * exact Jaccard in ScalaTest. */
   final val MinhashK = 16
   final val Bands = 4 // 4 bands × 4 rows
   private final val P = 4294967311L // first prime > 2^32
@@ -104,7 +123,7 @@ object Dedup {
     * ANSI arithmetic (Spark 4 default). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = shingleRows(docs)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(2147483647L)))
+      .withColumn("h", pmod(md5Hash32(col("shingle")), lit(2147483647L)))
     val sigs = (0 until MinhashK).map { i =>
       val (a, b) = hashParams(i)
       min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
@@ -113,13 +132,16 @@ object Dedup {
   }
 
   /** LSH banding: (doc_id, band, band_key) rows; docs sharing a band key
-    * are near-dup candidates — an equi-join, not an all-pairs scan. */
+    * are near-dup candidates — an equi-join, not an all-pairs scan. The
+    * band key is the concatenated row-signature string (cross-engine
+    * deterministic; a fixed-width hash of it would shave shuffle bytes at
+    * scale but costs oracle parity — the join shape is identical). */
   def lshBands(sigs: DataFrame): DataFrame = {
     val rows = MinhashK / Bands
     val bandCols = (0 until Bands).map { bnd =>
       val parts = (0 until rows).map(r => col(s"sig_${bnd * rows + r}"))
       struct(lit(bnd).as("band"),
-        xxhash64(concat_ws("_", parts.map(_.cast("string")): _*)).as("band_key"))
+        concat_ws("_", parts.map(_.cast("string")): _*).as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
@@ -161,11 +183,15 @@ object Dedup {
     * Votes are summed ±1 per token OCCURRENCE in a single doc_id
     * aggregation — identical totals to the textbook per-(doc, token)
     * count-then-weight form (Σ_tokens cnt·sign ≡ Σ_occurrences sign), but
-    * one shuffle instead of two and no (doc, token) aggregation state. */
+    * one shuffle instead of two and no (doc, token) aggregation state.
+    * Token hash is [[md5Hash32]] so the signature is bitwise reproducible
+    * in DuckDB (q29's oracle). 16 bits suits the test corpus; a production
+    * 100 TB dedup widens to 64 bits — only [[SimhashBits]] and the band
+    * split change, the plan shape doesn't. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", md5Hash32(col("token")))
     val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"bit_$b")
@@ -177,12 +203,43 @@ object Dedup {
     agged.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance within a bounded slice. */
+  /** Band split of the 16-bit signature for hamming-ball search: for a
+    * budget of `maxHamming` differing bits, `maxHamming + 1` disjoint bands
+    * guarantee (pigeonhole) that any qualifying pair agrees EXACTLY on at
+    * least one band. (offset, width) triples covering all 16 bits. */
+  private def simhashBandDefs(maxHamming: Int): Seq[(Int, Int)] = {
+    val n = maxHamming + 1
+    val base = SimhashBits / n
+    val extra = SimhashBits % n
+    val widths = Seq.tabulate(n)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
+  }
+
+  /** Near-dup pairs by SimHash hamming distance — a banded pigeonhole
+    * equi-join, NOT an all-pairs scan: each doc emits one row per band
+    * keyed by that band's exact bit pattern; candidates are pairs sharing
+    * ≥1 (band, pattern) key (an equi-join shuffle on a small key), and the
+    * exact hamming filter runs only on candidates. The 8-byte signature
+    * rides along with the probe rows, so no re-join to recover it. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimhashBits,
+      s"maxHamming must be in [0, $SimhashBits), got $maxHamming")
     val s = simhash(docs)
-    val a = s.toDF("doc_a", "sim_a")
-    val b = s.toDF("doc_b", "sim_b")
-    a.join(b, col("doc_a") < col("doc_b"))
+    val bandCols = simhashBandDefs(maxHamming).zipWithIndex.map {
+      case ((off, w), i) =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), off).bitwiseAND((1 << w) - 1).as("band_val"))
+    }
+    val probes = s
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+    val a = probes.toDF("doc_a", "sim_a", "band", "band_val")
+    val b = probes.toDF("doc_b", "sim_b", "band", "band_val")
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b")
+      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
@@ -241,17 +298,89 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** DuckDB oracle for [[minhashSignatures]] + [[lshBands]] +
+    * [[minhashCandidates]], generated from the same hash constants (one
+    * source of truth). The oracle replays the exact signature arithmetic —
+    * md5-arithmetic base hash makes it bitwise identical — but may freely
+    * use the same band equi-join (the RESULT is what's compared, and the
+    * candidate set is definitionally band-collision-dependent). */
+  private def minhashOracleSql(minAgree: Int): String = {
+    val rows = MinhashK / Bands
+    val sigExprs = (0 until MinhashK).map { i =>
+      val (a, b) = hashParams(i)
+      s"min((h * $a + $b) % $P) AS sig_$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { bnd =>
+      val parts = (0 until rows).map(r => s"sig_${bnd * rows + r}")
+      s"SELECT doc_id, $bnd AS band, concat_ws('_', ${parts.mkString(", ")}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agreeExpr = (0 until MinhashK)
+      .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    "WITH docs AS (\n" +
+      "  SELECT doc_id, string_split(text, ' ') AS w FROM documents\n" +
+      "  WHERE len(string_split(text, ' ')) >= 3),\n" +
+      "sh AS (\n" +
+      "  SELECT DISTINCT doc_id, shingle FROM (\n" +
+      "    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),\n" +
+      "      i -> array_to_string(w[i:i+2], ' '))) AS shingle\n" +
+      "    FROM docs)),\n" +
+      "hs AS (SELECT doc_id, " + md5Hash32Sql("shingle") + " % 2147483647 AS h FROM sh),\n" +
+      "sig AS (SELECT doc_id,\n    " + sigExprs + "\n  FROM hs GROUP BY doc_id),\n" +
+      "bands AS (\n  " + bandSelects + "),\n" +
+      "cand AS (\n" +
+      "  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b\n" +
+      "  FROM bands x JOIN bands y\n" +
+      "    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)\n" +
+      "SELECT doc_a, doc_b,\n" +
+      s"  round(CAST($agreeExpr AS DOUBLE) / $MinhashK, 4) AS est_jaccard\n" +
+      "FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b\n" +
+      s"WHERE $agreeExpr >= $minAgree\n" +
+      "ORDER BY doc_a, doc_b"
+  }
+
   /** MinHash+LSH near-dup candidates over the FULL corpus — the
-    * sub-quadratic scale path (no SQL oracle: xxhash64 base hash;
-    * semantics pinned by DedupSpec against q27). */
-  val q28MinhashLsh: QuerySpec = QuerySpec.noOracle("q28_minhash_lsh") { (s, dir) =>
+    * sub-quadratic scale path. Full value-level oracle: the md5-arithmetic
+    * base hash replays bit-for-bit in DuckDB; DedupSpec additionally pins
+    * recall against exact Jaccard (q27). Threshold 0.3 ⇔ ≥5 of 16
+    * signature agreements (5/16 = 0.3125 is the smallest multiple ≥ 0.3). */
+  val q28MinhashLsh: QuerySpec = QuerySpec(
+    "q28_minhash_lsh", minhashOracleSql(minAgree = 5)) { (s, dir) =>
     minhashCandidates(Tables.documents(s, dir), 0.3)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs on the bounded slice (no SQL oracle). */
-  val q29Simhash: QuerySpec = QuerySpec.noOracle("q29_simhash") { (s, dir) =>
-    simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 2)
+  /** DuckDB oracle for [[simhash]] + [[simhashPairs]]: identical signature
+    * arithmetic (md5-arithmetic token hash), but an all-pairs comparison —
+    * 500² oracle-side pairs at the gate SF is nothing for DuckDB, and an
+    * algorithm-independent oracle is exactly what proves the banded
+    * pigeonhole join loses no pairs. */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val bitSums = (0 until SimhashBits).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$b"
+    }.mkString(",\n    ")
+    val sigExpr = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN bit_$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    "WITH tok AS (\n" +
+      "  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),\n" +
+      "th AS (SELECT doc_id, " + md5Hash32Sql("token") + " AS h FROM tok),\n" +
+      "bits AS (SELECT doc_id,\n    " + bitSums + "\n  FROM th GROUP BY doc_id),\n" +
+      s"sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM bits)\n" +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n" +
+      "  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n" +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id\n" +
+      s"WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming\n" +
+      "ORDER BY doc_a, doc_b"
+  }
+
+  /** SimHash near-dup pairs over the FULL corpus via the banded
+    * hamming-ball equi-join (oracle: all-pairs replay of the same
+    * signatures — algorithm-independent, so it pins the pigeonhole join's
+    * losslessness, not just the arithmetic). */
+  val q29Simhash: QuerySpec = QuerySpec(
+    "q29_simhash", simhashOracleSql(maxHamming = 2)) { (s, dir) =>
+    simhashPairs(Tables.documents(s, dir), 2)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -54,4 +54,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"query side not broadcast:\n$p")
   }
+
+  test("q29: simhash pairs via banded equi-join, never a cartesian") {
+    val p = planOf("q29_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"simhash candidate join degenerated to all-pairs:\n$p")
+  }
 }
