@@ -45,11 +45,18 @@ object Multimodal {
         lit(16000).as("sample_rate")).as("meta"))
 
   /** Expression-level fake feature vector: k chunk digests of the payload,
-    * normalized to [0,1) — codegen'd, no UDF, deterministic. */
-  def chunkFeatures(payload: Column, k: Int = 8, chunk: Int = 32): Column =
+    * normalized to [0,1) — codegen'd, no UDF, deterministic. The digest is
+    * md5-arithmetic (first 8 md5 hex chars as a 32-bit value) rather than
+    * crc32: same cost class, but bitwise reproducible in DuckDB, which is
+    * what gives q39 a value-level oracle. */
+  final val FeatureK = 8
+  final val FeatureChunk = 32
+  def chunkFeatures(payload: Column, k: Int = FeatureK,
+      chunk: Int = FeatureChunk): Column =
     array((0 until k).map { i =>
-      round(crc32(substring(payload, i * chunk + 1, chunk)).cast("double")
-        / 4294967296.0, 6)
+      round(
+        conv(substring(md5(substring(payload, i * chunk + 1, chunk)), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0, 6)
     }: _*)
 
   /** Frame sampling for video-kind rows: fixed-length byte windows as
@@ -138,9 +145,29 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
-  /** Feature extraction over payload bytes (no SQL oracle: crc32 digests;
-    * pinned by MultimodalSpec determinism checks). */
-  val q39MediaFeatures: QuerySpec = QuerySpec.noOracle("q39_media_features") { (s, dir) =>
+  /** DuckDB oracle for [[chunkFeatures]]: replays the md5-arithmetic chunk
+    * digests over the same byte ranges (document text is ASCII, so DuckDB's
+    * character substr ≡ Spark's byte substring on the utf8 payload) and the
+    * same left-to-right square-sum fold. */
+  private def mediaFeaturesOracleSql: String = {
+    val feats = (0 until FeatureK).map { i =>
+      s"round(CAST('0x'||substr(md5(substr(text, ${i * FeatureChunk + 1}, $FeatureChunk)),1,8) AS BIGINT)" +
+        s" / 4294967296.0, 6) AS f_$i"
+    }.mkString(",\n    ")
+    val sq = (0 until FeatureK).map(i => s"f_$i * f_$i").foldLeft("0")((a, t) => s"($a + $t)")
+    "WITH f AS (\n" +
+      "  SELECT doc_id AS media_id,\n" +
+      "    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,\n    " +
+      feats + "\n  FROM documents)\n" +
+      s"SELECT media_id, kind, round($sq, 6) AS feature_sq_norm, f_0 AS feature0\n" +
+      "FROM f ORDER BY media_id"
+  }
+
+  /** Feature extraction over payload bytes — oracle-checked: the square-sum
+    * fold runs over features rounded identically in both engines, so the
+    * accumulation order (left-to-right in both) is bitwise stable. */
+  val q39MediaFeatures: QuerySpec = QuerySpec(
+    "q39_media_features", mediaFeaturesOracleSql) { (s, dir) =>
     mediaFromDocuments(Tables.documents(s, dir))
       .select(col("media_id"), col("kind"),
         chunkFeatures(col("payload")).as("features"))
