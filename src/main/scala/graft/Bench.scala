@@ -62,22 +62,19 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = ordered.map { case (name, _) =>
-      name -> (median(samples(name)), samples(name).sorted.headOption.getOrElse(0.0))
+    // queries that failed ANY iteration appear ONLY in the "failed" array —
+    // a partial median in the maps would read as a (misleadingly fast)
+    // clean run and make sum(queries) != value for downstream consumers
+    val results = ordered.collect {
+      case (name, _) if !failed.contains(name) =>
+        name -> (median(samples(name)), samples(name).min)
     }
     val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    // failed queries are excluded from the headline total so the
-    // aggregate reflects only successful runs (they still appear in
-    // the "failed" array for diagnosis)
-    val total = results.collect {
-      case (k, (med, _)) if !failed.contains(k) => med
-    }.sum
-    val minTotal = results.collect {
-      case (k, (_, mn)) if !failed.contains(k) => mn
-    }.sum
+    val total = results.map(_._2._1).sum
+    val minTotal = results.map(_._2._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.mkString(",\"failed\":[\"", "\",\"", "\"]")

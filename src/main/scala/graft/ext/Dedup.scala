@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *    sub-quadratic MinHash/LSH path, which is the 100 TB route:
   *    signatures are a fixed-width aggregate per doc, banding turns
   *    near-dup search into an equi-join on (band, band-hash);
-  *  - SimHash reduces each doc to 16 bits; hamming-ball search is a
+  *  - SimHash reduces each doc to 48 bits; hamming-ball search is a
   *    pigeonhole band equi-join (split the signature into maxHamming+1
   *    bands — any pair within the hamming budget shares ≥1 exact band),
   *    never an all-pairs scan.
@@ -38,6 +38,16 @@ object Dedup {
   /** The DuckDB spelling of [[md5Hash32]] applied to SQL fragment `x`. */
   private def md5Hash32Sql(x: String): String =
     s"CAST('0x'||substr(md5($x),1,8) AS BIGINT)"
+
+  /** 48-bit variant for SimHash: the signature is only as wide as its base
+    * hash (bits above it would vote -1 on every token and freeze to 0,
+    * collapsing one pigeonhole band to a single value = all-pairs). 12 hex
+    * chars = 48 uniform bits, still comfortably inside BIGINT. */
+  private def md5Hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  private def md5Hash48Sql(x: String): String =
+    s"CAST('0x'||substr(md5($x),1,12) AS BIGINT)"
 
   /** Distinct 3-gram word shingles per document, exploded to
     * (doc_id, shingle) rows. Docs shorter than 3 tokens are dropped.
@@ -177,21 +187,23 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  final val SimhashBits = 16
+  final val SimhashBits = 48
 
-  /** 16-bit SimHash per doc from token-frequency-weighted bit votes.
+  /** 48-bit SimHash per doc from token-frequency-weighted bit votes.
     * Votes are summed ±1 per token OCCURRENCE in a single doc_id
     * aggregation — identical totals to the textbook per-(doc, token)
     * count-then-weight form (Σ_tokens cnt·sign ≡ Σ_occurrences sign), but
     * one shuffle instead of two and no (doc, token) aggregation state.
-    * Token hash is [[md5Hash32]] so the signature is bitwise reproducible
-    * in DuckDB (q29's oracle). 16 bits suits the test corpus; a production
-    * 100 TB dedup widens to 64 bits — only [[SimhashBits]] and the band
-    * split change, the plan shape doesn't. */
+    * Token hash is [[md5Hash48]] so the signature is bitwise reproducible
+    * in DuckDB (q29's oracle). 48 bits (vs an earlier 16) keeps the
+    * hamming-≤2 pigeonhole bands 16 bits wide, so the band equi-join is
+    * genuinely sub-quadratic (collisions ≈ N²/2¹⁶ per band, not N²/2⁵);
+    * sums of non-overlapping bit values stay far inside BIGINT in both
+    * engines (2⁴⁸−1), clear of ANSI overflow. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-      .withColumn("h", md5Hash32(col("token")))
+      .withColumn("h", md5Hash48(col("token")))
     val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"bit_$b")
@@ -203,10 +215,10 @@ object Dedup {
     agged.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Band split of the 16-bit signature for hamming-ball search: for a
-    * budget of `maxHamming` differing bits, `maxHamming + 1` disjoint bands
-    * guarantee (pigeonhole) that any qualifying pair agrees EXACTLY on at
-    * least one band. (offset, width) triples covering all 16 bits. */
+  /** Band split of the signature for hamming-ball search: for a budget of
+    * `maxHamming` differing bits, `maxHamming + 1` disjoint bands guarantee
+    * (pigeonhole) that any qualifying pair agrees EXACTLY on at least one
+    * band. (offset, width) pairs covering all [[SimhashBits]] bits. */
   private def simhashBandDefs(maxHamming: Int): Seq[(Int, Int)] = {
     val n = maxHamming + 1
     val base = SimhashBits / n
@@ -364,7 +376,7 @@ object Dedup {
       .mkString(" + ")
     "WITH tok AS (\n" +
       "  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),\n" +
-      "th AS (SELECT doc_id, " + md5Hash32Sql("token") + " AS h FROM tok),\n" +
+      "th AS (SELECT doc_id, " + md5Hash48Sql("token") + " AS h FROM tok),\n" +
       "bits AS (SELECT doc_id,\n    " + bitSums + "\n  FROM th GROUP BY doc_id),\n" +
       s"sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM bits)\n" +
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n" +

@@ -130,35 +130,40 @@ object Pipeline {
     // The transformed frame feeds BOTH the drop-accounting count and the
     // storage upsert — persist it so the clean/enrich plan executes once,
     // not once per consumer (at 100 TB each re-execution is a full pass).
+    // unpersist lives in a finally: timed() only catches Exception, so a
+    // Throwable escaping the storage stage must not leak the cached frame
+    // in a long-lived session.
     current.persist()
+    var recordsFailed = 0L
+    val (stored, s6) =
+      try {
+        // Records dropped by clean/dedup (ref records removed counts in its
+        // run telemetry): ingested minus what survived the transform stages.
+        // Counting EXECUTES the lazy clean plan, so a runtime error (e.g. an
+        // ANSI cast failure) can surface here — swallow it into the
+        // stage-failure contract (recordsFailed defaults to 0; the storage
+        // stage below executes the same plan and records the failure), never
+        // propagate an uncaught exception out of run().
+        recordsFailed =
+          if (config.enableCleaning) {
+            try {
+              val nIn = ingested.get.count()
+              val nOut = current.count()
+              math.max(0L, nIn - nOut)
+            } catch { case _: Exception => 0L }
+          } else 0L
 
-    // Records dropped by clean/dedup (ref records removed counts in its
-    // run telemetry): ingested minus what survived the transform stages.
-    // Counting EXECUTES the lazy clean plan, so a runtime error (e.g. an
-    // ANSI cast failure) can surface here — swallow it into the
-    // stage-failure contract (recordsFailed defaults to 0; the storage
-    // stage below executes the same plan and records the failure), never
-    // propagate an uncaught exception out of run().
-    val recordsFailed =
-      if (config.enableCleaning) {
-        try {
-          val nIn = ingested.get.count()
-          val nOut = current.count()
-          math.max(0L, nIn - nOut)
-        } catch { case _: Exception => 0L }
-      } else 0L
-
-    // Stage 4: storage — upsert + telemetry + metrics
-    val (stored, s6) = timed("storage") {
-      val n = Store.upsertOrders(spark, current, s"$outDir/orders")
-      quality.foreach { case (score, _) =>
-        Store.appendQualityMetrics(spark, s"$outDir/metrics", runId,
-          Seq("data_quality_score" -> score), "quality", "orders", startTime)
-      }
-      n
-    }
+        // Stage 4: storage — upsert + telemetry + metrics
+        timed("storage") {
+          val n = Store.upsertOrders(spark, current, s"$outDir/orders")
+          quality.foreach { case (score, _) =>
+            Store.appendQualityMetrics(spark, s"$outDir/metrics", runId,
+              Seq("data_quality_score" -> score), "quality", "orders", startTime)
+          }
+          n
+        }
+      } finally current.unpersist()
     stages += s6
-    current.unpersist()
 
     val endTime = java.time.Instant.now().toString
     val all = stages.result()
