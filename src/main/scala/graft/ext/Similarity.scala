@@ -98,6 +98,72 @@ object Similarity {
   private def signBit(e: Column, p: Int): Column =
     when(dot(e, lit(planeVector(p))) >= 0, 1L).otherwise(0L)
 
+  // ---- SQL-oracle generation for the LSH paths --------------------------
+  //
+  // The hyperplanes are deterministic literals, and q30/q31/q45 already
+  // prove list_dot_product parity (float→double casts before left-to-right
+  // accumulation are bitwise identical across engines), so the "engine-side
+  // hashing" that kept q33/q46 rows-only is in fact SQL-expressible: render
+  // each plane as a DOUBLE[] literal (decimal text round-trips to the same
+  // double in both engines) and replay the sign-bit bucketing in DuckDB.
+
+  /** Embedding width in the test tables (TESTDATA.md). Oracle-only: the
+    * engine relies on [[dot]]'s shorter-length iteration instead, but a SQL
+    * literal must be truncated to the data's width up front
+    * (list_dot_product rejects length mismatches). */
+  private final val OracleDim = 64
+
+  /** `(VALUES (0, plane), (1, plane), …)` rows for `count` consecutive
+    * hyperplanes starting at `offset`, truncated to [[OracleDim]]. */
+  private def planesSqlValues(offset: Int, count: Int): String =
+    (0 until count)
+      .map(i => s"($i, CAST([${planeVector(offset + i).take(OracleDim).mkString(", ")}] AS DOUBLE[]))")
+      .mkString("(SELECT * FROM (VALUES\n    ", ",\n    ", ") t(a, b))")
+
+  /** Probe CTE shared by the LSH oracles: one (vec_id, table_id, bucket)
+    * row per vector per table, bucket = Σ 2^b over non-negative plane dots
+    * — the exact arithmetic of [[lshProbes]]. */
+  private def probesSqlCte(offset: Int, tables: Int, bits: Int): String =
+    s"pl(pid, pv) AS ${planesSqlValues(offset, tables * bits)},\n" +
+      "pr AS (\n" +
+      s"  SELECT e.vec_id, pid // $bits AS table_id,\n" +
+      s"    sum(CASE WHEN list_dot_product(e.v, pl.pv) >= 0 THEN 1 << (pid % $bits) ELSE 0 END) AS bucket\n" +
+      s"  FROM e CROSS JOIN pl GROUP BY e.vec_id, pid // $bits)"
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a.v, $b.v) / (sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))"
+
+  /** DuckDB replay of [[annTopK]] for queries `vec_id < maxQueryId`. */
+  private def annLshOracleSql(maxQueryId: Int, k: Int): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+      probesSqlCte(0, LshTables, BitsPerTable) + ",\n" +
+      "cand AS (\n" +
+      "  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id\n" +
+      "  FROM pr q JOIN pr c ON q.table_id = c.table_id AND q.bucket = c.bucket\n" +
+      s"  WHERE q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id),\n" +
+      "scored AS (\n" +
+      s"  SELECT query_id, cand_id, ${cosSql("a", "b")} AS cos\n" +
+      "  FROM cand JOIN e a ON a.vec_id = cand.query_id JOIN e b ON b.vec_id = cand.cand_id)\n" +
+      "SELECT query_id, rank, cand_id, round(cos, 6) AS cosine\n" +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)\n" +
+      s"WHERE rank <= $k\n" +
+      "ORDER BY query_id, rank"
+
+  /** DuckDB replay of [[cosineNearDupLsh]]. */
+  private def nearDupLshOracleSql(minCos: Double): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+      probesSqlCte(NearDupPlaneOffset, NearDupTables, NearDupBits) + ",\n" +
+      "cand AS (\n" +
+      "  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b\n" +
+      "  FROM pr x JOIN pr y ON x.table_id = y.table_id AND x.bucket = y.bucket\n" +
+      "    AND x.vec_id < y.vec_id),\n" +
+      "p AS (\n" +
+      s"  SELECT id_a, id_b, ${cosSql("a", "b")} AS cos\n" +
+      "  FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b)\n" +
+      "SELECT id_a, id_b, round(cos, 6) AS cosine\n" +
+      s"FROM p WHERE cos >= $minCos\n" +
+      "ORDER BY id_a, id_b"
+
   /** (table, bucket) probe rows for an embedding frame — ids only. The
     * embedding arrays are deliberately NOT carried: bucket joins shuffle
     * (id, bucket) pairs and the vectors re-attach after candidate dedup,
@@ -148,17 +214,90 @@ object Similarity {
 
   final val IvfCells = 16
   final val IvfProbes = 4
+  final val LloydRounds = 3
 
-  /** Coarse quantizer: the `IvfCells` LOWEST vec_ids act as deterministic
-    * seed centroids (orderBy+limit → TakeOrderedAndProject, cheap for a
-    * small k) — no training iterations, which keeps the index
-    * reproducible; swapping in k-means centroids changes only this frame.
-    * Works for any id range — an absolute `vec_id < k` filter would
-    * silently build an EMPTY index on corpora whose ids don't start at 0.
-    * Centroids broadcast; assignment is scan-local. */
-  def ivfCentroids(corpus: DataFrame): DataFrame =
-    corpus.orderBy("vec_id").limit(IvfCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+  /** Coarse quantizer: the `IvfCells` LOWEST vec_ids seed the cells
+    * (orderBy+limit → TakeOrderedAndProject; works for any id range — an
+    * absolute `vec_id < k` filter would silently build an EMPTY index on
+    * corpora whose ids don't start at 0), then [[LloydRounds]] Lloyd
+    * iterations refine them as pure DataFrame assign + group-avg — no
+    * driver loop over data, only over rounds, each adding one broadcast
+    * join and two aggregations to the plan. Seeded-only centroids
+    * degenerate on clustered corpora (all seeds from one region → probes
+    * hit one giant cell ≈ brute force — ExtSpec's clustered fixture);
+    * refinement fixes recall while staying deterministic: seed choice,
+    * tie-breaks (cell_id) and the post-avg round-to-4 are all
+    * order-independent, which is what lets q44 carry a full DuckDB oracle
+    * (the oracle unrolls the same rounds; 4-decimal centroid parity is the
+    * precision q32 proves cross-engine-stable). */
+  def ivfCentroids(corpus: DataFrame): DataFrame = {
+    var cents = corpus.orderBy("vec_id").limit(IvfCells)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    (1 to LloydRounds).foreach { _ =>
+      val assigned = assignCells(
+        corpus.select(col("vec_id"), col("embedding")), cents, "vec_id", 1)
+      cents = assigned
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+        .groupBy("cell_id", "dim_idx")
+        .agg(round(avg(col("x").cast("double")), 4).as("cv"))
+        .groupBy("cell_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim_idx"), col("cv")))),
+          s => s.getField("cv")).as("centroid"))
+    }
+    cents
+  }
+
+  /** DuckDB replay of [[ivfTopK]]: seeds → [[LloydRounds]] unrolled
+    * assign/recompute rounds → probe join → exact cosine top-k. */
+  private def ivfOracleSql(maxQueryId: Int, k: Int): String = {
+    val cos = "list_dot_product(e.v, c.centroid) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))"
+    def assignCte(cents: String, out: String): String =
+      s"$out AS (\n" +
+        "  SELECT vec_id, cell_id FROM (\n" +
+        "    SELECT e.vec_id, c.cell_id,\n" +
+        s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell_id) AS rnk\n" +
+        s"    FROM e CROSS JOIN $cents c) WHERE rnk = 1)"
+    def recomputeCte(assigned: String, out: String): String =
+      s"$out AS (\n" +
+        "  SELECT cell_id, list(cv ORDER BY dim_idx) AS centroid FROM (\n" +
+        "    SELECT cell_id, dim_idx, round(avg(x), 4) AS cv FROM (\n" +
+        s"      SELECT a.cell_id AS cell_id,\n" +
+        "        unnest(generate_series(1, len(e.v))) AS dim_idx,\n" +
+        "        unnest(e.v) AS x\n" +
+        s"      FROM $assigned a JOIN e ON e.vec_id = a.vec_id)\n" +
+        "    GROUP BY cell_id, dim_idx)\n" +
+        "  GROUP BY cell_id)"
+    val rounds = (1 to LloydRounds).map { r =>
+      assignCte(s"c${r - 1}", s"a$r") + ",\n" + recomputeCte(s"a$r", s"c$r")
+    }.mkString(",\n")
+    val cFinal = s"c$LloydRounds"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+      s"c0 AS (SELECT vec_id AS cell_id, v AS centroid FROM e ORDER BY vec_id LIMIT $IvfCells),\n" +
+      rounds + ",\n" +
+      "ac AS (\n" +
+      "  SELECT vec_id AS cand_id, cell_id FROM (\n" +
+      "    SELECT e.vec_id, c.cell_id,\n" +
+      s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell_id) AS rnk\n" +
+      s"    FROM e CROSS JOIN $cFinal c) WHERE rnk = 1),\n" +
+      "aq AS (\n" +
+      "  SELECT vec_id AS query_id, cell_id FROM (\n" +
+      "    SELECT e.vec_id, c.cell_id,\n" +
+      s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell_id) AS rnk\n" +
+      s"    FROM e CROSS JOIN $cFinal c WHERE e.vec_id < $maxQueryId) WHERE rnk <= $IvfProbes),\n" +
+      "cand AS (\n" +
+      "  SELECT DISTINCT query_id, cand_id FROM aq JOIN ac USING (cell_id)\n" +
+      "  WHERE query_id <> cand_id),\n" +
+      "scored AS (\n" +
+      s"  SELECT query_id, cand_id, ${cosSql("a", "b")} AS cos\n" +
+      "  FROM cand JOIN e a ON a.vec_id = cand.query_id JOIN e b ON b.vec_id = cand.cand_id)\n" +
+      "SELECT query_id, rank, cand_id, round(cos, 6) AS cosine\n" +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)\n" +
+      s"WHERE rank <= $k\n" +
+      "ORDER BY query_id, rank"
+  }
 
   /** Assign each vector to its top-`n` nearest cells by cosine — id-only
     * output; centroid norms precomputed once on the broadcast side, vector
@@ -315,16 +454,21 @@ object Similarity {
       .orderBy("label", "dim_idx")
   }
 
-  /** LSH-bucketed ANN top-5 (no SQL oracle — the hyperplanes are
-    * engine-side literal arrays; recall vs q31 asserted in ExtSpec). */
-  val q33AnnLsh: QuerySpec = QuerySpec.noOracle("q33_ann_lsh") { (s, dir) =>
+  /** LSH-bucketed ANN top-5, full value-level oracle: the hyperplanes are
+    * deterministic literals, so the oracle replays the sign-bit bucketing
+    * from the same plane constants (one source of truth); recall vs q31
+    * additionally asserted in ExtSpec. */
+  val q33AnnLsh: QuerySpec = QuerySpec(
+    "q33_ann_lsh", annLshOracleSql(maxQueryId = 10, k = 5)) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
     annTopK(e.filter(col("vec_id") < 10), e, 5)
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-bucketed ANN top-5 (no SQL oracle; recall vs q31 in ExtSpec). */
-  val q44AnnIvf: QuerySpec = QuerySpec.noOracle("q44_ann_ivf") { (s, dir) =>
+  /** IVF-bucketed ANN top-5, full value-level oracle: deterministic seeds
+    * + unrolled Lloyd rounds replay in DuckDB; recall vs q31 in ExtSpec. */
+  val q44AnnIvf: QuerySpec = QuerySpec(
+    "q44_ann_ivf", ivfOracleSql(maxQueryId = 10, k = 5)) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
     ivfTopK(e.filter(col("vec_id") < 10), e, 5)
       .orderBy("query_id", "rank")
@@ -349,10 +493,10 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** LSH-bucketed near-dup pairs (no SQL oracle — engine-side literal
-    * hyperplanes; recall vs q45 asserted in ExtSpec). */
-  val q46EmbeddingNearDupLsh: QuerySpec =
-    QuerySpec.noOracle("q46_embedding_neardup_lsh") { (s, dir) =>
+  /** LSH-bucketed near-dup pairs, full value-level oracle (plane-literal
+    * replay, like q33); recall vs q45 additionally asserted in ExtSpec. */
+  val q46EmbeddingNearDupLsh: QuerySpec = QuerySpec(
+    "q46_embedding_neardup_lsh", nearDupLshOracleSql(0.4)) { (s, dir) =>
       cosineNearDupLsh(Tables.embeddings(s, dir), 0.4)
         .orderBy("id_a", "id_b")
     }

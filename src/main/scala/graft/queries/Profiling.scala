@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QuerySpec, Tables}
 import graft.pipeline.OrdersDomain
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Profiling / summary-statistics operators (SURVEY.md §2.4 A9-A15,
@@ -210,29 +211,129 @@ object Profiling {
 
   /** The 100 TB variant of q15/q18 promised in SURVEY.md §7.4: sketch
     * aggregates — HLL++ `approx_count_distinct` (fixed-size state, no
-    * per-value shuffle like exact `count(DISTINCT)`) and GK
-    * `percentile_approx` (bounded memory vs exact percentile's full sort
-    * per group). No SQL oracle — DuckDB's sketches differ bit-for-bit —
-    * so the gate is ProfilingSpec's error bounds against the exact q18
-    * values. */
-  val q47ApproxProfile: QuerySpec =
-    QuerySpec.noOracle("q47_approx_profile") { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val aggs = cols.flatMap(c => Seq(
-        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__nd"),
-        round(expr(s"percentile_approx($c, 0.5, 10000)").cast("double"), 4)
-          .as(s"${c}__p50"),
-        round(expr(s"percentile_approx($c, 0.99, 10000)").cast("double"), 4)
-          .as(s"${c}__p99")))
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      one.select(explode(array(cols.map(c => struct(
-        lit(c).as("column_name"),
-        col(s"${c}__nd").as("approx_distinct"),
-        col(s"${c}__p50").as("p50"),
-        col(s"${c}__p99").as("p99"))): _*)).as("p"))
-        .select("p.*").orderBy("column_name")
+    * Expand blow-up like exact `count(DISTINCT)`) and GK
+    * `percentile_approx` (bounded memory vs exact percentile's full value
+    * buffer in the final task). ONE wide agg, 1-row frame pivoted long.
+    * This is the shape to ship at scale; [[approxValidationQuery]] wraps
+    * it with exact anchors for the correctness gate. */
+  def approxProfile(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String] = Nil): DataFrame = {
+    val aggs =
+      (numCols ++ strCols).map(c =>
+        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__nd")) ++
+        numCols.flatMap(c => Seq(
+          round(expr(s"percentile_approx($c, 0.5, 10000)").cast("double"), 4)
+            .as(s"${c}__p50"),
+          round(expr(s"percentile_approx($c, 0.99, 10000)").cast("double"), 4)
+            .as(s"${c}__p99")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      numCols.map(c => struct(
+        lit(c).as("column_name"), col(s"${c}__nd").as("approx_distinct"),
+        col(s"${c}__p50").as("p50"), col(s"${c}__p99").as("p99"))) ++
+        strCols.map(c => struct(
+          lit(c).as("column_name"), col(s"${c}__nd").as("approx_distinct"),
+          lit(null).cast("double").as("p50"), lit(null).cast("double").as("p99")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("column_name")
+  }
+
+  /** Correctness-gate wrapper for [[approxProfile]]: sketch values are
+    * engine-specific (DuckDB's HLL/quantile sketches differ bit-for-bit),
+    * so the gate query emits what IS cross-engine deterministic — the
+    * exact anchors plus BOOLEAN bound checks on the sketch values:
+    *   - `nd_ok`: |HLL − exact| within max(5%, 2) of exact (HLL is
+    *     deterministic for fixed data, so the bound either always holds or
+    *     never does — no flake);
+    *   - `p50_ok`/`p99_ok`: the GK guarantee, checked in RANK space (the
+    *     returned value's rank interval [count(<v), count(≤v)] must cover
+    *     the target rank within n/1000 + 1 slack) — value-space bounds
+    *     would be distribution-dependent.
+    * The DuckDB oracle computes the same exact anchors and literal TRUEs,
+    * pinning every row at value level. Costs one extra exact pass over the
+    * input — gate-scale only; production ships [[approxProfile]]. */
+  private def approxValidationQuery(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String] = Nil): DataFrame = {
+    val allCols = numCols ++ strCols
+    val approxAggs =
+      allCols.map(c => approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__and")) ++
+        numCols.flatMap(c => Seq(
+          expr(s"percentile_approx($c, 0.5, 10000)").cast("double").as(s"${c}__ap50"),
+          expr(s"percentile_approx($c, 0.99, 10000)").cast("double").as(s"${c}__ap99")))
+    val approx = df.agg(approxAggs.head, approxAggs.tail: _*)
+    val checkAggs =
+      allCols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        first(col(s"${c}__and")).as(s"${c}__and"))) ++
+        numCols.flatMap(c => Seq(
+          sum(when(col(c) < col(s"${c}__ap50"), 1L).otherwise(0L)).as(s"${c}__lt50"),
+          sum(when(col(c) <= col(s"${c}__ap50"), 1L).otherwise(0L)).as(s"${c}__le50"),
+          sum(when(col(c) < col(s"${c}__ap99"), 1L).otherwise(0L)).as(s"${c}__lt99"),
+          sum(when(col(c) <= col(s"${c}__ap99"), 1L).otherwise(0L)).as(s"${c}__le99")))
+    val one = df.crossJoin(broadcast(approx)).agg(checkAggs.head, checkAggs.tail: _*)
+    def ndOk(c: String): Column =
+      abs(col(s"${c}__and") - col(s"${c}__nd")).cast("double") <=
+        greatest(col(s"${c}__nd").cast("double") * 0.05, lit(2.0))
+    def rankOk(c: String, q: Double, lt: String, le: String): Column = {
+      val n = col(s"${c}__n").cast("double")
+      val slack = n / 1000.0 + 1.0
+      (col(s"${c}__$lt").cast("double") - slack <= n * q) &&
+        (n * q <= col(s"${c}__$le").cast("double") + slack)
     }
+    val rows =
+      numCols.map(c => struct(
+        lit(c).as("column_name"), col(s"${c}__n").as("n"),
+        col(s"${c}__nd").as("exact_distinct"), ndOk(c).as("nd_ok"),
+        rankOk(c, 0.5, "lt50", "le50").as("p50_ok"),
+        rankOk(c, 0.99, "lt99", "le99").as("p99_ok"))) ++
+        strCols.map(c => struct(
+          lit(c).as("column_name"), col(s"${c}__n").as("n"),
+          col(s"${c}__nd").as("exact_distinct"), ndOk(c).as("nd_ok"),
+          lit(null).cast("boolean").as("p50_ok"),
+          lit(null).cast("boolean").as("p99_ok")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("column_name")
+  }
+
+  /** Oracle twin of [[approxValidationQuery]]: exact anchors + literal
+    * TRUE/NULL for the bound columns. */
+  private def approxOracleSql(table: String, numCols: Seq[String],
+      strCols: Seq[String]): String = {
+    val branches =
+      (numCols.map((_, true)) ++ strCols.map((_, false))).map { case (c, isNum) =>
+        val pcols =
+          if (isNum) "TRUE AS p50_ok, TRUE AS p99_ok"
+          else "CAST(NULL AS BOOLEAN) AS p50_ok, CAST(NULL AS BOOLEAN) AS p99_ok"
+        s"SELECT '$c' AS column_name, count($c) AS n,\n" +
+          s"    CAST(count(DISTINCT $c) AS BIGINT) AS exact_distinct,\n" +
+          s"    TRUE AS nd_ok, $pcols FROM $table"
+      }
+    branches.mkString("SELECT * FROM (\n  ", "\n  UNION ALL ",
+      ")\nORDER BY column_name")
+  }
+
+  val q47ApproxProfile: QuerySpec = QuerySpec(
+    "q47_approx_profile",
+    approxOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount"), Nil)) { (s, dir) =>
+    approxValidationQuery(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+  }
+
+  /** Sketch profile of q15's orders columns — the declared scale twin of
+    * the exact multi-`count(DISTINCT)` field profile (q15's Expand ×N
+    * shape is test-scale-only; this is what runs at 100 TB). Same
+    * validation-harness contract as q47. */
+  val q59ApproxProfileOrders: QuerySpec = QuerySpec(
+    "q59_approx_profile_orders",
+    approxOracleSql("orders",
+      Seq("o_orderkey", "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"))) { (s, dir) =>
+    approxValidationQuery(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"))
+  }
 
   /** A10 grouped: exact per-group percentiles (p50/p90/p99 of event value
     * by type) — one grouped aggregate, interpolated identically by Spark's
@@ -260,5 +361,6 @@ object Profiling {
 
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
-    q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles)
+    q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
+    q59ApproxProfileOrders)
 }

@@ -127,6 +127,55 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ann ivf: lloyd-refined centroids recover recall on clustered data") {
+    // Fixture built so SEEDED-ONLY centroids degenerate: 4 tight clusters on
+    // orthogonal axes, but every one of the 16 seed ids (the lowest vec_ids)
+    // lies in cluster 0 — without refinement all cells sit in one region and
+    // probing 4 of them returns near-arbitrary candidates. Lloyd rounds must
+    // migrate centroids onto the real clusters.
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def point(cluster: Int, id: Long): Row = {
+      val base = Array.fill(dim)(0.0f)
+      base(cluster * 2) = 1.0f
+      Row(id, base.map(c => c + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq, cluster)
+    }
+    val rows = // ids 0..24 all cluster 0 (covers the 16 seeds), then round-robin
+      (0L until 25L).map(point(0, _)) ++
+        (25L until 100L).map(id => point((id % 3 + 1).toInt, id))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val corpus = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    // one query per non-seed cluster
+    val queries = corpus.filter(col("vec_id").isin(25L, 26L, 27L))
+    val exact = Similarity.cosineTopK(queries, corpus, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall on clustered corpus $recall")
+  }
+
+  test("ann ivf: recall vs brute force on the real corpus, cosines exact") {
+    val brute = SparkEntry.queries("q31_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+        -> r.getAs[Double]("cosine")).toMap
+    val ivf = SparkEntry.queries("q44_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+        -> r.getAs[Double]("cosine")).toMap
+    assert(brute.nonEmpty && ivf.nonEmpty)
+    val overlap = brute.keySet.intersect(ivf.keySet)
+    val recall = overlap.size.toDouble / brute.size
+    assert(recall > 0.1, s"IVF recall $recall")
+    overlap.foreach { k =>
+      assert(math.abs(brute(k) - ivf(k)) < 1e-9,
+        s"cosine mismatch at $k: brute=${brute(k)} ivf=${ivf(k)}")
+    }
+  }
+
   test("embedding near-dup: lsh pairs are a subset of exact pairs with decent recall") {
     val exact = SparkEntry.queries("q45_embedding_neardup")(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** q47's sketch aggregates against q18's exact values: the scale variants
-  * must stay within published error bounds at test SF. */
+/** The sketch profile against exact values: the scale variants must stay
+  * within published error bounds at test SF, and the q47/q59 gate wrappers
+  * must report every bound as satisfied. */
 class ProfilingSpec extends SparkSpec {
 
   test("approx profile tracks exact distinct counts and percentiles") {
@@ -19,7 +20,8 @@ class ProfilingSpec extends SparkSpec {
         expr("percentile(l_extendedprice, 0.5)").as("l_extendedprice"),
         expr("percentile(l_discount, 0.5)").as("l_discount"))
       .collect().head
-    val approx = SparkEntry.queries("q47_approx_profile")(spark, sf)
+    val approx = queries.Profiling.approxProfile(Tables.lineitem(spark, sf),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
       .collect().map(r => r.getAs[String]("column_name") -> r).toMap
     for (c <- Seq("l_quantity", "l_extendedprice", "l_discount")) {
       val nd = exactNd.getAs[Long](c).toDouble
@@ -33,6 +35,23 @@ class ProfilingSpec extends SparkSpec {
       assert(math.abs(ap50 - p50) / span <= 0.05,
         s"$c percentile_approx $ap50 vs exact $p50")
       assert(approx(c).getAs[Double]("p99") >= ap50, s"$c p99 < p50")
+    }
+  }
+
+  test("q47/q59 gate wrappers: every sketch bound check holds") {
+    for (q <- Seq("q47_approx_profile", "q59_approx_profile_orders")) {
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      assert(rows.nonEmpty, s"$q empty")
+      rows.foreach { r =>
+        val c = r.getAs[String]("column_name")
+        assert(r.getAs[Boolean]("nd_ok"), s"$q/$c HLL outside 5% of exact")
+        // p50_ok/p99_ok are NULL for string columns by contract
+        if (!r.isNullAt(r.fieldIndex("p50_ok")))
+          assert(r.getAs[Boolean]("p50_ok"), s"$q/$c p50 rank bound violated")
+        if (!r.isNullAt(r.fieldIndex("p99_ok")))
+          assert(r.getAs[Boolean]("p99_ok"), s"$q/$c p99 rank bound violated")
+        assert(r.getAs[Long]("exact_distinct") > 0, s"$q/$c no distinct values")
+      }
     }
   }
 }
