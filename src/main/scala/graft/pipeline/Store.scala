@@ -17,31 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Store {
 
+  // keep-latest = max(struct(orderCol, __gen, rest…)) per key: struct
+  // ordering is field-by-field with nulls smallest, so max ≡ a window's
+  // (orderCol DESC NULLS LAST, __gen DESC) pick — but with a map-side
+  // partial combine instead of a full sort of every version. Applied on
+  // FIRST write too: an incoming batch can itself carry duplicate keys,
+  // and the unique-key invariant must hold from the first version.
+  private def keepLatest(df: DataFrame, key: String, orderCol: String): DataFrame = {
+    val outCols = df.columns.filterNot(_ == "__gen")
+    val ordCols =
+      (if (df.columns.contains(orderCol)) Seq(orderCol) else Nil) ++
+        (if (df.columns.contains("__gen")) Seq("__gen") else Nil)
+    val rest = outCols.filterNot(c => c == key || ordCols.contains(c))
+    val packedCols = ordCols ++ rest
+    if (packedCols.isEmpty) df.dropDuplicates(key)
+    else {
+      val packed = struct(packedCols.map(col): _*)
+      df.groupBy(col(key)).agg(max(packed).as("__row"))
+        .select(outCols.map(c =>
+          if (c == key) col(c) else col(s"__row.$c").as(c)): _*)
+    }
+  }
+
   /** Latest-wins keyed upsert into a parquet table directory (S7).
     * `orderCol` decides recency (ties → incoming wins via priority). */
   def upsertOrders(spark: SparkSession, incoming: DataFrame, tablePath: String,
       key: String = "order_id", orderCol: String = "ingested_at"): Long = {
-    // keep-latest = max(struct(orderCol, __gen, rest…)) per key: struct
-    // ordering is field-by-field with nulls smallest, so max ≡ a window's
-    // (orderCol DESC NULLS LAST, __gen DESC) pick — but with a map-side
-    // partial combine instead of a full sort of every version. Applied on
-    // FIRST write too: an incoming batch can itself carry duplicate keys,
-    // and the unique-key invariant must hold from the first version.
-    def keepLatest(df: DataFrame): DataFrame = {
-      val outCols = df.columns.filterNot(_ == "__gen")
-      val ordCols =
-        (if (df.columns.contains(orderCol)) Seq(orderCol) else Nil) ++
-          (if (df.columns.contains("__gen")) Seq("__gen") else Nil)
-      val rest = outCols.filterNot(c => c == key || ordCols.contains(c))
-      val packedCols = ordCols ++ rest
-      if (packedCols.isEmpty) df.dropDuplicates(key)
-      else {
-        val packed = struct(packedCols.map(col): _*)
-        df.groupBy(col(key)).agg(max(packed).as("__row"))
-          .select(outCols.map(c =>
-            if (c == key) col(c) else col(s"__row.$c").as(c)): _*)
-      }
-    }
+    def keepLatest(df: DataFrame): DataFrame =
+      Store.keepLatest(df, key, orderCol)
     val merged = readTable(spark, tablePath) match {
       case Some(cur) =>
         keepLatest(cur.withColumn("__gen", lit(0))
@@ -68,6 +71,68 @@ object Store {
     fs.delete(backup, true)
     spark.read.parquet(tablePath).count()
   }
+
+  final val UpsertBuckets = 64
+
+  /** Incremental latest-wins upsert — the 100 TB path for S7. The table is
+    * laid out as parquet partitioned by `__bucket = pmod(hash(key), n)`, so
+    * a batch only ever touches the partitions its keys hash into:
+    *
+    *   1. incoming gains its `__bucket`;
+    *   2. the CURRENT rows of only those buckets are read back (the
+    *      `isin` filter on the partition column prunes at planning time —
+    *      untouched buckets are never opened);
+    *   3. keep-latest merges current ∪ incoming per key (same aggregate as
+    *      [[upsertOrders]]);
+    *   4. dynamic partition overwrite publishes ONLY the partitions present
+    *      in the merged frame.
+    *
+    * A 1,000-row batch against a 100 TB table therefore rewrites at most
+    * min(1000, n) bucket directories — ~1/n of the table each — instead of
+    * the whole table; the full rewrite in [[upsertOrders]] stays as the
+    * schema-change / compaction path. This is the reference's per-row
+    * `INSERT OR REPLACE` (`storage.py:114-228`) re-expressed as a
+    * partition-pruned merge; on a MERGE-capable format (Delta/Iceberg) the
+    * same call-site becomes `MERGE INTO` with file-level pruning.
+    *
+    * Bucket-by-hash (not by date) keeps the write load uniform: every
+    * batch's keys spread over all buckets evenly, so no partition ever
+    * becomes the hot one. Commit granularity is per-partition (Spark's
+    * dynamic overwrite commit protocol), matching the reference's
+    * per-batch SQLite commits (`storage.py:196`). */
+  def upsertOrdersIncremental(spark: SparkSession, incoming: DataFrame,
+      tablePath: String, key: String = "order_id",
+      orderCol: String = "ingested_at", numBuckets: Int = UpsertBuckets): Long = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(tablePath)
+    val bucketed = incoming
+      .withColumn("__bucket", pmod(hash(col(key)), lit(numBuckets)))
+    val merged =
+      if (!fs.exists(target)) keepLatest(bucketed, key, orderCol)
+      else {
+        // ≤ numBuckets small ints — a metadata-scale collect, not data
+        val touched = bucketed.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val currentSlice = spark.read.parquet(tablePath)
+          .filter(col("__bucket").isin(touched: _*))
+        keepLatest(
+          currentSlice.withColumn("__gen", lit(0))
+            .unionByName(bucketed.withColumn("__gen", lit(1)),
+              allowMissingColumns = true),
+          key, orderCol)
+      }
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(tablePath)
+    spark.read.parquet(tablePath).count()
+  }
+
+  /** Read an incrementally-upserted table without its layout column. */
+  def readOrdersIncremental(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath).drop("__bucket")
 
   /** Read the published table; if the target directory is absent but a
     * `__backup` exists, a crash interrupted [[upsertOrders]]' swap between
@@ -151,6 +216,126 @@ object Store {
   def exportParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Summary-report artifact (`create_summary_report`,
+    * `storage.py:471-553`): one JSON file combining record/field totals,
+    * per-column dtypes and missing counts, numeric summary statistics
+    * (count/mean/std/min/max/median — std is sample stddev like pandas),
+    * categorical unique+top-10 value counts, and the business-intelligence
+    * section (segment/brand distributions, revenue summary) when those
+    * columns exist.
+    *
+    * Scale shape: ONE wide aggregate covers totals, null counts, numeric
+    * stats and distinct counts (single pass, map-side partial combine);
+    * ALL categorical top-10s share one explode → groupBy → per-field
+    * window (one shuffle total, WindowGroupLimit-prunable), instead of a
+    * value_counts pass per column like the reference. Exact `percentile`
+    * buffers per-task like q18 — at 100 TB swap `percentile` →
+    * `percentile_approx` and `countDistinct` → `approx_count_distinct`
+    * (the q47 pairing); the report's shape doesn't change. The collected
+    * frames are the 1-row aggregate and ≤ 10×|string cols| top-k rows —
+    * metadata-scale, so driver-side JSON assembly is correct here.
+    *
+    * Returns the JSON text; `path` (if set) also gets it written
+    * atomically via the cluster filesystem. Key order follows the
+    * reference's report layout. Deterministic given `generatedAt`. */
+  def summaryReport(spark: SparkSession, df: DataFrame,
+      path: Option[String] = None,
+      generatedAt: String = java.time.Instant.now().toString): String = {
+    import org.apache.spark.sql.types._
+    require(df.schema.nonEmpty, "No data provided for summary report")
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name }.toSeq
+    val allCols = df.columns.toSeq
+
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        allCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")) ++
+        numericCols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}__cnt"),
+          avg(col(c).cast("double")).as(s"${c}__mean"),
+          stddev_samp(col(c).cast("double")).as(s"${c}__std"),
+          min(col(c).cast("double")).as(s"${c}__min"),
+          max(col(c).cast("double")).as(s"${c}__max"),
+          sum(col(c).cast("double")).as(s"${c}__sum"),
+          expr(s"percentile($c, 0.5)").as(s"${c}__median"))) ++
+        stringCols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+    val head = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val total = head.getAs[Long]("__n")
+    require(total > 0, "No data provided for summary report")
+
+    // every categorical column's top-10 in ONE shuffle
+    val topk: Map[String, Seq[(String, Long)]] =
+      if (stringCols.isEmpty) Map.empty
+      else {
+        val pairs = df.select(explode(array(stringCols.map(c =>
+          struct(lit(c).as("field"), col(c).as("value"))): _*)).as("p"))
+          .select("p.*").filter(col("value").isNotNull)
+          .groupBy("field", "value").agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("field").orderBy(col("cnt").desc, col("value"))
+        pairs.withColumn("__rnk", row_number().over(w))
+          .filter(col("__rnk") <= 10)
+          .collect()
+          .groupBy(_.getAs[String]("field"))
+          .view.mapValues(_.sortBy(_.getAs[Int]("__rnk"))
+            .map(r => r.getAs[String]("value") -> r.getAs[Long]("cnt")).toSeq)
+          .toMap
+      }
+
+    def numStats(c: String): Seq[(String, Any)] = Seq(
+      "count" -> head.getAs[Long](s"${c}__cnt"),
+      "mean" -> head.getAs[java.lang.Double](s"${c}__mean"),
+      "std" -> head.getAs[java.lang.Double](s"${c}__std"),
+      "min" -> head.getAs[java.lang.Double](s"${c}__min"),
+      "max" -> head.getAs[java.lang.Double](s"${c}__max"),
+      "median" -> head.getAs[java.lang.Double](s"${c}__median"))
+    def catStats(c: String): Seq[(String, Any)] = Seq(
+      "unique_values" -> head.getAs[Long](s"${c}__nd"),
+      "most_common" -> topk.getOrElse(c, Nil).map { case (v, n) => v -> n })
+
+    val bi = Seq.newBuilder[(String, Any)]
+    if (allCols.contains("customer_segment"))
+      bi += "customer_segments" -> topk.getOrElse("customer_segment", Nil)
+        .map { case (v, n) => v -> n }
+    if (allCols.contains("product_brand"))
+      bi += "product_brands" -> topk.getOrElse("product_brand", Nil)
+        .map { case (v, n) => v -> n }
+    if (numericCols.contains("total_amount"))
+      bi += "revenue_summary" -> Seq[(String, Any)](
+        "total_revenue" -> head.getAs[java.lang.Double]("total_amount__sum"),
+        "average_order_value" -> head.getAs[java.lang.Double]("total_amount__mean"),
+        "highest_order" -> head.getAs[java.lang.Double]("total_amount__max"),
+        "lowest_order" -> head.getAs[java.lang.Double]("total_amount__min"))
+
+    val report: Seq[(String, Any)] = Seq(
+      "report_generated_at" -> generatedAt,
+      "total_records" -> total,
+      "total_fields" -> allCols.size,
+      "data_types" -> df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString),
+      "missing_values" -> allCols.map(c => c -> head.getAs[Long](s"${c}__nulls")),
+      "summary_statistics" ->
+        (numericCols.map(c => c -> numStats(c)) ++ stringCols.map(c => c -> catStats(c)))
+    ) ++ (if (allCols.contains("customer_segment") || allCols.contains("product_brand") ||
+        numericCols.contains("total_amount")) Seq("business_intelligence" -> bi.result())
+      else Nil)
+
+    val json = Json.render(report)
+    path.foreach { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new org.apache.hadoop.fs.Path(p)
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) sys.error(s"could not publish report at $p")
+    }
+    json
+  }
+
   /** S8 retrieval: `SELECT * ORDER BY col DESC LIMIT n` — planned by
     * Catalyst as TakeOrderedAndProject (per-partition top-k). */
   def getOrders(spark: SparkSession, tablePath: String, limit: Int,
@@ -165,4 +350,45 @@ object Store {
       countDistinct(col("order_id")).as("distinct_orders"),
       max(col("ingested_at")).as("latest_ingest"))
   }
+}
+
+/** Minimal JSON renderer for the summary report — `Seq[(String, Any)]`
+  * renders as an object (insertion order preserved, which is what keeps
+  * the report layout stable), other `Seq`s as arrays, scalars as JSON
+  * scalars (NaN/Inf → null, like `json.dump(default=str)` never emits
+  * them). Report-sized payloads only; the data plane never goes through
+  * here. */
+private[pipeline] object Json {
+  def render(v: Any, indent: Int = 0): String = {
+    val pad = "  " * indent
+    val padIn = "  " * (indent + 1)
+    v match {
+      case null => "null"
+      case s: String => quote(s)
+      case b: Boolean => b.toString
+      case d: java.lang.Double =>
+        if (d.isNaN || d.isInfinite) "null" else d.toString
+      case f: java.lang.Float => render(f.doubleValue, indent)
+      case n: Number => n.toString
+      case xs: Seq[_] if xs.nonEmpty && xs.forall {
+          case (_: String, _) => true; case _ => false } =>
+        xs.asInstanceOf[Seq[(String, Any)]]
+          .map { case (k, x) => s"$padIn${quote(k)}: ${render(x, indent + 1)}" }
+          .mkString("{\n", ",\n", s"\n$pad}")
+      case xs: Seq[_] if xs.isEmpty => "{}" // all empty collections in the report are dicts
+      case xs: Seq[_] =>
+        xs.map(x => padIn + render(x, indent + 1)).mkString("[\n", ",\n", s"\n$pad]")
+      case other => quote(String.valueOf(other))
+    }
+  }
+  private def quote(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
 }

@@ -15,12 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * cluster fetches pages concurrently instead of the reference's serial
   * driver loop with a 1 s/request rate limit.
   *
-  * `PostsFetcher.fetchPage` is the page boundary: in this zero-egress
-  * container it synthesizes the deterministic jsonplaceholder-shaped rows
-  * (10 posts per user, sequential ids); a production build swaps in the
-  * HTTP GET (`{base}/posts?_page=p&_limit=n`) with the session-pool /
-  * retry / backoff policy the reference configures (`src/utils.py:138-149`)
-  * — per PARTITION, preserving per-page rate limiting.
+  * [[PostsTransport.fetchPage]] is the page boundary: in this zero-egress
+  * container the default transport synthesizes the deterministic
+  * jsonplaceholder-shaped rows (10 posts per user, sequential ids); a
+  * production build swaps in the HTTP GET (`{base}/posts?_page=p&_limit=n`)
+  * via the `transport` option. The reference's resilience policy
+  * (`src/utils.py:138-149`, `src/ingestion.py:40-53`) wraps EVERY
+  * transport in the partition reader itself, so retries stay page-local
+  * (an executor retries only its own page, not the whole scan) and
+  * pacing is per executor:
+  *   - `maxRetries` (default 3 = the reference's 3 attempts)
+  *   - `backoffMs`  (default 5000; doubles per retry like `delay *= 2`)
+  *   - `rateLimitPerSec` (default 0 = unpaced; HTTP deployments set the
+  *     reference's 1/sec — per executor, so cluster rate = N× that)
   *
   * Usage: `spark.read.format("graft.sources.PostsDataSource")
   *   .option("limit", "500").option("pageSize", "100").load()`
@@ -47,8 +54,18 @@ object PostsDataSource {
     "desk lamps")
 }
 
-/** Deterministic page fetch (the pluggable transport). */
-object PostsFetcher {
+/** Page transport boundary — what a production build replaces with the
+  * HTTP GET. Selected per-scan via the `transport` option; the retry /
+  * backoff / rate-limit policy wraps WHATEVER transport is installed, so
+  * resilience is testable without a network (`utils.py:138-149` policy,
+  * `ingestion.py:44-53` call site). */
+trait PostsTransport extends Serializable {
+  @throws[Exception]
+  def fetchPage(page: Int, pageSize: Int, limit: Int): Seq[(Long, Long, String, String)]
+}
+
+/** Deterministic page fetch (the default transport). */
+object PostsFetcher extends PostsTransport {
   def fetchPage(page: Int, pageSize: Int, limit: Int): Seq[(Long, Long, String, String)] = {
     val from = page.toLong * pageSize + 1
     val to = math.min(from + pageSize - 1, limit.toLong)
@@ -60,29 +77,119 @@ object PostsFetcher {
   }
 }
 
+/** Transport registry: the `transport` scan option names an entry here
+  * (tests register failure-injecting doubles), or — when the name
+  * contains a dot — a `PostsTransport` class instantiated reflectively on
+  * the executor (how a cluster deployment ships a real HTTP transport
+  * without a shared-JVM registry). */
+object PostsTransports {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, PostsTransport]()
+  registry.put("default", PostsFetcher)
+
+  def register(name: String, t: PostsTransport): Unit = registry.put(name, t)
+
+  def resolve(name: String): PostsTransport = {
+    val found = registry.get(name)
+    if (found != null) found
+    else if (name.contains("."))
+      Class.forName(name).getDeclaredConstructor().newInstance()
+        .asInstanceOf[PostsTransport]
+    else throw new IllegalArgumentException(
+      s"unknown posts transport '$name' (registered: default, or a class name)")
+  }
+}
+
+/** Per-JVM (= per-executor) request pacing. The reference enforces ≥1 s
+  * between requests on its single serial client (`ingestion.py:40`); the
+  * distributed equivalent is a per-executor limiter — cluster-wide request
+  * rate = rateLimitPerSec × executors, which is the knob an operator
+  * actually tunes against an API quota. Token-bucketless monotonic
+  * schedule: each acquire reserves the next free slot under the lock, then
+  * sleeps outside it, so concurrent reader threads serialize their fetch
+  * times without blocking each other's row processing. */
+object PostsRateLimiter {
+  private var nextFreeNanos = 0L
+  def acquire(perSec: Double): Unit = {
+    if (perSec <= 0) return // 0 = unlimited
+    val intervalNanos = (1e9 / perSec).toLong
+    val waitNanos = synchronized {
+      val now = System.nanoTime()
+      val slot = math.max(now, nextFreeNanos)
+      nextFreeNanos = slot + intervalNanos
+      slot - now
+    }
+    if (waitNanos > 0) Thread.sleep(waitNanos / 1000000, (waitNanos % 1000000).toInt)
+  }
+}
+
+/** Retry/backoff/rate-limit wrapper around a transport — the reference's
+  * `retry_on_failure(max_retries=3, delay=5)` decorator (`utils.py:138-149`)
+  * as scan options. `maxRetries` counts ATTEMPTS (3 = initial + 2 retries,
+  * matching the reference), `backoffMs` doubles per retry. */
+object ResilientFetch {
+  def apply(transport: PostsTransport, page: Int, pageSize: Int, limit: Int,
+      maxRetries: Int, backoffMs: Long, rateLimitPerSec: Double): Seq[(Long, Long, String, String)] = {
+    var attempt = 0
+    var delay = backoffMs
+    while (true) {
+      PostsRateLimiter.acquire(rateLimitPerSec)
+      try return transport.fetchPage(page, pageSize, limit)
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          if (delay > 0) Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 class PostsTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   override def name(): String = "graft_posts"
   override def schema(): StructType = PostsDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    def opt(k: String, d: String): String =
+      opts.getOrDefault(k, options.getOrDefault(k, d))
     new PostsScanBuilder(
       limit = opts.getInt("limit", options.getInt("limit", 100)),
-      pageSize = opts.getInt("pageSize", options.getInt("pageSize", 100)))
+      pageSize = opts.getInt("pageSize", options.getInt("pageSize", 100)),
+      policy = FetchPolicy(
+        transport = opt("transport", "default"),
+        // reference defaults: 3 attempts, 5 s base delay, 2× backoff
+        maxRetries = opt("maxRetries", "3").toInt,
+        backoffMs = opt("backoffMs", "5000").toLong,
+        // 0 = unpaced (right for the synthetic default transport); an HTTP
+        // deployment sets the reference's 1/sec per executor
+        rateLimitPerSec = opt("rateLimitPerSec", "0").toDouble))
+  }
 }
 
-class PostsScanBuilder(var limit: Int, pageSize: Int)
+/** Per-scan resilience policy; `transport` resolves on the EXECUTOR via
+  * [[PostsTransports.resolve]], so only the name ships in the plan. */
+case class FetchPolicy(transport: String, maxRetries: Int, backoffMs: Long,
+    rateLimitPerSec: Double) {
+  require(maxRetries >= 1, s"maxRetries must be >= 1, got $maxRetries")
+  require(backoffMs >= 0, s"backoffMs must be >= 0, got $backoffMs")
+}
+
+class PostsScanBuilder(var limit: Int, pageSize: Int, policy: FetchPolicy)
     extends ScanBuilder with SupportsPushDownLimit {
   override def pushLimit(n: Int): Boolean = {
     if (n < limit) limit = n
     true // fully pushed: the source produces exactly `limit` rows
   }
-  override def build(): Scan = new PostsScan(limit, pageSize)
+  override def build(): Scan = new PostsScan(limit, pageSize, policy)
 }
 
 case class PostsPage(page: Int, pageSize: Int, limit: Int) extends InputPartition
 
-class PostsScan(limit: Int, pageSize: Int) extends Scan with Batch {
+class PostsScan(limit: Int, pageSize: Int,
+    policy: FetchPolicy = FetchPolicy("default", 3, 5000L, 0.0)) extends Scan with Batch {
   require(pageSize > 0, s"pageSize must be positive, got $pageSize")
   require(limit >= 0, s"limit must be non-negative, got $limit")
   override def readSchema(): StructType = PostsDataSource.Schema
@@ -91,12 +198,15 @@ class PostsScan(limit: Int, pageSize: Int) extends Scan with Batch {
     val pages = math.max(1, math.ceil(limit.toDouble / pageSize).toInt)
     (0 until pages).map(p => PostsPage(p, pageSize, limit): InputPartition).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val p = policy // stable local: the factory closure serializes to executors
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val pg = partition.asInstanceOf[PostsPage]
         new PartitionReader[InternalRow] {
-          private val rows = PostsFetcher.fetchPage(pg.page, pg.pageSize, pg.limit).iterator
+          private val rows = ResilientFetch(
+            PostsTransports.resolve(p.transport), pg.page, pg.pageSize, pg.limit,
+            p.maxRetries, p.backoffMs, p.rateLimitPerSec).iterator
           private var current: (Long, Long, String, String) = _
           override def next(): Boolean = {
             if (rows.hasNext) { current = rows.next(); true } else false
@@ -108,4 +218,5 @@ class PostsScan(limit: Int, pageSize: Int) extends Scan with Batch {
         }
       }
     }
+  }
 }

@@ -36,6 +36,62 @@ class AdvancedSpec extends SparkSpec {
       s"limit not pushed: ${scans.head.inputPartitions.length} pages planned")
   }
 
+  test("DSv2 resilience: a transport failing twice per page recovers and matches the clean scan") {
+    import graft.sources.{PostsTransport, PostsTransports, PostsFetcher}
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failuresByPage = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    PostsTransports.register("flaky2", new PostsTransport {
+      def fetchPage(page: Int, pageSize: Int, limit: Int): Seq[(Long, Long, String, String)] = {
+        calls.incrementAndGet()
+        val seen = failuresByPage.merge(page, 1, (a, b) => a + b)
+        if (seen <= 2) throw new RuntimeException(s"injected failure $seen for page $page")
+        PostsFetcher.fetchPage(page, pageSize, limit)
+      }
+    })
+    val flaky = spark.read.format("graft.sources.PostsDataSource")
+      .option("limit", "250").option("pageSize", "100")
+      .option("transport", "flaky2").option("maxRetries", "3")
+      .option("backoffMs", "1").load()
+    val clean = spark.read.format("graft.sources.PostsDataSource")
+      .option("limit", "250").option("pageSize", "100").load()
+    // single action on the flaky scan (a second one would re-fetch pages
+    // and skew the call count), then set-compare against the clean scan
+    val flakyRows = flaky.collect().toSeq
+    assert(flakyRows.toSet == clean.collect().toSet && flakyRows.size == 250)
+    // 3 pages × (2 failures + 1 success) = 9 transport calls
+    assert(calls.get() == 9, s"expected 9 transport calls, got ${calls.get()}")
+  }
+
+  test("DSv2 resilience: retries exhaust after maxRetries attempts, then the scan fails") {
+    import graft.sources.{PostsTransport, PostsTransports}
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    PostsTransports.register("alwaysDown", new PostsTransport {
+      def fetchPage(page: Int, pageSize: Int, limit: Int): Seq[(Long, Long, String, String)] = {
+        calls.incrementAndGet()
+        throw new RuntimeException("api down")
+      }
+    })
+    val df = spark.read.format("graft.sources.PostsDataSource")
+      .option("limit", "100").option("pageSize", "100")
+      .option("transport", "alwaysDown").option("maxRetries", "2")
+      .option("backoffMs", "1").load()
+    val e = intercept[Exception] { df.count() }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(rootChain(e).exists(m => m != null && m.contains("api down")))
+    assert(calls.get() == 2, s"expected exactly 2 attempts, got ${calls.get()}")
+  }
+
+  test("DSv2 resilience: per-executor rate limiter paces consecutive acquires") {
+    import graft.sources.PostsRateLimiter
+    val t0 = System.nanoTime()
+    (1 to 3).foreach(_ => PostsRateLimiter.acquire(100.0)) // 10ms interval
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    // first acquire is free; two more must wait ~10ms each
+    assert(elapsedMs >= 15.0, s"limiter did not pace: ${elapsedMs}ms for 3 acquires at 100/s")
+    PostsRateLimiter.acquire(0.0) // 0 = unpaced, must not throw or sleep
+  }
+
   test("asof join: inclusive match, no-prior-row yields null, ties right-before-left") {
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("t", TimestampType), StructField("id", LongType)))

@@ -1,0 +1,89 @@
+package graft
+
+import graft.pipeline.{Config, GraftConfig, Ingest, Pipeline, Quality}
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** The reference's configuration contract (`utils.py:50-115`, test #8
+  * `tests.py:260-280`): YAML file → dot-notation access with defaults,
+  * missing file → built-in defaults, and the loaded config driving the
+  * pipeline's stage toggles (`run_pipeline.py --no-validation`). */
+class ConfigSpec extends SparkSpec {
+
+  private val sampleYaml =
+    """# engine configuration
+      |database:
+      |  path: "data/orders.parquet"   # trailing comment
+      |  connection_timeout: 30
+      |  batch_size: 1000
+      |api:
+      |  base_url: "https://jsonplaceholder.typicode.com"
+      |  retry_attempts: 3
+      |  retry_delay: 5
+      |files:
+      |  supported_formats: ["csv", "json"]
+      |pipeline:
+      |  batch_size: 2000
+      |  log_level: "INFO"
+      |  enable_monitoring: true
+      |data_quality:
+      |  quality_threshold: 85.5
+      |  required_fields:
+      |    - order_id
+      |    - customer_name
+      |transformation:
+      |  enable_cleaning: true
+      |  enable_enrichment: false
+      |""".stripMargin
+
+  test("dot-notation access, types, and per-call defaults (tests.py:260-280)") {
+    val c = Config.parse(sampleYaml)
+    assert(c.getString("database.path", "").endsWith(".parquet"))
+    assert(c.getString("api.base_url", "").toLowerCase.contains("jsonplaceholder"))
+    assert(c.getInt("pipeline.batch_size", -1) == 2000)
+    assert(c.getDouble("data_quality.quality_threshold", -1.0) == 85.5)
+    assert(c.getBoolean("pipeline.enable_monitoring", default = false))
+    assert(c.getBoolean("transformation.enable_enrichment", default = true) == false)
+    assert(c.getStrings("files.supported_formats", Nil) == Seq("csv", "json"))
+    assert(c.getStrings("data_quality.required_fields", Nil) ==
+      Seq("order_id", "customer_name"))
+    // absent key → caller default, nested miss included
+    assert(c.getOrElse("non.existent.key", "default_value") == "default_value")
+    assert(c.get("database.path.too.deep").isEmpty)
+  }
+
+  test("missing file and malformed text fall back to defaults (utils.py:59-73)") {
+    val missing = Config.load("/nonexistent/config.yaml")
+    assert(missing.getInt("pipeline.batch_size", -1) == 1000)
+    assert(missing.getStrings("data_quality.required_fields", Nil) ==
+      Quality.RequiredFields)
+    val malformed = Config.parse("\tnot: yaml\n  ][")
+    assert(malformed.getInt("api.retry_attempts", -1) == 3)
+  }
+
+  test("loaded file feeds GraftConfig and toggles pipeline stages off") {
+    val dir = Files.createTempDirectory("cfg")
+    val yml = dir.resolve("config.yaml")
+    Files.write(yml,
+      """transformation:
+        |  enable_validation: false
+        |  enable_enrichment: false
+        |  enable_standardization: false
+        |data_quality:
+        |  quality_threshold: 90
+        |""".stripMargin.getBytes("UTF-8"))
+    val gc: GraftConfig = Config.load(yml.toString).toGraftConfig
+    assert(gc.qualityThreshold == 90.0)
+    assert(!gc.enableValidation && !gc.enableEnrichment && !gc.enableStandardization)
+    assert(gc.enableCleaning) // untouched key keeps its code default
+    val posts = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 1L, "iPhone post")),
+      StructType(Seq(StructField("id", LongType), StructField("userId", LongType),
+        StructField("title", StringType))))
+    val out = Files.createTempDirectory("cfg_out").toString
+    val report = Pipeline.run(spark, Seq(Ingest.postsToOrders(posts)), out, gc)
+    assert(report.success, report.toString)
+    assert(report.stages.map(_.stage) == Seq("ingestion", "cleaning", "storage"))
+  }
+}

@@ -59,6 +59,64 @@ class StoreSpec extends SparkSpec {
       .map(_.getAs[String]("order_id")).toSeq == Seq("D-1", "D-2"))
   }
 
+  test("incremental upsert: latest-wins semantics match the full-rewrite path") {
+    val table = tmp("orders_inc1") + "/orders"
+    Store.upsertOrdersIncremental(spark, ordersDf(
+      ("A-1", 10.0, "2024-01-01 00:00:00"),
+      ("A-2", 20.0, "2024-01-01 00:00:00"),
+      ("A-1", 9.0, "2023-12-01 00:00:00")), table, numBuckets = 8) // in-batch dup collapses
+    val n = Store.upsertOrdersIncremental(spark, ordersDf(
+      ("A-1", 11.0, "2024-02-01 00:00:00"),  // newer → replaces
+      ("A-2", 19.0, "2023-12-01 00:00:00"),  // stale → loses
+      ("A-3", 30.0, "2024-01-05 00:00:00")), table, numBuckets = 8)
+    assert(n == 3)
+    val rows = Store.readOrdersIncremental(spark, table).orderBy("order_id").collect()
+    assert(rows.map(_.getAs[String]("order_id")).toSeq == Seq("A-1", "A-2", "A-3"))
+    assert(rows.map(_.getAs[Double]("price")).toSeq == Seq(11.0, 20.0, 30.0))
+    // tie: incoming wins (same ts, higher __gen)
+    Store.upsertOrdersIncremental(spark,
+      ordersDf(("A-3", 31.0, "2024-01-05 00:00:00")), table, numBuckets = 8)
+    assert(Store.readOrdersIncremental(spark, table)
+      .filter(col("order_id") === "A-3").collect().head.getAs[Double]("price") == 31.0)
+  }
+
+  test("incremental upsert: a 1-row batch rewrites only its own bucket partition") {
+    val table = tmp("orders_inc2") + "/orders"
+    // seed enough keys that (with 8 buckets) several distinct partitions exist
+    val seed = (1 to 64).map(i => (f"K-$i%03d", i.toDouble, "2024-01-01 00:00:00"))
+    Store.upsertOrdersIncremental(spark, ordersDf(seed: _*), table, numBuckets = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(table), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          b += s.getPath.toString -> s.getModificationTime
+      }
+      b.result()
+    }
+    val before = files()
+    val bucketDirs = before.keys.map(_.split("/").init.last).toSet
+    assert(bucketDirs.size > 4, s"seed spread over too few buckets: $bucketDirs")
+    Store.upsertOrdersIncremental(spark,
+      ordersDf(("K-001", 99.0, "2024-02-01 00:00:00")), table, numBuckets = 8)
+    val after = files()
+    // exactly one bucket directory's files changed; every other file
+    // survives bit-identical (same path, same modification time)
+    val changedDirs = (
+      (before.keySet -- after.keySet) ++ (after.keySet -- before.keySet) ++
+        before.keySet.intersect(after.keySet).filter(k => before(k) != after(k))
+      ).map(_.split("/").init.last)
+    assert(changedDirs.size == 1, s"expected 1 rewritten bucket, got $changedDirs")
+    // and the merge is still correct
+    val got = Store.readOrdersIncremental(spark, table)
+    assert(got.count() == 64)
+    assert(got.filter(col("order_id") === "K-001").collect().head
+      .getAs[Double]("price") == 99.0)
+  }
+
   test("exports + topk retrieval + stats (S8, S11-S14)") {
     val base = tmp("exports")
     val df = ordersDf(
@@ -170,6 +228,52 @@ class StoreSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bk_orders")
       spark.sql("DROP TABLE IF EXISTS bk_custs")
+    }
+  }
+
+  test("summary report: sections round-trip and match direct aggregates (storage.py:471-553)") {
+    val schema2 = StructType(Seq(
+      StructField("order_id", StringType), StructField("total_amount", DoubleType),
+      StructField("quantity", LongType), StructField("customer_segment", StringType),
+      StructField("product_brand", StringType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row("A-1", 10.0, 1L, "Premium", "Apple"),
+      Row("A-2", 20.0, 2L, "Premium", "Apple"),
+      Row("A-3", 30.0, 1L, "Standard", "Nintendo"),
+      Row("A-4", null, 3L, "Standard", null),
+      Row("A-5", 40.0, 2L, "Budget", "Apple")), schema2)
+    val path = tmp("report") + "/orders_summary.json"
+    val json = Store.summaryReport(spark, df, Some(path), generatedAt = "2026-01-01T00:00:00Z")
+    // round-trip through a real JSON parser (Spark's reader)
+    val rep = spark.read.option("multiLine", "true").json(path)
+    val r = rep.collect().head
+    assert(r.getAs[Long]("total_records") == 5)
+    assert(r.getAs[Long]("total_fields") == 5)
+    assert(r.getAs[Row]("missing_values").getAs[Long]("total_amount") == 1)
+    assert(r.getAs[Row]("missing_values").getAs[Long]("order_id") == 0)
+    assert(r.getAs[Row]("data_types").getAs[String]("quantity") == "bigint")
+    val stats = r.getAs[Row]("summary_statistics")
+    val ta = stats.getAs[Row]("total_amount")
+    assert(ta.getAs[Long]("count") == 4)
+    assert(ta.getAs[Double]("mean") == 25.0)
+    assert(ta.getAs[Double]("median") == 25.0)
+    assert(ta.getAs[Double]("min") == 10.0 && ta.getAs[Double]("max") == 40.0)
+    val seg = stats.getAs[Row]("customer_segment")
+    assert(seg.getAs[Long]("unique_values") == 3)
+    assert(seg.getAs[Row]("most_common").getAs[Long]("Premium") == 2)
+    val bi = r.getAs[Row]("business_intelligence")
+    assert(bi.getAs[Row]("customer_segments").getAs[Long]("Standard") == 2)
+    assert(bi.getAs[Row]("product_brands").getAs[Long]("Apple") == 3)
+    val rev = bi.getAs[Row]("revenue_summary")
+    assert(rev.getAs[Double]("total_revenue") == 100.0)
+    assert(rev.getAs[Double]("average_order_value") == 25.0)
+    assert(rev.getAs[Double]("highest_order") == 40.0)
+    assert(rev.getAs[Double]("lowest_order") == 10.0)
+    // returned text is what landed on disk
+    assert(json.contains("\"report_generated_at\": \"2026-01-01T00:00:00Z\""))
+    // empty input is a contract violation like the reference's failure result
+    intercept[IllegalArgumentException] {
+      Store.summaryReport(spark, df.filter(lit(false)), None)
     }
   }
 
