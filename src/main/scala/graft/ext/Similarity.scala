@@ -229,15 +229,31 @@ object Similarity {
     * tie-breaks (cell_id) and the post-avg round-to-4 are all
     * order-independent, which is what lets q44 carry a full DuckDB oracle
     * (the oracle unrolls the same rounds; 4-decimal centroid parity is the
-    * precision q32 proves cross-engine-stable). */
+    * precision q32 proves cross-engine-stable).
+    *
+    * Each round's 16-row result is collected and re-literalized: an
+    * iterated `var cents = <plan over cents>` would nest every previous
+    * round's plan inside the next (and the final frame is consumed TWICE
+    * downstream, by corpus assignment and query probing), so lineage —
+    * and with it actual executed work — grows multiplicatively with
+    * rounds. Centroids are index METADATA (k × dim doubles, ~8 KB), the
+    * one thing in this module that genuinely belongs on the driver; at
+    * any corpus scale the collect is k rows, never data. */
   def ivfCentroids(corpus: DataFrame): DataFrame = {
-    var cents = corpus.orderBy("vec_id").limit(IvfCells)
+    val spark = corpus.sparkSession
+    def literalize(df: DataFrame): DataFrame = {
+      val rows = df.collect().map(r =>
+        (r.getAs[Long]("cell_id"), r.getSeq[Double](r.fieldIndex("centroid"))))
+      import spark.implicits._
+      rows.toSeq.toDF("cell_id", "centroid")
+    }
+    var cents = literalize(corpus.orderBy("vec_id").limit(IvfCells)
       .select(col("vec_id").as("cell_id"),
-        transform(col("embedding"), _.cast("double")).as("centroid"))
+        transform(col("embedding"), _.cast("double")).as("centroid")))
     (1 to LloydRounds).foreach { _ =>
       val assigned = assignCells(
         corpus.select(col("vec_id"), col("embedding")), cents, "vec_id", 1)
-      cents = assigned
+      cents = literalize(assigned
         .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
         .groupBy("cell_id", "dim_idx")
@@ -245,7 +261,7 @@ object Similarity {
         .groupBy("cell_id")
         .agg(transform(
           array_sort(collect_list(struct(col("dim_idx"), col("cv")))),
-          s => s.getField("cv")).as("centroid"))
+          s => s.getField("cv")).as("centroid")))
     }
     cents
   }
@@ -304,16 +320,28 @@ object Similarity {
     * norms once per row (not once per (row, centroid)). */
   private def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
       n: Int): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell_id"))
     val c = centroids.select(col("cell_id"), col("centroid"),
       l2Norm(col("centroid")).as("cnrm"))
-    df.withColumn("nrm", l2Norm(col("embedding")))
+    val scored = df.withColumn("nrm", l2Norm(col("embedding")))
       .join(broadcast(c))
       .withColumn("cell_cos",
         dot(col("embedding"), col("centroid")) / (col("nrm") * col("cnrm")))
-      .withColumn("cell_rank", row_number().over(w))
-      .filter(col("cell_rank") <= n)
-      .select(col(idCol), col("cell_id"))
+    if (n == 1)
+      // top-1 (the whole-corpus path, run once per Lloyd round): argmax as
+      // max(struct(cos, -cell_id)) — struct ordering gives highest cos
+      // then LOWEST cell_id, matching the window's tie-break — with
+      // map-side partial combine, so the shuffle carries one row per id
+      // instead of one per (id × centroid) plus a sort
+      scored.groupBy(col(idCol))
+        .agg(max(struct(col("cell_cos"), (-col("cell_id")).as("neg_id"))).as("m"))
+        .select(col(idCol), (-col("m.neg_id")).as("cell_id"))
+    else {
+      // top-n probes (query side only — small by contract)
+      val w = Window.partitionBy(idCol).orderBy(col("cell_cos").desc, col("cell_id"))
+      scored.withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= n)
+        .select(col(idCol), col("cell_id"))
+    }
   }
 
   /** IVF ANN top-k: corpus vectors live in 1 cell; queries probe their

@@ -77,7 +77,10 @@ final class Config private (root: Map[String, Any]) {
     enableCleaning = getBoolean("transformation.enable_cleaning", default = true),
     enableEnrichment = getBoolean("transformation.enable_enrichment", default = true),
     enableStandardization =
-      getBoolean("transformation.enable_standardization", default = true))
+      getBoolean("transformation.enable_standardization", default = true),
+    incrementalStorage = getBoolean("storage.incremental", default = false),
+    exportFormats = getStrings("storage.export_formats", Nil),
+    summaryReport = getBoolean("storage.summary_report", default = false))
 }
 
 object Config {

@@ -13,7 +13,15 @@ final case class GraftConfig(
     enableCleaning: Boolean = true,
     enableEnrichment: Boolean = true,
     enableStandardization: Boolean = true,
-    asOf: String = Enrich.DefaultAsOf)
+    asOf: String = Enrich.DefaultAsOf,
+    // storage-stage shape (ref StorageOrchestrator.store_all,
+    // storage.py:608-651, always does upsert + csv/json export + summary
+    // report; here exports/report are opt-in — at 100 TB a CSV export of
+    // the whole table is not a default anyone wants — and the upsert can
+    // switch to the partition-pruned incremental layout):
+    incrementalStorage: Boolean = false,
+    exportFormats: Seq[String] = Nil,
+    summaryReport: Boolean = false)
 
 /** Orchestrator (ref `PipelineManager.run_pipeline`, `src/pipeline.py:68-208`,
   * and `transform_all`, `src/transformation.py:669-726`) with the
@@ -153,9 +161,22 @@ object Pipeline {
             } catch { case _: Exception => 0L }
           } else 0L
 
-        // Stage 4: storage — upsert + telemetry + metrics
+        // Stage 4: storage — upsert + optional exports/report + metrics
+        // (ref store_all, storage.py:608-651)
         timed("storage") {
-          val n = Store.upsertOrders(spark, current, s"$outDir/orders")
+          val n =
+            if (config.incrementalStorage)
+              Store.upsertOrdersIncremental(spark, current, s"$outDir/orders")
+            else Store.upsertOrders(spark, current, s"$outDir/orders")
+          config.exportFormats.foreach {
+            case "csv" => Store.exportCsv(current, s"$outDir/exports/orders_csv")
+            case "json" => Store.exportJson(current, s"$outDir/exports/orders_json")
+            case "parquet" => Store.exportParquet(current, s"$outDir/exports/orders_parquet")
+            case other => sys.error(s"unsupported export format: $other")
+          }
+          if (config.summaryReport)
+            Store.summaryReport(spark, current,
+              Some(s"$outDir/orders_summary.json"), generatedAt = startTime)
           quality.foreach { case (score, _) =>
             Store.appendQualityMetrics(spark, s"$outDir/metrics", runId,
               Seq("data_quality_score" -> score), "quality", "orders", startTime)

@@ -72,6 +72,27 @@ object Streaming {
       }
       .start()
 
+  /** Continuous keyed upsert: every micro-batch merges into the
+    * bucket-partitioned orders store via
+    * [[graft.pipeline.Store.upsertOrdersIncremental]] — the streaming
+    * form of the reference's poll-and-`INSERT OR REPLACE` loop. Each
+    * batch rewrites only the bucket partitions its keys hash into, so
+    * state lives in the TABLE (idempotent latest-wins merge), not in the
+    * stream: a replayed batch re-merges to the same result, which is what
+    * makes at-least-once foreachBatch delivery safe here, and the store
+    * stays point-in-time queryable between batches. */
+  def upsertStream(orders: DataFrame, tablePath: String, checkpoint: String,
+      numBuckets: Int = graft.pipeline.Store.UpsertBuckets): StreamingQuery =
+    orders.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.Store.upsertOrdersIncremental(
+          batch.sparkSession, batch, tablePath, numBuckets = numBuckets)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window event metrics (streaming twin of
     * q35_events_window). */
   def windowedEventMetrics(events: DataFrame, horizon: String = "2 hours"): DataFrame =

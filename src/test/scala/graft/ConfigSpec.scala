@@ -86,4 +86,39 @@ class ConfigSpec extends SparkSpec {
     assert(report.success, report.toString)
     assert(report.stages.map(_.stage) == Seq("ingestion", "cleaning", "storage"))
   }
+
+  test("config-enabled storage stage: incremental layout, exports, summary report") {
+    val dir = Files.createTempDirectory("cfg2")
+    Files.write(dir.resolve("config.yaml"),
+      """storage:
+        |  incremental: true
+        |  export_formats: ["csv", "json"]
+        |  summary_report: true
+        |""".stripMargin.getBytes("UTF-8"))
+    val gc = Config.load(dir.resolve("config.yaml").toString).toGraftConfig
+    assert(gc.incrementalStorage && gc.summaryReport)
+    assert(gc.exportFormats == Seq("csv", "json"))
+    val posts = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 1L, "iPhone post"), Row(2L, 2L, "watch post")),
+      StructType(Seq(StructField("id", LongType), StructField("userId", LongType),
+        StructField("title", StringType))))
+    val out = Files.createTempDirectory("cfg2_out").toString
+    val report = Pipeline.run(spark, Seq(Ingest.postsToOrders(posts)), out,
+      gc.copy(asOf = "2024-06-01"))
+    assert(report.success, report.toString)
+    // incremental layout: table is partitioned by __bucket
+    val stored = graft.pipeline.Store.readOrdersIncremental(spark, s"$out/orders")
+    assert(stored.count() == 2)
+    assert(spark.read.parquet(s"$out/orders").columns.contains("__bucket"))
+    // exports landed
+    assert(spark.read.option("header", "true").csv(s"$out/exports/orders_csv").count() == 2)
+    assert(spark.read.json(s"$out/exports/orders_json").count() == 2)
+    // summary report parses and counts match
+    val rep = spark.read.option("multiLine", "true").json(s"$out/orders_summary.json")
+    assert(rep.collect().head.getAs[Long]("total_records") == 2)
+    // a rerun through the incremental path stays idempotent
+    val report2 = Pipeline.run(spark, Seq(Ingest.postsToOrders(posts)), out,
+      gc.copy(asOf = "2024-06-01"))
+    assert(report2.recordsStored == 2)
+  }
 }

@@ -22,6 +22,30 @@ class PlanQualitySpec extends SparkSpec {
       "scan reads columns the query never uses")
   }
 
+  test("incremental upsert: current-bucket read-back prunes partitions at planning time") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("inc_plan").toString + "/orders"
+    val seed = spark.range(0, 256)
+      .selectExpr("concat('P-', id) AS order_id", "CAST(id AS DOUBLE) AS price",
+        "timestamp'2024-01-01 00:00:00' AS ingested_at")
+    graft.pipeline.Store.upsertOrdersIncremental(spark, seed, dir, numBuckets = 16)
+    // the exact frame the next upsert's merge reads: current rows of the
+    // touched buckets only — its scan must carry PartitionFilters, i.e.
+    // prune directories BEFORE reading, not filter rows after
+    val slice = spark.read.parquet(dir).filter(col("__bucket").isin(3, 7))
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"bucket filter not applied as partition pruning:\n$plan")
+    slice.collect()
+    val scan = slice.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    val scanned = scan.metrics("numFiles").value
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(scanned < total,
+      s"partition pruning read all $total files for a 2-bucket slice")
+  }
+
   test("q04: dimension joins broadcast, no cartesian fallback") {
     val p = planOf("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")

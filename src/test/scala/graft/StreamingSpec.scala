@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec {
     assert(john.getAs[String]("product_brand") == "Apple")
   }
 
+  test("streaming upsert: micro-batches merge latest-wins into the bucketed store") {
+    val in = tmpDir("upsert_in")
+    val table = tmpDir("upsert_tbl") + "/orders"
+    val ckpt = tmpDir("upsert_ckpt")
+    Files.writeString(Paths.get(in, "batch1.csv"),
+      """order_id,customer_name,customer_email,product,quantity,price,order_date,ingested_at
+        |API-0001,john doe,j@example.com,iPhone 15,1,999.99,2024-01-15,2024-01-20 10:00:00
+        |API-0002,jane smith,jane@example.com,MacBook Pro,1,1999.99,2024-01-16,2024-01-20 10:00:00""".stripMargin)
+    val stream1 = Streaming.csvFileSource(spark, in, ordersCsvSchema)
+      .withColumn("ingested_at", col("ingested_at").cast("timestamp"))
+    Streaming.upsertStream(stream1, table, ckpt, numBuckets = 8).awaitTermination()
+    assert(graft.pipeline.Store.readOrdersIncremental(spark, table).count() == 2)
+    // a later file updates one key and adds another; the replayed source
+    // (same checkpoint) merges rather than duplicates
+    Files.writeString(Paths.get(in, "batch2.csv"),
+      """order_id,customer_name,customer_email,product,quantity,price,order_date,ingested_at
+        |API-0001,john doe,j@example.com,iPhone 15,1,899.99,2024-01-15,2024-01-21 10:00:00
+        |API-0003,bob wilson,bob@example.com,AirPods Pro,2,249.99,2024-01-17,2024-01-21 10:00:00""".stripMargin)
+    val stream2 = Streaming.csvFileSource(spark, in, ordersCsvSchema)
+      .withColumn("ingested_at", col("ingested_at").cast("timestamp"))
+    Streaming.upsertStream(stream2, table, ckpt, numBuckets = 8).awaitTermination()
+    val rows = graft.pipeline.Store.readOrdersIncremental(spark, table)
+      .orderBy("order_id").collect()
+    assert(rows.map(_.getAs[String]("order_id")).toSeq ==
+      Seq("API-0001", "API-0002", "API-0003"))
+    assert(rows.head.getAs[Double]("price") == 899.99, "newer batch must win")
+  }
+
   test("watermarked dedup drops repeated order_ids inside the horizon") {
     val in = tmpDir("dedup_in")
     // API-0001 arrives three times: an exact duplicate AND a retried
