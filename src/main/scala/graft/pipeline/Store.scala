@@ -123,7 +123,15 @@ object Store {
               allowMissingColumns = true),
           key, orderCol)
       }
-    merged.write.mode(SaveMode.Overwrite)
+    // cluster by the layout column before the write: partitionBy splits
+    // each task's output per bucket value, so an unclustered merged frame
+    // (32 shuffle partitions) would shed up to 32 small files into every
+    // touched bucket on every merge — a small-file explosion at batch
+    // cadence. Hash-clustering on __bucket lands each bucket's rows in
+    // one task → one compact file per rewrite; bucket size (and so task
+    // size) is governed by the numBuckets knob.
+    merged.repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket")
       .parquet(tablePath)

@@ -110,6 +110,11 @@ class StoreSpec extends SparkSpec {
         before.keySet.intersect(after.keySet).filter(k => before(k) != after(k))
       ).map(_.split("/").init.last)
     assert(changedDirs.size == 1, s"expected 1 rewritten bucket, got $changedDirs")
+    // the rewrite lands as ONE compact file, not one per shuffle partition
+    val touchedDir = changedDirs.head
+    val filesInTouched = after.keys.count(_.split("/").init.last == touchedDir)
+    assert(filesInTouched == 1,
+      s"bucket rewrite shed $filesInTouched files; expected 1")
     // and the merge is still correct
     val got = Store.readOrdersIncremental(spark, table)
     assert(got.count() == 64)
