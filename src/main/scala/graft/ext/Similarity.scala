@@ -270,12 +270,16 @@ object Similarity {
     * assign/recompute rounds → probe join → exact cosine top-k. */
   private def ivfOracleSql(maxQueryId: Int, k: Int): String = {
     val cos = "list_dot_product(e.v, c.centroid) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))"
-    def assignCte(cents: String, out: String): String =
+    // one assignment template for all three uses (Lloyd rounds, final
+    // corpus assignment, query probes) — a tie-break or cosine tweak that
+    // lands in only some copies would silently break engine/oracle parity
+    def assignCte(cents: String, out: String, idAlias: String = "vec_id",
+        maxRank: Int = 1, where: String = ""): String =
       s"$out AS (\n" +
-        "  SELECT vec_id, cell_id FROM (\n" +
+        s"  SELECT vec_id AS $idAlias, cell_id FROM (\n" +
         "    SELECT e.vec_id, c.cell_id,\n" +
         s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell_id) AS rnk\n" +
-        s"    FROM e CROSS JOIN $cents c) WHERE rnk = 1)"
+        s"    FROM e CROSS JOIN $cents c$where) WHERE rnk <= $maxRank)"
     def recomputeCte(assigned: String, out: String): String =
       s"$out AS (\n" +
         "  SELECT cell_id, list(cv ORDER BY dim_idx) AS centroid FROM (\n" +
@@ -293,16 +297,9 @@ object Similarity {
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
       s"c0 AS (SELECT vec_id AS cell_id, v AS centroid FROM e ORDER BY vec_id LIMIT $IvfCells),\n" +
       rounds + ",\n" +
-      "ac AS (\n" +
-      "  SELECT vec_id AS cand_id, cell_id FROM (\n" +
-      "    SELECT e.vec_id, c.cell_id,\n" +
-      s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell_id) AS rnk\n" +
-      s"    FROM e CROSS JOIN $cFinal c) WHERE rnk = 1),\n" +
-      "aq AS (\n" +
-      "  SELECT vec_id AS query_id, cell_id FROM (\n" +
-      "    SELECT e.vec_id, c.cell_id,\n" +
-      s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell_id) AS rnk\n" +
-      s"    FROM e CROSS JOIN $cFinal c WHERE e.vec_id < $maxQueryId) WHERE rnk <= $IvfProbes),\n" +
+      assignCte(cFinal, "ac", idAlias = "cand_id") + ",\n" +
+      assignCte(cFinal, "aq", idAlias = "query_id", maxRank = IvfProbes,
+        where = s" WHERE e.vec_id < $maxQueryId") + ",\n" +
       "cand AS (\n" +
       "  SELECT DISTINCT query_id, cand_id FROM aq JOIN ac USING (cell_id)\n" +
       "  WHERE query_id <> cand_id),\n" +

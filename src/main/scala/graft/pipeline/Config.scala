@@ -38,23 +38,33 @@ final class Config private (root: Map[String, Any]) {
   def getString(path: String, default: String): String =
     get(path).map(String.valueOf).getOrElse(default)
 
+  // typed getters are as forgiving as load itself: a malformed scalar
+  // (`quality_threshold: high`, `batch_size: "1,000"`) falls back to the
+  // caller's default rather than crashing a pipeline at startup —
+  // consistent with the class's warn-and-default contract
+
   def getInt(path: String, default: Int): Int = get(path) match {
     case Some(n: Long) => n.toInt
     case Some(d: Double) => d.toInt
-    case Some(s: String) => s.toInt
+    case Some(s: String) => s.trim.toIntOption.getOrElse(default)
     case _ => default
   }
 
   def getDouble(path: String, default: Double): Double = get(path) match {
     case Some(n: Long) => n.toDouble
     case Some(d: Double) => d
-    case Some(s: String) => s.toDouble
+    case Some(s: String) => s.trim.toDoubleOption.getOrElse(default)
     case _ => default
   }
 
   def getBoolean(path: String, default: Boolean): Boolean = get(path) match {
     case Some(b: Boolean) => b
-    case Some(s: String) => s.toBoolean
+    // YAML 1.1 boolean spellings a hand-written file plausibly uses
+    case Some(s: String) => s.trim.toLowerCase match {
+      case "true" | "yes" | "on" => true
+      case "false" | "no" | "off" => false
+      case _ => default
+    }
     case _ => default
   }
 
@@ -166,6 +176,11 @@ object Config {
           val (m, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
           out += key -> m; i = next
         }
+      } else if (i + 1 < lines.length && lines(i + 1).indent == indent &&
+          lines(i + 1).content.startsWith("- ")) {
+        // valid YAML puts list items at the KEY's indent too
+        val (xs, next) = parseDashList(lines, i + 1, indent)
+        out += key -> xs; i = next
       } else { out += key -> null; i += 1 } // bare key: with nothing nested
     }
     (out.result(), i)

@@ -37,6 +37,8 @@ final case class GraftConfig(
   */
 object Pipeline {
 
+  final val SupportedExportFormats: Set[String] = Set("csv", "json", "parquet")
+
   final case class StageResult(stage: String, success: Boolean,
       seconds: Double, error: Option[String])
   final case class PipelineReport(runId: String, success: Boolean,
@@ -72,6 +74,17 @@ object Pipeline {
       config: GraftConfig = GraftConfig(), runId: String = newRunId()): PipelineReport = {
     val stages = Seq.newBuilder[StageResult]
     val startTime = java.time.Instant.now().toString
+
+    // Config sanity BEFORE any work: a typo'd export format must not
+    // surface only after the upsert has already committed (a storage-stage
+    // abort there would report failure/recordsStored=0 while the table on
+    // disk was in fact updated — telemetry lying about state)
+    val badFormats = config.exportFormats.filterNot(SupportedExportFormats)
+    if (badFormats.nonEmpty) {
+      stages += StageResult("configuration", success = false, 0.0,
+        Some(s"unsupported export formats: ${badFormats.mkString(", ")}"))
+      return PipelineReport(runId, success = false, stages.result(), 0L, None, None)
+    }
 
     // Stage 1: ingestion combine (fatal if it fails)
     val (ingested, s1) = timed("ingestion") { Ingest.collectAll(sources) }
@@ -168,11 +181,10 @@ object Pipeline {
             if (config.incrementalStorage)
               Store.upsertOrdersIncremental(spark, current, s"$outDir/orders")
             else Store.upsertOrders(spark, current, s"$outDir/orders")
-          config.exportFormats.foreach {
+          config.exportFormats.foreach { // pre-validated above
             case "csv" => Store.exportCsv(current, s"$outDir/exports/orders_csv")
             case "json" => Store.exportJson(current, s"$outDir/exports/orders_json")
             case "parquet" => Store.exportParquet(current, s"$outDir/exports/orders_parquet")
-            case other => sys.error(s"unsupported export format: $other")
           }
           if (config.summaryReport)
             Store.summaryReport(spark, current,

@@ -43,6 +43,12 @@ object Store {
     * `orderCol` decides recency (ties → incoming wins via priority). */
   def upsertOrders(spark: SparkSession, incoming: DataFrame, tablePath: String,
       key: String = "order_id", orderCol: String = "ingested_at"): Long = {
+    // a full rewrite of a bucket-partitioned table would flatten __bucket
+    // into a data column and strand the partition dirs — refuse rather
+    // than silently convert the layout
+    if (storedBucketCount(spark, tablePath).isDefined)
+      sys.error(s"$tablePath is in incremental (bucket-partitioned) layout; " +
+        "use upsertOrdersIncremental")
     def keepLatest(df: DataFrame): DataFrame =
       Store.keepLatest(df, key, orderCol)
     val merged = readTable(spark, tablePath) match {
@@ -74,6 +80,35 @@ object Store {
 
   final val UpsertBuckets = 64
 
+  /** Layout marker for the incremental table: records the bucket count the
+    * table was CREATED with. Bucket count is a create-time property (like
+    * bucketing in any table format) — a merge computed with a different
+    * modulus would look up keys in the wrong partitions and silently
+    * duplicate them, so later upserts always use the stored count and the
+    * caller's `numBuckets` only applies on creation. */
+  private final val BucketsMarkerFile = "_graft_buckets"
+
+  private def storedBucketCount(spark: SparkSession, tablePath: String): Option[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(tablePath, BucketsMarkerFile)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketMarker(spark: SparkSession, tablePath: String, n: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(tablePath, BucketsMarkerFile)
+    val out = fs.create(marker, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Incremental latest-wins upsert — the 100 TB path for S7. The table is
     * laid out as parquet partitioned by `__bucket = pmod(hash(key), n)`, so
     * a batch only ever touches the partitions its keys hash into:
@@ -100,6 +135,11 @@ object Store {
     * becomes the hot one. Commit granularity is per-partition (Spark's
     * dynamic overwrite commit protocol), matching the reference's
     * per-batch SQLite commits (`storage.py:196`). */
+  /** @return rows now live in the partitions this batch touched (= the
+    *         size of the published merge — a partition-PRUNED post-publish
+    *         count; a total-table count here would re-list every file of a
+    *         100 TB table per batch, defeating the pruning this layout
+    *         exists for) */
   def upsertOrdersIncremental(spark: SparkSession, incoming: DataFrame,
       tablePath: String, key: String = "order_id",
       orderCol: String = "ingested_at", numBuckets: Int = UpsertBuckets): Long = {
@@ -107,21 +147,28 @@ object Store {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(tablePath)
+    val exists = fs.exists(target)
+    val stored = storedBucketCount(spark, tablePath)
+    if (exists && stored.isEmpty)
+      sys.error(s"$tablePath exists but is not in incremental layout " +
+        "(no bucket marker); use upsertOrders, or migrate the table first")
+    // stored count wins: the modulus is fixed at creation (see marker doc)
+    val buckets = stored.getOrElse(numBuckets)
     val bucketed = incoming
-      .withColumn("__bucket", pmod(hash(col(key)), lit(numBuckets)))
-    val merged =
-      if (!fs.exists(target)) keepLatest(bucketed, key, orderCol)
+      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
+    val (merged, touched) =
+      if (!exists) (keepLatest(bucketed, key, orderCol), Seq.empty[Int])
       else {
-        // ≤ numBuckets small ints — a metadata-scale collect, not data
+        // ≤ buckets small ints — a metadata-scale collect, not data
         val touched = bucketed.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
         val currentSlice = spark.read.parquet(tablePath)
           .filter(col("__bucket").isin(touched: _*))
-        keepLatest(
+        (keepLatest(
           currentSlice.withColumn("__gen", lit(0))
             .unionByName(bucketed.withColumn("__gen", lit(1)),
               allowMissingColumns = true),
-          key, orderCol)
+          key, orderCol), touched)
       }
     // cluster by the layout column before the write: partitionBy splits
     // each task's output per bucket value, so an unclustered merged frame
@@ -129,13 +176,16 @@ object Store {
     // touched bucket on every merge — a small-file explosion at batch
     // cadence. Hash-clustering on __bucket lands each bucket's rows in
     // one task → one compact file per rewrite; bucket size (and so task
-    // size) is governed by the numBuckets knob.
+    // size) is governed by the bucket-count knob.
     merged.repartition(col("__bucket"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket")
       .parquet(tablePath)
-    spark.read.parquet(tablePath).count()
+    if (stored.isEmpty) writeBucketMarker(spark, tablePath, buckets)
+    val published = spark.read.parquet(tablePath)
+    (if (touched.isEmpty) published
+     else published.filter(col("__bucket").isin(touched: _*))).count()
   }
 
   /** Read an incrementally-upserted table without its layout column. */
@@ -337,9 +387,19 @@ object Store {
       val out = fs.create(tmp, true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      // same backup dance as the upsert swap: the previous report is moved
+      // aside, not deleted, before the new one is renamed in — a crash
+      // between the renames leaves a recoverable .bak, never zero reports
       val target = new org.apache.hadoop.fs.Path(p)
-      fs.delete(target, false)
-      if (!fs.rename(tmp, target)) sys.error(s"could not publish report at $p")
+      val bak = new org.apache.hadoop.fs.Path(p + ".bak")
+      fs.delete(bak, false)
+      if (fs.exists(target) && !fs.rename(target, bak))
+        sys.error(s"could not move previous report aside at $p")
+      if (!fs.rename(tmp, target)) {
+        if (fs.exists(bak)) fs.rename(bak, target)
+        sys.error(s"could not publish report at $p")
+      }
+      fs.delete(bak, false)
     }
     json
   }
@@ -348,11 +408,14 @@ object Store {
     * Catalyst as TakeOrderedAndProject (per-partition top-k). */
   def getOrders(spark: SparkSession, tablePath: String, limit: Int,
       orderBy: String = "ingested_at"): DataFrame =
-    spark.read.parquet(tablePath).orderBy(col(orderBy).desc).limit(limit)
+    // drop is a no-op on plain tables; on incremental ones it keeps the
+    // internal layout column out of S8 results
+    spark.read.parquet(tablePath).drop("__bucket")
+      .orderBy(col(orderBy).desc).limit(limit)
 
   /** S14 stats probe over a stored orders table. */
   def tableStats(spark: SparkSession, tablePath: String): DataFrame = {
-    val df = spark.read.parquet(tablePath)
+    val df = spark.read.parquet(tablePath).drop("__bucket")
     df.agg(
       count(lit(1)).as("row_count"),
       countDistinct(col("order_id")).as("distinct_orders"),

@@ -109,14 +109,22 @@ object PostsTransports {
   * sleeps outside it, so concurrent reader threads serialize their fetch
   * times without blocking each other's row processing. */
 object PostsRateLimiter {
-  private var nextFreeNanos = 0L
-  def acquire(perSec: Double): Unit = {
+  private final class Schedule { var nextFreeNanos = 0L }
+  // keyed by transport name ≈ endpoint: concurrent scans of DIFFERENT
+  // endpoints must not queue behind each other's reservations (a 1/sec
+  // scan sharing a global schedule would throttle an unrelated 100/sec
+  // scan to its rate)
+  private val schedules =
+    new java.util.concurrent.ConcurrentHashMap[String, Schedule]()
+
+  def acquire(key: String, perSec: Double): Unit = {
     if (perSec <= 0) return // 0 = unlimited
+    val sched = schedules.computeIfAbsent(key, _ => new Schedule)
     val intervalNanos = (1e9 / perSec).toLong
-    val waitNanos = synchronized {
+    val waitNanos = sched.synchronized {
       val now = System.nanoTime()
-      val slot = math.max(now, nextFreeNanos)
-      nextFreeNanos = slot + intervalNanos
+      val slot = math.max(now, sched.nextFreeNanos)
+      sched.nextFreeNanos = slot + intervalNanos
       slot - now
     }
     if (waitNanos > 0) Thread.sleep(waitNanos / 1000000, (waitNanos % 1000000).toInt)
@@ -128,12 +136,13 @@ object PostsRateLimiter {
   * as scan options. `maxRetries` counts ATTEMPTS (3 = initial + 2 retries,
   * matching the reference), `backoffMs` doubles per retry. */
 object ResilientFetch {
-  def apply(transport: PostsTransport, page: Int, pageSize: Int, limit: Int,
+  def apply(transportName: String, transport: PostsTransport,
+      page: Int, pageSize: Int, limit: Int,
       maxRetries: Int, backoffMs: Long, rateLimitPerSec: Double): Seq[(Long, Long, String, String)] = {
     var attempt = 0
     var delay = backoffMs
     while (true) {
-      PostsRateLimiter.acquire(rateLimitPerSec)
+      PostsRateLimiter.acquire(transportName, rateLimitPerSec)
       try return transport.fetchPage(page, pageSize, limit)
       catch {
         case e: Exception =>
@@ -205,7 +214,8 @@ class PostsScan(limit: Int, pageSize: Int,
         val pg = partition.asInstanceOf[PostsPage]
         new PartitionReader[InternalRow] {
           private val rows = ResilientFetch(
-            PostsTransports.resolve(p.transport), pg.page, pg.pageSize, pg.limit,
+            p.transport, PostsTransports.resolve(p.transport),
+            pg.page, pg.pageSize, pg.limit,
             p.maxRetries, p.backoffMs, p.rateLimitPerSec).iterator
           private var current: (Long, Long, String, String) = _
           override def next(): Boolean = {

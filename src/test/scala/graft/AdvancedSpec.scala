@@ -85,11 +85,16 @@ class AdvancedSpec extends SparkSpec {
   test("DSv2 resilience: per-executor rate limiter paces consecutive acquires") {
     import graft.sources.PostsRateLimiter
     val t0 = System.nanoTime()
-    (1 to 3).foreach(_ => PostsRateLimiter.acquire(100.0)) // 10ms interval
+    (1 to 3).foreach(_ => PostsRateLimiter.acquire("paceTest", 100.0)) // 10ms interval
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     // first acquire is free; two more must wait ~10ms each
     assert(elapsedMs >= 15.0, s"limiter did not pace: ${elapsedMs}ms for 3 acquires at 100/s")
-    PostsRateLimiter.acquire(0.0) // 0 = unpaced, must not throw or sleep
+    // schedules are per key: a different key is NOT queued behind paceTest's
+    // reservations (a slow scan must not throttle an unrelated one)
+    val t1 = System.nanoTime()
+    PostsRateLimiter.acquire("otherEndpoint", 100.0)
+    assert((System.nanoTime() - t1) / 1e6 < 5.0, "fresh key waited behind another key's schedule")
+    PostsRateLimiter.acquire("paceTest", 0.0) // 0 = unpaced, must not throw or sleep
   }
 
   test("asof join: inclusive match, no-prior-row yields null, ties right-before-left") {

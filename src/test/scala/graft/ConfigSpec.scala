@@ -53,6 +53,40 @@ class ConfigSpec extends SparkSpec {
     assert(c.get("database.path.too.deep").isEmpty)
   }
 
+  test("yaml edge shapes: dash lists at key indent, 1.1 booleans, malformed scalars") {
+    val c = Config.parse(
+      """data_quality:
+        |  required_fields:
+        |  - order_id
+        |  - price
+        |pipeline:
+        |  enable_monitoring: yes
+        |  batch_size: "1,000"
+        |  quality_threshold: high
+        |""".stripMargin)
+    // dash items at the KEY's indent are valid YAML and must parse as a list
+    assert(c.getStrings("data_quality.required_fields", Nil) == Seq("order_id", "price"))
+    assert(c.getBoolean("pipeline.enable_monitoring", default = false))
+    // malformed scalars fall back to the caller default instead of throwing
+    assert(c.getInt("pipeline.batch_size", 1000) == 1000)
+    assert(c.getDouble("pipeline.quality_threshold", 80.0) == 80.0)
+  }
+
+  test("bad export format fails fast, before any storage work") {
+    val posts = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 1L, "iPhone post")),
+      StructType(Seq(StructField("id", LongType), StructField("userId", LongType),
+        StructField("title", StringType))))
+    val out = Files.createTempDirectory("cfg_bad").toString
+    val report = Pipeline.run(spark, Seq(Ingest.postsToOrders(posts)), out,
+      GraftConfig(exportFormats = Seq("csv", "avro")))
+    assert(!report.success)
+    assert(report.stages.map(_.stage) == Seq("configuration"))
+    assert(report.stages.head.error.exists(_.contains("avro")))
+    // nothing was written — the upsert never ran
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "orders")))
+  }
+
   test("missing file and malformed text fall back to defaults (utils.py:59-73)") {
     val missing = Config.load("/nonexistent/config.yaml")
     assert(missing.getInt("pipeline.batch_size", -1) == 1000)

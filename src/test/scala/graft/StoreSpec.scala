@@ -122,6 +122,35 @@ class StoreSpec extends SparkSpec {
       .getAs[Double]("price") == 99.0)
   }
 
+  test("incremental upsert: layout is self-describing and guarded both ways") {
+    // bucket count is fixed at creation: a later call with a different
+    // numBuckets must use the STORED modulus, or keys would be looked up
+    // in the wrong partitions and silently duplicate
+    val table = tmp("orders_inc3") + "/orders"
+    Store.upsertOrdersIncremental(spark,
+      ordersDf(("C-1", 1.0, "2024-01-01 00:00:00")), table, numBuckets = 8)
+    Store.upsertOrdersIncremental(spark,
+      ordersDf(("C-1", 2.0, "2024-02-01 00:00:00")), table, numBuckets = 64)
+    val rows = Store.readOrdersIncremental(spark, table).collect()
+    assert(rows.length == 1, "mismatched numBuckets duplicated the key")
+    assert(rows.head.getAs[Double]("price") == 2.0)
+    // full-rewrite upsert must refuse the bucketed layout...
+    val e1 = intercept[RuntimeException] {
+      Store.upsertOrders(spark, ordersDf(("C-2", 3.0, "2024-01-01 00:00:00")), table)
+    }
+    assert(e1.getMessage.contains("incremental"))
+    // ...and the incremental upsert must refuse a plain table
+    val plain = tmp("orders_plain") + "/orders"
+    Store.upsertOrders(spark, ordersDf(("P-1", 1.0, "2024-01-01 00:00:00")), plain)
+    val e2 = intercept[RuntimeException] {
+      Store.upsertOrdersIncremental(spark,
+        ordersDf(("P-2", 2.0, "2024-01-01 00:00:00")), plain)
+    }
+    assert(e2.getMessage.contains("not in incremental layout"))
+    // retrieval paths hide the layout column
+    assert(!Store.getOrders(spark, table, 10).columns.contains("__bucket"))
+  }
+
   test("exports + topk retrieval + stats (S8, S11-S14)") {
     val base = tmp("exports")
     val df = ordersDf(
