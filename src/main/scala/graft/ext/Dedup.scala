@@ -282,30 +282,40 @@ object Dedup {
       .orderBy("keeper_doc_id")
   }
 
+  /** Shared CTE block computing the exact 3-gram Jaccard pair set
+    * `(doc_a, doc_b, jaccard)` — ONE source of truth for q27's oracle and
+    * q60's edge set (a threshold or shingle tweak landing in only one of
+    * them would silently desynchronize the cluster oracle from the pair
+    * oracle). Pre-stripped plain string: assemble by concatenation, never
+    * re-stripMargin. */
+  private def ngramPairsSqlCtes(maxDocId: Int, minJaccard: Double): String =
+    s"""docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id < $maxDocId AND len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |      i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |    FROM docs)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $minJaccard)""".stripMargin
+
   /** Exact 3-gram Jaccard near-dup pairs on a bounded slice — the oracle
     * for the MinHash path. */
   val q27NgramJaccard: QuerySpec = QuerySpec(
     "q27_ngram_jaccard",
-    """WITH docs AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
-      |      i -> array_to_string(w[i:i+2], ' '))) AS shingle
-      |    FROM docs)),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |common AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT doc_a, doc_b,
-      |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
-      |FROM common
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    "WITH " + ngramPairsSqlCtes(300, 0.3) + "\n" +
+      "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b") { (s, dir) =>
     jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.3)
       .orderBy("doc_a", "doc_b")
   }
@@ -422,6 +432,76 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTERS from a candidate pair frame: connected components
+    * by iterative min-label propagation, each doc labeled with the
+    * smallest doc_id reachable from it (= the cluster's canonical
+    * representative — the "keep one copy per near-dup group" step that
+    * turns pairwise dedup output into an actual training-set filter).
+    *
+    * Scale shape: labels converge in O(component diameter) rounds — tiny
+    * for near-dup clusters, which are dense by construction — each round
+    * being one equi-join + one min-aggregate (map-side combinable) over
+    * the CLUSTERED docs only, not the corpus. Every round persists its
+    * result and drops the previous one, so lineage stays one round deep
+    * (the Lloyd lesson: an iterated unmaterialized DataFrame re-executes
+    * all prior rounds multiplicatively). For adversarially long chains at
+    * planet scale, swap the loop body for the alternating large-star /
+    * small-star rounds of Kiveris et al.'s "Connected Components in
+    * MapReduce" — same per-round plan shape, provably O(log n) rounds.
+    * Deterministic: min-labels are order-independent, which is what lets
+    * q60 carry a full recursive-CTE DuckDB oracle. */
+  def clustersFromPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var it = 0
+    var done = labels.isEmpty
+    while (!done && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
+          col("old"))
+        .persist()
+      done = next.filter(col("label") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next.select("doc_id", "label")
+      it += 1
+    }
+    val out = labels.select(col("doc_id"), col("label").as("cluster_rep"))
+    edges.unpersist()
+    out
+  }
+
+  /** q60: 3-gram-Jaccard near-dup clusters with canonical representatives
+    * — transitive closure of q27's pair set. Oracle: DuckDB recursive CTE
+    * computing min reachable id over the SAME pairs CTEs. */
+  val q60NearDupClusters: QuerySpec = QuerySpec(
+    "q60_neardup_clusters",
+    "WITH RECURSIVE " + ngramPairsSqlCtes(300, 0.3) + ",\n" +
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    clustersFromPairs(
+      jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.3))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment)
+    q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
+    q60NearDupClusters)
 }

@@ -92,6 +92,27 @@ class ExtSpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
   }
 
+  test("near-dup clusters: transitive chains collapse to the minimum id") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 needs multiple propagation rounds; {10,11} is a
+    // separate component; jaccard column present like jaccardPairs output
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (4L, 5L, 1.0), (10L, 11L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.clustersFromPairs(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // empty pair set → empty clustering, no iteration crash
+    assert(Dedup.clustersFromPairs(pairs.filter(col("doc_a") < 0)).isEmpty)
+    // every q60 member maps to a representative that is itself a member
+    val q60 = SparkEntry.queries("q60_neardup_clusters")(spark, sf).collect()
+    val members = q60.map(_.getAs[Long]("doc_id")).toSet
+    val reps = q60.map(_.getAs[Long]("cluster_rep")).toSet
+    assert(reps.subsetOf(members), "a cluster rep is not itself clustered")
+    assert(q60.forall(r => r.getAs[Long]("cluster_rep") <= r.getAs[Long]("doc_id")))
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
