@@ -63,5 +63,76 @@ object Sampling {
       .orderBy("lang")
   }
 
-  val all: Seq[QuerySpec] = Seq(q53StratifiedSample)
+  /** Weighted corpus mixture — the data-mixing step of an LLM training
+    * pipeline: per-source weights may EXCEED 1 (epoch repetition:
+    * upsample a high-quality source 2.5×), producing ⌊w⌋ full copies of
+    * every row plus one fractional copy whose membership is the same
+    * deterministic md5 bucket as [[deterministicSample]]. Emits a `copy`
+    * index (0-based) so downstream sharding/shuffling can treat repeats
+    * as distinct rows.
+    *
+    * Scan-local: weight lookup is a literal when-chain, membership is
+    * per-record arithmetic, repetition is a generator — no shuffle, no
+    * join, no state, so it composes under any downstream partitioning at
+    * any scale. Weights are split driver-side into integer (copies, pct)
+    * pairs, so both engines compare integers only — no float thresholds
+    * to drift cross-engine, which is what lets q61 carry a full oracle. */
+  def mixCorpus(df: DataFrame, sourceCol: String, key: Column,
+      weightBySource: Seq[(String, Double)], defaultWeight: Double = 0.0): DataFrame = {
+    def split(w: Double): (Int, Int) = {
+      require(w >= 0, s"mixture weight must be non-negative, got $w")
+      val full = math.floor(w).toInt
+      (full, math.round((w - full) * 100).toInt)
+    }
+    val (defFull, defPct) = split(defaultWeight)
+    val fullCol = weightBySource.foldLeft(when(lit(false), 0)) {
+      case (acc, (s, w)) => acc.when(col(sourceCol) === s, split(w)._1)
+    }.otherwise(defFull)
+    val pctCol = weightBySource.foldLeft(when(lit(false), 0)) {
+      case (acc, (s, w)) => acc.when(col(sourceCol) === s, split(w)._2)
+    }.otherwise(defPct)
+    df.withColumn("__n_copies",
+        fullCol + when(hashBucket(key) < pctCol, 1).otherwise(0))
+      // filter BEFORE the generator: sequence(0, -1) is Spark's DESCENDING
+      // [0, -1], not empty
+      .filter(col("__n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__n_copies") - 1)))
+      .drop("__n_copies")
+  }
+
+  /** q61: source-weighted mixture of the documents corpus (src0 upsampled
+    * 2.5 epochs, src1 kept, src2 downsampled, everything else 25%),
+    * summarized per (source, copy) so the oracle pins both the repetition
+    * plan and the fractional memberships. */
+  val q61CorpusMixture: QuerySpec = QuerySpec(
+    "q61_corpus_mixture",
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 WHEN 'src2' THEN 0 ELSE 0 END)
+      |    + (CASE WHEN bucket < (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 0 WHEN 'src2' THEN 40 ELSE 25 END)
+      |       THEN 1 ELSE 0 END) AS n_copies
+      |  FROM b),
+      |x AS (
+      |  SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS copy
+      |  FROM c WHERE n_copies > 0)
+      |SELECT source, copy, count(*) AS n_rows,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM x GROUP BY source, copy
+      |ORDER BY source, copy""".stripMargin) { (s, dir) =>
+    mixCorpus(Tables.documents(s, dir), "source", col("doc_id"),
+      Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4), defaultWeight = 0.25)
+      // DuckDB's generate_series yields BIGINT — align the copy dtype
+      .withColumn("copy", col("copy").cast("long"))
+      .groupBy("source", "copy")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "copy")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q53StratifiedSample, q61CorpusMixture)
 }

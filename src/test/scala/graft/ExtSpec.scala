@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -207,6 +207,29 @@ class ExtSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"lsh produced non-exact pairs: ${lsh.diff(exact)}")
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.5, s"near-dup LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("corpus mixture: epoch repetition, fractional membership, determinism") {
+    val docs = Tables.documents(spark, sf)
+    val mixed = Sampling.mixCorpus(docs, "source", col("doc_id"),
+      Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.0), defaultWeight = 0.25)
+    val bySrcCopy = mixed.groupBy("source", "copy").count().collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("copy")) -> r.getAs[Long]("count"))
+      .toMap
+    val n0 = docs.filter(col("source") === "src0").count()
+    // weight 2.5: copies 0 and 1 contain EVERY src0 doc, copy 2 about half
+    assert(bySrcCopy((("src0"), 0)) == n0 && bySrcCopy(("src0", 1)) == n0)
+    val frac = bySrcCopy(("src0", 2)).toDouble / n0
+    assert(frac > 0.3 && frac < 0.7, s"fractional copy kept $frac of src0")
+    // weight 1.0 = exactly one copy, no fractional spill
+    assert(!bySrcCopy.contains(("src1", 1)))
+    // weight 0 drops the source entirely
+    assert(!bySrcCopy.keys.exists(_._1 == "src2"))
+    // per-record determinism: rerun is identical
+    val again = Sampling.mixCorpus(docs, "source", col("doc_id"),
+      Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.0), defaultWeight = 0.25)
+    assert(mixed.select("doc_id", "copy").exceptAll(
+      again.select("doc_id", "copy")).isEmpty)
   }
 
   test("stratified sample: deterministic, correct rates, de kept whole") {
