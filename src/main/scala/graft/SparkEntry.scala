@@ -22,6 +22,7 @@ object SparkEntry {
       graft.ext.Dedup.all ++
       graft.ext.Similarity.all ++
       graft.ext.Sampling.all ++
+      graft.ext.Packing.all ++
       graft.pipeline.Ingest.all ++
       graft.ext.Multimodal.all ++
       graft.queries.Advanced.all

@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the batch-prep step between a cleaned corpus and a
+  * pretraining data loader: documents are grouped into "bins" of roughly
+  * `budget` tokens each, so every training sequence is assembled from one
+  * bin with minimal padding.
+  *
+  * Packing is the classic offline bin-packing problem; the streaming-
+  * friendly industrial approximation used here is cumulative-offset
+  * binning: within a shard, lay documents end-to-end in a deterministic
+  * order and cut every `budget` tokens — a document whose START offset
+  * falls in bin k belongs to bin k (so a bin can overflow by at most one
+  * document's tokens; the loader truncates or spills, exactly as with
+  * concatenate-and-chunk pretraining pipelines).
+  *
+  * The 100 TB shape: a GLOBAL cumulative sum would be a single-partition
+  * window — the canonical scale anti-pattern — so packing is per SHARD:
+  * the shard is a deterministic md5 bucket of the key ([[Sampling.hashBucket]]
+  * arithmetic, so shard membership survives re-partitioning and engine
+  * changes), shards are independent (windows partition by shard → one
+  * exchange on shard id, every shard's prefix-sum runs parallel), and the
+  * shard count — not data size — bounds the window state. Everything is
+  * expressible as one window aggregate: fully deterministic, so q62
+  * carries a value-level DuckDB oracle replaying the same window.
+  */
+object Packing {
+
+  /** Assign each row a (shard, bin, start_offset) under a token budget.
+    * `tokenCol` must be a per-row token count expression. */
+  def packSequences(df: DataFrame, key: Column, tokenCol: Column,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val sharded = df
+      .withColumn("n_tokens", tokenCol.cast("long"))
+      .withColumn("shard", Sampling.hashBucket(key, shards))
+    // running total INCLUSIVE of the current row, minus the row itself =
+    // the row's start offset in its shard's concatenated token stream
+    val w = Window.partitionBy(col("shard")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("start_offset") / budget).cast("long"))
+  }
+
+  /** q62: pack the documents corpus into 2048-token bins across 8 shards
+    * (whitespace token counts, q24's arithmetic), summarized per
+    * (shard, bin) so the oracle pins the full packing plan: how many
+    * docs land in each bin, the tokens packed, and the bin's start
+    * boundaries. */
+  val q62SequencePacking: QuerySpec = QuerySpec(
+    "q62_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+      |  FROM t)
+      |SELECT shard, CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, sum(n_tokens) AS tokens_packed,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2
+      |ORDER BY shard, bin""".stripMargin) { (s, dir) =>
+    packSequences(Tables.documents(s, dir), col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))), budget = 2048L, shards = 8)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_packed"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q62SequencePacking)
+}

@@ -232,6 +232,31 @@ class ExtSpec extends SparkSpec {
       again.select("doc_id", "copy")).isEmpty)
   }
 
+  test("sequence packing: offsets accumulate per shard, bins cut at the budget") {
+    import spark.implicits._
+    // single shard → one deterministic token stream: 5 docs × 1000 tokens,
+    // budget 2048 ⇒ start offsets 0,1000,2000,3000,4000 ⇒ bins 0,0,0,1,1
+    val docs = (1L to 5L).map(i => (i, Seq.fill(1000)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = graft.ext.Packing.packSequences(docs, col("doc_id"),
+      size(graft.ext.TextAnalysis.tokens(col("text"))), budget = 2048L, shards = 1)
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.getAs[Long]("start_offset")).toSeq ==
+      Seq(0L, 1000L, 2000L, 3000L, 4000L))
+    assert(packed.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+    // real corpus: every (shard, bin) except a shard's last bin packs at
+    // least the budget's worth of starting space — bins are dense
+    val q62 = SparkEntry.queries("q62_sequence_packing")(spark, sf).collect()
+    assert(q62.nonEmpty)
+    val byShard = q62.groupBy(_.getAs[Int]("shard"))
+    byShard.foreach { case (shard, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0L, s"shard $shard does not start at bin 0")
+      assert(bins.toSeq == (0L until bins.length).toSeq,
+        s"shard $shard has gaps in its bin sequence: ${bins.toSeq}")
+    }
+  }
+
   test("stratified sample: deterministic, correct rates, de kept whole") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
