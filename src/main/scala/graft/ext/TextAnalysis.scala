@@ -54,6 +54,22 @@ object TextAnalysis {
   def langId(text: Column): Column =
     predictLang(LangMarkers.map { case (l, ms) => l -> markerScore(text, ms) })
 
+  /** Quality-score components (length saturation, type-token ratio,
+    * stopword density) and their weighted blend — ONE definition shared by
+    * q23 and the q63 filter funnel so the scoring rule can't drift between
+    * the profiling view and the filtering decision. */
+  def qualityParts(text: Column): (Column, Column, Column) = {
+    val toks = tokens(text)
+    (least(lit(1.0), length(text).cast("double") / 400),
+      size(array_distinct(toks)).cast("double") / size(toks),
+      (occurrences(padded(text), " the ") + occurrences(padded(text), " a "))
+        .cast("double") / size(toks))
+  }
+
+  def qualityScore(lenScore: Column, ttr: Column, stopRatio: Column): Column =
+    lenScore * 0.4 + ttr * 0.4 +
+      (lit(1.0) - least(lit(1.0), stopRatio * 5)) * 0.2
+
   val q21TextStats: QuerySpec = QuerySpec(
     "q21_text_stats",
     """SELECT doc_id, lang, source,
@@ -130,16 +146,11 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val d = Tables.documents(s, dir)
-    val toks = tokens(col("text"))
+    val (lenScore, ttr, stopRatio) = qualityParts(col("text"))
     val base = d.select(
       col("doc_id"),
-      least(lit(1.0), length(col("text")).cast("double") / 400).as("len_score"),
-      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
-      ((occurrences(padded(col("text")), " the ")
-        + occurrences(padded(col("text")), " a ")).cast("double") / size(toks))
-        .as("stop_ratio"))
-    val q = col("len_score") * 0.4 + col("ttr") * 0.4 +
-      (lit(1.0) - least(lit(1.0), col("stop_ratio") * 5)) * 0.2
+      lenScore.as("len_score"), ttr.as("ttr"), stopRatio.as("stop_ratio"))
+    val q = qualityScore(col("len_score"), col("ttr"), col("stop_ratio"))
     base.select(
       col("doc_id"),
       round(col("len_score"), 4).as("len_score"),
@@ -213,7 +224,83 @@ object TextAnalysis {
       .orderBy("lang", "rnk")
   }
 
+  /** q63: the corpus FILTER FUNNEL — the single decision query a training
+    * pipeline runs to materialize its kept set, with per-rule drop
+    * accounting (the numbers a data card reports). Rules apply in the
+    * standard order: minimum length → language → quality score → exact
+    * dedup (keeper = smallest doc_id per content fingerprint AMONG the
+    * docs that survived the earlier rules — deduping before filtering
+    * would let a low-quality copy shadow a high-quality one).
+    *
+    * ONE pass: every rule is a boolean flag in the same projection, the
+    * dedup keeper is a min-over-fingerprint window of the surviving ids,
+    * and the funnel rows explode out of a single aggregate — no
+    * per-stage scans, no self-joins, at any corpus size. */
+  val q63FilterFunnel: QuerySpec = QuerySpec(
+    "q63_filter_funnel",
+    """WITH f AS (
+      |  SELECT doc_id, lang, n_chars, md5(text) AS fp,
+      |    0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 400)
+      |    + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |             / len(string_split(text, ' ')))
+      |    + 0.2 * (1 - least(1.0,
+      |        (CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+      |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS DOUBLE)
+      |         / len(string_split(text, ' '))) * 5)) AS q
+      |  FROM documents),
+      |flags AS (
+      |  SELECT doc_id, fp,
+      |    (n_chars >= 100) AS f1,
+      |    (n_chars >= 100 AND lang = 'en') AS f2,
+      |    (n_chars >= 100 AND lang = 'en' AND q >= 0.4) AS f3
+      |  FROM f),
+      |keep AS (
+      |  SELECT *,
+      |    f3 AND doc_id = min(CASE WHEN f3 THEN doc_id END) OVER (PARTITION BY fp) AS f4
+      |  FROM flags),
+      |t AS (
+      |  SELECT count(*) AS n0,
+      |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |    CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      |  FROM keep)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_idx, 'min_length' AS stage, n0 AS n_in, n1 AS n_kept, n0 - n1 AS n_dropped FROM t
+      |  UNION ALL SELECT 2, 'lang_en', n1, n2, n1 - n2 FROM t
+      |  UNION ALL SELECT 3, 'quality', n2, n3, n2 - n3 FROM t
+      |  UNION ALL SELECT 4, 'exact_dedup', n3, n4, n3 - n4 FROM t)
+      |ORDER BY stage_idx""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val (lenScore, ttr, stopRatio) = qualityParts(col("text"))
+    val q = qualityScore(lenScore, ttr, stopRatio)
+    val flagged = d.select(
+      col("doc_id"), md5(col("text")).as("fp"),
+      (col("n_chars") >= 100).as("f1"),
+      (col("n_chars") >= 100 && col("lang") === "en").as("f2"),
+      (col("n_chars") >= 100 && col("lang") === "en" && q >= 0.4).as("f3"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val kept = flagged.withColumn("f4",
+      col("f3") && col("doc_id") === min(when(col("f3"), col("doc_id"))).over(w))
+    val t = kept.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("f4"), 1L).otherwise(0L)).as("n4"))
+    val stages = Seq(
+      (1, "min_length", "n0", "n1"), (2, "lang_en", "n1", "n2"),
+      (3, "quality", "n2", "n3"), (4, "exact_dedup", "n3", "n4"))
+    t.select(explode(array(stages.map { case (i, name, in, out) =>
+        struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+          col(in).as("n_in"), col(out).as("n_kept"),
+          (col(in) - col(out)).as("n_dropped"))
+      }: _*)).as("s")).select("s.*")
+      .orderBy("stage_idx")
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk)
 }

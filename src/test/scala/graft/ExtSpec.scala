@@ -209,6 +209,23 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"near-dup LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("filter funnel: stages chain (each n_in = previous n_kept), counts conserve") {
+    val rows = SparkEntry.queries("q63_filter_funnel")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("min_length", "lang_en", "quality", "exact_dedup"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") ==
+        r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped"), r.toString)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_kept"),
+        s"funnel not chained: ${a} -> ${b}")
+    }
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.head.getAs[Long]("n_in") == total)
+    assert(rows.last.getAs[Long]("n_kept") > 0, "funnel dropped everything")
+  }
+
   test("corpus mixture: epoch repetition, fractional membership, determinism") {
     val docs = Tables.documents(spark, sf)
     val mixed = Sampling.mixCorpus(docs, "source", col("doc_id"),
