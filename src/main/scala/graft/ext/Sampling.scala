@@ -134,5 +134,42 @@ object Sampling {
       .orderBy("source", "copy")
   }
 
-  val all: Seq[QuerySpec] = Seq(q53StratifiedSample, q61CorpusMixture)
+  /** Deterministic train/val/test assignment: the record's md5 bucket
+    * decides its split, so membership survives re-runs, engine changes,
+    * repartitioning, and incremental corpus growth (a doc added tomorrow
+    * cannot move today's docs between splits — the property random-seed
+    * splits lose the moment data or partitioning changes). Scan-local. */
+  def assignSplit(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = hashBucket(key)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** q64: 90/5/5 corpus split summary — per-split counts and id ranges
+    * pin every membership decision. */
+  val q64TrainValTestSplit: QuerySpec = QuerySpec(
+    "q64_train_val_test_split",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+      |  FROM documents)
+      |SELECT
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY 1
+      |ORDER BY split""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("split", assignSplit(col("doc_id")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("split")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q53StratifiedSample, q61CorpusMixture, q64TrainValTestSplit)
 }

@@ -46,6 +46,19 @@ class PlanQualitySpec extends SparkSpec {
       s"partition pruning read all $total files for a 2-bucket slice")
   }
 
+  test("q62/q63: corpus ops stay single-scan — no self-joins or repeat reads") {
+    // q62 packing: one documents scan, one exchange (on shard), one window
+    val p62 = planOf("q62_sequence_packing")
+    assert(p62.split("Scan parquet").length - 1 == 1,
+      s"q62 scans documents more than once:\n$p62")
+    // q63 funnel: the four rules + dedup keeper + funnel rows from ONE
+    // corpus read — a per-stage implementation would scan 4×
+    val p63 = planOf("q63_filter_funnel")
+    assert(p63.split("Scan parquet").length - 1 == 1,
+      s"q63 scans documents more than once:\n$p63")
+    assert(!p63.contains("BroadcastNestedLoopJoin") && !p63.contains("CartesianProduct"))
+  }
+
   test("q04: dimension joins broadcast, no cartesian fallback") {
     val p = planOf("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
