@@ -470,12 +470,28 @@ object Dedup {
           least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
           col("old"))
         .persist()
-      done = next.filter(col("label") < col("old")).isEmpty
+      // count(), not a take(1)-style isEmpty: the convergence probe must
+      // FULLY materialize this round's cache before the previous round's
+      // is dropped, or later rounds recompute uncached partitions through
+      // unpersisted lineage — the very multiplication persist() is for
+      done = next.filter(col("label") < col("old")).count() == 0
       labels.unpersist()
       labels = next.select("doc_id", "label")
       it += 1
     }
+    // a silent non-converged result would disagree with the exact oracle
+    // and misassign representatives — fail loudly instead
+    if (!done) sys.error(
+      s"clustersFromPairs did not converge in $maxIters rounds " +
+        "(component diameter exceeds the bound; raise maxIters or switch " +
+        "to large-star/small-star rounds)")
+    // localCheckpoint truncates the iteration lineage and materializes the
+    // (clustered-docs-sized) result, letting BOTH loop caches be released
+    // here instead of leaking one pinned frame per call; checkpoint blocks
+    // are GC-released with the frame
     val out = labels.select(col("doc_id"), col("label").as("cluster_rep"))
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     out
   }

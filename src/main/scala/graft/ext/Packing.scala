@@ -38,7 +38,7 @@ object Packing {
     require(shards > 0, s"shard count must be positive, got $shards")
     val sharded = df
       .withColumn("n_tokens", tokenCol.cast("long"))
-      .withColumn("shard", Sampling.hashBucket(key, shards))
+      .withColumn("shard", Sampling.hashBucket(key, shards, salt = "pack:"))
     // running total INCLUSIVE of the current row, minus the row itself =
     // the row's start offset in its shard's concatenated token stream
     val w = Window.partitionBy(col("shard")).orderBy(key)
@@ -55,9 +55,9 @@ object Packing {
     * boundaries. */
   val q62SequencePacking: QuerySpec = QuerySpec(
     "q62_sequence_packing",
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+      |    ${Sampling.hashBucketSql("doc_id", 8, "pack:")} AS shard,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |o AS (
@@ -66,7 +66,7 @@ object Packing {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
       |  FROM t)
       |SELECT shard, CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin,
-      |  count(*) AS n_docs, sum(n_tokens) AS tokens_packed,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM o GROUP BY 1, 2
       |ORDER BY shard, bin""".stripMargin) { (s, dir) =>

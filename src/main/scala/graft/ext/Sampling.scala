@@ -19,15 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic bucket in [0, buckets) from the record key. */
-  def hashBucket(key: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(buckets)).cast("int")
+  /** Deterministic bucket in [0, buckets) from the record key. `salt`
+    * gives every OPERATION its own decision stream: without it, the
+    * sampler, the mixture's fractional copy, the split assigner, and the
+    * packer's shard would all rank records by the SAME md5 value — e.g.
+    * a 20% sample would land 100% inside the 90% train split and val/test
+    * would be sample-free. Composed pipeline stages must be decorrelated,
+    * so each public operator below passes a distinct salt. */
+  def hashBucket(key: Column, buckets: Int = 100, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(buckets)).cast("int")
+
+  /** SQL twin of [[hashBucket]] — the single source of the oracle-side
+    * bucket spelling (q53/q61/q62/q64 all assemble from here; a widened
+    * hex prefix edited in one copy but not another would silently break
+    * that query's engine parity). */
+  def hashBucketSql(keyExpr: String, buckets: Int, salt: String = ""): String = {
+    val salted = if (salt.isEmpty) s"CAST($keyExpr AS VARCHAR)"
+      else s"'$salt' || CAST($keyExpr AS VARCHAR)"
+    s"CAST(CAST(('0x' || substr(md5($salted), 1, 8)) AS BIGINT) % $buckets AS INT)"
+  }
 
   /** Keep ~`pct`% of rows, decided per-record (scan-local filter — no
     * shuffle, pushes nothing but costs one md5 per row). */
   def deterministicSample(df: DataFrame, key: Column, pct: Int): DataFrame =
-    df.filter(hashBucket(key) < pct)
+    df.filter(hashBucket(key, salt = "sample:") < pct)
 
   /** Stratified deterministic sample: per-stratum keep percentage,
     * default percentage for unlisted strata. The rate lookup is a
@@ -37,16 +53,16 @@ object Sampling {
     val pct = pctByStratum.foldLeft(when(lit(false), 0)) {
       case (acc, (s, p)) => acc.when(col(strataCol) === s, p)
     }.otherwise(defaultPct)
-    df.filter(hashBucket(key) < pct)
+    df.filter(hashBucket(key, salt = "strata:") < pct)
   }
 
   /** Language-stratified corpus sample: downsample dominant en, keep all
     * de, mid-rate the rest — the canonical corpus-balancing move. */
   val q53StratifiedSample: QuerySpec = QuerySpec(
     "q53_stratified_sample",
-    """WITH bucketed AS (
+    s"""WITH bucketed AS (
       |  SELECT doc_id, lang,
-      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+      |    ${hashBucketSql("doc_id", 100, "strata:")} AS bucket
       |  FROM documents)
       |SELECT lang, count(*) AS n_sampled,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -79,10 +95,16 @@ object Sampling {
     * to drift cross-engine, which is what lets q61 carry a full oracle. */
   def mixCorpus(df: DataFrame, sourceCol: String, key: Column,
       weightBySource: Seq[(String, Double)], defaultWeight: Double = 0.0): DataFrame = {
+    // fractional weights are quantized to WHOLE percent (the bucket
+    // granularity); refuse a weight the quantization would silently
+    // distort into zero rather than drop a source the caller asked for
     def split(w: Double): (Int, Int) = {
       require(w >= 0, s"mixture weight must be non-negative, got $w")
       val full = math.floor(w).toInt
-      (full, math.round((w - full) * 100).toInt)
+      val pct = math.round((w - full) * 100).toInt
+      require(w == 0 || full > 0 || pct > 0,
+        s"mixture weight $w is below the 1% granularity (smallest nonzero: 0.005)")
+      (full, pct)
     }
     val (defFull, defPct) = split(defaultWeight)
     val fullCol = weightBySource.foldLeft(when(lit(false), 0)) {
@@ -92,7 +114,7 @@ object Sampling {
       case (acc, (s, w)) => acc.when(col(sourceCol) === s, split(w)._2)
     }.otherwise(defPct)
     df.withColumn("__n_copies",
-        fullCol + when(hashBucket(key) < pctCol, 1).otherwise(0))
+        fullCol + when(hashBucket(key, salt = "mix:") < pctCol, 1).otherwise(0))
       // filter BEFORE the generator: sequence(0, -1) is Spark's DESCENDING
       // [0, -1], not empty
       .filter(col("__n_copies") > 0)
@@ -106,9 +128,9 @@ object Sampling {
     * plan and the fractional memberships. */
   val q61CorpusMixture: QuerySpec = QuerySpec(
     "q61_corpus_mixture",
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT doc_id, source,
-      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+      |    ${hashBucketSql("doc_id", 100, "mix:")} AS bucket
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, source,
@@ -142,7 +164,7 @@ object Sampling {
   def assignSplit(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val b = hashBucket(key)
+    val b = hashBucket(key, salt = "split:")
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
@@ -152,9 +174,9 @@ object Sampling {
     * pin every membership decision. */
   val q64TrainValTestSplit: QuerySpec = QuerySpec(
     "q64_train_val_test_split",
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT doc_id,
-      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+      |    ${hashBucketSql("doc_id", 100, "split:")} AS bucket
       |  FROM documents)
       |SELECT
       |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,

@@ -70,6 +70,24 @@ object TextAnalysis {
     lenScore * 0.4 + ttr * 0.4 +
       (lit(1.0) - least(lit(1.0), stopRatio * 5)) * 0.2
 
+  /** SQL twins of [[qualityParts]]/[[qualityScore]] — one spelling of the
+    * component arithmetic shared by the q23 and q63 oracles, mirroring the
+    * Scala sharing (two hand-copies of the blend already diverged once in
+    * review). `extraCols` rides along for the funnel's filter columns;
+    * pre-stripped: assemble by concatenation, never re-stripMargin. */
+  def qualityPartsSql(extraCols: String): String =
+    s"""SELECT doc_id$extraCols,
+       |    least(1.0, CAST(length(text) AS DOUBLE) / 400) AS len_score,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS ttr,
+       |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+       |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop_ratio
+       |  FROM documents""".stripMargin
+
+  final val QualityBlendSql: String =
+    "0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5))"
+
   val q21TextStats: QuerySpec = QuerySpec(
     "q21_text_stats",
     """SELECT doc_id, lang, source,
@@ -127,24 +145,16 @@ object TextAnalysis {
     * text corpora). */
   val q23DocQuality: QuerySpec = QuerySpec(
     "q23_doc_quality",
-    """SELECT doc_id,
-      |  round(len_score, 4) AS len_score,
-      |  round(ttr, 4) AS diversity_score,
-      |  round(stop_ratio, 4) AS stopword_ratio,
-      |  round(0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5)), 4) AS quality_score,
-      |  CASE WHEN 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5)) >= 0.6 THEN 'high'
-      |       WHEN 0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5)) >= 0.4 THEN 'medium'
-      |       ELSE 'low' END AS quality_band
-      |FROM (
-      |  SELECT doc_id,
-      |    least(1.0, CAST(length(text) AS DOUBLE) / 400) AS len_score,
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |      / len(string_split(text, ' ')) AS ttr,
-      |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
-      |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS DOUBLE)
-      |      / len(string_split(text, ' ')) AS stop_ratio
-      |  FROM documents)
-      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    "SELECT doc_id,\n" +
+      "  round(len_score, 4) AS len_score,\n" +
+      "  round(ttr, 4) AS diversity_score,\n" +
+      "  round(stop_ratio, 4) AS stopword_ratio,\n" +
+      s"  round($QualityBlendSql, 4) AS quality_score,\n" +
+      s"  CASE WHEN $QualityBlendSql >= 0.6 THEN 'high'\n" +
+      s"       WHEN $QualityBlendSql >= 0.4 THEN 'medium'\n" +
+      "       ELSE 'low' END AS quality_band\n" +
+      "FROM (\n  " + qualityPartsSql("") + ")\n" +
+      "ORDER BY doc_id") { (s, dir) =>
     val d = Tables.documents(s, dir)
     val (lenScore, ttr, stopRatio) = qualityParts(col("text"))
     val base = d.select(
@@ -238,17 +248,10 @@ object TextAnalysis {
     * per-stage scans, no self-joins, at any corpus size. */
   val q63FilterFunnel: QuerySpec = QuerySpec(
     "q63_filter_funnel",
-    """WITH f AS (
-      |  SELECT doc_id, lang, n_chars, md5(text) AS fp,
-      |    0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 400)
-      |    + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |             / len(string_split(text, ' ')))
-      |    + 0.2 * (1 - least(1.0,
-      |        (CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
-      |         + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS DOUBLE)
-      |         / len(string_split(text, ' '))) * 5)) AS q
-      |  FROM documents),
-      |flags AS (
+    "WITH p AS (\n  " +
+      qualityPartsSql(", lang, n_chars, md5(text) AS fp") + "),\n" +
+      s"f AS (\n  SELECT doc_id, lang, n_chars, fp, $QualityBlendSql AS q FROM p),\n" +
+      """flags AS (
       |  SELECT doc_id, fp,
       |    (n_chars >= 100) AS f1,
       |    (n_chars >= 100 AND lang = 'en') AS f2,

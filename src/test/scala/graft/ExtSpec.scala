@@ -245,8 +245,9 @@ class ExtSpec extends SparkSpec {
     // per-record determinism: rerun is identical
     val again = Sampling.mixCorpus(docs, "source", col("doc_id"),
       Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.0), defaultWeight = 0.25)
-    assert(mixed.select("doc_id", "copy").exceptAll(
-      again.select("doc_id", "copy")).isEmpty)
+    val m = mixed.select("doc_id", "copy")
+    val a = again.select("doc_id", "copy")
+    assert(m.exceptAll(a).isEmpty && a.exceptAll(m).isEmpty)
   }
 
   test("sequence packing: offsets accumulate per shard, bins cut at the budget") {
