@@ -33,6 +33,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("near-dup clusters match a driver-side union-find on random graphs (differential)") {
+    import spark.implicits._
+    // per-frame seeds (replaying Seed(0) per draw was a past test bug)
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    samples(graphGen, 25).zipWithIndex.foreach { case (edges, i) =>
+      if (edges.nonEmpty) {
+        // reference: classic union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // representative = MINIMUM member id per component, like the operator
+        val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+          val rep = members.min
+          members.map(_ -> rep)
+        }
+        val got = ext.Dedup.clustersFromPairs(
+          edges.toDF("doc_a", "doc_b"), maxIters = 50).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+        assert(got == expected, s"graph #$i diverged: edges=$edges")
+      }
+    }
+  }
+
   test("dedup idempotence: Clean.dedupFull twice equals once") {
     val df = Tables.orders(spark, sf).select("o_orderstatus", "o_orderpriority")
     val once = Clean.dedupFull(df)
