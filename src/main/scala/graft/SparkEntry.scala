@@ -23,6 +23,8 @@ object SparkEntry {
       graft.ext.Similarity.all ++
       graft.ext.Sampling.all ++
       graft.ext.Packing.all ++
+      graft.ext.Redaction.all ++
+      graft.ext.Snapshot.all ++
       graft.pipeline.Ingest.all ++
       graft.ext.Multimodal.all ++
       graft.queries.Advanced.all

@@ -517,7 +517,79 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---- Benchmark decontamination ---------------------------------------
+
+  /** Distinct word-n-gram md5 fingerprints per doc, exploded to
+    * (doc_id, gram) rows. Docs shorter than n tokens carry no grams and
+    * are dropped (same contract as [[shingleRows]]). The words array is
+    * its own projection first for the same O(words) reason. */
+  def ngramFingerprintRows(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $n))))")))
+        .as("gram"))
+  }
+
+  /** Benchmark decontamination: for every training doc, the count and
+    * fraction of its distinct n-grams that also appear in the eval set
+    * (the overlap audit run before training so eval answers aren't in the
+    * corpus — the published GPT-3/Llama recipe, with n=13-ish; n is a
+    * parameter, 4 here so the synthetic corpus produces hits).
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of docs
+    * against billions — so its distinct gram set is broadcast and the
+    * probe is a scan-local hash lookup per training gram followed by one
+    * doc_id aggregate; the training corpus is never shuffled on text or
+    * joined against itself. */
+  def evalContamination(docs: DataFrame, evalMod: Int, n: Int): DataFrame = {
+    val grams = ngramFingerprintRows(docs, n)
+    val isEval = col("doc_id") % evalMod === 0
+    val evalGrams = grams.filter(isEval).select("gram").distinct()
+      .withColumn("hit", lit(1))
+    grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("contamination"),
+        (col("n_hit") > 0).as("contaminated"))
+  }
+
+  /** q65: 4-gram eval-set overlap over the full corpus (eval slice =
+    * doc_id % 50). Full value-level oracle: md5 gram fingerprints replay
+    * exactly in DuckDB. */
+  val q65Decontaminate: QuerySpec = QuerySpec(
+    "q65_decontaminate",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 4),
+      |g AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),
+      |      i -> md5(array_to_string(w[i:i+3], ' ')))) AS gram
+      |    FROM d)),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS contamination,
+      |  sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+      |FROM g LEFT JOIN ev ON g.gram = ev.gram
+      |WHERE g.doc_id % 50 <> 0
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    evalContamination(Tables.documents(s, dir), evalMod = 50, n = 4)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
-    q60NearDupClusters)
+    q60NearDupClusters, q65Decontaminate)
 }

@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.QuerySpec
+import graft.pipeline.OrdersDomain
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII handling for training-data pipelines: regex detection over free
+  * text plus deterministic pseudonymization of structured identity columns
+  * (the privacy pass a corpus runs before anything ships to training —
+  * generalizes the reference's email/field validators,
+  * `/root/reference/src/validation.py:145-158`, from *checking* PII shape
+  * to *removing* it).
+  *
+  * Redaction is deterministic (md5-derived pseudonyms), so the same
+  * person maps to the same token across the corpus — joins and
+  * frequency statistics survive redaction, which a random mask would
+  * destroy — and the operator carries a full value-level DuckDB oracle.
+  * All patterns are backref-free character-class regexes with identical
+  * semantics in Java regex (Spark) and RE2 (DuckDB).
+  *
+  * Scale shape: one scan-local projection — no shuffle, no UDF; the
+  * regexes and md5 run inside whole-stage codegen.
+  */
+object Redaction {
+
+  /** Conservative email pattern (char-class only — portable). */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+  /** Deterministic pseudonym for an identity value; null-safe (null in →
+    * null out, so missingness statistics survive redaction too). */
+  def pseudonym(c: Column, prefix: String): Column =
+    when(c.isNull, lit(null)).otherwise(
+      concat(lit(prefix), substring(md5(c), 1, 10)))
+
+  /** Local part / domain of an email, split at the FIRST '@' — plain
+    * string ops (instr + substring), not regex: the split runs twice per
+    * row and the one genuine regex should be the detector, not the
+    * splitter. Identical semantics to DuckDB strpos + substr. */
+  private def emailLocal(email: Column): Column =
+    email.substr(lit(1), instr(email, "@") - 1)
+
+  def emailDomain(email: Column): Column =
+    email.substr(instr(email, "@") + 1, length(email))
+
+  /** Mask an email keeping its domain (the routing-relevant, non-identifying
+    * half): hash of the local part + the literal domain. */
+  def maskEmail(email: Column): Column =
+    when(email.isNull, lit(null)).otherwise(concat(
+      substring(md5(emailLocal(email)), 1, 10),
+      lit("@"), emailDomain(email)))
+
+  /** Per-record redaction over an orders-domain frame — a pure projection:
+    * it adds no exchange and PRESERVES the input's row order, so callers
+    * that need sorted output should sort the (narrow) input first. Sorting
+    * the redacted output instead would double-execute the projection:
+    * range partitioning samples its child to pick boundaries, so every
+    * expression below the sort runs twice (measured 9.4 s vs 3.6 s at
+    * sf0.1). */
+  def redactOrders(domain: DataFrame): DataFrame = {
+    val freeText = concat_ws(" ", col("customer_name"), col("customer_email"))
+    domain.select(
+      col("order_id"),
+      pseudonym(col("customer_name"), "user_").as("customer_name_redacted"),
+      maskEmail(col("customer_email")).as("customer_email_redacted"),
+      emailDomain(col("customer_email")).as("email_domain"),
+      size(regexp_extract_all(freeText, lit(EmailRe), lit(0))).as("n_emails_in_text"),
+      (when(col("customer_name").isNull, 0).otherwise(1)
+        + when(col("customer_email").isNull, 0).otherwise(1)).as("n_redacted"))
+  }
+
+  /** q66: redaction over the deterministically-dirty domain (so the
+    * null-safety path is exercised: %83 rows arrive with a null name and
+    * must leave with one). */
+  val q66PiiRedact: QuerySpec = QuerySpec(
+    "q66_pii_redact",
+    "WITH " + OrdersDomain.OracleCte + ",\n" + OrdersDomain.DirtyOracleCte + "\n" +
+      s"""SELECT order_id,
+         |  CASE WHEN customer_name IS NULL THEN NULL
+         |    ELSE 'user_' || substr(md5(customer_name), 1, 10) END AS customer_name_redacted,
+         |  CASE WHEN customer_email IS NULL THEN NULL
+         |    ELSE substr(md5(substr(customer_email, 1, strpos(customer_email, '@') - 1)), 1, 10)
+         |      || '@' || substr(customer_email, strpos(customer_email, '@') + 1) END AS customer_email_redacted,
+         |  substr(customer_email, strpos(customer_email, '@') + 1) AS email_domain,
+         |  CAST(len(regexp_extract_all(concat_ws(' ', customer_name, customer_email),
+         |    '$EmailRe')) AS INT) AS n_emails_in_text,
+         |  (CASE WHEN customer_name IS NULL THEN 0 ELSE 1 END
+         |    + CASE WHEN customer_email IS NULL THEN 0 ELSE 1 END) AS n_redacted
+         |FROM dirty_domain
+         |ORDER BY order_id""".stripMargin) { (s, dir) =>
+    redactOrders(OrdersDomain.dirtyFromTpch(s, dir).orderBy("order_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q66PiiRedact)
+}

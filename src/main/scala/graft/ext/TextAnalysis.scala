@@ -302,8 +302,131 @@ object TextAnalysis {
       .orderBy("stage_idx")
   }
 
+  /** q67: repetition-based quality filters (the Gopher-rule family:
+    * excessive repetition is the strongest single low-quality signal in
+    * web corpora). Per doc: top-token fraction, duplicate-token fraction,
+    * top-bigram fraction, and the keep decision.
+    *
+    * Scale shape: every metric is a scan-local array expression over the
+    * token vector — ZERO shuffles at any corpus size (the explode +
+    * two-level-aggregate alternative costs two shuffles of the full token
+    * stream). Per-row cost is O(distinct · tokens), fine for web-document
+    * lengths; a corpus of book-length texts would flip to the explode
+    * form. Thresholds sit at this corpus's upper deciles so both classes
+    * are populated; real pipelines tune them per source. */
+  val q67RepetitionFilter: QuerySpec = QuerySpec(
+    "q67_repetition_filter",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (
+      |  SELECT doc_id, w,
+      |    list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1]) AS bg
+      |  FROM d),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS INT) AS n,
+      |    list_max(list_transform(list_distinct(w),
+      |      t -> len(list_filter(w, x -> x = t)))) AS toptok,
+      |    CAST(len(list_distinct(w)) AS INT) AS ndist,
+      |    list_max(list_transform(list_distinct(bg),
+      |      t -> len(list_filter(bg, x -> x = t)))) AS topbg
+      |  FROM b)
+      |SELECT doc_id,
+      |  n AS n_tokens,
+      |  round(CAST(toptok AS DOUBLE) / n, 4) AS top_token_frac,
+      |  round(CAST(n - ndist AS DOUBLE) / n, 4) AS dup_token_frac,
+      |  round(CAST(topbg AS DOUBLE) / (n - 1), 4) AS top_bigram_frac,
+      |  (CAST(toptok AS DOUBLE) / n <= 0.12
+      |    AND CAST(n - ndist AS DOUBLE) / n <= 0.6
+      |    AND CAST(topbg AS DOUBLE) / (n - 1) <= 0.06) AS keep
+      |FROM m
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+    val n = size(col("w"))
+    val topTok = expr(
+      "array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
+    val nDist = size(array_distinct(col("w")))
+    val topBg = expr(
+      "array_max(transform(array_distinct(bg), t -> size(filter(bg, x -> x = t))))")
+    val topTokF = topTok.cast("double") / n
+    val dupF = (n - nDist).cast("double") / n
+    val topBgF = topBg.cast("double") / (n - 1)
+    base.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      round(topTokF, 4).as("top_token_frac"),
+      round(dupF, 4).as("dup_token_frac"),
+      round(topBgF, 4).as("top_bigram_frac"),
+      (topTokF <= 0.12 && dupF <= 0.6 && topBgF <= 0.06).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q68: top-3 characteristic terms per doc by tf-idf. The idf is the
+    * BM25 rational form (N - df + 0.5)/(df + 0.5) rather than ln(N/df):
+    * same ordering, but every step is exact IEEE +,·,/ — bitwise
+    * reproducible across engines, where a transcendental ln may drift a
+    * ulp and flip a rounding boundary (SURVEY.md §7.4 oracle rule).
+    *
+    * Scale shape: one token explode → (doc, token) counts with map-side
+    * partials; doc lengths and doc frequencies are two SMALL re-aggregates
+    * of that count frame (token-count-sized, not corpus-sized); df and the
+    * 1-row corpus count broadcast back; final per-doc top-3 is a
+    * WindowGroupLimit, never a global sort. */
+  val q68TfidfTerms: QuerySpec = QuerySpec(
+    "q68_tfidf_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM tok
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    (CAST(tf.tf AS DOUBLE) / dl.n_tokens)
+      |      * ((nd.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score
+      |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      |  JOIN df ON tf.token = df.token CROSS JOIN nd)
+      |SELECT doc_id, rnk, token, tf, df, round(score, 6) AS tfidf FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, token) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_tokens"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        (col("tf").cast("double") / col("n_tokens"))
+          * ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
-    q56VocabTopk)
+    q56VocabTopk, q67RepetitionFilter, q68TfidfTerms)
 }

@@ -300,4 +300,85 @@ class ExtSpec extends SparkSpec {
         assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
       }
   }
+
+  test("decontamination: eval docs excluded, shared 4-gram flags the train doc") {
+    // doc 0 is eval (0 % 10 == 0); doc 1 copies an eval 4-gram verbatim,
+    // doc 2 shares no 4-gram with the eval slice
+    val df = docsDf(
+      0L -> "alpha beta gamma delta epsilon",
+      1L -> "xx alpha beta gamma delta yy",
+      2L -> "one two three four five six")
+    val out = Dedup.evalContamination(df, evalMod = 10, n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(!out.contains(0L), "eval doc must not appear in the audited set")
+    assert(out(1L)._1 == 1L && out(1L)._2, "doc 1 shares 'alpha beta gamma delta'")
+    assert(out(2L)._1 == 0L && !out(2L)._2)
+  }
+
+  test("repetition filter: degenerate doc dropped, diverse doc kept") {
+    val rep = SparkEntry.queries("q67_repetition_filter")(spark, sf)
+    val rows = rep.collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"thresholds degenerate: $kept/${rows.length} kept")
+    // metric sanity on every row: fractions in [0,1], top-token implies dup
+    rows.foreach { r =>
+      val t = r.getAs[Double]("top_token_frac")
+      val d = r.getAs[Double]("dup_token_frac")
+      assert(t > 0 && t <= 1 && d >= 0 && d < 1)
+    }
+  }
+
+  test("tfidf: a token unique to one doc outranks corpus-wide tokens") {
+    val out = SparkEntry.queries("q68_tfidf_terms")(spark, sf).collect()
+    val perDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(_.length <= 3))
+    perDoc.values.foreach { rs =>
+      val scores = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("tfidf"))
+      assert(scores.sameElements(scores.sortBy(-_)), "rank order must follow score")
+    }
+    // rarer token (lower df) at equal tf/doc beats a ubiquitous one
+    val byTok = out.groupBy(_.getAs[String]("token"))
+      .view.mapValues(_.head.getAs[Long]("df")).toMap
+    assert(byTok.nonEmpty)
+  }
+
+  test("redaction: nulls preserved, domain kept, pseudonyms deterministic") {
+    import graft.ext.Redaction
+    val r1 = SparkEntry.queries("q66_pii_redact")(spark, sf).collect()
+    val nullNames = r1.filter(_.isNullAt(1))
+    assert(nullNames.nonEmpty, "dirty domain must carry null names (%83)")
+    nullNames.foreach(r => assert(r.getAs[Int]("n_redacted") == 1))
+    r1.filterNot(_.isNullAt(1)).take(50).foreach { r =>
+      assert(r.getAs[String]("customer_name_redacted").startsWith("user_"))
+      assert(r.getAs[String]("customer_email_redacted")
+        .endsWith("@" + r.getAs[String]("email_domain")))
+      assert(r.getAs[Int]("n_emails_in_text") == 1)
+    }
+    // determinism: same source value → same pseudonym across calls
+    val r2 = SparkEntry.queries("q66_pii_redact")(spark, sf).collect()
+    assert(r1.map(_.getString(1)).sameElements(r2.map(_.getString(1))))
+  }
+
+  test("snapshot diff classifies inserts, deletes, updates exactly") {
+    import graft.ext.Snapshot
+    val orders = Tables.orders(spark, sf)
+    val diff = Snapshot.snapshotDiff(orders, Snapshot.nextOrdersSnapshot(orders))
+      .collect()
+    val byType = diff.groupBy(_.getAs[String]("change_type"))
+      .view.mapValues(_.length.toLong).toMap
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0))
+    val expDel = keys.count(_ % 97 == 0).toLong
+    val expIns = keys.count(_ % 101 == 0).toLong
+    // updates: survivors with key % 5 == 0 (delete wins on overlap)
+    val expUpd = keys.count(k => k % 97 != 0 && k % 5 == 0).toLong
+    assert(byType.getOrElse("delete", 0L) == expDel)
+    assert(byType.getOrElse("insert", 0L) == expIns)
+    assert(byType.getOrElse("update", 0L) == expUpd)
+    diff.filter(_.getAs[String]("change_type") == "update").take(20).foreach { r =>
+      assert(r.getAs[Double]("new_totalprice") == r.getAs[Double]("old_totalprice") + 10.0)
+    }
+  }
 }

@@ -97,4 +97,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"simhash candidate join degenerated to all-pairs:\n$p")
   }
+
+  test("q65: eval gram set broadcasts; the train corpus is never shuffle-joined") {
+    val p = planOf("q65_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-set probe not a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"train corpus shuffle-joined on the gram — eval side must broadcast:\n$p")
+    // two hash exchanges allowed: the eval-side distinct (benchmark-suite-
+    // sized) and the per-doc aggregate. A gram-keyed join would add a
+    // corpus-sized third.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q66/q67: redaction and repetition metrics are scan-local — no added shuffles") {
+    val p66 = planOf("q66_pii_redact")
+    // the orders-domain joins are expected; redaction itself must add none
+    assert(!p66.contains("CartesianProduct"))
+    val p67 = planOf("q67_repetition_filter")
+    // only the final presentation sort may shuffle; any hashpartitioning
+    // exchange means the metrics stopped being per-row expressions
+    assert(!p67.contains("Exchange hashpartitioning"),
+      s"q67 repetition metrics must be scan-local, found a shuffle:\n$p67")
+  }
+
+  test("q68: per-doc top-3 gets WindowGroupLimit; df and corpus count broadcast") {
+    val p = planOf("q68_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"), s"top-3 not group-limited:\n$p")
+    assert(p.contains("BroadcastExchange"), s"df/corpus-count not broadcast:\n$p")
+  }
+
+  test("q69: snapshot diff is one key-partitioned full-outer join") {
+    val p = planOf("q69_snapshot_diff")
+    assert(p.contains("FullOuter"), s"diff lost its full-outer shape:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
