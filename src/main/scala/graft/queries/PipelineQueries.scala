@@ -47,7 +47,11 @@ object PipelineQueries {
     "WITH " + OrdersDomain.OracleCte + "\nSELECT order_id,\n" +
       Enrich.oracleSelectList() +
       "\nFROM orders_domain\nORDER BY order_id") { (s, dir) =>
-    Enrich(OrdersDomain.fromTpch(s, dir),
+    // sort the NARROW domain, then enrich: enrichment is a pure
+    // order-preserving projection, and range partitioning samples its
+    // child to pick boundaries — sorting the enriched output would
+    // execute all ~20 derived columns twice (the q66 lesson)
+    Enrich(OrdersDomain.fromTpch(s, dir).orderBy("order_id"),
       brands = Enrich.PartBrands, categories = Enrich.PartCategories)
       .select(col("order_id"), col("customer_segment"), col("customer_value_tier"),
         col("customer_type"), col("product_brand"), col("product_category_detailed"),
@@ -56,7 +60,6 @@ object PipelineQueries {
         col("order_month"), col("order_day"), col("order_weekday"),
         col("order_quarter"), col("season"), col("days_since_order"),
         col("risk_score"), col("risk_level"))
-      .orderBy("order_id")
   }
 
   /** Full clean → enrich → standardize composition — the reference's
@@ -95,14 +98,20 @@ object PipelineQueries {
         |    + (CASE WHEN dayname(order_date) IN ('Saturday', 'Sunday') THEN 10 ELSE 0 END)) AS risk_score
         |FROM cleaned
         |ORDER BY order_id""".stripMargin) { (s, dir) =>
-    val transformed = Standardize(Enrich(Clean(OrdersDomain.dirtyFromTpch(s, dir)),
+    // sort right above the clean stage's dedup shuffle (so boundary
+    // sampling reads the materialized exchange, not the raw scans), then
+    // run enrich + standardize ONCE as order-preserving projections —
+    // sorting the transformed output would execute both stages twice.
+    // Ordering is identical: standardize's upper(order_id) is a no-op on
+    // the already-uppercase ORD- keys.
+    val transformed = Standardize(Enrich(
+      Clean(OrdersDomain.dirtyFromTpch(s, dir)).orderBy("order_id"),
       brands = Enrich.PartBrands, categories = Enrich.PartCategories))
     transformed.select(
       col("order_id"), col("customer_name"), col("customer_email"),
       col("product"), col("price"), col("quantity"), col("total_amount"),
       col("source"), col("customer_segment"), col("product_brand"),
       col("estimated_profit"), col("season"), col("risk_score"))
-      .orderBy("order_id")
   }
 
   /** Quality scoring over the dirty domain (so every component metric has
