@@ -343,7 +343,10 @@ object TextAnalysis {
       |    AND CAST(topbg AS DOUBLE) / (n - 1) <= 0.06) AS keep
       |FROM m
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val base = Tables.documents(s, dir)
+    // sort the raw scan, not the metric projection: the repetition HOFs
+    // are the query's whole cost, and range-boundary sampling re-executes
+    // everything below the sort (the q66 lesson — measured 2× here too)
+    val base = Tables.documents(s, dir).orderBy("doc_id")
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .withColumn("bg", expr(
@@ -365,7 +368,6 @@ object TextAnalysis {
       round(dupF, 4).as("dup_token_frac"),
       round(topBgF, 4).as("top_bigram_frac"),
       (topTokF <= 0.12 && dupF <= 0.6 && topBgF <= 0.06).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** q68: top-3 characteristic terms per doc by tf-idf. The idf is the
