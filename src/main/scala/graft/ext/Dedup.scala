@@ -589,7 +589,98 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---- Incremental batch dedup -----------------------------------------
+
+  /** Incremental dedup: admit a NEW batch of docs against the existing
+    * corpus — exact-duplicate check on the content fingerprint plus a
+    * near-duplicate check on shared 3-gram shingles (Jaccard vs the corpus
+    * side). The decision the ingest path makes per batch, without ever
+    * re-deduplicating the corpus itself.
+    *
+    * Scale shape: the batch is small (one ingest increment) and the corpus
+    * is indexed — at scale the fingerprint and shingle frames are
+    * pre-materialized index tables, so each increment costs a
+    * batch-fingerprint broadcast anti-probe plus a shingle equi-join whose
+    * left side is batch-sized. Nothing scans or shuffles the corpus text. */
+  def admitBatch(corpus: DataFrame, batch: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val corpusFp = corpus.select(md5(col("text")).as("fingerprint")).distinct()
+    val batchFp = batch.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+    val exact = batchFp.join(corpusFp.withColumn("exact_hit", lit(1)),
+      Seq("fingerprint"), "left")
+    val bsh = shingleRows(batch)
+    val csh = shingleRows(corpus)
+    val bsizes = bsh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+    val csizes = csh.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    val near = bsh.toDF("b_doc", "shingle")
+      .join(csh.toDF("c_doc", "shingle"), "shingle")
+      .groupBy("b_doc", "c_doc").agg(count(lit(1)).as("n_common"))
+      .join(bsizes.toDF("b_doc", "n_b"), "b_doc")
+      .join(csizes.toDF("c_doc", "n_c"), "c_doc")
+      .filter(col("n_common").cast("double")
+        / (col("n_b") + col("n_c") - col("n_common")) >= minJaccard)
+      .groupBy(col("b_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_neardup"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("exact_hit").isNotNull.as("is_exact_dup"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        when(col("exact_hit").isNotNull, "reject_exact")
+          .when(coalesce(col("n_neardup"), lit(0L)) > 0, "reject_neardup")
+          .otherwise("admit").as("decision"))
+  }
+
+  /** q71: admit the doc_id % 10 == 7 slice as the incoming batch against
+    * the rest of the corpus (Jaccard ≥ 0.5 near-dup bar). */
+  val q71IncrementalDedup: QuerySpec = QuerySpec(
+    "q71_incremental_dedup",
+    """WITH batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+      |cfp AS (SELECT DISTINCT md5(text) AS fingerprint FROM corpus),
+      |bsh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |      i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch
+      |          WHERE len(string_split(text, ' ')) >= 3))),
+      |csh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |      i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      |          WHERE len(string_split(text, ' ')) >= 3))),
+      |bsizes AS (SELECT doc_id, count(*) AS n_b FROM bsh GROUP BY doc_id),
+      |csizes AS (SELECT doc_id, count(*) AS n_c FROM csh GROUP BY doc_id),
+      |near AS (
+      |  SELECT b_doc AS doc_id, count(*) AS n_neardup FROM (
+      |    SELECT b.doc_id AS b_doc, c.doc_id AS c_doc, count(*) AS n_common
+      |    FROM bsh b JOIN csh c ON b.shingle = c.shingle
+      |    GROUP BY b.doc_id, c.doc_id) j
+      |  JOIN bsizes ON bsizes.doc_id = j.b_doc
+      |  JOIN csizes ON csizes.doc_id = j.c_doc
+      |  WHERE CAST(n_common AS DOUBLE) / (n_b + n_c - n_common) >= 0.5
+      |  GROUP BY b_doc)
+      |SELECT b.doc_id,
+      |  (cfp.fingerprint IS NOT NULL) AS is_exact_dup,
+      |  CAST(coalesce(near.n_neardup, 0) AS BIGINT) AS n_neardup,
+      |  CASE WHEN cfp.fingerprint IS NOT NULL THEN 'reject_exact'
+      |       WHEN coalesce(near.n_neardup, 0) > 0 THEN 'reject_neardup'
+      |       ELSE 'admit' END AS decision
+      |FROM batch b
+      |LEFT JOIN cfp ON md5(b.text) = cfp.fingerprint
+      |LEFT JOIN near ON near.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    admitBatch(
+      d.filter(col("doc_id") % 10 =!= 7),
+      d.filter(col("doc_id") % 10 === 7),
+      minJaccard = 0.5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
-    q60NearDupClusters, q65Decontaminate)
+    q60NearDupClusters, q65Decontaminate, q71IncrementalDedup)
 }

@@ -427,8 +427,51 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** q72: the corpus DATA CARD — per (lang, source) stratum: doc/token/
+    * char counts and each stratum's share of the corpus (the composition
+    * table a dataset release publishes, and the input the q61 mixture
+    * weights are tuned against).
+    *
+    * Scale shape: one scan-local projection (token counts from the split
+    * length, no explode) → one (lang, source) hash aggregate with map-side
+    * partials → share-of-total via a 1-row broadcast, never a second
+    * corpus pass. Percentages are exact integer-ratio doubles, so the
+    * oracle pins them at value level. */
+  val q72DataCard: QuerySpec = QuerySpec(
+    "q72_data_card",
+    """WITH per AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY lang, source),
+      |tot AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM per)
+      |SELECT lang, source, n_docs, n_tokens, n_chars,
+      |  round(CAST(n_docs AS DOUBLE) / t_docs, 4) AS pct_docs,
+      |  round(CAST(n_tokens AS DOUBLE) / t_tokens, 4) AS pct_tokens
+      |FROM per CROSS JOIN tot
+      |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_tokens")).as("t_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_docs").cast("double") / col("t_docs"), 4).as("pct_docs"),
+        round(col("n_tokens").cast("double") / col("t_tokens"), 4).as("pct_tokens"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
-    q56VocabTopk, q67RepetitionFilter, q68TfidfTerms)
+    q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard)
 }

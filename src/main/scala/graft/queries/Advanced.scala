@@ -232,7 +232,51 @@ object Advanced {
         .as("completed_funnel"))
   }
 
+  /** q70: rolling z-score anomaly detection — each event's value against
+    * the trailing-100 window of its event_type (mean/stddev over ROWS 100
+    * PRECEDING..1 PRECEDING, the standard online-monitoring shape; the
+    * current row is excluded so an outlier can't mask itself). Emits only
+    * the anomalies (|z| > 3 with a warmup floor of 20 trailing events).
+    *
+    * Scale shape: one window over (event_type, ts, event_id) — a single
+    * hash exchange on event_type and a per-partition sort; no self-joins,
+    * no collect. The frame is ROWS-based with a unique (ts, event_id)
+    * order, so both engines aggregate the same 100 rows — float drift is
+    * sub-ulp and the z is rounded in both. */
+  val q70AnomalyZscore: QuerySpec = QuerySpec(
+    "q70_anomaly_zscore",
+    """WITH stats AS (
+      |  SELECT event_id, event_type, ts, value,
+      |    avg(value) OVER w AS mu,
+      |    stddev_samp(value) OVER w AS sigma,
+      |    count(value) OVER w AS n_trail
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, event_type, value,
+      |  round(mu, 4) AS trailing_mean,
+      |  round((value - mu) / sigma, 4) AS zscore
+      |FROM stats
+      |WHERE n_trail >= 20 AND sigma > 0
+      |  AND abs((value - mu) / sigma) > 3
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-100, -1)
+    val stats = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("ts"), col("value"),
+      avg(col("value")).over(w).as("mu"),
+      stddev_samp(col("value")).over(w).as("sigma"),
+      count(col("value")).over(w).as("n_trail"))
+    val z = (col("value") - col("mu")) / col("sigma")
+    stats
+      .filter(col("n_trail") >= 20 && col("sigma") > 0 && abs(z) > 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mu"), 4).as("trailing_mean"),
+        round(z, 4).as("zscore"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
-    q48EventAttribution, q54AsofNative, q58Funnel)
+    q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore)
 }

@@ -129,4 +129,33 @@ class AdvancedSpec extends SparkSpec {
     }
     assert(rows.forall(_.getAs[Long]("duration_sec") >= 0))
   }
+
+  test("anomaly zscore: a planted spike is flagged, calm values are not") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 30 calm events (value 10±1 alternating) then one 1000.0 spike
+    val rows = (0 until 30).map { i =>
+      Row(i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+        1L, "load", if (i % 2 == 0) 9.0 else 11.0, "")
+    } :+ Row(30L, java.sql.Timestamp.valueOf("2024-01-01 00:30:30"),
+      1L, "load", 1000.0, "")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val ev = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-100, -1)
+    val stats = ev.select(col("event_id"), col("value"),
+      avg(col("value")).over(w).as("mu"),
+      stddev_samp(col("value")).over(w).as("sigma"),
+      count(col("value")).over(w).as("n_trail"))
+    val z = (col("value") - col("mu")) / col("sigma")
+    val flagged = stats
+      .filter(col("n_trail") >= 20 && col("sigma") > 0 && abs(z) > 3)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(flagged.toSeq == Seq(30L), s"expected only the spike, got ${flagged.toSeq}")
+  }
 }

@@ -362,6 +362,30 @@ class ExtSpec extends SparkSpec {
     assert(r1.map(_.getString(1)).sameElements(r2.map(_.getString(1))))
   }
 
+  test("incremental dedup: verbatim copy rejected exact, near-copy rejected near, fresh admitted") {
+    // corpus docs end in id%10 != 7; batch ids end in 7
+    val df = docsDf(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "z1 z2 z3 z4 z5 z6 z7 z8",
+      17L -> "w1 w2 w3 w4 w5 w6 w7 w8", // exact copy of doc 1
+      27L -> "z1 z2 z3 z4 z5 z6 z7 EXTRA", // near-copy of doc 2
+      37L -> "q1 q2 q3 q4 q5 q6 q7 q8") // fresh
+    val out = Dedup.admitBatch(
+      df.filter(col("doc_id") % 10 =!= 7),
+      df.filter(col("doc_id") % 10 === 7), minJaccard = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(out == Map(17L -> "reject_exact", 27L -> "reject_neardup", 37L -> "admit"))
+  }
+
+  test("data card: strata shares sum to 1, totals conserve the corpus") {
+    val card = SparkEntry.queries("q72_data_card")(spark, sf).collect()
+    val totalDocs = card.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == Tables.documents(spark, sf).count())
+    val pctSum = card.map(_.getAs[Double]("pct_docs")).sum
+    assert(math.abs(pctSum - 1.0) < 0.01, s"pct_docs sums to $pctSum")
+    assert(card.forall(_.getAs[Long]("n_tokens") > 0))
+  }
+
   test("snapshot diff classifies inserts, deletes, updates exactly") {
     import graft.ext.Snapshot
     val orders = Tables.orders(spark, sf)
