@@ -36,6 +36,36 @@ class SessionStateSpec extends SparkSpec {
     assert(disagree == 0, s"$disagree streamed sessions not in batch result")
   }
 
+  test("stateful anomaly stream agrees with the q70 batch window") {
+    import spark.implicits._
+    import graft.streaming.AnomalyState
+    // one time-sorted file, same in-order replay contract as the sessionizer
+    val dir = Files.createTempDirectory("anom_stream").toString
+    Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .orderBy("ts", "event_id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streaming.parquetFileSource(spark, dir, schema)
+      .as[AnomalyState.ValueEvent]
+    Streaming.drainToMemory(
+      AnomalyState.streamAnomalies(spark, stream).toDF(), "anomalies_out")
+    val streamed = spark.sql(
+      "SELECT event_id, zscore FROM anomalies_out").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val batch = SparkEntry.queries("q70_anomaly_zscore")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("zscore")).toMap
+
+    assert(batch.nonEmpty, "q70 found no anomalies at this SF — test is vacuous")
+    assert(streamed.keySet == batch.keySet,
+      s"flag sets differ: only-stream=${streamed.keySet -- batch.keySet}, " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (id, z) =>
+      assert(math.abs(z - batch(id)) < 1e-3, s"z drift on $id: $z vs ${batch(id)}")
+    }
+  }
+
   test("session fold: gap closes a session, within-gap extends it") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
