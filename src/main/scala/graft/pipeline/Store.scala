@@ -192,6 +192,72 @@ object Store {
   def readOrdersIncremental(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath).drop("__bucket")
 
+  /** CDC apply: merge a CLASSIFIED delta into an incrementally-bucketed
+    * table — the consumer of a snapshot diff (`ext.Snapshot`). The delta
+    * carries `changeCol` ∈ insert/update/delete plus the table's payload
+    * columns; deletes remove the key, inserts/updates merge latest-wins.
+    * Same partition-pruned shape as [[upsertOrdersIncremental]]: only
+    * buckets containing a delta key are read or rewritten — this is what
+    * `MERGE INTO ... WHEN MATCHED DELETE` compiles to on a plain-parquet
+    * layout. A bucket whose rows are ALL deleted vanishes from the merged
+    * frame, which dynamic overwrite would silently skip — those buckets
+    * are cleared explicitly. */
+  def applyDelta(spark: SparkSession, delta: DataFrame, tablePath: String,
+      key: String = "order_id", orderCol: String = "ingested_at",
+      changeCol: String = "change_type"): Long = {
+    val buckets = storedBucketCount(spark, tablePath).getOrElse(
+      sys.error(s"$tablePath is not in incremental layout; seed it with " +
+        "upsertOrdersIncremental before applying deltas"))
+    val bucketedDelta = delta
+      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
+    val touched = bucketedDelta.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val currentSlice = spark.read.parquet(tablePath)
+      .filter(col("__bucket").isin(touched: _*))
+    val deleteKeys = bucketedDelta
+      .filter(col(changeCol) === "delete").select(key)
+    val upserts = bucketedDelta
+      .filter(col(changeCol).isin("insert", "update")).drop(changeCol)
+    val merged = keepLatest(
+      currentSlice.join(deleteKeys, Seq(key), "left_anti")
+        .withColumn("__gen", lit(0))
+        .unionByName(upserts.withColumn("__gen", lit(1)),
+          allowMissingColumns = true),
+      key, orderCol)
+    // surviving buckets must come from the MERGED frame, pre-write: a
+    // bucket with zero survivors is absent from it, so dynamic overwrite
+    // skips it and a post-write read would still see the old rows
+    val surviving = merged.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (surviving.isEmpty) {
+      // would empty the whole table iff no untouched bucket holds rows —
+      // and an all-deleted parquet table keeps no schema-bearing file, so
+      // it becomes unreadable; refuse BEFORE touching anything
+      val untouchedDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
+        .map(_.getPath.getName)
+        .filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt)
+        .filterNot(touched.contains)
+      if (untouchedDirs.isEmpty) sys.error(
+        s"delta deletes every remaining row of $tablePath — an empty " +
+          "parquet table has no schema-bearing files; drop the table " +
+          "directory instead")
+    }
+    merged.repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(tablePath)
+    // clear fully-emptied buckets that dynamic overwrite never saw
+    touched.filterNot(surviving).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__bucket=$b"), true)
+    }
+    spark.read.parquet(tablePath)
+      .filter(col("__bucket").isin(touched: _*)).count()
+  }
+
   /** Read the published table; if the target directory is absent but a
     * `__backup` exists, a crash interrupted [[upsertOrders]]' swap between
     * its two renames (old moved aside, new not yet published) — recover by

@@ -80,6 +80,52 @@ class StoreSpec extends SparkSpec {
       .filter(col("order_id") === "A-3").collect().head.getAs[Double]("price") == 31.0)
   }
 
+  test("CDC applyDelta: classified diff converges the store to the next snapshot") {
+    val table = tmp("orders_cdc") + "/orders"
+    val seed = (1 to 60).map(i => (f"C-$i%03d", i * 1.0, "2024-01-01 00:00:00"))
+    Store.upsertOrdersIncremental(spark, ordersDf(seed: _*), table, numBuckets = 8)
+    // the delta a snapshot diff classifies: delete %7, update %5 (+100),
+    // insert three fresh keys
+    val delta = ordersDf(
+      ((1 to 60).filter(_ % 5 == 0).filterNot(_ % 7 == 0)
+        .map(i => (f"C-$i%03d", i + 100.0, "2024-02-01 00:00:00")) ++
+        Seq(("C-901", 901.0, "2024-02-01 00:00:00"),
+          ("C-902", 902.0, "2024-02-01 00:00:00"),
+          ("C-903", 903.0, "2024-02-01 00:00:00"))): _*)
+      .withColumn("change_type",
+        when(col("order_id") >= "C-901", "insert").otherwise("update"))
+      .unionByName(
+        ordersDf((1 to 60).filter(_ % 7 == 0)
+          .map(i => (f"C-$i%03d", 0.0, "2024-02-01 00:00:00")): _*)
+          .withColumn("change_type", lit("delete")))
+    Store.applyDelta(spark, delta, table)
+    val expected = (1 to 60).filterNot(_ % 7 == 0)
+      .map(i => f"C-$i%03d" -> (if (i % 5 == 0) i + 100.0 else i * 1.0))
+      .toMap ++ Map("C-901" -> 901.0, "C-902" -> 902.0, "C-903" -> 903.0)
+    val got = Store.readOrdersIncremental(spark, table).collect()
+      .map(r => r.getAs[String]("order_id") -> r.getAs[Double]("price")).toMap
+    assert(got == expected, s"store diverged: ${(got.toSet diff expected.toSet).take(5)}")
+    // a delta that empties every key it touches must not leave ghost
+    // rows: wipe all keys but one — most buckets end fully deleted and
+    // their partition dirs must disappear, not just shrink
+    val keep = "C-901"
+    val wipe = ordersDf(expected.keys.filterNot(_ == keep).toSeq.sorted
+      .map(k => (k, 0.0, "2024-03-01 00:00:00")): _*)
+      .withColumn("change_type", lit("delete"))
+    Store.applyDelta(spark, wipe, table)
+    val left = Store.readOrdersIncremental(spark, table).collect()
+    assert(left.map(_.getAs[String]("order_id")).toSeq == Seq(keep),
+      s"fully-deleted buckets left rows behind: ${left.length} rows")
+    // emptying the LAST row of the table is refused (no schema-bearing
+    // files would remain), and the table stays intact
+    val err = intercept[RuntimeException] {
+      Store.applyDelta(spark, ordersDf((keep, 0.0, "2024-04-01 00:00:00"))
+        .withColumn("change_type", lit("delete")), table)
+    }
+    assert(err.getMessage.contains("drop the table directory"))
+    assert(Store.readOrdersIncremental(spark, table).count() == 1)
+  }
+
   test("incremental upsert: a 1-row batch rewrites only its own bucket partition") {
     val table = tmp("orders_inc2") + "/orders"
     // seed enough keys that (with 8 buckets) several distinct partitions exist
