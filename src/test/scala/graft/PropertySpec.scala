@@ -70,6 +70,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CDC applyDelta matches a driver-side keyed map over random delta sequences (differential)") {
+    // reference: a plain Map[key -> price] mutated per classified change;
+    // the store must agree after EVERY applied delta, including buckets
+    // that empty and later repopulate
+    val dir = Files.createTempDirectory("cdc_prop").toString + "/orders"
+    val schema = StructType(Seq(
+      StructField("order_id", StringType), StructField("price", DoubleType),
+      StructField("ingested_at", TimestampType)))
+    def df(rows: Seq[(String, Double, String)]) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (k, p, t) =>
+        Row(k, p, java.sql.Timestamp.valueOf(t)) }: _*), schema)
+    val keys = (0 until 24).map(i => f"P-$i%02d")
+    val seed = keys.take(16).zipWithIndex.map { case (k, i) =>
+      (k, i * 1.0, "2024-01-01 00:00:00") }
+    Store.upsertOrdersIncremental(spark, df(seed), dir, numBuckets = 4)
+    val ref = scala.collection.mutable.Map(seed.map(r => r._1 -> r._2): _*)
+    val deltaGen = Gen.listOfN(6, for {
+      k <- Gen.oneOf(keys)
+      op <- Gen.oneOf("insert", "update", "delete")
+      p <- Gen.chooseNum(1.0, 999.0)
+    } yield (k, op, math.rint(p))).map(_.distinctBy(_._1))
+    samples(deltaGen, 8).zipWithIndex.foreach { case (draws, step) =>
+      val ts = f"2024-02-${step + 1}%02d 00:00:00"
+      // classify against the CURRENT reference state, read-only, so the
+      // delta is well-formed (delete/update existing keys, insert new);
+      // commit to ref only when the delta actually applies — mutating on
+      // a skipped step would silently desynchronize ref from the store
+      val delta = draws.flatMap { case (k, op, p) =>
+        (op, ref.contains(k)) match {
+          case ("delete", true)  => Some((k, 0.0, ts, "delete"))
+          case ("insert", false) => Some((k, p, ts, "insert"))
+          case ("update", true)  => Some((k, p, ts, "update"))
+          case _ => None
+        }
+      }
+      val after = ref.toMap --
+        delta.collect { case (k, _, _, "delete") => k } ++
+        delta.collect { case (k, p, _, op) if op != "delete" => k -> p }
+      if (delta.nonEmpty && after.nonEmpty) {
+        ref.clear(); ref ++= after
+        Store.applyDelta(spark,
+          df(delta.map(d => (d._1, d._2, d._3)))
+            .withColumn("change_type",
+              element_at(map(delta.flatMap(d =>
+                Seq(lit(d._1), lit(d._4))): _*), col("order_id"))),
+          dir)
+        val got = Store.readOrdersIncremental(spark, dir).collect()
+          .map(r => r.getAs[String]("order_id") -> r.getAs[Double]("price")).toMap
+        assert(got == ref.toMap, s"step $step diverged after delta $delta")
+      }
+    }
+  }
+
   test("dedup idempotence: Clean.dedupFull twice equals once") {
     val df = Tables.orders(spark, sf).select("o_orderstatus", "o_orderpriority")
     val once = Clean.dedupFull(df)
