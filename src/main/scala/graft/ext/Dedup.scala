@@ -49,19 +49,31 @@ object Dedup {
   private def md5Hash48Sql(x: String): String =
     s"CAST('0x'||substr(md5($x),1,12) AS BIGINT)"
 
-  /** Distinct 3-gram word shingles per document, exploded to
-    * (doc_id, shingle) rows. Docs shorter than 3 tokens are dropped.
-    * The words array is materialized as its own projection first —
-    * inlining `split()` into each `slice()` re-tokenizes the text once
-    * per shingle, turning an O(words) row into O(words²). */
-  def shingleRows(docs: DataFrame): DataFrame =
+  /** Distinct word-n-gram rows per doc — ONE generator for every gram
+    * consumer (shingles, decontamination fingerprints), so the tokenizer
+    * and the drop-short-docs contract can't drift between them. Docs
+    * shorter than n tokens are dropped. The words array is materialized
+    * as its own projection first — inlining `split()` into each `slice()`
+    * re-tokenizes the text once per gram, turning an O(words) row into
+    * O(words²). `hashed` emits the md5 fingerprint instead of the text
+    * (for probes that never need the gram itself). */
+  private def gramRows(docs: DataFrame, n: Int, outCol: String,
+      hashed: Boolean): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val gram = s"concat_ws(' ', slice(w, i, $n))"
+    val gramExpr = if (hashed) s"md5($gram)" else gram
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
+      .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(1, size(w) - 2), " +
-          "i -> concat_ws(' ', slice(w, i, 3)))")))
-        .as("shingle"))
+        expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> $gramExpr)")))
+        .as(outCol))
+  }
+
+  /** Distinct 3-gram word shingles per document, exploded to
+    * (doc_id, shingle) rows. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    gramRows(docs, 3, "shingle", hashed = false)
 
   /** Exact content dedup: group by md5 digest, keep the smallest doc_id
     * (D2/D3 generalized to corpora; one digest shuffle). */
@@ -520,19 +532,10 @@ object Dedup {
   // ---- Benchmark decontamination ---------------------------------------
 
   /** Distinct word-n-gram md5 fingerprints per doc, exploded to
-    * (doc_id, gram) rows. Docs shorter than n tokens carry no grams and
-    * are dropped (same contract as [[shingleRows]]). The words array is
-    * its own projection first for the same O(words) reason. */
-  def ngramFingerprintRows(docs: DataFrame, n: Int): DataFrame = {
-    require(n >= 1, s"n-gram width must be >= 1, got $n")
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
-        expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(w, i, $n))))")))
-        .as("gram"))
-  }
+    * (doc_id, gram) rows (same generator and drop-short-docs contract as
+    * [[shingleRows]]). */
+  def ngramFingerprintRows(docs: DataFrame, n: Int): DataFrame =
+    gramRows(docs, n, "gram", hashed = true)
 
   /** Benchmark decontamination: for every training doc, the count and
     * fraction of its distinct n-grams that also appear in the eval set
@@ -592,22 +595,34 @@ object Dedup {
   // ---- Incremental batch dedup -----------------------------------------
 
   /** Incremental dedup: admit a NEW batch of docs against the existing
-    * corpus — exact-duplicate check on the content fingerprint plus a
-    * near-duplicate check on shared 3-gram shingles (Jaccard vs the corpus
-    * side). The decision the ingest path makes per batch, without ever
-    * re-deduplicating the corpus itself.
+    * corpus — exact-duplicate check on the content fingerprint (vs the
+    * corpus AND within the batch itself: the first occurrence of a
+    * batch-internal copy wins, later ones reject — without this, two
+    * identical docs arriving in one increment would both be admitted)
+    * plus a near-duplicate check on shared 3-gram shingles (Jaccard vs
+    * the corpus side; batch-internal NEAR-dups are left to the next
+    * full-corpus clustering pass — q60 — since admitting at most one of
+    * them is a policy, not an invariant). The decision the ingest path
+    * makes per batch, without ever re-deduplicating the corpus itself.
     *
     * Scale shape: the batch is small (one ingest increment) and the corpus
     * is indexed — at scale the fingerprint and shingle frames are
     * pre-materialized index tables, so each increment costs a
-    * batch-fingerprint broadcast anti-probe plus a shingle equi-join whose
-    * left side is batch-sized. Nothing scans or shuffles the corpus text. */
+    * batch-fingerprint broadcast anti-probe, a batch-sized keeper window,
+    * and a shingle equi-join whose left side is batch-sized. Nothing scans
+    * or shuffles the corpus text. */
   def admitBatch(corpus: DataFrame, batch: DataFrame,
       minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val corpusFp = corpus.select(md5(col("text")).as("fingerprint")).distinct()
     val batchFp = batch.select(col("doc_id"), md5(col("text")).as("fingerprint"))
-    val exact = batchFp.join(corpusFp.withColumn("exact_hit", lit(1)),
+      .withColumn("batch_keeper",
+        min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+    val exact = batchFp.join(corpusFp.withColumn("corpus_hit", lit(1)),
       Seq("fingerprint"), "left")
+      .withColumn("exact_hit",
+        when(col("corpus_hit").isNotNull
+          || col("doc_id") =!= col("batch_keeper"), lit(1)))
     val bsh = shingleRows(batch)
     val csh = shingleRows(corpus)
     val bsizes = bsh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
@@ -661,15 +676,20 @@ object Dedup {
       |  JOIN bsizes ON bsizes.doc_id = j.b_doc
       |  JOIN csizes ON csizes.doc_id = j.c_doc
       |  WHERE CAST(n_common AS DOUBLE) / (n_b + n_c - n_common) >= 0.5
-      |  GROUP BY b_doc)
+      |  GROUP BY b_doc),
+      |bfp AS (
+      |  SELECT doc_id, md5(text) AS fingerprint,
+      |    min(doc_id) OVER (PARTITION BY md5(text)) AS batch_keeper
+      |  FROM batch)
       |SELECT b.doc_id,
-      |  (cfp.fingerprint IS NOT NULL) AS is_exact_dup,
+      |  (cfp.fingerprint IS NOT NULL OR b.doc_id <> b.batch_keeper) AS is_exact_dup,
       |  CAST(coalesce(near.n_neardup, 0) AS BIGINT) AS n_neardup,
-      |  CASE WHEN cfp.fingerprint IS NOT NULL THEN 'reject_exact'
+      |  CASE WHEN cfp.fingerprint IS NOT NULL OR b.doc_id <> b.batch_keeper
+      |         THEN 'reject_exact'
       |       WHEN coalesce(near.n_neardup, 0) > 0 THEN 'reject_neardup'
       |       ELSE 'admit' END AS decision
-      |FROM batch b
-      |LEFT JOIN cfp ON md5(b.text) = cfp.fingerprint
+      |FROM bfp b
+      |LEFT JOIN cfp ON b.fingerprint = cfp.fingerprint
       |LEFT JOIN near ON near.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
     val d = Tables.documents(s, dir)

@@ -36,19 +36,30 @@ object Redaction {
   /** Local part / domain of an email, split at the FIRST '@' — plain
     * string ops (instr + substring), not regex: the split runs twice per
     * row and the one genuine regex should be the detector, not the
-    * splitter. Identical semantics to DuckDB strpos + substr. */
+    * splitter. Identical semantics to DuckDB strpos + substr.
+    *
+    * A value WITHOUT '@' (a name typed into the email field) must fail
+    * CLOSED: the whole value is treated as the identifying local part
+    * (pseudonymized in [[maskEmail]]) and the domain is null — emitting
+    * the raw value as a "domain" would leak the very field the privacy
+    * pass exists to remove. */
   private def emailLocal(email: Column): Column =
-    email.substr(lit(1), instr(email, "@") - 1)
+    when(instr(email, "@") === 0, email)
+      .otherwise(email.substr(lit(1), instr(email, "@") - 1))
 
   def emailDomain(email: Column): Column =
-    email.substr(instr(email, "@") + 1, length(email))
+    when(instr(email, "@") === 0, lit(null))
+      .otherwise(email.substr(instr(email, "@") + 1, length(email)))
 
   /** Mask an email keeping its domain (the routing-relevant, non-identifying
-    * half): hash of the local part + the literal domain. */
+    * half): hash of the local part + the literal domain; an '@'-less value
+    * becomes a bare pseudonym with no domain suffix. */
   def maskEmail(email: Column): Column =
-    when(email.isNull, lit(null)).otherwise(concat(
-      substring(md5(emailLocal(email)), 1, 10),
-      lit("@"), emailDomain(email)))
+    when(email.isNull, lit(null))
+      .when(instr(email, "@") === 0, substring(md5(email), 1, 10))
+      .otherwise(concat(
+        substring(md5(emailLocal(email)), 1, 10),
+        lit("@"), emailDomain(email)))
 
   /** Per-record redaction over an orders-domain frame — a pure projection:
     * it adds no exchange and PRESERVES the input's row order, so callers
@@ -79,9 +90,11 @@ object Redaction {
          |  CASE WHEN customer_name IS NULL THEN NULL
          |    ELSE 'user_' || substr(md5(customer_name), 1, 10) END AS customer_name_redacted,
          |  CASE WHEN customer_email IS NULL THEN NULL
+         |    WHEN strpos(customer_email, '@') = 0 THEN substr(md5(customer_email), 1, 10)
          |    ELSE substr(md5(substr(customer_email, 1, strpos(customer_email, '@') - 1)), 1, 10)
          |      || '@' || substr(customer_email, strpos(customer_email, '@') + 1) END AS customer_email_redacted,
-         |  substr(customer_email, strpos(customer_email, '@') + 1) AS email_domain,
+         |  CASE WHEN strpos(customer_email, '@') = 0 THEN NULL
+         |    ELSE substr(customer_email, strpos(customer_email, '@') + 1) END AS email_domain,
          |  CAST(len(regexp_extract_all(concat_ws(' ', customer_name, customer_email),
          |    '$EmailRe')) AS INT) AS n_emails_in_text,
          |  (CASE WHEN customer_name IS NULL THEN 0 ELSE 1 END

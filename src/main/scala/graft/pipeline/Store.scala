@@ -156,36 +156,131 @@ object Store {
     val buckets = stored.getOrElse(numBuckets)
     val bucketed = incoming
       .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
-    val (merged, touched) =
-      if (!exists) (keepLatest(bucketed, key, orderCol), Seq.empty[Int])
-      else {
-        // ≤ buckets small ints — a metadata-scale collect, not data
-        val touched = bucketed.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val currentSlice = spark.read.parquet(tablePath)
-          .filter(col("__bucket").isin(touched: _*))
-        (keepLatest(
-          currentSlice.withColumn("__gen", lit(0))
-            .unionByName(bucketed.withColumn("__gen", lit(1)),
-              allowMissingColumns = true),
-          key, orderCol), touched)
+    if (!exists) {
+      keepLatest(bucketed, key, orderCol).repartition(col("__bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(tablePath)
+      writeBucketMarker(spark, tablePath, buckets)
+      spark.read.parquet(tablePath).count()
+    } else mergeIntoBuckets(spark, tablePath, bucketed, None, key, orderCol)
+  }
+
+  private val PendingClearFile = "_pending_clear"
+
+  /** Finish an interrupted emptied-bucket clear: a `_pending_clear`
+    * marker lists buckets a previous merge meant to delete — remove them
+    * (idempotent) before reading anything, so a crashed apply's ghost
+    * rows can't be read back into the next merge. */
+  private def repairPendingClear(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(tablePath, PendingClearFile)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val pending =
+        try scala.io.Source.fromInputStream(in).mkString.split(",")
+          .filter(_.nonEmpty).map(_.toInt).toSeq
+        finally in.close()
+      pending.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__bucket=$b"), true)
       }
-    // cluster by the layout column before the write: partitionBy splits
-    // each task's output per bucket value, so an unclustered merged frame
-    // (32 shuffle partitions) would shed up to 32 small files into every
-    // touched bucket on every merge — a small-file explosion at batch
-    // cadence. Hash-clustering on __bucket lands each bucket's rows in
-    // one task → one compact file per rewrite; bucket size (and so task
-    // size) is governed by the bucket-count knob.
-    merged.repartition(col("__bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(tablePath)
-    if (stored.isEmpty) writeBucketMarker(spark, tablePath, buckets)
-    val published = spark.read.parquet(tablePath)
-    (if (touched.isEmpty) published
-     else published.filter(col("__bucket").isin(touched: _*))).count()
+      fs.delete(marker, false)
+    }
+  }
+
+  /** Shared bucket-merge-and-publish core of [[upsertOrdersIncremental]]
+    * and [[applyDelta]] — ONE copy of the bucket arithmetic, pruned
+    * read-back, keep-latest merge, clustered publish and emptied-bucket
+    * clearing, so a layout change can't land in one write path and not
+    * the other (the wrong-modulus hazard the bucket marker exists for).
+    * `bucketedIncoming` already carries `__bucket`; `deleteKeys` (when
+    * present) is a `(key, __bucket)` frame whose keys are removed from
+    * the current slice before the merge and whose buckets count as
+    * touched even when nothing is upserted into them.
+    *
+    * Crash contract: emptied-bucket clears are recorded in a
+    * `_pending_clear` marker BEFORE the publish and repaired on the next
+    * merge, so no window leaves ghost rows permanently; a crash anywhere
+    * between marker and final clear is converged by RETRYING the same
+    * batch/delta (latest-wins makes re-application idempotent).
+    *
+    * Both the incoming frame and the merge are persisted for the span of
+    * the call: the merge runs one collect (surviving buckets) plus the
+    * write, and the incoming frame feeds two consumers — without the
+    * caches a CDC delta's full-outer diff would execute three times. */
+  private def mergeIntoBuckets(spark: SparkSession, tablePath: String,
+      bucketedIncoming: DataFrame, deleteKeys: Option[DataFrame],
+      key: String, orderCol: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    repairPendingClear(fs, tablePath)
+    val incoming = bucketedIncoming.persist()
+    try {
+      // ≤ buckets small ints — a metadata-scale collect, not data.
+      // Delete keys contribute their buckets too: a delete-only bucket
+      // must still be read back and rewritten (or cleared)
+      val touched = deleteKeys.fold(incoming.select("__bucket"))(dk =>
+          incoming.select("__bucket").unionByName(dk.select("__bucket")))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val currentSlice = spark.read.parquet(tablePath)
+        .filter(col("__bucket").isin(touched: _*))
+      val base = deleteKeys.fold(currentSlice)(dk =>
+        currentSlice.join(dk.select(key), Seq(key), "left_anti"))
+      val merged = keepLatest(
+        base.withColumn("__gen", lit(0))
+          .unionByName(incoming.withColumn("__gen", lit(1)),
+            allowMissingColumns = true),
+        key, orderCol).persist()
+      try {
+        // surviving buckets must come from the MERGED frame, pre-write: a
+        // bucket with zero survivors is absent from it, so dynamic
+        // overwrite skips it and a post-write read would still see old rows
+        val surviving = merged.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (surviving.isEmpty) {
+          // would empty the whole table iff no untouched bucket holds rows
+          // — and an all-deleted parquet table keeps no schema-bearing
+          // file, so it becomes unreadable; refuse BEFORE touching anything
+          val untouchedDirs = fs.listStatus(
+              new org.apache.hadoop.fs.Path(tablePath))
+            .map(_.getPath.getName)
+            .filter(_.startsWith("__bucket="))
+            .map(_.stripPrefix("__bucket=").toInt)
+            .filterNot(touched.contains)
+          if (untouchedDirs.isEmpty) sys.error(
+            s"merge deletes every remaining row of $tablePath — an empty " +
+              "parquet table has no schema-bearing files; drop the table " +
+              "directory instead")
+        }
+        val toClear = touched.filterNot(surviving)
+        if (toClear.nonEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(tablePath, PendingClearFile)
+          val out = fs.create(marker, true)
+          try out.write(toClear.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        // cluster by the layout column before the write: partitionBy
+        // splits each task's output per bucket value, so an unclustered
+        // merged frame (32 shuffle partitions) would shed up to 32 small
+        // files into every touched bucket on every merge. Hash-clustering
+        // on __bucket lands each bucket's rows in one task → one compact
+        // file per rewrite.
+        merged.repartition(col("__bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket")
+          .parquet(tablePath)
+        toClear.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__bucket=$b"), true)
+        }
+        if (toClear.nonEmpty)
+          fs.delete(new org.apache.hadoop.fs.Path(tablePath, PendingClearFile), false)
+        spark.read.parquet(tablePath)
+          .filter(col("__bucket").isin(touched: _*)).count()
+      } finally merged.unpersist()
+    } finally incoming.unpersist()
   }
 
   /** Read an incrementally-upserted table without its layout column. */
@@ -208,54 +303,28 @@ object Store {
     val buckets = storedBucketCount(spark, tablePath).getOrElse(
       sys.error(s"$tablePath is not in incremental layout; seed it with " +
         "upsertOrdersIncremental before applying deltas"))
+    // fail fast on malformed classifications: a silently-dropped row
+    // (typo'd or null change_type) would half-apply the delta with a
+    // normal-looking return value
+    val badRow = delta
+      .filter(!coalesce(col(changeCol), lit("<null>"))
+        .isin("insert", "update", "delete"))
+      .select(col(key), col(changeCol)).limit(1).collect()
+    if (badRow.nonEmpty) sys.error(
+      s"delta row ${badRow.head.get(0)} has unrecognized $changeCol " +
+        s"'${badRow.head.get(1)}' (expected insert/update/delete)")
+    // persist the classified delta: deletes and upserts both read it, and
+    // in the designed flow it's a snapshot diff's full-outer join — left
+    // uncached that join would re-execute once per consumer
     val bucketedDelta = delta
-      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
-    val touched = bucketedDelta.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val currentSlice = spark.read.parquet(tablePath)
-      .filter(col("__bucket").isin(touched: _*))
-    val deleteKeys = bucketedDelta
-      .filter(col(changeCol) === "delete").select(key)
-    val upserts = bucketedDelta
-      .filter(col(changeCol).isin("insert", "update")).drop(changeCol)
-    val merged = keepLatest(
-      currentSlice.join(deleteKeys, Seq(key), "left_anti")
-        .withColumn("__gen", lit(0))
-        .unionByName(upserts.withColumn("__gen", lit(1)),
-          allowMissingColumns = true),
-      key, orderCol)
-    // surviving buckets must come from the MERGED frame, pre-write: a
-    // bucket with zero survivors is absent from it, so dynamic overwrite
-    // skips it and a post-write read would still see the old rows
-    val surviving = merged.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (surviving.isEmpty) {
-      // would empty the whole table iff no untouched bucket holds rows —
-      // and an all-deleted parquet table keeps no schema-bearing file, so
-      // it becomes unreadable; refuse BEFORE touching anything
-      val untouchedDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
-        .map(_.getPath.getName)
-        .filter(_.startsWith("__bucket="))
-        .map(_.stripPrefix("__bucket=").toInt)
-        .filterNot(touched.contains)
-      if (untouchedDirs.isEmpty) sys.error(
-        s"delta deletes every remaining row of $tablePath — an empty " +
-          "parquet table has no schema-bearing files; drop the table " +
-          "directory instead")
-    }
-    merged.repartition(col("__bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(tablePath)
-    // clear fully-emptied buckets that dynamic overwrite never saw
-    touched.filterNot(surviving).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__bucket=$b"), true)
-    }
-    spark.read.parquet(tablePath)
-      .filter(col("__bucket").isin(touched: _*)).count()
+      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets))).persist()
+    try {
+      val deleteKeys = bucketedDelta
+        .filter(col(changeCol) === "delete").select(col(key), col("__bucket"))
+      val upserts = bucketedDelta
+        .filter(col(changeCol) =!= "delete").drop(changeCol)
+      mergeIntoBuckets(spark, tablePath, upserts, Some(deleteKeys), key, orderCol)
+    } finally bucketedDelta.unpersist()
   }
 
   /** Read the published table; if the target directory is absent but a

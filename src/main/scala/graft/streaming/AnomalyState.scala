@@ -17,8 +17,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Numerics: mean and sample variance are computed from the ring in
   * arrival order — the same frame the batch window aggregates — so stream
-  * and batch agree to floating-point noise; the StreamingSpec twin test
-  * pins the flagged ids exactly and the scores to 1e-6.
+  * and batch agree to floating-point noise; the SessionStateSpec twin
+  * test pins the flagged ids exactly and the scores to 1e-3.
   */
 object AnomalyState {
 

@@ -377,6 +377,32 @@ class ExtSpec extends SparkSpec {
     assert(out == Map(17L -> "reject_exact", 27L -> "reject_neardup", 37L -> "admit"))
   }
 
+  test("incremental dedup: batch-internal copies keep only the first occurrence") {
+    val df = docsDf(
+      1L -> "c1 c2 c3 c4 c5 c6",
+      47L -> "n1 n2 n3 n4 n5 n6",
+      57L -> "n1 n2 n3 n4 n5 n6") // verbatim copy of 47 INSIDE the batch
+    val out = Dedup.admitBatch(
+      df.filter(col("doc_id") % 10 =!= 7),
+      df.filter(col("doc_id") % 10 === 7), minJaccard = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(out(47L) == "admit", "first occurrence must win")
+    assert(out(57L) == "reject_exact", "batch-internal copy must reject")
+  }
+
+  test("redaction fails closed on values without '@'") {
+    import graft.ext.Redaction
+    val df = docsDf(1L -> "x").select(
+      Redaction.maskEmail(lit("john.smith.1977")).as("masked"),
+      Redaction.emailDomain(lit("john.smith.1977")).as("domain"),
+      Redaction.maskEmail(lit("a@b.com")).as("ok"))
+    val r = df.collect().head
+    assert(!r.getAs[String]("masked").contains("john"),
+      "raw PII leaked through the mask")
+    assert(r.isNullAt(1), "'@'-less value must yield a null domain, not the raw value")
+    assert(r.getAs[String]("ok").endsWith("@b.com"))
+  }
+
   test("data card: strata shares sum to 1, totals conserve the corpus") {
     val card = SparkEntry.queries("q72_data_card")(spark, sf).collect()
     val totalDocs = card.map(_.getAs[Long]("n_docs")).sum

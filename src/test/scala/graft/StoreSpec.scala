@@ -124,6 +124,12 @@ class StoreSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("drop the table directory"))
     assert(Store.readOrdersIncremental(spark, table).count() == 1)
+    // malformed classifications fail fast instead of half-applying
+    val bad = intercept[RuntimeException] {
+      Store.applyDelta(spark, ordersDf((keep, 1.0, "2024-05-01 00:00:00"))
+        .withColumn("change_type", lit("Upsert")), table)
+    }
+    assert(bad.getMessage.contains("unrecognized"))
   }
 
   test("incremental upsert: a 1-row batch rewrites only its own bucket partition") {
