@@ -183,8 +183,8 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sigA = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
-    val sigB = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+    val sigA = sigs.toDF(sigs.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val sigB = sigs.toDF(sigs.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val agree = (0 until MinhashK)
       .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
       .reduce(_ + _)

@@ -49,7 +49,7 @@ object Clean {
       else {
         val packed = struct((tiebreak ++ rest).map(col): _*)
         df.groupBy(col(key)).agg(min(packed).as("__row"))
-          .select(df.columns.map(c =>
+          .select(df.columns.toIndexedSeq.map(c =>
             if (c == key) col(c) else col(s"__row.$c").as(c)): _*)
       }
     }

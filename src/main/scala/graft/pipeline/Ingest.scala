@@ -88,7 +88,7 @@ object Ingest {
         val bareCols = raw.columns.filterNot(_ == "orders")
         if (bareCols.isEmpty) wrapped
         else wrapped.unionByName(
-          raw.filter(col("orders").isNull).select(bareCols.map(col): _*),
+          raw.filter(col("orders").isNull).select(bareCols.toIndexedSeq.map(col): _*),
           allowMissingColumns = true)
       }
     unwrapped

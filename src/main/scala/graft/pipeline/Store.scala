@@ -34,7 +34,7 @@ object Store {
     else {
       val packed = struct(packedCols.map(col): _*)
       df.groupBy(col(key)).agg(max(packed).as("__row"))
-        .select(outCols.map(c =>
+        .select(outCols.toIndexedSeq.map(c =>
           if (c == key) col(c) else col(s"__row.$c").as(c)): _*)
     }
   }

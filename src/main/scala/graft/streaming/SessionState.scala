@@ -39,7 +39,7 @@ object SessionState {
       math.floorDiv(s.last.getTime, 1000) - math.floorDiv(s.start.getTime, 1000))
 
     if (state.hasTimedOut) {
-      val out = state.getOption.map(close).toIterator
+      val out = state.getOption.map(close).iterator
       state.remove()
       return out
     }
