@@ -133,4 +133,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("FullOuter"), s"diff lost its full-outer shape:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q70: anomaly scan is one window pass — single event_type exchange, no joins") {
+    val p = planOf("q70_anomaly_zscore")
+    assert("Window".r.findAllIn(p).length >= 1 && !p.contains("Join"),
+      s"anomaly detection must be join-free:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 exchange (event_type), got $exchanges:\n$p")
+  }
 }
