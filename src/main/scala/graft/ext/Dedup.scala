@@ -614,12 +614,19 @@ object Dedup {
   def admitBatch(corpus: DataFrame, batch: DataFrame,
       minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpusFp = corpus.select(md5(col("text")).as("fingerprint")).distinct()
+    // the batch side is ALWAYS the broadcast build side: the corpus (and
+    // at scale its pre-materialized fingerprint/shingle index tables) is
+    // only scanned and hash-probed, never shuffled on a join key. A plain
+    // batch-LEFT-join-corpus would force the huge side to shuffle, so the
+    // corpus-hit test is an inner probe (corpus ⨝ broadcast(batch))
+    // re-joined to the batch
     val batchFp = batch.select(col("doc_id"), md5(col("text")).as("fingerprint"))
       .withColumn("batch_keeper",
         min(col("doc_id")).over(Window.partitionBy("fingerprint")))
-    val exact = batchFp.join(corpusFp.withColumn("corpus_hit", lit(1)),
-      Seq("fingerprint"), "left")
+    val corpusHits = corpus.select(md5(col("text")).as("fingerprint"))
+      .join(broadcast(batchFp.select("fingerprint").distinct()), "fingerprint")
+      .distinct().withColumn("corpus_hit", lit(1))
+    val exact = batchFp.join(broadcast(corpusHits), Seq("fingerprint"), "left")
       .withColumn("exact_hit",
         when(col("corpus_hit").isNotNull
           || col("doc_id") =!= col("batch_keeper"), lit(1)))
@@ -627,11 +634,19 @@ object Dedup {
     val csh = shingleRows(corpus)
     val bsizes = bsh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
     val csizes = csh.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
-    val near = bsh.toDF("b_doc", "shingle")
-      .join(csh.toDF("c_doc", "shingle"), "shingle")
+    // same probe shape for shingles: corpus-side stream, batch broadcast;
+    // everything after the probe is batch-pair-sized
+    val common = csh.toDF("c_doc", "shingle")
+      .join(broadcast(bsh.toDF("b_doc", "shingle")), "shingle")
       .groupBy("b_doc", "c_doc").agg(count(lit(1)).as("n_common"))
-      .join(bsizes.toDF("b_doc", "n_b"), "b_doc")
-      .join(csizes.toDF("c_doc", "n_c"), "c_doc")
+    // corpus-side shingle counts are looked up only for the hit docs
+    // (batch-bounded), again as a probe — joining the full per-doc count
+    // index directly would shuffle it corpus-wide
+    val cHitSizes = csizes.toDF("c_doc", "n_c")
+      .join(broadcast(common.select("c_doc").distinct()), "c_doc")
+    val near = common
+      .join(broadcast(bsizes.toDF("b_doc", "n_b")), "b_doc")
+      .join(broadcast(cHitSizes), "c_doc")
       .filter(col("n_common").cast("double")
         / (col("n_b") + col("n_c") - col("n_common")) >= minJaccard)
       .groupBy(col("b_doc").as("doc_id"))

@@ -134,6 +134,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q71: batch admit probes the corpus — batch side broadcast, corpus never shuffle-joined") {
+    val p = planOf("q71_incremental_dedup")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side shuffle-joined — every join must broadcast the batch side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe found:\n$p")
+  }
+
   test("q70: anomaly scan is one window pass — single event_type exchange, no joins") {
     val p = planOf("q70_anomaly_zscore")
     assert("Window".r.findAllIn(p).length >= 1 && !p.contains("Join"),
