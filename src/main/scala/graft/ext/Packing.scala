@@ -80,5 +80,55 @@ object Packing {
       .orderBy("shard", "bin")
   }
 
-  val all: Seq[QuerySpec] = Seq(q62SequencePacking)
+  /** Split each document into overlapping token windows — the
+    * context-length chunking step between a cleaned corpus and embedding
+    * / pretraining consumers (window = model context budget, stride <
+    * window gives the standard sliding overlap so no boundary text is
+    * lost). Chunk ids derive from the start position, so they are stable
+    * under re-partitioning; the final short tail chunk is kept (the
+    * loader pads or merges it).
+    *
+    * Scale shape: one scan-local explode per document — no shuffle, no
+    * state; output size is n_tokens/stride rows per doc. */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        explode(expr(
+          s"transform(sequence(1, size(w), $stride), s -> " +
+            s"struct(s AS start, concat_ws(' ', slice(w, s, $window)) AS txt))"))
+          .as("c"))
+      .select(col("doc_id"),
+        (floor((col("c.start") - 1) / lit(stride.toDouble)) + 1).cast("int")
+          .as("chunk_idx"),
+        col("c.start").cast("int").as("start_token"),
+        least(lit(window), col("n_tokens") - col("c.start") + 1).cast("int")
+          .as("n_chunk_tokens"),
+        md5(col("c.txt")).as("chunk_hash"))
+  }
+
+  /** q73: 32-token windows with stride 24 (8-token overlap) over the full
+    * corpus; the md5 chunk hash pins every chunk's exact text. */
+  val q73DocumentChunks: QuerySpec = QuerySpec(
+    "q73_document_chunks",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(w) AS n_tokens,
+      |    unnest(list_transform(generate_series(1, len(w), 24),
+      |      s -> {'start': s, 'txt': array_to_string(w[s:s+31], ' ')})) AS u
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(floor((u.start - 1) * 1.0 / 24) AS INT) + 1 AS chunk_idx,
+      |  CAST(u.start AS INT) AS start_token,
+      |  CAST(least(32, n_tokens - u.start + 1) AS INT) AS n_chunk_tokens,
+      |  md5(u.txt) AS chunk_hash
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    chunkDocuments(Tables.documents(s, dir), window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q62SequencePacking, q73DocumentChunks)
 }

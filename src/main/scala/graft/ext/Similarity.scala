@@ -526,7 +526,66 @@ object Similarity {
         .orderBy("id_a", "id_b")
     }
 
+  /** Int8 quantization statistics per vector — the storage/serving prep
+    * step (absmax symmetric quantization, the common int8 scheme): scale
+    * = 127/max|x|, q_i = round(x_i · scale). Emitted as integer
+    * aggregates of the quantized vector (sum/max/min) plus the scale, so
+    * the ENTIRE quantized vector is pinned by exact integer arithmetic —
+    * a float reconstruction-error stat would hang the oracle on
+    * engine-specific summation order. All-zero vectors get a null scale
+    * and stay all-zero.
+    *
+    * Scale shape: scan-local array expressions, zero shuffles. */
+  def quantizeStats(emb: DataFrame): DataFrame = {
+    val asDouble = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    asDouble
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")))
+      .withColumn("q",
+        when(col("scale").isNotNull,
+          expr("transform(v, x -> CAST(round(x * scale) AS BIGINT))"))
+          .otherwise(expr("transform(v, x -> 0L)")))
+      .select(col("vec_id"),
+        size(col("v")).as("n_dims"),
+        round(col("scale"), 6).as("scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+        expr("array_max(q)").as("max_q"),
+        expr("array_min(q)").as("min_q"))
+  }
+
+  /** q74: absmax int8 quantization audit over the full embeddings table. */
+  val q74QuantizeStats: QuerySpec = QuerySpec(
+    "q74_embedding_quantize",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS maxabs
+      |  FROM e),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs END AS scale
+      |  FROM m),
+      |q AS (
+      |  SELECT vec_id, v, scale,
+      |    CASE WHEN scale IS NOT NULL
+      |      THEN list_transform(v, x -> CAST(round(x * scale) AS BIGINT))
+      |      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+      |  FROM s)
+      |SELECT vec_id,
+      |  CAST(len(v) AS INT) AS n_dims,
+      |  round(scale, 6) AS scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      |  list_max(qv) AS max_q,
+      |  list_min(qv) AS min_q
+      |FROM q
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    quantizeStats(Tables.embeddings(s, dir)).orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
-    q45EmbeddingNearDup, q46EmbeddingNearDupLsh)
+    q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats)
 }

@@ -412,6 +412,33 @@ class ExtSpec extends SparkSpec {
     assert(card.forall(_.getAs[Long]("n_tokens") > 0))
   }
 
+  test("document chunks tile the token stream: stride spacing, full coverage") {
+    val chunks = SparkEntry.queries("q73_document_chunks")(spark, sf).collect()
+    val toks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      val starts = sorted.map(_.getAs[Int]("start_token"))
+      assert(starts.head == 1 && starts.sliding(2).forall {
+        case Array(a, b) => b - a == 24; case _ => true })
+      val last = sorted.last
+      assert(last.getAs[Int]("start_token") + last.getAs[Int]("n_chunk_tokens") - 1
+        == toks(doc), s"doc $doc chunks don't reach the last token")
+    }
+  }
+
+  test("quantization: values inside int8 range, absmax dim hits exactly ±127") {
+    val out = SparkEntry.queries("q74_embedding_quantize")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mx, mn) = (r.getAs[Long]("max_q"), r.getAs[Long]("min_q"))
+      assert(mx <= 127 && mn >= -127, s"vec ${r.get(0)} out of int8 range")
+      assert(mx == 127 || mn == -127,
+        s"vec ${r.get(0)} absmax dim must quantize to a saturated value")
+      assert(r.getAs[Double]("scale") > 0)
+    }
+  }
+
   test("snapshot diff classifies inserts, deletes, updates exactly") {
     import graft.ext.Snapshot
     val orders = Tables.orders(spark, sf)
