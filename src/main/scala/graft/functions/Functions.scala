@@ -136,6 +136,25 @@ object Functions {
   /** SQL fragment equivalent of [[round2]] for the DuckDB oracle. */
   def round2Sql(expr: String): String = s"floor(($expr) * 100 + 0.5) / 100"
 
+  /** Order-independent 2-dp money sum: each TERM is quantized to integer
+    * CENTS — `floor(x·100 + 0.5)`, the same pure-double arithmetic as
+    * [[round2]], bit-identical in any engine — and the aggregation is an
+    * exact BIGINT sum, immune to the float-accumulation-order ulp drift
+    * that can flip a round-to-cents boundary between engines or
+    * partitionings (observed: q49 at sf0.1, spark .645000x vs duck
+    * .644999x). NOT a DECIMAL cast of the term: double→decimal conversion
+    * itself disagrees across engines (Spark converts via the shortest
+    * decimal representation, DuckDB via the exact binary value — terms
+    * near a half-cent split). Quantizing the term changes semantics from
+    * round-the-sum to sum-the-rounded — the accounting convention — and
+    * the oracle mirrors it. */
+  def moneySum(term: Column): Column =
+    sum(floor(term * 100 + lit(0.5)).cast("long")).cast("double") / 100
+
+  /** SQL fragment equivalent of [[moneySum]] for the DuckDB oracle. */
+  def moneySumSql(expr: String): String =
+    s"CAST(CAST(sum(CAST(floor(($expr) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100"
+
   /** 4-decimal variant of [[round2]] (same cross-engine tie rationale). */
   def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
 

@@ -157,18 +157,24 @@ object Ingest {
     * `events` (SURVEY.md §2.8): hourly windows × event_type. */
   val q35EventsWindow: QuerySpec = QuerySpec(
     "q35_events_window",
-    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
       |  count(*) AS n_events,
-      |  floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
-      |  floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+      |  ${graft.functions.Functions.moneySumSql("value")} AS sum_value,
+      |  floor(${graft.functions.Functions.moneySumSql("value")}
+      |    / count(value) * 10000 + 0.5) / 10000 AS avg_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    // moneySum: exact integer-cents accumulation — the unordered float
+    // sum was the one piece of this aggregate that could drift a rounding
+    // boundary between engines (see Functions.moneySum)
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        graft.functions.Functions.round2(sum(col("value"))).as("sum_value"),
-        graft.functions.Functions.round4(avg(col("value"))).as("avg_value"))
+        graft.functions.Functions.moneySum(col("value")).as("sum_value"),
+        graft.functions.Functions.round4(
+          graft.functions.Functions.moneySum(col("value")) / count(col("value")))
+          .as("avg_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("avg_value"))
       .orderBy("window_start", "event_type")

@@ -113,16 +113,21 @@ object Profiling {
   val q17RevenueSummary: QuerySpec = QuerySpec(
     "q17_revenue_summary",
     "WITH " + OrdersDomain.OracleCte + "\n" +
-      """SELECT
-        |  floor(sum(total_amount) * 100 + 0.5) / 100 AS total_revenue,
-        |  floor(avg(total_amount) * 10000 + 0.5) / 10000 AS avg_order_value,
+      s"""SELECT
+        |  ${graft.functions.Functions.moneySumSql("total_amount")} AS total_revenue,
+        |  floor(${graft.functions.Functions.moneySumSql("total_amount")}
+        |    / count(total_amount) * 10000 + 0.5) / 10000 AS avg_order_value,
         |  floor(max(total_amount) * 100 + 0.5) / 100 AS max_order,
         |  floor(min(total_amount) * 100 + 0.5) / 100 AS min_order,
         |  count(*) AS n_orders
         |FROM orders_domain""".stripMargin) { (s, dir) =>
+    // sum/avg via moneySum (exact integer-cents accumulation —
+    // order-independent across engines); max/min are order-free already
+    import graft.functions.Functions.{moneySum, round4}
     OrdersDomain.fromTpch(s, dir).agg(
-      graft.functions.Functions.round2(sum(col("total_amount"))).as("total_revenue"),
-      graft.functions.Functions.round4(avg(col("total_amount"))).as("avg_order_value"),
+      moneySum(col("total_amount")).as("total_revenue"),
+      round4(moneySum(col("total_amount")) / count(col("total_amount")))
+        .as("avg_order_value"),
       graft.functions.Functions.round2(max(col("total_amount"))).as("max_order"),
       graft.functions.Functions.round2(min(col("total_amount"))).as("min_order"),
       count(lit(1)).as("n_orders"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.functions.Functions.round2
+import graft.functions.Functions.{moneySum, moneySumSql, round2}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,32 +31,36 @@ object Relational {
     * parquet scan; aggregation is hash-agg with map-side partials. */
   val q01PricingSummary: QuerySpec = QuerySpec(
     "q01_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2)      AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+      |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      |  ${moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
       |  round(avg(l_quantity), 4)      AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 6)      AS avg_disc,
+      |  round(${moneySumSql("l_extendedprice")} / count(l_extendedprice), 4) AS avg_price,
+      |  round(${moneySumSql("l_discount")} / count(l_discount), 6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    // money sums via moneySum (exact integer-cents accumulation — see its
+    // doc); quantity sums/avgs stay float: integral values sum exactly
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(moneySum(col("l_extendedprice")) / count(col("l_extendedprice")), 4)
+          .as("avg_price"),
+        round(moneySum(col("l_discount")) / count(col("l_discount")), 6)
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -82,8 +86,8 @@ object Relational {
     * the fact keys, then hash-agg + top-k. */
   val q03RevenueByCustomer: QuerySpec = QuerySpec(
     "q03_revenue_by_customer",
-    """SELECT c_custkey, c_name,
-      |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+    s"""SELECT c_custkey, c_name,
+      |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
       |  count(*) AS n_lines
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
@@ -96,7 +100,7 @@ object Relational {
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy("c_custkey", "c_name")
       .agg(
-        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -108,8 +112,8 @@ object Relational {
     * broadcast-hash-join path that matters at 1000 executors. */
   val q04RegionRevenue: QuerySpec = QuerySpec(
     "q04_region_revenue",
-    """SELECT r_name,
-      |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+    s"""SELECT r_name,
+      |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
       |  count(*) AS n_lines
       |FROM region
       |JOIN nation   ON r_regionkey = n_regionkey
@@ -127,7 +131,7 @@ object Relational {
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy("r_name")
       .agg(
-        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("r_name"))
@@ -142,20 +146,23 @@ object Relational {
     "q05_running_revenue",
     """SELECT o_custkey, o_orderkey,
       |  row_number() OVER w AS order_seq,
-      |  floor(sum(o_totalprice) OVER w * 100 + 0.5) / 100 AS running_total
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100 AS running_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, order_seq""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // integer-cents accumulation (Functions.moneySum rationale): the
+    // cumulative float sum is frame-ordered in both engines, but exact
+    // cents cost nothing and close even the window-internals drift class
     Tables.orders(s, dir)
       .select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(w).as("order_seq"),
-        round2(sum(col("o_totalprice"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .as("running_total"))
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / 100).as("running_total"))
       .orderBy(col("o_custkey"), col("order_seq"))
   }
 
@@ -245,9 +252,9 @@ object Relational {
     * physical shape when k rows per group must survive. */
   val q49GroupedTopk: QuerySpec = QuerySpec(
     "q49_grouped_topk",
-    """WITH rev AS (
+    s"""WITH rev AS (
       |  SELECT n_name, c_custkey, c_name,
-      |    floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+      |    ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
       |  FROM nation
       |  JOIN customer ON n_nationkey = c_nationkey
       |  JOIN orders   ON c_custkey = o_custkey
@@ -264,7 +271,7 @@ object Relational {
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy("n_name", "c_custkey", "c_name")
-      .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
     val w = Window.partitionBy("n_name")
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -279,9 +286,9 @@ object Relational {
     * the naive form is three scans + a union. */
   val q50Rollup: QuerySpec = QuerySpec(
     "q50_rollup",
-    """SELECT coalesce(r_name, 'ALL') AS region,
+    s"""SELECT coalesce(r_name, 'ALL') AS region,
       |  coalesce(n_name, 'ALL') AS nation,
-      |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue,
+      |  ${moneySumSql("o_totalprice")} AS revenue,
       |  count(*) AS n_orders
       |FROM region
       |JOIN nation   ON r_regionkey = n_regionkey
@@ -303,7 +310,7 @@ object Relational {
       .groupingSets(
         Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
         col("r_name"), col("n_name"))
-      .agg(round2(sum(col("o_totalprice"))).as("revenue"),
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),

@@ -100,7 +100,7 @@ object Streaming {
       .withWatermark("ts", horizon)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        graft.functions.Functions.round2(sum(col("value"))).as("sum_value"))
+        graft.functions.Functions.moneySum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
