@@ -103,7 +103,8 @@ object Dedup {
         col("n_common").cast("double")
           / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Functions.round4(col("jaccard")).as("jaccard"))
   }
 
   /** Asymmetric containment: |shingles(a) ∩ shingles(b)| / |shingles(a)| —
@@ -124,7 +125,7 @@ object Dedup {
       .withColumn("containment", col("n_common").cast("double") / col("n_a"))
       .filter(col("containment") >= minContainment)
       .select(col("doc_a"), col("doc_b"),
-        round(col("containment"), 4).as("containment"))
+        graft.functions.Functions.round4(col("containment")).as("containment"))
   }
 
   // ---- MinHash ----------------------------------------------------------
@@ -316,7 +317,7 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id),
        |pairs AS (
        |  SELECT doc_a, doc_b,
-       |    round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+       |    floor(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) * 10000 + 0.5) / 10000 AS jaccard
        |  FROM common
        |  JOIN sizes sa ON sa.doc_id = doc_a
        |  JOIN sizes sb ON sb.doc_id = doc_b
@@ -436,7 +437,7 @@ object Dedup {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)
       |SELECT doc_a, doc_b,
-      |  round(CAST(n_common AS DOUBLE) / sa.n, 4) AS containment
+      |  floor(CAST(n_common AS DOUBLE) / sa.n * 10000 + 0.5) / 10000 AS containment
       |FROM common JOIN sizes sa ON sa.doc_id = doc_a
       |WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
@@ -559,8 +560,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_grams"), 4)
-          .as("contamination"),
+        graft.functions.Functions.round4(
+          col("n_hit").cast("double") / col("n_grams")).as("contamination"),
         (col("n_hit") > 0).as("contaminated"))
   }
 
@@ -581,8 +582,8 @@ object Dedup {
       |SELECT g.doc_id,
       |  count(*) AS n_grams,
       |  CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-      |  round(CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / count(*), 4) AS contamination,
+      |  floor(CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) * 10000 + 0.5) / 10000 AS contamination,
       |  sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
       |FROM g LEFT JOIN ev ON g.gram = ev.gram
       |WHERE g.doc_id % 50 <> 0

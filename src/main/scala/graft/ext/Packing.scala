@@ -93,12 +93,17 @@ object Packing {
   def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // a start position is generated only if the PREVIOUS window did not
+    // already reach the document's end — without this, any doc whose
+    // length lands in the overlap zone emits a final chunk that is a
+    // strict subset of the one before it (duplicate training text)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).as("n_tokens"),
         explode(expr(
-          s"transform(sequence(1, size(w), $stride), s -> " +
-            s"struct(s AS start, concat_ws(' ', slice(w, s, $window)) AS txt))"))
+          s"transform(filter(sequence(1, size(w), $stride), " +
+            s"s -> s = 1 OR s - $stride + ${window - 1} < size(w)), " +
+            s"s -> struct(s AS start, concat_ws(' ', slice(w, s, $window)) AS txt))"))
           .as("c"))
       .select(col("doc_id"),
         (floor((col("c.start") - 1) / lit(stride.toDouble)) + 1).cast("int")
@@ -116,7 +121,8 @@ object Packing {
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |c AS (
       |  SELECT doc_id, len(w) AS n_tokens,
-      |    unnest(list_transform(generate_series(1, len(w), 24),
+      |    unnest(list_transform(list_filter(generate_series(1, len(w), 24),
+      |      s -> s = 1 OR s - 24 + 31 < len(w)),
       |      s -> {'start': s, 'txt': array_to_string(w[s:s+31], ' ')})) AS u
       |  FROM d)
       |SELECT doc_id,

@@ -549,7 +549,9 @@ object Similarity {
           .otherwise(expr("transform(v, x -> 0L)")))
       .select(col("vec_id"),
         size(col("v")).as("n_dims"),
-        round(col("scale"), 6).as("scale"),
+        // floor-based round6, not native round(): engine round() on
+        // doubles disagrees near decimal ties (Functions.round6 doc)
+        graft.functions.Functions.round6(col("scale")).as("scale"),
         expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
         expr("array_max(q)").as("max_q"),
         expr("array_min(q)").as("min_q"))
@@ -576,7 +578,7 @@ object Similarity {
       |  FROM s)
       |SELECT vec_id,
       |  CAST(len(v) AS INT) AS n_dims,
-      |  round(scale, 6) AS scale,
+      |  floor(scale * 1000000 + 0.5) / 1000000 AS scale,
       |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
       |  list_max(qv) AS max_q,
       |  list_min(qv) AS min_q

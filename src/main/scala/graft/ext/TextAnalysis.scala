@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
+import graft.functions.Functions.{round4, round4Sql, round6, round6Sql}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -94,12 +95,14 @@ object TextAnalysis {
       |  length(text) AS n_chars,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
-      |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-      |    / len(string_split(text, ' ')), 4) AS avg_token_len,
-      |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |    / len(string_split(text, ' ')), 4) AS type_token_ratio
+      |  floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |    / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len,
+      |  floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS type_token_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // floor-based round4 on int ratios (tie-divergence class — see
+    // Functions.round6 doc)
     val d = Tables.documents(s, dir)
     val toks = tokens(col("text"))
     d.select(
@@ -107,9 +110,9 @@ object TextAnalysis {
       length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
-      round((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks), 4)
+      round4((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks))
         .as("avg_token_len"),
-      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+      round4(size(array_distinct(toks)).cast("double") / size(toks))
         .as("type_token_ratio"))
       .orderBy("doc_id")
   }
@@ -146,10 +149,10 @@ object TextAnalysis {
   val q23DocQuality: QuerySpec = QuerySpec(
     "q23_doc_quality",
     "SELECT doc_id,\n" +
-      "  round(len_score, 4) AS len_score,\n" +
-      "  round(ttr, 4) AS diversity_score,\n" +
-      "  round(stop_ratio, 4) AS stopword_ratio,\n" +
-      s"  round($QualityBlendSql, 4) AS quality_score,\n" +
+      s"  ${round4Sql("len_score")} AS len_score,\n" +
+      s"  ${round4Sql("ttr")} AS diversity_score,\n" +
+      s"  ${round4Sql("stop_ratio")} AS stopword_ratio,\n" +
+      s"  ${round4Sql(QualityBlendSql)} AS quality_score,\n" +
       s"  CASE WHEN $QualityBlendSql >= 0.6 THEN 'high'\n" +
       s"       WHEN $QualityBlendSql >= 0.4 THEN 'medium'\n" +
       "       ELSE 'low' END AS quality_band\n" +
@@ -163,10 +166,10 @@ object TextAnalysis {
     val q = qualityScore(col("len_score"), col("ttr"), col("stop_ratio"))
     base.select(
       col("doc_id"),
-      round(col("len_score"), 4).as("len_score"),
-      round(col("ttr"), 4).as("diversity_score"),
-      round(col("stop_ratio"), 4).as("stopword_ratio"),
-      round(q, 4).as("quality_score"),
+      round4(col("len_score")).as("len_score"),
+      round4(col("ttr")).as("diversity_score"),
+      round4(col("stop_ratio")).as("stopword_ratio"),
+      round4(q).as("quality_score"),
       when(q >= 0.6, "high").when(q >= 0.4, "medium").otherwise("low")
         .as("quality_band"))
       .orderBy("doc_id")
@@ -335,9 +338,9 @@ object TextAnalysis {
       |  FROM b)
       |SELECT doc_id,
       |  n AS n_tokens,
-      |  round(CAST(toptok AS DOUBLE) / n, 4) AS top_token_frac,
-      |  round(CAST(n - ndist AS DOUBLE) / n, 4) AS dup_token_frac,
-      |  round(CAST(topbg AS DOUBLE) / (n - 1), 4) AS top_bigram_frac,
+      |  floor(CAST(toptok AS DOUBLE) / n * 10000 + 0.5) / 10000 AS top_token_frac,
+      |  floor(CAST(n - ndist AS DOUBLE) / n * 10000 + 0.5) / 10000 AS dup_token_frac,
+      |  floor(CAST(topbg AS DOUBLE) / (n - 1) * 10000 + 0.5) / 10000 AS top_bigram_frac,
       |  (CAST(toptok AS DOUBLE) / n <= 0.12
       |    AND CAST(n - ndist AS DOUBLE) / n <= 0.6
       |    AND CAST(topbg AS DOUBLE) / (n - 1) <= 0.06) AS keep
@@ -364,9 +367,9 @@ object TextAnalysis {
     base.select(
       col("doc_id"),
       n.as("n_tokens"),
-      round(topTokF, 4).as("top_token_frac"),
-      round(dupF, 4).as("dup_token_frac"),
-      round(topBgF, 4).as("top_bigram_frac"),
+      round4(topTokF).as("top_token_frac"),
+      round4(dupF).as("dup_token_frac"),
+      round4(topBgF).as("top_bigram_frac"),
       (topTokF <= 0.12 && dupF <= 0.6 && topBgF <= 0.06).as("keep"))
   }
 
@@ -398,7 +401,8 @@ object TextAnalysis {
       |      * ((nd.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score
       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
       |  JOIN df ON tf.token = df.token CROSS JOIN nd)
-      |SELECT doc_id, rnk, token, tf, df, round(score, 6) AS tfidf FROM (
+      |SELECT doc_id, rnk, token, tf, df,
+      |  floor(score * 1000000 + 0.5) / 1000000 AS tfidf FROM (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
       |    ORDER BY score DESC, token) AS rnk
       |  FROM scored)
@@ -423,7 +427,7 @@ object TextAnalysis {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"),
-        round(col("score"), 6).as("tfidf"))
+        round6(col("score")).as("tfidf"))
       .orderBy("doc_id", "rnk")
   }
 
@@ -448,8 +452,8 @@ object TextAnalysis {
       |  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
       |    CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM per)
       |SELECT lang, source, n_docs, n_tokens, n_chars,
-      |  round(CAST(n_docs AS DOUBLE) / t_docs, 4) AS pct_docs,
-      |  round(CAST(n_tokens AS DOUBLE) / t_tokens, 4) AS pct_tokens
+      |  floor(CAST(n_docs AS DOUBLE) / t_docs * 10000 + 0.5) / 10000 AS pct_docs,
+      |  floor(CAST(n_tokens AS DOUBLE) / t_tokens * 10000 + 0.5) / 10000 AS pct_tokens
       |FROM per CROSS JOIN tot
       |ORDER BY lang, source""".stripMargin) { (s, dir) =>
     val per = Tables.documents(s, dir)
@@ -465,8 +469,8 @@ object TextAnalysis {
     per.crossJoin(broadcast(tot))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("n_chars"),
-        round(col("n_docs").cast("double") / col("t_docs"), 4).as("pct_docs"),
-        round(col("n_tokens").cast("double") / col("t_tokens"), 4).as("pct_tokens"))
+        round4(col("n_docs").cast("double") / col("t_docs")).as("pct_docs"),
+        round4(col("n_tokens").cast("double") / col("t_tokens")).as("pct_tokens"))
       .orderBy("lang", "source")
   }
 

@@ -161,6 +161,14 @@ object Functions {
   /** SQL fragment equivalent of [[round4]] for the DuckDB oracle. */
   def round4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
 
+  /** 6-decimal variant of [[round2]] — same floor arithmetic; the
+    * engines' native round() differs on doubles near a decimal tie
+    * (shortest-repr vs exact-binary rounding), this form cannot. */
+  def round6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
+
+  /** SQL fragment equivalent of [[round6]] for the DuckDB oracle. */
+  def round6Sql(expr: String): String = s"floor(($expr) * 1000000 + 0.5) / 1000000"
+
   /** Email domain (`split('@')[-1]`, `src/transformation.py:366`). */
   def emailDomain(email: Column): Column = substring_index(email, "@", -1)
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.functions.Functions.qualityLevel
+import graft.functions.Functions.{qualityLevel, round4, round4Sql}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -118,13 +118,17 @@ object Quality {
       validRecords.as("valid_records"),
       count(lit(1)).as("total_records"))
 
+    // floor-based round4, not native round(): these are ratios of small
+    // integers, exactly the value class whose shortest decimal
+    // representation can land on a rounding tie that Spark (shortest-repr
+    // HALF_UP) and DuckDB (exact-binary) resolve differently
     agged.select(
-      round(col("completeness"), 4).as("completeness"),
-      round(col("validity"), 4).as("validity"),
-      round(col("consistency"), 4).as("consistency"),
-      round(col("accuracy"), 4).as("accuracy"),
-      round(col("completeness") * 0.3 + col("validity") * 0.3
-        + col("consistency") * 0.2 + col("accuracy") * 0.2, 4).as("overall_score"),
+      round4(col("completeness")).as("completeness"),
+      round4(col("validity")).as("validity"),
+      round4(col("consistency")).as("consistency"),
+      round4(col("accuracy")).as("accuracy"),
+      round4(col("completeness") * 0.3 + col("validity") * 0.3
+        + col("consistency") * 0.2 + col("accuracy") * 0.2).as("overall_score"),
       qualityLevel(col("completeness") * 0.3 + col("validity") * 0.3
         + col("consistency") * 0.2 + col("accuracy") * 0.2).as("quality_level"),
       col("valid_records"),
@@ -169,11 +173,11 @@ object Quality {
        |    count(*) AS total_records
        |  FROM $rel)
        |SELECT
-       |  round(completeness, 4) AS completeness,
-       |  round(validity, 4) AS validity,
-       |  round(consistency, 4) AS consistency,
-       |  round(accuracy, 4) AS accuracy,
-       |  round(completeness*0.3 + validity*0.3 + consistency*0.2 + accuracy*0.2, 4) AS overall_score,
+       |  ${round4Sql("completeness")} AS completeness,
+       |  ${round4Sql("validity")} AS validity,
+       |  ${round4Sql("consistency")} AS consistency,
+       |  ${round4Sql("accuracy")} AS accuracy,
+       |  ${round4Sql("completeness*0.3 + validity*0.3 + consistency*0.2 + accuracy*0.2")} AS overall_score,
        |  CASE WHEN completeness*0.3 + validity*0.3 + consistency*0.2 + accuracy*0.2 >= 95 THEN 'excellent'
        |       WHEN completeness*0.3 + validity*0.3 + consistency*0.2 + accuracy*0.2 >= 85 THEN 'good'
        |       WHEN completeness*0.3 + validity*0.3 + consistency*0.2 + accuracy*0.2 >= 70 THEN 'fair'

@@ -149,9 +149,21 @@ object Store {
     val target = new org.apache.hadoop.fs.Path(tablePath)
     val exists = fs.exists(target)
     val stored = storedBucketCount(spark, tablePath)
-    if (exists && stored.isEmpty)
+    if (exists && stored.isEmpty) {
+      // distinguish "plain-layout table" from "incremental table whose
+      // first write crashed between the data publish and the marker":
+      // sending the latter to upsertOrders would flatten __bucket into a
+      // data column and silently corrupt the layout
+      val hasBucketDirs = fs.listStatus(target)
+        .exists(_.getPath.getName.startsWith("__bucket="))
+      if (hasBucketDirs) sys.error(
+        s"$tablePath has incremental bucket partitions but no bucket " +
+          "marker (a first write likely crashed before the marker); " +
+          "restore the marker with the original bucket count, or " +
+          "recreate the table — do NOT run upsertOrders on it")
       sys.error(s"$tablePath exists but is not in incremental layout " +
         "(no bucket marker); use upsertOrders, or migrate the table first")
+    }
     // stored count wins: the modulus is fixed at creation (see marker doc)
     val buckets = stored.getOrElse(numBuckets)
     val bucketed = incoming
@@ -200,10 +212,10 @@ object Store {
     * touched even when nothing is upserted into them.
     *
     * Crash contract: emptied-bucket clears are recorded in a
-    * `_pending_clear` marker BEFORE the publish and repaired on the next
-    * merge, so no window leaves ghost rows permanently; a crash anywhere
-    * between marker and final clear is converged by RETRYING the same
-    * batch/delta (latest-wins makes re-application idempotent).
+    * `_pending_clear` marker AFTER the publish (see the inline rationale)
+    * and repaired on the next merge; a crash anywhere in the sequence is
+    * converged by RETRYING the same batch/delta (latest-wins and key
+    * deletes make re-application idempotent).
     *
     * Both the incoming frame and the merge are persisted for the span of
     * the call: the merge runs one collect (surviving buckets) plus the
@@ -254,13 +266,6 @@ object Store {
               "directory instead")
         }
         val toClear = touched.filterNot(surviving)
-        if (toClear.nonEmpty) {
-          val marker = new org.apache.hadoop.fs.Path(tablePath, PendingClearFile)
-          val out = fs.create(marker, true)
-          try out.write(toClear.mkString(",")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        }
         // cluster by the layout column before the write: partitionBy
         // splits each task's output per bucket value, so an unclustered
         // merged frame (32 shuffle partitions) would shed up to 32 small
@@ -272,11 +277,26 @@ object Store {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__bucket")
           .parquet(tablePath)
-        toClear.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__bucket=$b"), true)
-        }
-        if (toClear.nonEmpty)
+        // the marker is written AFTER the publish, never before: a
+        // pre-publish marker would let the next merge's repair delete a
+        // bucket whose replacement data was never committed — if that
+        // bucket held the table's only rows, the table becomes
+        // permanently unreadable. Post-publish, repair is always safe
+        // (listed buckets hold only stale rows). Residual window: a crash
+        // BETWEEN the publish and this marker leaves stale rows in
+        // fully-emptied buckets until the same delta is retried — the
+        // price of plain parquet having no atomic multi-file commit.
+        if (toClear.nonEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(tablePath, PendingClearFile)
+          val out = fs.create(marker, true)
+          try out.write(toClear.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          toClear.foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__bucket=$b"), true)
+          }
           fs.delete(new org.apache.hadoop.fs.Path(tablePath, PendingClearFile), false)
+        }
         spark.read.parquet(tablePath)
           .filter(col("__bucket").isin(touched: _*)).count()
       } finally merged.unpersist()
@@ -303,22 +323,23 @@ object Store {
     val buckets = storedBucketCount(spark, tablePath).getOrElse(
       sys.error(s"$tablePath is not in incremental layout; seed it with " +
         "upsertOrdersIncremental before applying deltas"))
-    // fail fast on malformed classifications: a silently-dropped row
-    // (typo'd or null change_type) would half-apply the delta with a
-    // normal-looking return value
-    val badRow = delta
-      .filter(!coalesce(col(changeCol), lit("<null>"))
-        .isin("insert", "update", "delete"))
-      .select(col(key), col(changeCol)).limit(1).collect()
-    if (badRow.nonEmpty) sys.error(
-      s"delta row ${badRow.head.get(0)} has unrecognized $changeCol " +
-        s"'${badRow.head.get(1)}' (expected insert/update/delete)")
-    // persist the classified delta: deletes and upserts both read it, and
-    // in the designed flow it's a snapshot diff's full-outer join — left
-    // uncached that join would re-execute once per consumer
+    // persist the classified delta FIRST: validation, deletes and upserts
+    // all read it, and in the designed flow it's a snapshot diff's
+    // full-outer join — validating the raw frame would add a whole
+    // uncached execution of that join before the cache even fills
     val bucketedDelta = delta
       .withColumn("__bucket", pmod(hash(col(key)), lit(buckets))).persist()
     try {
+      // fail fast on malformed classifications: a silently-dropped row
+      // (typo'd or null change_type) would half-apply the delta with a
+      // normal-looking return value
+      val badRow = bucketedDelta
+        .filter(!coalesce(col(changeCol), lit("<null>"))
+          .isin("insert", "update", "delete"))
+        .select(col(key), col(changeCol)).limit(1).collect()
+      if (badRow.nonEmpty) sys.error(
+        s"delta row ${badRow.head.get(0)} has unrecognized $changeCol " +
+          s"'${badRow.head.get(1)}' (expected insert/update/delete)")
       val deleteKeys = bucketedDelta
         .filter(col(changeCol) === "delete").select(col(key), col("__bucket"))
       val upserts = bucketedDelta

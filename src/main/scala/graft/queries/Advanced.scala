@@ -123,27 +123,30 @@ object Advanced {
     "WITH " + OrdersDomain.OracleCte + ",\n" + OrdersDomain.DirtyOracleCte + "\n" +
       """SELECT source,
         |  count(*) AS n,
-        |  round(CAST(count(customer_name) + count(product) + count(quantity)
-        |    + count(discount) AS DOUBLE) / (4 * count(*)) * 100, 4) AS completeness,
-        |  round(avg(CASE WHEN price IS NOT NULL AND price > 0 THEN 1.0 ELSE 0.0 END) * 100, 4) AS price_validity,
-        |  round(avg(CASE WHEN quantity IS NOT NULL AND quantity >= 1 AND quantity <= 100
-        |    THEN 1.0 ELSE 0.0 END) * 100, 4) AS quantity_accuracy
+        |  floor(CAST(count(customer_name) + count(product) + count(quantity)
+        |    + count(discount) AS DOUBLE) / (4 * count(*)) * 100 * 10000 + 0.5) / 10000 AS completeness,
+        |  floor(avg(CASE WHEN price IS NOT NULL AND price > 0 THEN 1.0 ELSE 0.0 END) * 100 * 10000 + 0.5) / 10000 AS price_validity,
+        |  floor(avg(CASE WHEN quantity IS NOT NULL AND quantity >= 1 AND quantity <= 100
+        |    THEN 1.0 ELSE 0.0 END) * 100 * 10000 + 0.5) / 10000 AS quantity_accuracy
         |FROM dirty_domain
         |GROUP BY source
         |ORDER BY source""".stripMargin) { (s, dir) =>
+    // floor-based round4: these are ratios of small integers — the
+    // tie-divergence class (Functions.round6 doc)
+    import graft.functions.Functions.round4
     def frac(pred: org.apache.spark.sql.Column) =
       avg(when(pred, 1.0).otherwise(0.0))
     OrdersDomain.dirtyFromTpch(s, dir)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n"),
-        round((count(col("customer_name")) + count(col("product"))
+        round4((count(col("customer_name")) + count(col("product"))
           + count(col("quantity")) + count(col("discount"))).cast("double")
-          / (count(lit(1)) * 4) * 100, 4).as("completeness"),
-        round(frac(col("price").isNotNull && col("price") > 0) * 100, 4)
+          / (count(lit(1)) * 4) * 100).as("completeness"),
+        round4(frac(col("price").isNotNull && col("price") > 0) * 100)
           .as("price_validity"),
-        round(frac(col("quantity").isNotNull && col("quantity") >= 1
-          && col("quantity") <= 100) * 100, 4).as("quantity_accuracy"))
+        round4(frac(col("quantity").isNotNull && col("quantity") >= 1
+          && col("quantity") <= 100) * 100).as("quantity_accuracy"))
       .orderBy("source")
   }
 

@@ -25,7 +25,7 @@ object Profiling {
       |    CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
       |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
       |    round(min(o_orderkey), 4) AS min_v, round(max(o_orderkey), 4) AS max_v,
-      |    round(avg(o_orderkey), 4) AS avg_v, round(stddev(o_orderkey), 4) AS std_v,
+      |    floor(avg(o_orderkey) * 10000 + 0.5) / 10000 AS avg_v, round(stddev(o_orderkey), 4) AS std_v,
       |    CAST(NULL AS DOUBLE) AS avg_len, CAST(NULL AS BIGINT) AS max_len
       |  FROM orders
       |  UNION ALL
@@ -33,7 +33,7 @@ object Profiling {
       |    CAST(count(*) - count(o_totalprice) AS BIGINT),
       |    CAST(count(DISTINCT o_totalprice) AS BIGINT),
       |    round(min(o_totalprice), 4), round(max(o_totalprice), 4),
-      |    round(avg(o_totalprice), 4), round(stddev(o_totalprice), 4),
+      |    floor(avg(o_totalprice) * 10000 + 0.5) / 10000, round(stddev(o_totalprice), 4),
       |    NULL, NULL
       |  FROM orders
       |  UNION ALL
@@ -41,7 +41,7 @@ object Profiling {
       |    CAST(count(*) - count(o_orderstatus) AS BIGINT),
       |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
       |    NULL, NULL, NULL, NULL,
-      |    round(avg(length(o_orderstatus)), 4),
+      |    floor(avg(length(o_orderstatus)) * 10000 + 0.5) / 10000,
       |    CAST(max(length(o_orderstatus)) AS BIGINT)
       |  FROM orders
       |  UNION ALL
@@ -49,7 +49,7 @@ object Profiling {
       |    CAST(count(*) - count(o_orderpriority) AS BIGINT),
       |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
       |    NULL, NULL, NULL, NULL,
-      |    round(avg(length(o_orderpriority)), 4),
+      |    floor(avg(length(o_orderpriority)) * 10000 + 0.5) / 10000,
       |    CAST(max(length(o_orderpriority)) AS BIGINT)
       |  FROM orders)
       |ORDER BY column_name""".stripMargin) { (s, dir) =>
@@ -62,12 +62,12 @@ object Profiling {
         countDistinct(col(c)).as(s"${c}__distinct"),
         round(min(col(c)).cast("double"), 4).as(s"${c}__min"),
         round(max(col(c)).cast("double"), 4).as(s"${c}__max"),
-        round(avg(col(c)), 4).as(s"${c}__avg"),
+        graft.functions.Functions.round4(avg(col(c))).as(s"${c}__avg"),
         round(stddev_samp(col(c)), 4).as(s"${c}__std"))) ++
         strCols.flatMap(c => Seq(
           (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
           countDistinct(col(c)).as(s"${c}__distinct"),
-          round(avg(length(col(c))), 4).as(s"${c}__avg_len"),
+          graft.functions.Functions.round4(avg(length(col(c)))).as(s"${c}__avg_len"),
           max(length(col(c))).cast("long").as(s"${c}__max_len")))
     val one = o.agg(aggs.head, aggs.tail: _*)
     val rows =
@@ -140,19 +140,19 @@ object Profiling {
     "q18_numeric_summary",
     """SELECT * FROM (
       |  SELECT 'l_quantity' AS column_name, count(l_quantity) AS n,
-      |    round(avg(l_quantity), 4) AS mean_v, round(stddev(l_quantity), 4) AS std_v,
+      |    floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS mean_v, round(stddev(l_quantity), 4) AS std_v,
       |    round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
       |    round(quantile_cont(l_quantity, 0.5), 4) AS median_v
       |  FROM lineitem
       |  UNION ALL
       |  SELECT 'l_extendedprice', count(l_extendedprice),
-      |    round(avg(l_extendedprice), 4), round(stddev(l_extendedprice), 4),
+      |    floor(avg(l_extendedprice) * 10000 + 0.5) / 10000, round(stddev(l_extendedprice), 4),
       |    round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
       |    round(quantile_cont(l_extendedprice, 0.5), 4)
       |  FROM lineitem
       |  UNION ALL
       |  SELECT 'l_discount', count(l_discount),
-      |    round(avg(l_discount), 4), round(stddev(l_discount), 4),
+      |    floor(avg(l_discount) * 10000 + 0.5) / 10000, round(stddev(l_discount), 4),
       |    round(min(l_discount), 4), round(max(l_discount), 4),
       |    round(quantile_cont(l_discount, 0.5), 4)
       |  FROM lineitem)
@@ -161,7 +161,7 @@ object Profiling {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__n"),
-      round(avg(col(c)), 4).as(s"${c}__mean"),
+      graft.functions.Functions.round4(avg(col(c))).as(s"${c}__mean"),
       round(stddev_samp(col(c)), 4).as(s"${c}__std"),
       round(min(col(c)), 4).as(s"${c}__min"),
       round(max(col(c)), 4).as(s"${c}__max"),

@@ -36,9 +36,9 @@ object Relational {
       |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
       |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
       |  ${moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-      |  round(avg(l_quantity), 4)      AS avg_qty,
-      |  round(${moneySumSql("l_extendedprice")} / count(l_extendedprice), 4) AS avg_price,
-      |  round(${moneySumSql("l_discount")} / count(l_discount), 6) AS avg_disc,
+      |  floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+      |  floor(${moneySumSql("l_extendedprice")} / count(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
+      |  floor(${moneySumSql("l_discount")} / count(l_discount) * 1000000 + 0.5) / 1000000 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -56,10 +56,12 @@ object Relational {
           .as("sum_disc_price"),
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax"))).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(moneySum(col("l_extendedprice")) / count(col("l_extendedprice")), 4)
+        graft.functions.Functions.round4(avg(col("l_quantity"))).as("avg_qty"),
+        graft.functions.Functions.round4(
+          moneySum(col("l_extendedprice")) / count(col("l_extendedprice")))
           .as("avg_price"),
-        round(moneySum(col("l_discount")) / count(col("l_discount")), 6)
+        graft.functions.Functions.round6(
+          moneySum(col("l_discount")) / count(col("l_discount")))
           .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")

@@ -424,6 +424,12 @@ class ExtSpec extends SparkSpec {
       val last = sorted.last
       assert(last.getAs[Int]("start_token") + last.getAs[Int]("n_chunk_tokens") - 1
         == toks(doc), s"doc $doc chunks don't reach the last token")
+      // no redundant tail: every non-final chunk must stop short of the
+      // end, else the final chunk would be a strict subset of it
+      sorted.init.foreach { c =>
+        assert(c.getAs[Int]("start_token") + c.getAs[Int]("n_chunk_tokens") - 1
+          < toks(doc), s"doc $doc emits a chunk fully contained in an earlier one")
+      }
     }
   }
 
