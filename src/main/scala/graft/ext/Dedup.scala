@@ -642,7 +642,11 @@ object Dedup {
       .groupBy("b_doc", "c_doc").agg(count(lit(1)).as("n_common"))
     // corpus-side shingle counts are looked up only for the hit docs
     // (batch-bounded), again as a probe — joining the full per-doc count
-    // index directly would shuffle it corpus-wide
+    // index directly would shuffle it corpus-wide. The probe re-evaluates
+    // the `common` subtree (Spark does not dedupe identical subtrees):
+    // a DELIBERATE trade — two shuffle-free scans of the corpus index
+    // beat one corpus-wide shuffle of it, and a cache can't live inside
+    // a lazily-returned operator without leaking for the session
     val cHitSizes = csizes.toDF("c_doc", "n_c")
       .join(broadcast(common.select("c_doc").distinct()), "c_doc")
     val near = common

@@ -45,7 +45,10 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     // money sums via moneySum (exact integer-cents accumulation — see its
-    // doc); quantity sums/avgs stay float: integral values sum exactly
+    // doc); quantity sums/avgs stay float: integral values sum exactly.
+    // moneySum on l_discount relies on TPC-H discounts being exact
+    // multiples of 0.01 — finer-grained rates would quantize; a source
+    // with 3-dp rates needs a 10^3 variant of the same trick
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
