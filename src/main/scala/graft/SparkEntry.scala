@@ -25,6 +25,7 @@ object SparkEntry {
       graft.ext.Packing.all ++
       graft.ext.Redaction.all ++
       graft.ext.Snapshot.all ++
+      graft.ext.CorpusBuild.all ++
       graft.pipeline.Ingest.all ++
       graft.ext.Multimodal.all ++
       graft.queries.Advanced.all

@@ -302,9 +302,16 @@ object Dedup {
     * oracle). Pre-stripped plain string: assemble by concatenation, never
     * re-stripMargin. */
   private def ngramPairsSqlCtes(maxDocId: Int, minJaccard: Double): String =
+    ngramPairsSqlCtesFrom("documents", minJaccard, s"doc_id < $maxDocId AND ")
+
+  /** Generalized form over any (doc_id, text) relation — also consumed by
+    * the q75 corpus-build composition, whose pair set runs over the
+    * funnel-surviving subset instead of raw documents. */
+  def ngramPairsSqlCtesFrom(srcRel: String, minJaccard: Double,
+      pred: String = ""): String =
     s"""docs AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |  WHERE doc_id < $maxDocId AND len(string_split(text, ' ')) >= 3),
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM $srcRel
+       |  WHERE ${pred}len(string_split(text, ' ')) >= 3),
        |sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),

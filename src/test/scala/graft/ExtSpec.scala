@@ -445,6 +445,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("corpus build manifest: unique docs, funnel-consistent, bins monotone per shard") {
+    import graft.ext.CorpusBuild
+    val m = SparkEntry.queries("q75_corpus_build")(spark, sf).collect()
+    assert(m.nonEmpty)
+    val ids = m.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "manifest emits a doc twice")
+    assert(m.forall(_.getAs[Long]("n_tokens") > 0))
+    assert(m.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // bins grow monotonically with doc_id inside each (split, shard)
+    m.groupBy(r => (r.getAs[String]("split"), r.getAs[Int]("shard"))).foreach {
+      case (_, rs) =>
+        val bins = rs.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("bin"))
+        assert(bins.head == 0 && bins.sliding(2).forall {
+          case Array(a, b) => b >= a; case _ => true })
+    }
+    // composition consistency: every manifest doc passes the q63 funnel
+    // rules (the funnel's own kept-count is an upper bound: the manifest
+    // additionally drops near-dups)
+    val funnelKept = SparkEntry.queries("q63_filter_funnel")(spark, sf)
+      .filter(col("stage") === "exact_dedup").collect().head.getAs[Long]("n_kept")
+    assert(m.length <= funnelKept,
+      s"manifest (${m.length}) exceeds the funnel's kept set ($funnelKept)")
+  }
+
   test("snapshot diff classifies inserts, deletes, updates exactly") {
     import graft.ext.Snapshot
     val orders = Tables.orders(spark, sf)
