@@ -45,7 +45,9 @@ object CorpusBuild {
     val flagged = docs.select(col("doc_id"), col("text"),
       col("lang"), col("n_chars"), md5(col("text")).as("fp"))
       .withColumn("q", q)
-      .filter(col("n_chars") >= 100 && col("lang") === "en" && col("q") >= 0.4)
+      .filter(col("n_chars") >= TextAnalysis.FunnelMinChars
+        && col("lang") === TextAnalysis.FunnelLang
+        && col("q") >= TextAnalysis.FunnelMinQuality)
     val kept = flagged
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("keeper"))
@@ -71,8 +73,10 @@ object CorpusBuild {
     "WITH p AS (\n  " +
       TextAnalysis.qualityPartsSql(", lang, n_chars, md5(text) AS fp, text") + "),\n" +
       s"f AS (\n  SELECT doc_id, text, lang, n_chars, fp, ${TextAnalysis.QualityBlendSql} AS q FROM p),\n" +
-      """k0 AS (
-        |  SELECT * FROM f WHERE n_chars >= 100 AND lang = 'en' AND q >= 0.4),
+      s"""k0 AS (
+        |  SELECT * FROM f WHERE n_chars >= ${TextAnalysis.FunnelMinChars}
+        |    AND lang = '${TextAnalysis.FunnelLang}'
+        |    AND q >= ${TextAnalysis.FunnelMinQuality}),
         |kept AS (
         |  SELECT doc_id, text FROM (
         |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM k0)
@@ -85,9 +89,7 @@ object CorpusBuild {
         |asgn AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CASE WHEN ${Sampling.hashBucketSql("doc_id", 100, "split:")} < 90 THEN 'train'
-        |         WHEN ${Sampling.hashBucketSql("doc_id", 100, "split:")} < 95 THEN 'val'
-        |         ELSE 'test' END AS split,
+        |    ${Sampling.assignSplitSql("doc_id")} AS split,
         |    ${Sampling.hashBucketSql("doc_id", PackShards, "pack:")} AS shard
         |  FROM deduped),
         |o AS (

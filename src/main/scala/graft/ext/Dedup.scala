@@ -565,7 +565,7 @@ object Dedup {
       .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        count(col("hit")).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         graft.functions.Functions.round4(
           col("n_hit").cast("double") / col("n_grams")).as("contamination"),

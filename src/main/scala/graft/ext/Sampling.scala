@@ -170,18 +170,22 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** SQL twin of [[assignSplit]] — shared by the q64 and q75 oracles so
+    * the split thresholds can't drift between them. */
+  def assignSplitSql(keyExpr: String, trainPct: Int = 90, valPct: Int = 5): String = {
+    val b = hashBucketSql(keyExpr, 100, "split:")
+    s"CASE WHEN $b < $trainPct THEN 'train' " +
+      s"WHEN $b < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
+  }
+
   /** q64: 90/5/5 corpus split summary — per-split counts and id ranges
     * pin every membership decision. */
   val q64TrainValTestSplit: QuerySpec = QuerySpec(
     "q64_train_val_test_split",
-    s"""WITH b AS (
-      |  SELECT doc_id,
-      |    ${hashBucketSql("doc_id", 100, "split:")} AS bucket
-      |  FROM documents)
-      |SELECT
-      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+    s"""SELECT
+      |  ${assignSplitSql("doc_id")} AS split,
       |  count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      |FROM b GROUP BY 1
+      |FROM documents GROUP BY 1
       |ORDER BY split""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .withColumn("split", assignSplit(col("doc_id")))

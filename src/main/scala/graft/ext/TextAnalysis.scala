@@ -71,6 +71,14 @@ object TextAnalysis {
     lenScore * 0.4 + ttr * 0.4 +
       (lit(1.0) - least(lit(1.0), stopRatio * 5)) * 0.2
 
+  /** The corpus filter-funnel rule constants — ONE home for the
+    * thresholds shared by q63's accounting and q75's build manifest (a
+    * tuned threshold landing in only one of them would silently let the
+    * manifest diverge from the funnel it claims to implement). */
+  final val FunnelMinChars = 100
+  final val FunnelLang = "en"
+  final val FunnelMinQuality = 0.4
+
   /** SQL twins of [[qualityParts]]/[[qualityScore]] — one spelling of the
     * component arithmetic shared by the q23 and q63 oracles, mirroring the
     * Scala sharing (two hand-copies of the blend already diverged once in
@@ -91,14 +99,14 @@ object TextAnalysis {
 
   val q21TextStats: QuerySpec = QuerySpec(
     "q21_text_stats",
-    """SELECT doc_id, lang, source,
+    s"""SELECT doc_id, lang, source,
       |  length(text) AS n_chars,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
-      |  floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-      |    / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len,
-      |  floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |    / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS type_token_ratio
+      |  ${round4Sql("CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)" +
+        " / len(string_split(text, ' '))")} AS avg_token_len,
+      |  ${round4Sql("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)" +
+        " / len(string_split(text, ' '))")} AS type_token_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     // floor-based round4 on int ratios (tie-divergence class — see
@@ -254,11 +262,11 @@ object TextAnalysis {
     "WITH p AS (\n  " +
       qualityPartsSql(", lang, n_chars, md5(text) AS fp") + "),\n" +
       s"f AS (\n  SELECT doc_id, lang, n_chars, fp, $QualityBlendSql AS q FROM p),\n" +
-      """flags AS (
+      s"""flags AS (
       |  SELECT doc_id, fp,
-      |    (n_chars >= 100) AS f1,
-      |    (n_chars >= 100 AND lang = 'en') AS f2,
-      |    (n_chars >= 100 AND lang = 'en' AND q >= 0.4) AS f3
+      |    (n_chars >= $FunnelMinChars) AS f1,
+      |    (n_chars >= $FunnelMinChars AND lang = '$FunnelLang') AS f2,
+      |    (n_chars >= $FunnelMinChars AND lang = '$FunnelLang' AND q >= $FunnelMinQuality) AS f3
       |  FROM f),
       |keep AS (
       |  SELECT *,
@@ -282,9 +290,10 @@ object TextAnalysis {
     val q = qualityScore(lenScore, ttr, stopRatio)
     val flagged = d.select(
       col("doc_id"), md5(col("text")).as("fp"),
-      (col("n_chars") >= 100).as("f1"),
-      (col("n_chars") >= 100 && col("lang") === "en").as("f2"),
-      (col("n_chars") >= 100 && col("lang") === "en" && q >= 0.4).as("f3"))
+      (col("n_chars") >= FunnelMinChars).as("f1"),
+      (col("n_chars") >= FunnelMinChars && col("lang") === FunnelLang).as("f2"),
+      (col("n_chars") >= FunnelMinChars && col("lang") === FunnelLang
+        && q >= FunnelMinQuality).as("f3"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val kept = flagged.withColumn("f4",
       col("f3") && col("doc_id") === min(when(col("f3"), col("doc_id"))).over(w))
@@ -319,7 +328,7 @@ object TextAnalysis {
     * are populated; real pipelines tune them per source. */
   val q67RepetitionFilter: QuerySpec = QuerySpec(
     "q67_repetition_filter",
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |  WHERE len(string_split(text, ' ')) >= 2),
       |b AS (
@@ -338,9 +347,9 @@ object TextAnalysis {
       |  FROM b)
       |SELECT doc_id,
       |  n AS n_tokens,
-      |  floor(CAST(toptok AS DOUBLE) / n * 10000 + 0.5) / 10000 AS top_token_frac,
-      |  floor(CAST(n - ndist AS DOUBLE) / n * 10000 + 0.5) / 10000 AS dup_token_frac,
-      |  floor(CAST(topbg AS DOUBLE) / (n - 1) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+      |  ${round4Sql("CAST(toptok AS DOUBLE) / n")} AS top_token_frac,
+      |  ${round4Sql("CAST(n - ndist AS DOUBLE) / n")} AS dup_token_frac,
+      |  ${round4Sql("CAST(topbg AS DOUBLE) / (n - 1)")} AS top_bigram_frac,
       |  (CAST(toptok AS DOUBLE) / n <= 0.12
       |    AND CAST(n - ndist AS DOUBLE) / n <= 0.6
       |    AND CAST(topbg AS DOUBLE) / (n - 1) <= 0.06) AS keep
@@ -386,7 +395,7 @@ object TextAnalysis {
     * WindowGroupLimit, never a global sort. */
   val q68TfidfTerms: QuerySpec = QuerySpec(
     "q68_tfidf_terms",
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |  FROM documents),
       |tf AS (
@@ -402,7 +411,7 @@ object TextAnalysis {
       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
       |  JOIN df ON tf.token = df.token CROSS JOIN nd)
       |SELECT doc_id, rnk, token, tf, df,
-      |  floor(score * 1000000 + 0.5) / 1000000 AS tfidf FROM (
+      |  ${round6Sql("score")} AS tfidf FROM (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
       |    ORDER BY score DESC, token) AS rnk
       |  FROM scored)
@@ -443,7 +452,7 @@ object TextAnalysis {
     * oracle pins them at value level. */
   val q72DataCard: QuerySpec = QuerySpec(
     "q72_data_card",
-    """WITH per AS (
+    s"""WITH per AS (
       |  SELECT lang, source, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
       |    CAST(sum(length(text)) AS BIGINT) AS n_chars
@@ -452,8 +461,8 @@ object TextAnalysis {
       |  SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
       |    CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM per)
       |SELECT lang, source, n_docs, n_tokens, n_chars,
-      |  floor(CAST(n_docs AS DOUBLE) / t_docs * 10000 + 0.5) / 10000 AS pct_docs,
-      |  floor(CAST(n_tokens AS DOUBLE) / t_tokens * 10000 + 0.5) / 10000 AS pct_tokens
+      |  ${round4Sql("CAST(n_docs AS DOUBLE) / t_docs")} AS pct_docs,
+      |  ${round4Sql("CAST(n_tokens AS DOUBLE) / t_tokens")} AS pct_tokens
       |FROM per CROSS JOIN tot
       |ORDER BY lang, source""".stripMargin) { (s, dir) =>
     val per = Tables.documents(s, dir)
