@@ -141,6 +141,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast probe found:\n$p")
   }
 
+  test("q75: corpus build composes without cartesian fallbacks") {
+    val p = planOf("q75_corpus_build")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"a stage of the build degenerated to all-pairs:\n$p")
+  }
+
   test("q70: anomaly scan is one window pass — single event_type exchange, no joins") {
     val p = planOf("q70_anomaly_zscore")
     assert("Window".r.findAllIn(p).length >= 1 && !p.contains("Join"),
