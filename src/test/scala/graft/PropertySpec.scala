@@ -123,6 +123,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("moneySum is partitioning-independent (property, random doubles)") {
+    import spark.implicits._
+    // the invariant the cents representation exists for: a float sum's
+    // value depends on accumulation order (partition layout), an integer
+    // cents sum does not
+    val values = samples(Gen.chooseNum(-1e6, 1e6), 2000)
+    val sums = Seq(1, 7, 32).map { parts =>
+      values.toDF("v").repartition(parts)
+        .agg(Functions.moneySum(col("v")).as("s"))
+        .collect().head.getDouble(0)
+    }
+    assert(sums.distinct.length == 1,
+      s"moneySum varied with partitioning: $sums")
+    // reference semantics: sum of per-value cents
+    val expected = values.map(v => math.floor(v * 100 + 0.5).toLong).sum / 100.0
+    assert(sums.head == expected)
+  }
+
+  test("chunking tiles every doc for random window/stride (property)") {
+    import spark.implicits._
+    val cases = samples(for {
+      w <- Gen.chooseNum(2, 40)
+      s <- Gen.chooseNum(1, 40) if s <= w
+      n <- Gen.chooseNum(1, 120)
+    } yield (w, s, n), 30).distinct
+    cases.foreach { case (w, s, n) =>
+      val doc = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = graft.ext.Packing.chunkDocuments(doc, w, s)
+        .orderBy("chunk_idx").collect()
+      val ends = chunks.map(c =>
+        c.getAs[Int]("start_token") + c.getAs[Int]("n_chunk_tokens") - 1)
+      assert(chunks.head.getAs[Int]("start_token") == 1, s"(w=$w s=$s n=$n)")
+      assert(ends.last == n, s"last token uncovered (w=$w s=$s n=$n)")
+      // no chunk is contained in its predecessor, and no token is skipped
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("start_token") <=
+            a.getAs[Int]("start_token") + a.getAs[Int]("n_chunk_tokens"),
+            s"gap between chunks (w=$w s=$s n=$n)")
+          assert(ends(b.getAs[Int]("chunk_idx") - 1) > ends(b.getAs[Int]("chunk_idx") - 2),
+            s"redundant chunk (w=$w s=$s n=$n)")
+        case _ => ()
+      }
+    }
+  }
+
   test("dedup idempotence: Clean.dedupFull twice equals once") {
     val df = Tables.orders(spark, sf).select("o_orderstatus", "o_orderpriority")
     val once = Clean.dedupFull(df)
