@@ -26,6 +26,7 @@ object SparkEntry {
       graft.ext.Redaction.all ++
       graft.ext.Snapshot.all ++
       graft.ext.CorpusBuild.all ++
+      graft.ext.LmScore.all ++
       graft.pipeline.Ingest.all ++
       graft.ext.Multimodal.all ++
       graft.queries.Advanced.all

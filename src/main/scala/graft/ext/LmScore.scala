@@ -1,0 +1,100 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Language-model quality scoring — the CCNet-style filter: score each
+  * document by how probable its token sequence is under an n-gram model
+  * trained on the corpus itself, then flag the low-probability tail
+  * (boilerplate, gibberish, wrong-language residue score low).
+  *
+  * The model is a bigram conditional P(b|a) = c(a,b) / Σ_b' c(a,b') —
+  * two hash aggregates over one token-pair explode. The per-doc score is
+  * the mean bigram probability. Real pipelines score log-perplexity
+  * under a pruned KenLM; the mean-probability form keeps every step
+  * RATIONAL (ratios of bigint counts — no transcendental, no
+  * cross-engine ulp), which is what lets q76 carry a full value-level
+  * oracle. Each probability is quantized to integer MICRO-units
+  * scan-locally before the per-doc aggregate (the moneySum trick at
+  * 1e-6), so the unordered sum is exact integer arithmetic.
+  *
+  * Scale shape: the model is vocab²-bounded and broadcast (a pruned
+  * top-K model at real scale — same join shape); doc scoring is one
+  * explode → broadcast probe → one doc_id aggregate. Nothing shuffles
+  * the corpus on text.
+  */
+object LmScore {
+
+  /** Bigram (token_a, token_b) occurrence rows, one per position. */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+
+  /** Conditional bigram model over the corpus: (a, b, p_micro) where
+    * p_micro = round(c(a,b) / c(a,·) · 1e6) — integer micro-probability. */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val counts = bigramRows(docs).groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val prefix = counts.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+    counts.join(prefix, "a")
+      .select(col("a"), col("b"),
+        floor(col("c_ab").cast("double") / col("c_a") * 1e6 + 0.5)
+          .cast("long").as("p_micro"))
+  }
+
+  /** Per-doc mean bigram probability under [[bigramModel]], plus the
+    * low-quality flag at `minMeanProb`. */
+  def scoreDocs(docs: DataFrame, minMeanProb: Double): DataFrame = {
+    val model = bigramModel(docs)
+    bigramRows(docs)
+      .join(broadcast(model), Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.functions.Functions.round6(
+          col("sum_micro").cast("double") / col("n_bigrams") / 1e6)
+          .as("mean_prob"),
+        (col("sum_micro").cast("double") / col("n_bigrams") / 1e6 < minMeanProb)
+          .as("low_quality"))
+  }
+
+  /** q76: LM scores over the full corpus (threshold at the corpus's own
+    * low-probability tail). Self-trained, so every doc bigram exists in
+    * the model and the probe join is lossless — a held-out model would
+    * add a smoothing constant to both sides. */
+  val q76LmScore: QuerySpec = QuerySpec(
+    "q76_lm_score",
+    """WITH bg AS (
+      |  SELECT doc_id, u.a AS a, u.b AS b FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> {'a': w[i], 'b': w[i+1]})) AS u
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 2))),
+      |counts AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+      |prefix AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM counts GROUP BY a),
+      |model AS (
+      |  SELECT counts.a, counts.b,
+      |    CAST(floor(CAST(c_ab AS DOUBLE) / c_a * 1e6 + 0.5) AS BIGINT) AS p_micro
+      |  FROM counts JOIN prefix ON counts.a = prefix.a),
+      |scored AS (
+      |  SELECT bg.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(p_micro) AS BIGINT) AS sum_micro
+      |  FROM bg JOIN model ON bg.a = model.a AND bg.b = model.b
+      |  GROUP BY bg.doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  floor(CAST(sum_micro AS DOUBLE) / n_bigrams / 1e6 * 1000000 + 0.5) / 1000000 AS mean_prob,
+      |  (CAST(sum_micro AS DOUBLE) / n_bigrams / 1e6 < 0.033) AS low_quality
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    scoreDocs(Tables.documents(s, dir), minMeanProb = 0.033)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q76LmScore)
+}

@@ -445,6 +445,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("lm score: hand-computed bigram probabilities, consistent doc outranks rare one") {
+    import graft.ext.LmScore
+    // model from both docs: c(a,b)=2, c(a,c)=1 → P(b|a)=2/3, P(c|a)=1/3;
+    // c(b,a)=1 → P(a|b)=1. doc 1 bigrams ab,ba,ab → mean (2/3+1+2/3)/3;
+    // doc 2 bigram ac → mean 1/3. micro-quantized: 666667/1000000/333333
+    val df = docsDf(1L -> "a b a b", 2L -> "a c")
+    val out = LmScore.scoreDocs(df, minMeanProb = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("mean_prob"), r.getAs[Boolean]("low_quality"))).toMap
+    assert(out(1L)._1 == 0.777778 && !out(1L)._2)
+    assert(out(2L)._1 == 0.333333 && out(2L)._2)
+  }
+
   test("corpus build manifest: unique docs, funnel-consistent, bins monotone per shard") {
     import graft.ext.CorpusBuild
     val m = SparkEntry.queries("q75_corpus_build")(spark, sf).collect()
