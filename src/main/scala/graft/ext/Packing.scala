@@ -93,6 +93,11 @@ object Packing {
   def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // stride > window would skip tokens between consecutive chunks,
+    // breaking the no-boundary-text-lost contract the doc promises (and
+    // the tiling property test assumes) — reject rather than silently gap
+    require(stride <= window,
+      s"stride must be <= window for gap-free coverage, got stride=$stride window=$window")
     // a start position is generated only if the PREVIOUS window did not
     // already reach the document's end — without this, any doc whose
     // length lands in the overlap zone emits a final chunk that is a

@@ -21,15 +21,30 @@ object Snapshot {
 
   /** Deterministic "next snapshot" of orders: ~1% deleted (key % 97),
     * 20% price-adjusted (key % 5, applied to survivors), ~1% inserted
-    * (key % 101 cloned to key + 10,000,000). The +10.00 adjustment is
-    * exact in IEEE doubles — no rounding step to drift cross-engine. */
+    * (key % 101 cloned past the key range). The +10.00 adjustment is
+    * exact in IEEE doubles — no rounding step to drift cross-engine.
+    *
+    * The insert offset is DERIVED from the scanned max key — the next
+    * multiple of 10,000,000 strictly above it (pure integer `div`, exact
+    * in both engines) — so cloned keys can never collide with real ones
+    * at any SF (TPC-H orderkeys reach ~6,000,000×SF; a fixed +10,000,000
+    * would collide from SF≈2 and silently fan out the full-outer diff).
+    * The 1-row max aggregate rides a broadcast crossJoin — index-metadata
+    * scale, not a data-plane collect. */
+  final val InsertOffsetUnit = 10000000L
+
   def nextOrdersSnapshot(orders: DataFrame): DataFrame = {
+    val off = broadcast(orders.agg(
+      ((expr(s"max(o_orderkey) div $InsertOffsetUnit") + 1L)
+        * InsertOffsetUnit).as("__off")))
     val survivors = orders.filter(col("o_orderkey") % 97 =!= 0)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
           .otherwise(col("o_totalprice")))
     val inserts = orders.filter(col("o_orderkey") % 101 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .crossJoin(off)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__off"))
+      .drop("__off")
     survivors.unionByName(inserts)
   }
 
@@ -54,13 +69,16 @@ object Snapshot {
     * deterministic next snapshot. */
   val q69SnapshotDiff: QuerySpec = QuerySpec(
     "q69_snapshot_diff",
-    """WITH v2 AS (
+    s"""WITH off AS (
+      |  SELECT (max(o_orderkey) // ${Snapshot.InsertOffsetUnit} + 1)
+      |    * ${Snapshot.InsertOffsetUnit} AS v FROM orders),
+      |v2 AS (
       |  SELECT o_orderkey,
       |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
       |      ELSE o_totalprice END AS o_totalprice
       |  FROM orders WHERE o_orderkey % 97 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, o_totalprice
+      |  SELECT o_orderkey + (SELECT v FROM off), o_totalprice
       |  FROM orders WHERE o_orderkey % 101 = 0),
       |d AS (
       |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,

@@ -213,7 +213,9 @@ object Store {
     *
     * Crash contract: emptied-bucket clears are recorded in a
     * `_pending_clear` marker AFTER the publish (see the inline rationale)
-    * and repaired on the next merge; a crash anywhere in the sequence is
+    * and repaired on the next merge AND on every incremental read
+    * ([[readOrdersIncremental]]) so ghost rows never reach a reader; a
+    * crash anywhere in the sequence is
     * converged by RETRYING the same batch/delta (latest-wins and key
     * deletes make re-application idempotent).
     *
@@ -303,9 +305,17 @@ object Store {
     } finally incoming.unpersist()
   }
 
-  /** Read an incrementally-upserted table without its layout column. */
-  def readOrdersIncremental(spark: SparkSession, tablePath: String): DataFrame =
+  /** Read an incrementally-upserted table without its layout column.
+    * Repairs a `_pending_clear` marker first: after a crash between the
+    * publish and the emptied-bucket deletes, the listed buckets hold only
+    * ghost rows (the marker is written post-publish, so repair is always
+    * safe) — without this, readers would see them until the next MERGE
+    * happened to run. Repair is idempotent and metadata-only. */
+  def readOrdersIncremental(spark: SparkSession, tablePath: String): DataFrame = {
+    repairPendingClear(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration), tablePath)
     spark.read.parquet(tablePath).drop("__bucket")
+  }
 
   /** CDC apply: merge a CLASSIFIED delta into an incrementally-bucketed
     * table — the consumer of a snapshot diff (`ext.Snapshot`). The delta

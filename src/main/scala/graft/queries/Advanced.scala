@@ -245,10 +245,13 @@ object Advanced {
     * hash exchange on event_type and a per-partition sort; no self-joins,
     * no collect. The frame is ROWS-based with a unique (ts, event_id)
     * order, so both engines aggregate the same 100 rows — float drift is
-    * sub-ulp and the z is rounded in both. */
+    * sub-ulp and the outputs round via [[graft.functions.Functions.round4]]
+    * floor arithmetic in both engines (trailing_mean is a ratio of 2-dp
+    * values — exactly the decimal-tie class where native round() resolves
+    * differently per engine). */
   val q70AnomalyZscore: QuerySpec = QuerySpec(
     "q70_anomaly_zscore",
-    """WITH stats AS (
+    s"""WITH stats AS (
       |  SELECT event_id, event_type, ts, value,
       |    avg(value) OVER w AS mu,
       |    stddev_samp(value) OVER w AS sigma,
@@ -257,8 +260,8 @@ object Advanced {
       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
       |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
       |SELECT event_id, event_type, value,
-      |  round(mu, 4) AS trailing_mean,
-      |  round((value - mu) / sigma, 4) AS zscore
+      |  ${graft.functions.Functions.round4Sql("mu")} AS trailing_mean,
+      |  ${graft.functions.Functions.round4Sql("(value - mu) / sigma")} AS zscore
       |FROM stats
       |WHERE n_trail >= 20 AND sigma > 0
       |  AND abs((value - mu) / sigma) > 3
@@ -274,8 +277,8 @@ object Advanced {
     stats
       .filter(col("n_trail") >= 20 && col("sigma") > 0 && abs(z) > 3)
       .select(col("event_id"), col("event_type"), col("value"),
-        round(col("mu"), 4).as("trailing_mean"),
-        round(z, 4).as("zscore"))
+        graft.functions.Functions.round4(col("mu")).as("trailing_mean"),
+        graft.functions.Functions.round4(z).as("zscore"))
       .orderBy("event_id")
   }
 

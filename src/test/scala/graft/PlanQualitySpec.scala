@@ -131,7 +131,15 @@ class PlanQualitySpec extends SparkSpec {
   test("q69: snapshot diff is one key-partitioned full-outer join") {
     val p = planOf("q69_snapshot_diff")
     assert(p.contains("FullOuter"), s"diff lost its full-outer shape:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the diff itself must stay an equi-join on the key; the ONE allowed
+    // nested-loop is the 1-row insert-offset aggregate riding a broadcast
+    // crossJoin (Snapshot.nextOrdersSnapshot derives the offset from
+    // max(o_orderkey) so cloned keys can't collide at any SF)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"full-outer diff must be a key equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"expected at most the 1-row offset broadcast, got $bnlj:\n$p")
   }
 
   test("q71: batch admit probes the corpus — batch side broadcast, corpus never shuffle-joined") {

@@ -168,6 +168,12 @@ class PropertySpec extends SparkSpec {
         case _ => ()
       }
     }
+    // the generator never produces s > w because the operator rejects it:
+    // a gapped tiling would violate every assertion above
+    intercept[IllegalArgumentException] {
+      graft.ext.Packing.chunkDocuments(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), window = 4, stride = 5)
+    }
   }
 
   test("dedup idempotence: Clean.dedupFull twice equals once") {

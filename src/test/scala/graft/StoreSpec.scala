@@ -203,6 +203,39 @@ class StoreSpec extends SparkSpec {
     assert(!Store.getOrders(spark, table, 10).columns.contains("__bucket"))
   }
 
+  test("incremental read repairs a crashed mid-clear (_pending_clear ghosts)") {
+    // a crash between the publish and the emptied-bucket deletes leaves
+    // the marker + ghost rows; the READ path must finish the clear rather
+    // than serve rows a committed delta already deleted
+    val table = tmp("orders_inc_pc") + "/orders"
+    Store.upsertOrdersIncremental(spark, ordersDf(
+      ("G-1", 1.0, "2024-01-01 00:00:00"),
+      ("G-2", 2.0, "2024-01-01 00:00:00"),
+      ("G-3", 3.0, "2024-01-01 00:00:00")), table, numBuckets = 8)
+    val before = Store.readOrdersIncremental(spark, table)
+    val ghostBucket = spark.read.parquet(table)
+      .filter(col("order_id") === "G-2")
+      .select("__bucket").collect().head.getInt(0)
+    val ghostKeys = spark.read.parquet(table)
+      .filter(col("__bucket") === ghostBucket)
+      .collect().map(_.getAs[String]("order_id")).toSet
+    assert(before.count() == 3)
+    // simulate the crash: marker present, bucket dir still on disk
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_pending_clear"),
+      ghostBucket.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val after = Store.readOrdersIncremental(spark, table).collect()
+    assert(after.map(_.getAs[String]("order_id")).toSet ==
+      Set("G-1", "G-2", "G-3") -- ghostKeys,
+      "reader served ghost rows from a bucket a committed clear listed")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(table, "_pending_clear")),
+      "repair must consume the marker (idempotence)")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(table, s"__bucket=$ghostBucket")),
+      "repair must delete the listed bucket directory")
+  }
+
   test("exports + topk retrieval + stats (S8, S11-S14)") {
     val base = tmp("exports")
     val df = ordersDf(
