@@ -12,34 +12,64 @@ import org.apache.spark.sql.functions._
   *   1. filter funnel (q63 rules): length → language → quality score →
   *      exact-dedup keeper;
   *   2. near-dup drop (q27 semantics): among survivors, drop any doc with
-  *      a 3-gram Jaccard ≥ 0.5 pair to a SMALLER surviving doc_id — the
-  *      greedy one-join rule (a transitive-cluster canonical, q60, is the
+  *      a near-dup pair to a SMALLER surviving doc_id — the greedy
+  *      one-join rule (a transitive-cluster canonical, q60, is the
   *      iterative alternative; greedy is single-pass and drops a superset
   *      of non-canonical members on chains, which is the conservative
-  *      direction for dedup);
+  *      direction for dedup). The PAIR SOURCE is a strategy parameter:
+  *      [[ExactPairs]] is the exact 3-gram Jaccard equi-join (the oracle
+  *      and test-scale form — O(pairs sharing a shingle), degenerating
+  *      toward quadratic on corpora with common shingles), and
+  *      [[MinhashBanded]] is the q28 MinHash band join (sub-quadratic
+  *      candidates — the form a 100 TB run executes). Same drop rule
+  *      either way; q75 pins the exact form, q77 pins the banded form,
+  *      and ExtSpec proves the two manifests agree on the gate corpus.
   *   3. train/val/test split (q64's md5 bucket — scan-local, stable);
   *   4. sequence packing (q62's cumulative-offset bins, partitioned by
   *      (split, shard) so every split packs independently).
   *
   * Output: one manifest row per surviving doc — (doc_id, n_tokens, split,
   * shard, bin) — exactly what a data loader consumes. Every stage reuses
-  * the SAME shared Scala/SQL fragments as its standalone query, so q75's
+  * the SAME shared Scala/SQL fragments as its standalone query, so the
   * oracle pins the whole composition end-to-end: the judge-visible proof
   * that the operators compose into the actual pipeline, not just pass in
   * isolation.
   *
   * Scale shape: stages 1-3 are scan-local expressions plus one
-  * fingerprint window; the near-dup pair join is the q27 candidate
-  * equi-join over the FILTERED corpus (swap in MinHash banding, q28, at
-  * 100 TB — same drop rule, sub-quadratic candidates); packing is one
-  * window over (split, shard). No collects, no iteration.
+  * fingerprint window; the near-dup stage under [[MinhashBanded]] is a
+  * fixed-width signature aggregate + band equi-join over the FILTERED
+  * corpus (id-only probe rows); packing is one window over (split,
+  * shard). No collects, no iteration.
   */
 object CorpusBuild {
 
   final val PackBudget = 2048L
   final val PackShards = 8
+  final val NearDupThreshold = 0.5
 
-  def buildManifest(docs: DataFrame): DataFrame = {
+  /** Minimum signature agreements ⇔ est_jaccard ≥ [[NearDupThreshold]]
+    * (agreement counts are multiples of 1/16 — exactly representable, so
+    * the two forms of the cut can never disagree). */
+  final val MinhashMinAgree: Int =
+    math.ceil(NearDupThreshold * Dedup.MinhashK).toInt
+
+  /** How the manifest's near-dup stage generates candidate pairs. */
+  sealed trait NearDupStrategy
+  /** Exact 3-gram Jaccard pair join — the oracle/test-scale form. */
+  case object ExactPairs extends NearDupStrategy
+  /** MinHash signature banding (q28) — sub-quadratic, the 100 TB form. */
+  case object MinhashBanded extends NearDupStrategy
+
+  private def nearDupLosers(kept: DataFrame,
+      strategy: NearDupStrategy): DataFrame = strategy match {
+    case ExactPairs =>
+      Dedup.jaccardPairs(kept, NearDupThreshold).select("doc_b")
+    case MinhashBanded =>
+      Dedup.minhashCandidates(kept, NearDupThreshold).select("doc_b")
+  }
+
+  def buildManifest(docs: DataFrame,
+      nearDup: NearDupStrategy = ExactPairs): DataFrame = {
     val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
     val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
     val flagged = docs.select(col("doc_id"), col("text"),
@@ -52,7 +82,7 @@ object CorpusBuild {
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("keeper"))
       .select("doc_id", "text")
-    val dupLosers = Dedup.jaccardPairs(kept, 0.5).select("doc_b").distinct()
+    val dupLosers = nearDupLosers(kept, nearDup).distinct()
     val deduped = kept.join(dupLosers,
       kept("doc_id") === dupLosers("doc_b"), "left_anti")
     val assigned = deduped.select(
@@ -68,8 +98,11 @@ object CorpusBuild {
         floor(col("off") / PackBudget).cast("long").as("bin"))
   }
 
-  val q75CorpusBuild: QuerySpec = QuerySpec(
-    "q75_corpus_build",
+  /** Manifest oracle SQL around any pair generator ending in a
+    * `pairs(doc_a, doc_b, ...)` CTE — ONE tail for q75 and q77, so the
+    * two strategies are compared under literally identical funnel /
+    * split / packing SQL. */
+  private def manifestSql(pairCtes: String): String =
     "WITH p AS (\n  " +
       TextAnalysis.qualityPartsSql(", lang, n_chars, md5(text) AS fp, text") + "),\n" +
       s"f AS (\n  SELECT doc_id, text, lang, n_chars, fp, ${TextAnalysis.QualityBlendSql} AS q FROM p),\n" +
@@ -82,7 +115,7 @@ object CorpusBuild {
         |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM k0)
         |  WHERE doc_id = keeper),
         |""".stripMargin +
-      Dedup.ngramPairsSqlCtesFrom("kept", 0.5) + ",\n" +
+      pairCtes + ",\n" +
       s"""deduped AS (
         |  SELECT k.doc_id, k.text FROM kept k
         |  WHERE k.doc_id NOT IN (SELECT doc_b FROM pairs)),
@@ -100,9 +133,23 @@ object CorpusBuild {
         |SELECT doc_id, n_tokens, split, shard,
         |  CAST(floor(CAST(off AS DOUBLE) / $PackBudget) AS BIGINT) AS bin
         |FROM o
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |ORDER BY doc_id""".stripMargin
+
+  val q75CorpusBuild: QuerySpec = QuerySpec(
+    "q75_corpus_build",
+    manifestSql(Dedup.ngramPairsSqlCtesFrom("kept", NearDupThreshold))) { (s, dir) =>
     buildManifest(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q75CorpusBuild)
+  /** q77: the SAME manifest with the near-dup stage swapped to the MinHash
+    * band join — the plan a 100 TB corpus build actually runs (no shingle
+    * self-join of the kept set; PlanQualitySpec guards the shape). Its own
+    * full value-level oracle replays the banded candidates in SQL. */
+  val q77CorpusBuildBanded: QuerySpec = QuerySpec(
+    "q77_corpus_build_banded",
+    manifestSql(Dedup.minhashPairsSqlCtesFrom("kept", MinhashMinAgree))) { (s, dir) =>
+    buildManifest(Tables.documents(s, dir), MinhashBanded).orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q75CorpusBuild, q77CorpusBuildBanded)
 }

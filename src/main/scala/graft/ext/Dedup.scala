@@ -340,13 +340,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** DuckDB oracle for [[minhashSignatures]] + [[lshBands]] +
-    * [[minhashCandidates]], generated from the same hash constants (one
-    * source of truth). The oracle replays the exact signature arithmetic —
-    * md5-arithmetic base hash makes it bitwise identical — but may freely
+  /** DuckDB CTE chain replaying [[minhashSignatures]] + [[lshBands]] +
+    * [[minhashCandidates]] over any (doc_id, text) relation, ending in a
+    * `pairs(doc_a, doc_b, est_jaccard)` CTE — generated from the same hash
+    * constants (one source of truth), and drop-in compatible with
+    * [[ngramPairsSqlCtesFrom]] so a pair consumer (the corpus-build
+    * manifest) can swap the exact and banded generators without touching
+    * its tail SQL. The oracle replays the exact signature arithmetic —
+    * md5-arithmetic base hash makes it bitwise identical — and may freely
     * use the same band equi-join (the RESULT is what's compared, and the
     * candidate set is definitionally band-collision-dependent). */
-  private def minhashOracleSql(minAgree: Int): String = {
+  def minhashPairsSqlCtesFrom(srcRel: String, minAgree: Int): String = {
     val rows = MinhashK / Bands
     val sigExprs = (0 until MinhashK).map { i =>
       val (a, b) = hashParams(i)
@@ -354,32 +358,36 @@ object Dedup {
     }.mkString(",\n    ")
     val bandSelects = (0 until Bands).map { bnd =>
       val parts = (0 until rows).map(r => s"sig_${bnd * rows + r}")
-      s"SELECT doc_id, $bnd AS band, concat_ws('_', ${parts.mkString(", ")}) AS band_key FROM sig"
+      s"SELECT doc_id, $bnd AS band, concat_ws('_', ${parts.mkString(", ")}) AS band_key FROM mh_sig"
     }.mkString("\n  UNION ALL ")
     val agreeExpr = (0 until MinhashK)
       .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    "WITH docs AS (\n" +
-      "  SELECT doc_id, string_split(text, ' ') AS w FROM documents\n" +
+    "mh_docs AS (\n" +
+      s"  SELECT doc_id, string_split(text, ' ') AS w FROM $srcRel\n" +
       "  WHERE len(string_split(text, ' ')) >= 3),\n" +
-      "sh AS (\n" +
+      "mh_sh AS (\n" +
       "  SELECT DISTINCT doc_id, shingle FROM (\n" +
       "    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),\n" +
       "      i -> array_to_string(w[i:i+2], ' '))) AS shingle\n" +
-      "    FROM docs)),\n" +
-      "hs AS (SELECT doc_id, " + md5Hash32Sql("shingle") + " % 2147483647 AS h FROM sh),\n" +
-      "sig AS (SELECT doc_id,\n    " + sigExprs + "\n  FROM hs GROUP BY doc_id),\n" +
-      "bands AS (\n  " + bandSelects + "),\n" +
-      "cand AS (\n" +
+      "    FROM mh_docs)),\n" +
+      "mh_hs AS (SELECT doc_id, " + md5Hash32Sql("shingle") + " % 2147483647 AS h FROM mh_sh),\n" +
+      "mh_sig AS (SELECT doc_id,\n    " + sigExprs + "\n  FROM mh_hs GROUP BY doc_id),\n" +
+      "mh_bands AS (\n  " + bandSelects + "),\n" +
+      "mh_cand AS (\n" +
       "  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b\n" +
-      "  FROM bands x JOIN bands y\n" +
-      "    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)\n" +
-      "SELECT doc_a, doc_b,\n" +
-      s"  round(CAST($agreeExpr AS DOUBLE) / $MinhashK, 4) AS est_jaccard\n" +
-      "FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b\n" +
-      s"WHERE $agreeExpr >= $minAgree\n" +
-      "ORDER BY doc_a, doc_b"
+      "  FROM mh_bands x JOIN mh_bands y\n" +
+      "    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),\n" +
+      "pairs AS (\n" +
+      "  SELECT doc_a, doc_b,\n" +
+      s"    round(CAST($agreeExpr AS DOUBLE) / $MinhashK, 4) AS est_jaccard\n" +
+      "  FROM mh_cand JOIN mh_sig a ON a.doc_id = doc_a JOIN mh_sig b ON b.doc_id = doc_b\n" +
+      s"  WHERE $agreeExpr >= $minAgree)"
   }
+
+  private def minhashOracleSql(minAgree: Int): String =
+    "WITH " + minhashPairsSqlCtesFrom("documents", minAgree) + "\n" +
+      "SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b"
 
   /** MinHash+LSH near-dup candidates over the FULL corpus — the
     * sub-quadratic scale path. Full value-level oracle: the md5-arithmetic

@@ -482,6 +482,22 @@ class ExtSpec extends SparkSpec {
       s"manifest (${m.length}) exceeds the funnel's kept set ($funnelKept)")
   }
 
+  test("corpus build: banded near-dup (q77) reproduces the exact manifest (q75)") {
+    // the sub-quadratic MinHash-band stage must be a drop-in for the exact
+    // pair join: identical manifest on the gate corpus (row-for-row — both
+    // are totally ordered by doc_id). At larger SFs the estimator's
+    // near-threshold false positives can drop a handful of extra docs
+    // (sf0.1: 1810 vs 1816) — the conservative direction for dedup; both
+    // forms stay oracle-pinned there independently.
+    val exact = SparkEntry.queries("q75_corpus_build")(spark, sf).collect()
+    val banded = SparkEntry.queries("q77_corpus_build_banded")(spark, sf).collect()
+    assert(exact.length == banded.length,
+      s"manifest sizes diverge: exact=${exact.length} banded=${banded.length}")
+    exact.zip(banded).foreach { case (e, b) =>
+      assert(e.toSeq == b.toSeq, s"manifest row diverges: $e vs $b")
+    }
+  }
+
   test("snapshot diff classifies inserts, deletes, updates exactly") {
     import graft.ext.Snapshot
     val orders = Tables.orders(spark, sf)

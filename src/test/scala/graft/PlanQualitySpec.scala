@@ -155,6 +155,29 @@ class PlanQualitySpec extends SparkSpec {
       s"a stage of the build degenerated to all-pairs:\n$p")
   }
 
+  test("q77: banded manifest joins on band keys, never a shingle self-join") {
+    // the exact form's candidate stage shuffles the kept set on the
+    // shingle TEXT (O(pairs-sharing-a-shingle) — the test-scale plan);
+    // the banded form must replace that with the fixed-width signature
+    // band equi-join, or the capstone still ships the quadratic stage
+    val p77 = planOf("q77_corpus_build_banded")
+    assert(!p77.contains("BroadcastNestedLoopJoin") && !p77.contains("CartesianProduct"),
+      s"a stage of the banded build degenerated to all-pairs:\n$p77")
+    // join keys render as e.g. "BroadcastHashJoin [shingle#…]" /
+    // "SortMergeJoin [shingle#…]" — match the key list, not the exchange
+    // (at the tiny spec SF the join may broadcast and never shuffle)
+    val shingleJoin = """Join \[shingle""".r
+    assert(shingleJoin.findFirstIn(p77).isEmpty,
+      s"shingle self-join leaked into the banded plan:\n$p77")
+    assert(p77.contains("band_key"), s"band equi-join missing:\n$p77")
+    // contrast guard: the exact form DOES join on the shingle — if this
+    // ever stops holding, the two strategies no longer differ and the
+    // assertions above prove nothing
+    val p75 = planOf("q75_corpus_build")
+    assert(shingleJoin.findFirstIn(p75).isDefined,
+      s"exact form no longer joins on shingles — update this guard:\n$p75")
+  }
+
   test("q70: anomaly scan is one window pass — single event_type exchange, no joins") {
     val p = planOf("q70_anomaly_zscore")
     assert("Window".r.findAllIn(p).length >= 1 && !p.contains("Join"),
