@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QuerySpec, Tables}
 import graft.operators.AsOfJoin
 import graft.pipeline.{Ingest, OrdersDomain}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -235,20 +236,104 @@ object Advanced {
         .as("completed_funnel"))
   }
 
+  final val AnomalyTrail = 100
+  final val AnomalyMinTrail = 20L
+  final val AnomalyThreshold = 3.0
+  /** Two-day blocks: ~15 per event_type on the 30-day synthetic span —
+    * dense enough at the bench SF that most preambles come from the
+    * adjacent block, sparse enough at the spec SF that the multi-block
+    * carry path is exercised. */
+  final val AnomalyBlockSeconds = 172800L
+
+  /** Rolling z-score anomaly detection with a CHUNKED trailing window —
+    * the scale form of the textbook `PARTITION BY event_type` plan, whose
+    * parallelism is capped by the handful of distinct event types (each
+    * type's entire history sorts in ONE task — the canonical skew cliff
+    * at 100×). Exact decomposition, valid because the frame is ROWS-based
+    * (100 PRECEDING..1 PRECEDING over a unique (ts, event_id) order):
+    *
+    *   1. each event gets a time block `blk = floor(epoch / blockSeconds)`
+    *      — scan-local, order-compatible with ts;
+    *   2. per-(event_type, blk) row counts + a running total over the
+    *      BLOCK METADATA (one tiny window over ≤ types × blocks rows)
+    *      derive, for every (source, target) block pair, how many of the
+    *      source's trailing rows the target needs so that each block is
+    *      prefixed by EXACTLY the last min(100, available) rows before
+    *      it — sparse blocks pull from several predecessors, so the
+    *      carry is exact even when a block holds fewer than 100 rows;
+    *   3. those preamble rows are replicated into their target block
+    *      (flagged, never emitted) via a broadcast of the tiny mapping,
+    *      and the trailing window runs per (event_type, blk) — every
+    *      real row sees the same 100 predecessors in the same order as
+    *      the global window, so results (and the DuckDB oracle, which
+    *      keeps the textbook global-window SQL) are bit-identical.
+    *
+    * Parallelism becomes types × blocks instead of types; the preamble
+    * duplication is ≤ 100 rows per block — O(blocks), not O(rows). No
+    * collects: the block map stays a Catalyst frame end to end. The
+    * streaming twin ([[graft.streaming.AnomalyState]]) remains the
+    * unbounded-history form. Outputs round via
+    * [[graft.functions.Functions.round4]] floor arithmetic in both
+    * engines (trailing_mean is a ratio of 2-dp values — the decimal-tie
+    * class where native round() diverges per engine). */
+  def anomaliesChunked(events: DataFrame,
+      blockSeconds: Long = AnomalyBlockSeconds): DataFrame = {
+    val base = events
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("blk",
+        floor(unix_timestamp(col("ts")) / blockSeconds).cast("long"))
+    val counts = base.groupBy("event_type", "blk").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("event_type").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(wCum))
+    val srcB = cum.select(col("event_type"), col("blk").as("src_blk"),
+      col("cnt").as("src_cnt"), col("cum").as("src_cum"))
+    val tgtB = cum.select(col("event_type"), col("blk").as("tgt_blk"),
+      (col("cum") - col("cnt")).as("tgt_before"))
+    // rows strictly between the source block's end and the target's start
+    // = tgt_before - src_cum; the target still needs 100 - that many from
+    // the source's tail. take_n <= 0 pairs are pruned, so dense corpora
+    // keep only adjacent-block rows here.
+    val mapping = srcB.join(tgtB, Seq("event_type"))
+      .filter(col("src_blk") < col("tgt_blk"))
+      .withColumn("needed",
+        lit(AnomalyTrail.toLong) - (col("tgt_before") - col("src_cum")))
+      .filter(col("needed") > 0)
+      .select(col("event_type"), col("src_blk").as("blk"), col("tgt_blk"),
+        least(col("src_cnt"), col("needed")).as("take_n"))
+    val wRev = Window.partitionBy("event_type", "blk")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val pre = base.withColumn("rr", row_number().over(wRev))
+      .join(broadcast(mapping), Seq("event_type", "blk"))
+      .filter(col("rr") <= col("take_n"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        col("tgt_blk").as("blk"), lit(true).as("is_pre"))
+    val combined = base.withColumn("is_pre", lit(false)).unionByName(pre)
+    val w = Window.partitionBy("event_type", "blk")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-AnomalyTrail, -1)
+    val stats = combined.select(
+      col("event_id"), col("event_type"), col("value"), col("is_pre"),
+      avg(col("value")).over(w).as("mu"),
+      stddev_samp(col("value")).over(w).as("sigma"),
+      count(col("value")).over(w).as("n_trail"))
+    val z = (col("value") - col("mu")) / col("sigma")
+    stats
+      .filter(!col("is_pre") && col("n_trail") >= AnomalyMinTrail
+        && col("sigma") > 0 && abs(z) > AnomalyThreshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        graft.functions.Functions.round4(col("mu")).as("trailing_mean"),
+        graft.functions.Functions.round4(z).as("zscore"))
+  }
+
   /** q70: rolling z-score anomaly detection — each event's value against
     * the trailing-100 window of its event_type (mean/stddev over ROWS 100
     * PRECEDING..1 PRECEDING, the standard online-monitoring shape; the
     * current row is excluded so an outlier can't mask itself). Emits only
     * the anomalies (|z| > 3 with a warmup floor of 20 trailing events).
-    *
-    * Scale shape: one window over (event_type, ts, event_id) — a single
-    * hash exchange on event_type and a per-partition sort; no self-joins,
-    * no collect. The frame is ROWS-based with a unique (ts, event_id)
-    * order, so both engines aggregate the same 100 rows — float drift is
-    * sub-ulp and the outputs round via [[graft.functions.Functions.round4]]
-    * floor arithmetic in both engines (trailing_mean is a ratio of 2-dp
-    * values — exactly the decimal-tie class where native round() resolves
-    * differently per engine). */
+    * Executes via [[anomaliesChunked]]; the oracle keeps the textbook
+    * single-window SQL, which doubles as the proof that the chunked
+    * decomposition is exact. */
   val q70AnomalyZscore: QuerySpec = QuerySpec(
     "q70_anomaly_zscore",
     s"""WITH stats AS (
@@ -266,20 +351,7 @@ object Advanced {
       |WHERE n_trail >= 20 AND sigma > 0
       |  AND abs((value - mu) / sigma) > 3
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-100, -1)
-    val stats = Tables.events(s, dir).select(
-      col("event_id"), col("event_type"), col("ts"), col("value"),
-      avg(col("value")).over(w).as("mu"),
-      stddev_samp(col("value")).over(w).as("sigma"),
-      count(col("value")).over(w).as("n_trail"))
-    val z = (col("value") - col("mu")) / col("sigma")
-    stats
-      .filter(col("n_trail") >= 20 && col("sigma") > 0 && abs(z) > 3)
-      .select(col("event_id"), col("event_type"), col("value"),
-        graft.functions.Functions.round4(col("mu")).as("trailing_mean"),
-        graft.functions.Functions.round4(z).as("zscore"))
-      .orderBy("event_id")
+    anomaliesChunked(Tables.events(s, dir)).orderBy("event_id")
   }
 
   val all: Seq[QuerySpec] = Seq(

@@ -178,11 +178,28 @@ class PlanQualitySpec extends SparkSpec {
       s"exact form no longer joins on shingles — update this guard:\n$p75")
   }
 
-  test("q70: anomaly scan is one window pass — single event_type exchange, no joins") {
+  test("q70: anomaly window is chunked — partitioned by (event_type, blk), not event_type alone") {
     val p = planOf("q70_anomaly_zscore")
-    assert("Window".r.findAllIn(p).length >= 1 && !p.contains("Join"),
-      s"anomaly detection must be join-free:\n$p")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected exactly 1 exchange (event_type), got $exchanges:\n$p")
+    // the trailing window must hash on BOTH keys: a window partitioned by
+    // the ~5-value event_type alone caps parallelism at 5 tasks — each
+    // type's whole history in one sort (the 100× skew cliff this
+    // decomposition removes)
+    assert("""hashpartitioning\(event_type#\d+, blk#""".r.findFirstIn(p).isDefined,
+      s"trailing window not chunked by (event_type, blk):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"block-metadata mapping degenerated to all-pairs:\n$p")
+    // the preamble replication joins the EVENTS against the tiny block
+    // map — that side must broadcast, never shuffle the events for it
+    assert(p.contains("BroadcastHashJoin"), s"block map not broadcast:\n$p")
+    // fixture: the chunking is real at this SF — more window partitions
+    // than event types, including >1 block for a single type
+    import org.apache.spark.sql.functions.{col, countDistinct, floor, unix_timestamp}
+    val blocks = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(floor(unix_timestamp(col("ts")) /
+        graft.queries.Advanced.AnomalyBlockSeconds)).as("n_blocks"))
+      .collect().map(_.getAs[Long]("n_blocks"))
+    assert(blocks.forall(_ > 1),
+      s"every event_type must span >1 block for the guard to mean anything: ${blocks.toSeq}")
   }
 }
