@@ -310,10 +310,18 @@ object Store {
     * publish and the emptied-bucket deletes, the listed buckets hold only
     * ghost rows (the marker is written post-publish, so repair is always
     * safe) — without this, readers would see them until the next MERGE
-    * happened to run. Repair is idempotent and metadata-only. */
+    * happened to run. Repair is idempotent and metadata-only. Also
+    * recovers a [[compactBuckets]] swap that crashed between its two
+    * renames (table at `__backup` only), same as [[readTable]] does for
+    * the full-rewrite path. */
   def readOrdersIncremental(spark: SparkSession, tablePath: String): DataFrame = {
-    repairPendingClear(org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration), tablePath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(tablePath)
+    val backup = new org.apache.hadoop.fs.Path(tablePath + "__backup")
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      sys.error(s"could not recover $tablePath from interrupted swap")
+    repairPendingClear(fs, tablePath)
     spark.read.parquet(tablePath).drop("__bucket")
   }
 
@@ -356,6 +364,58 @@ object Store {
         .filter(col(changeCol) =!= "delete").drop(changeCol)
       mergeIntoBuckets(spark, tablePath, upserts, Some(deleteKeys), key, orderCol)
     } finally bucketedDelta.unpersist()
+  }
+
+  /** Re-size an incremental table's bucket modulus — the maintenance pass
+    * for after heavy ingest. The merge path keeps every bucket at one
+    * compact file per rewrite, so what drifts over a table's life is not
+    * per-bucket fragmentation but the MODULUS itself: a table seeded with
+    * 64 buckets holds 64 tiny files (and pays 64 task launches per full
+    * scan) while it's small, and a table that grew 100× packs whole
+    * partitions into files far past the size a scan wants to split on.
+    * Compaction recomputes the bucket count from the table's CURRENT
+    * bytes against `targetFileBytes`, rewrites once, and publishes via
+    * the same backup-swap protocol as [[upsertOrders]] (crash-safe; the
+    * staging table carries its marker BEFORE the swap, so no published
+    * state is ever marker-less). Keyed lookups and merges are untouched —
+    * the next [[upsertOrdersIncremental]]/[[applyDelta]] reads the new
+    * modulus from the marker.
+    *
+    * @return rows in the compacted table (a full-table count — fine here:
+    *         compaction is itself a full rewrite, not a per-batch path) */
+  def compactBuckets(spark: SparkSession, tablePath: String,
+      targetFileBytes: Long = 128L << 20, key: String = "order_id"): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    repairPendingClear(fs, tablePath)
+    storedBucketCount(spark, tablePath).getOrElse(
+      sys.error(s"$tablePath is not in incremental layout; compactBuckets " +
+        "only applies to bucket-partitioned tables"))
+    val target = new org.apache.hadoop.fs.Path(tablePath)
+    val dataBytes = fs.listStatus(target)
+      .filter(_.getPath.getName.startsWith("__bucket="))
+      .map(d => fs.getContentSummary(d.getPath).getLength).sum
+    val newBuckets = math.max(1L,
+      (dataBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val rebucketed = spark.read.parquet(tablePath)
+      .drop("__bucket")
+      .withColumn("__bucket", pmod(hash(col(key)), lit(newBuckets)))
+      .repartition(col("__bucket"))
+    val staging = new org.apache.hadoop.fs.Path(tablePath + "__staging")
+    val backup = new org.apache.hadoop.fs.Path(tablePath + "__backup")
+    rebucketed.write.mode(SaveMode.Overwrite)
+      .partitionBy("__bucket").parquet(staging.toString)
+    writeBucketMarker(spark, staging.toString, newBuckets)
+    fs.delete(backup, true)
+    if (!fs.rename(target, backup))
+      sys.error(s"compact swap: could not move $target aside")
+    if (!fs.rename(staging, target)) {
+      fs.rename(backup, target)
+      sys.error(s"compact swap: could not publish $staging over $target")
+    }
+    fs.delete(backup, true)
+    spark.read.parquet(tablePath).count()
   }
 
   /** Read the published table; if the target directory is absent but a

@@ -236,6 +236,44 @@ class StoreSpec extends SparkSpec {
       "repair must delete the listed bucket directory")
   }
 
+  test("compactBuckets: right-sizes the modulus, data hash-identical, merges keep working") {
+    val table = tmp("orders_compact") + "/orders"
+    // heavy small-batch ingest into an oversized modulus: 64 one-file
+    // bucket dirs holding a few KB each
+    Store.upsertOrdersIncremental(spark, ordersDf(
+      (0 until 40).map(i => (s"K-$i", i.toDouble, "2024-01-01 00:00:00")): _*),
+      table, numBuckets = 64)
+    Store.upsertOrdersIncremental(spark, ordersDf(
+      (40 until 80).map(i => (s"K-$i", i.toDouble, "2024-01-02 00:00:00")): _*),
+      table, numBuckets = 64)
+    def bucketDirs(): Int = java.nio.file.Files.list(java.nio.file.Paths.get(table))
+      .filter(_.getFileName.toString.startsWith("__bucket=")).count().toInt
+    def dataFiles(): Int = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(table))
+      try s.filter(_.toString.endsWith(".parquet")).count().toInt finally s.close()
+    }
+    val beforeDirs = bucketDirs()
+    val beforeFiles = dataFiles()
+    val snapshot = Store.readOrdersIncremental(spark, table)
+      .orderBy("order_id").collect().map(_.toSeq).toSeq
+    // 1 GiB target vs a few KB of data → modulus collapses to 1
+    val n = Store.compactBuckets(spark, table, targetFileBytes = 1L << 30)
+    assert(n == 80)
+    assert(bucketDirs() < beforeDirs && dataFiles() < beforeFiles,
+      s"compaction must shrink the layout: dirs $beforeDirs->${bucketDirs()}, " +
+        s"files $beforeFiles->${dataFiles()}")
+    assert(Store.readOrdersIncremental(spark, table)
+      .orderBy("order_id").collect().map(_.toSeq).toSeq == snapshot,
+      "compaction changed the data")
+    // the next merge must pick up the NEW modulus from the marker (a
+    // wrong-modulus merge would duplicate the key instead of replacing)
+    Store.upsertOrdersIncremental(spark,
+      ordersDf(("K-7", 700.0, "2024-03-01 00:00:00")), table, numBuckets = 64)
+    val k7 = Store.readOrdersIncremental(spark, table)
+      .filter(col("order_id") === "K-7").collect()
+    assert(k7.length == 1 && k7.head.getAs[Double]("price") == 700.0)
+  }
+
   test("exports + topk retrieval + stats (S8, S11-S14)") {
     val base = tmp("exports")
     val df = ordersDf(
