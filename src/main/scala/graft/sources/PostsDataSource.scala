@@ -187,21 +187,31 @@ case class FetchPolicy(transport: String, maxRetries: Int, backoffMs: Long,
 }
 
 class PostsScanBuilder(var limit: Int, pageSize: Int, policy: FetchPolicy)
-    extends ScanBuilder with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = PostsDataSource.Schema
   override def pushLimit(n: Int): Boolean = {
     if (n < limit) limit = n
     true // fully pushed: the source produces exactly `limit` rows
   }
-  override def build(): Scan = new PostsScan(limit, pageSize, policy)
+  /** Column pruning: the scan emits only what the query projects — over a
+    * real HTTP transport this is the `?_fields=` parameter (fetch fewer
+    * bytes per page), and even with the synthetic transport it keeps the
+    * post bodies out of every downstream exchange. Catalyst hands us the
+    * pruned schema; rows are assembled per-field by name below. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PostsScan(limit, pageSize, policy, required)
 }
 
 case class PostsPage(page: Int, pageSize: Int, limit: Int) extends InputPartition
 
 class PostsScan(limit: Int, pageSize: Int,
-    policy: FetchPolicy = FetchPolicy("default", 3, 5000L, 0.0)) extends Scan with Batch {
+    policy: FetchPolicy = FetchPolicy("default", 3, 5000L, 0.0),
+    schema: StructType = PostsDataSource.Schema) extends Scan with Batch {
   require(pageSize > 0, s"pageSize must be positive, got $pageSize")
   require(limit >= 0, s"limit must be non-negative, got $limit")
-  override def readSchema(): StructType = PostsDataSource.Schema
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val pages = math.max(1, math.ceil(limit.toDouble / pageSize).toInt)
@@ -209,6 +219,7 @@ class PostsScan(limit: Int, pageSize: Int,
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val p = policy // stable local: the factory closure serializes to executors
+    val fields = schema.fieldNames // serializable projection spec
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val pg = partition.asInstanceOf[PostsPage]
@@ -221,9 +232,15 @@ class PostsScan(limit: Int, pageSize: Int,
           override def next(): Boolean = {
             if (rows.hasNext) { current = rows.next(); true } else false
           }
-          override def get(): InternalRow = InternalRow(
-            current._1, current._2,
-            UTF8String.fromString(current._3), UTF8String.fromString(current._4))
+          override def get(): InternalRow = InternalRow.fromSeq(
+            fields.toIndexedSeq.map {
+              case "id" => current._1
+              case "userId" => current._2
+              case "title" => UTF8String.fromString(current._3)
+              case "body" => UTF8String.fromString(current._4)
+              case other => throw new IllegalStateException(
+                s"unknown pruned column '$other'")
+            })
           override def close(): Unit = ()
         }
       }

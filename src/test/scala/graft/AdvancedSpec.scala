@@ -36,6 +36,27 @@ class AdvancedSpec extends SparkSpec {
       s"limit not pushed: ${scans.head.inputPartitions.length} pages planned")
   }
 
+  test("DSv2 column pruning shrinks the scan schema to the projection") {
+    val df = spark.read.format("graft.sources.PostsDataSource")
+      .option("limit", "100").option("pageSize", "50").load()
+      .select("id", "title")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScan planned")
+    // the SCAN must carry only the projected columns (over HTTP this is
+    // the ?_fields= page parameter) — a post-scan Project proves nothing
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("id", "title"),
+      s"scan not pruned: ${scans.head.scan.readSchema()}")
+    val rows = df.orderBy("id").limit(2).collect()
+    assert(rows.map(_.toSeq).toSeq == Seq(
+      Seq(1L, "post 1 about phone cases"), Seq(2L, "post 2 about computer parts")))
+    // pruning composes with aggregate pushout: count(*) prunes to zero cols
+    val n = spark.read.format("graft.sources.PostsDataSource")
+      .option("limit", "73").option("pageSize", "50").load().count()
+    assert(n == 73)
+  }
+
   test("DSv2 resilience: a transport failing twice per page recovers and matches the clean scan") {
     import graft.sources.{PostsTransport, PostsTransports, PostsFetcher}
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
