@@ -19,12 +19,22 @@ import org.apache.spark.sql.functions._
   * scan-locally before the per-doc aggregate (the moneySum trick at
   * 1e-6), so the unordered sum is exact integer arithmetic.
   *
-  * Scale shape: the model is vocab²-bounded and broadcast (a pruned
-  * top-K model at real scale — same join shape); doc scoring is one
-  * explode → broadcast probe → one doc_id aggregate. Nothing shuffles
-  * the corpus on text.
+  * Scale shape: the model is vocab²-bounded and broadcast; doc scoring
+  * is one explode → broadcast probe → one doc_id aggregate. Nothing
+  * shuffles the corpus on text. At real scale the broadcast side is the
+  * PRUNED model ([[prunedBigramModel]]: top-K continuations per prefix,
+  * misses scored with a smoothing floor — q78) whose size is vocab×K
+  * instead of vocab²; the exact model (q76) doubles as its oracle anchor
+  * (with K above the max continuation fan-out the two scorers are
+  * proven identical, see ExtSpec).
   */
 object LmScore {
+
+  /** Continuations kept per prefix in the pruned model. */
+  final val PrunedTopK = 3
+  /** Micro-probability floor for bigrams the pruned model dropped —
+    * the (integer, cross-engine-exact) stand-in for backoff smoothing. */
+  final val PrunedSmoothMicro = 100L
 
   /** Bigram (token_a, token_b) occurrence rows, one per position. */
   private def bigramRows(docs: DataFrame): DataFrame =
@@ -45,6 +55,49 @@ object LmScore {
       .select(col("a"), col("b"),
         floor(col("c_ab").cast("double") / col("c_a") * 1e6 + 0.5)
           .cast("long").as("p_micro"))
+  }
+
+  /** Top-K-per-prefix pruning of [[bigramModel]]: keep the K most frequent
+    * continuations of each prefix (ties broken by token — deterministic in
+    * both engines), probabilities still normalized by the FULL prefix
+    * total, so retained entries keep their true conditional probability
+    * (the standard pruned-LM normalization). Model size drops from vocab²
+    * to vocab×K — what makes the broadcast feasible at a real vocab. */
+  def prunedBigramModel(docs: DataFrame, k: Int = PrunedTopK): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = bigramRows(docs).groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val prefix = counts.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("c_ab").desc, col("b"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(prefix, "a")
+      .select(col("a"), col("b"),
+        floor(col("c_ab").cast("double") / col("c_a") * 1e6 + 0.5)
+          .cast("long").as("p_micro"))
+  }
+
+  /** Per-doc mean bigram probability under the PRUNED model: bigrams the
+    * model dropped score the smoothing floor via a left probe (same
+    * broadcast join shape as [[scoreDocs]]; `n_hits` makes the coverage
+    * observable). */
+  def scoreDocsPruned(docs: DataFrame, k: Int = PrunedTopK,
+      smoothMicro: Long = PrunedSmoothMicro,
+      minMeanProb: Double = 0.033): DataFrame = {
+    val model = prunedBigramModel(docs, k)
+    bigramRows(docs)
+      .join(broadcast(model), Seq("a", "b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_micro").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(coalesce(col("p_micro"), lit(smoothMicro))).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"),
+        graft.functions.Functions.round6(
+          col("sum_micro").cast("double") / col("n_bigrams") / 1e6)
+          .as("mean_prob"),
+        (col("sum_micro").cast("double") / col("n_bigrams") / 1e6 < minMeanProb)
+          .as("low_quality"))
   }
 
   /** Per-doc mean bigram probability under [[bigramModel]], plus the
@@ -96,5 +149,41 @@ object LmScore {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q76LmScore)
+  /** q78: LM scores under the pruned top-K model — the broadcast that
+    * actually ships at a real vocabulary. Same rational micro-unit
+    * arithmetic as q76, so the oracle replays the pruning (row_number
+    * with the same deterministic tiebreak) value-exactly. */
+  val q78LmScorePruned: QuerySpec = QuerySpec(
+    "q78_lm_score_pruned",
+    s"""WITH bg AS (
+      |  SELECT doc_id, u.a AS a, u.b AS b FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> {'a': w[i], 'b': w[i+1]})) AS u
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 2))),
+      |counts AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+      |prefix AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM counts GROUP BY a),
+      |pruned AS (
+      |  SELECT a, b, p_micro FROM (
+      |    SELECT counts.a, counts.b,
+      |      CAST(floor(CAST(c_ab AS DOUBLE) / c_a * 1e6 + 0.5) AS BIGINT) AS p_micro,
+      |      row_number() OVER (PARTITION BY counts.a
+      |        ORDER BY c_ab DESC, counts.b) AS rk
+      |    FROM counts JOIN prefix ON counts.a = prefix.a)
+      |  WHERE rk <= $PrunedTopK),
+      |scored AS (
+      |  SELECT bg.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CASE WHEN p.p_micro IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |    CAST(sum(coalesce(p.p_micro, $PrunedSmoothMicro)) AS BIGINT) AS sum_micro
+      |  FROM bg LEFT JOIN pruned p ON bg.a = p.a AND bg.b = p.b
+      |  GROUP BY bg.doc_id)
+      |SELECT doc_id, n_bigrams, n_hits,
+      |  floor(CAST(sum_micro AS DOUBLE) / n_bigrams / 1e6 * 1000000 + 0.5) / 1000000 AS mean_prob,
+      |  (CAST(sum_micro AS DOUBLE) / n_bigrams / 1e6 < 0.033) AS low_quality
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    scoreDocsPruned(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q76LmScore, q78LmScorePruned)
 }

@@ -458,6 +458,33 @@ class ExtSpec extends SparkSpec {
     assert(out(2L)._1 == 0.333333 && out(2L)._2)
   }
 
+  test("pruned lm model: K entries per prefix; un-pruned K reproduces the exact scorer") {
+    import graft.ext.LmScore
+    val docs = Tables.documents(spark, sf)
+    // pruning contract: at most K continuations survive per prefix, and
+    // they are the top-K by count (spot-check: every kept p_micro >= any
+    // dropped one for the same prefix is implied by row_number order —
+    // assert the per-prefix cap, the cheap observable)
+    val perPrefix = LmScore.prunedBigramModel(docs, k = 2)
+      .groupBy("a").count().agg(max("count")).collect().head.getLong(0)
+    assert(perPrefix <= 2, s"pruned model kept $perPrefix continuations for a prefix")
+    // with K above any prefix's fan-out nothing is pruned: the pruned
+    // scorer must reproduce the exact scorer value-for-value (n_hits ==
+    // n_bigrams everywhere proves the left probe never missed)
+    val exact = LmScore.scoreDocs(docs, minMeanProb = 0.033)
+      .orderBy("doc_id").collect()
+    val unpruned = LmScore.scoreDocsPruned(docs, k = Int.MaxValue)
+      .orderBy("doc_id").collect()
+    assert(exact.length == unpruned.length)
+    exact.zip(unpruned).foreach { case (e, p) =>
+      assert(p.getAs[Long]("n_hits") == p.getAs[Long]("n_bigrams"),
+        s"doc ${p.get(0)}: probe missed with nothing pruned")
+      assert(e.getAs[Double]("mean_prob") == p.getAs[Double]("mean_prob")
+        && e.getAs[Boolean]("low_quality") == p.getAs[Boolean]("low_quality"),
+        s"doc ${p.get(0)}: pruned(∞) != exact")
+    }
+  }
+
   test("corpus build manifest: unique docs, funnel-consistent, bins monotone per shard") {
     import graft.ext.CorpusBuild
     val m = SparkEntry.queries("q75_corpus_build")(spark, sf).collect()
