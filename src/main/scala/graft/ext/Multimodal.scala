@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus decode / feature-extraction /
   * frame-sampling operators (north-star training-data ops).
   *
-  * The real codec step is STUBBED — this container has no image/audio
-  * libraries — behind [[FakeDecoder]]: a deterministic byte-level
-  * transform with the exact batching shape a real decoder would use
-  * (`mapPartitions` over an iterator ≙ PySpark's `mapInPandas` batch
-  * loop: amortized per-partition init, streaming batches, no
-  * whole-partition materialization). Swap `FakeDecoder.decode` for a
-  * JNI/opencv/ffmpeg call and nothing else changes.
+  * The decode step is [[MediaDecoder]]: real header parsing for three
+  * public container formats (BMP, binary PPM, RIFF/WAVE — this container
+  * has no image/audio codec libraries, so COMPRESSED payload decoding is
+  * the one part still out of scope) with the exact batching shape a full
+  * decoder uses (`mapPartitions` over an iterator ≙ PySpark's
+  * `mapInPandas` batch loop: amortized per-partition init, streaming
+  * batches, no whole-partition materialization). Swap in a
+  * JNI/opencv/ffmpeg call next to the header parse and nothing else
+  * changes.
   *
   * Scale notes: payloads never pass through a shuffle — every operator
   * here is scan-local (projection or mapPartitions); frame sampling
@@ -79,17 +81,85 @@ object Multimodal {
   /** Typed record for the batched decode path. */
   final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
   final case class DecodedMedia(media_id: Long, kind: String, n_bytes: Int,
-      checksum: Long, feature0: Double)
+      checksum: Long, feature0: Double, format: String,
+      width: Int, height: Int, sample_rate: Int, n_channels: Int)
 
-  /** STUB decoder — deterministic fake standing in for the real codec
-    * (pillow/librosa/ffmpeg are not installed in this container). The
-    * batching contract is the real one. */
-  object FakeDecoder {
+  /** Container-header decoder for three REAL public byte formats — BMP
+    * (Windows bitmap, little-endian fixed offsets), binary PPM (P6,
+    * ASCII header + raw RGB), and RIFF/WAVE (chunk walk to `fmt `) —
+    * plus an `opaque` fallback for anything else (the synthetic corpus
+    * payloads land there). This is genuine byte decoding with the exact
+    * batching shape a full codec uses; compressed codecs (JPEG/H.264)
+    * stay out of scope for this container, and their JNI binding would
+    * slot into the same per-partition init in [[decodeBatch]]. */
+  object MediaDecoder {
+    final case class Parsed(format: String, width: Int, height: Int,
+        sampleRate: Int, channels: Int)
+    private val Opaque = Parsed("opaque", 0, 0, 0, 0)
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def leShort(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: width i32le @18,
+      * height i32le @22 (negative height = top-down rows — report the
+      * magnitude). */
+    private def parseBmp(b: Array[Byte]): Parsed =
+      if (b.length < 26) Opaque
+      else Parsed("bmp", leInt(b, 18), math.abs(leInt(b, 22)), 0, 0)
+
+    /** P6: "P6" <ws> width <ws> height <ws> maxval, '#' comments allowed
+      * between tokens; pixel data follows the single whitespace after
+      * maxval. */
+    private def parsePpm(b: Array[Byte]): Parsed = {
+      var i = 2
+      def token(): Option[Int] = {
+        while (i < b.length &&
+          (Character.isWhitespace(b(i)) || b(i) == '#')) {
+          if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+          else i += 1
+        }
+        val start = i
+        while (i < b.length && Character.isDigit(b(i))) i += 1
+        if (i > start) Some(new String(b, start, i - start).toInt) else None
+      }
+      (token(), token()) match {
+        case (Some(w), Some(h)) => Parsed("ppm", w, h, 0, 0)
+        case _ => Opaque
+      }
+    }
+
+    /** RIFF size WAVE, then (id, size, payload) chunks; channels u16le and
+      * sample rate u32le sit at offsets 2 and 4 of the `fmt ` chunk. */
+    private def parseWav(b: Array[Byte]): Parsed = {
+      if (b.length < 12 || new String(b, 8, 4, "US-ASCII") != "WAVE") return Opaque
+      var off = 12
+      while (off + 8 <= b.length) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = leInt(b, off + 4)
+        if (id == "fmt " && off + 8 + 8 <= b.length)
+          return Parsed("wav", 0, 0, leInt(b, off + 12), leShort(b, off + 10))
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      Opaque
+    }
+
+    def parse(b: Array[Byte]): Parsed =
+      if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') parseBmp(b)
+      else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') parsePpm(b)
+      else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
+        && b(3) == 'F') parseWav(b)
+      else Opaque
+
     def decode(r: MediaRecord): DecodedMedia = {
       val crc = new java.util.zip.CRC32
       crc.update(r.payload)
+      val p = parse(r.payload)
       DecodedMedia(r.media_id, r.kind, r.payload.length, crc.getValue,
-        (crc.getValue % 1000000L).toDouble / 1000000.0)
+        (crc.getValue % 1000000L).toDouble / 1000000.0,
+        p.format, p.width, p.height, p.sampleRate, p.channels)
     }
   }
 
@@ -99,8 +169,8 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[MediaRecord]
       .mapPartitions { iter =>
-        // real decoder handle would be created once per partition here
-        iter.map(FakeDecoder.decode)
+        // a compressed-codec handle would be created once per partition here
+        iter.map(MediaDecoder.decode)
       }
   }
 

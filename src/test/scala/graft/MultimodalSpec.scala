@@ -16,7 +16,56 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("n_bytes") > 0)
   }
 
-  test("decodeBatch: deterministic stub decode over mapPartitions") {
+  test("MediaDecoder: real BMP/PPM/WAV headers parse; junk falls back to opaque") {
+    import graft.ext.Multimodal.{MediaDecoder, MediaRecord}
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 2x3 24-bit BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+    // rows padded to 4 bytes (2 px * 3 B = 6 -> 8 per row)
+    val bmp = {
+      val rowBytes = 8
+      val b = ByteBuffer.allocate(54 + rowBytes * 3).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(b.capacity)
+      b.putShort(0).putShort(0).putInt(54) // reserved + pixel offset
+      b.putInt(40).putInt(2).putInt(3)     // DIB size, width, height
+      b.putShort(1).putShort(24)           // planes, bpp
+      b.array()
+    }
+    // 4x5 binary PPM with a comment line between tokens
+    val ppm = ("P6\n# fixture\n4 5\n255\n" + "x" * 60).getBytes("US-ASCII")
+    // canonical 44-byte WAV header (PCM, stereo, 8 kHz, 16-bit) + 4 samples
+    val wav = {
+      val dataBytes = 16
+      val b = ByteBuffer.allocate(44 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(2).putInt(8000)  // PCM, channels, sample rate
+      b.putInt(8000 * 2 * 2).putShort(4).putShort(16) // byte rate, align, bits
+      b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      b.array()
+    }
+    val d1 = MediaDecoder.decode(MediaRecord(1L, "image", bmp))
+    assert(d1.format == "bmp" && d1.width == 2 && d1.height == 3, d1)
+    val d2 = MediaDecoder.decode(MediaRecord(2L, "image", ppm))
+    assert(d2.format == "ppm" && d2.width == 4 && d2.height == 5, d2)
+    val d3 = MediaDecoder.decode(MediaRecord(3L, "audio", wav))
+    assert(d3.format == "wav" && d3.sample_rate == 8000 && d3.n_channels == 2, d3)
+    val d4 = MediaDecoder.decode(MediaRecord(4L, "image", "not a container".getBytes))
+    assert(d4.format == "opaque" && d4.n_bytes == 15, d4)
+    // truncated magic must not crash the partition — opaque, not an exception
+    assert(MediaDecoder.decode(MediaRecord(5L, "image", Array[Byte]('B'))).format == "opaque")
+    assert(MediaDecoder.decode(MediaRecord(6L, "audio",
+      "RIFFxxxx".getBytes("US-ASCII"))).format == "opaque")
+    // and the same bytes decode identically through the batched Spark path
+    import spark.implicits._
+    val viaSpark = graft.ext.Multimodal.decodeBatch(spark,
+      Seq((1L, "image", bmp), (3L, "audio", wav))
+        .toDF("media_id", "kind", "payload")).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(viaSpark(1L) == d1 && viaSpark(3L) == d3)
+  }
+
+  test("decodeBatch: deterministic decode over mapPartitions") {
     // key the subset on media_id, not limit(): limit without orderBy may
     // pick different rows per execution, making the comparison unsound
     def subset(n: Int) = media.filter(col("media_id") < n)
