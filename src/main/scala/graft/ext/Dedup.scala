@@ -483,8 +483,15 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
+    // eager localCheckpoint EVERY round, not persist: a cache keeps the
+    // data but the LOGICAL PLAN still nests — each round references the
+    // previous frame twice, so the plan doubles per round and a deep
+    // iteration OOMs the driver merely STRINGIFYING it (AQE logs plans;
+    // found by the 60-hop-chain test). Checkpointing materializes the
+    // same bytes a persist+count would and truncates lineage to the
+    // blocks; superseded rounds' blocks are GC-released with their frame.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
     var it = 0
     var done = labels.isEmpty
     while (!done && it < maxIters) {
@@ -497,13 +504,8 @@ object Dedup {
         .select(col("doc_id"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
           col("old"))
-        .persist()
-      // count(), not a take(1)-style isEmpty: the convergence probe must
-      // FULLY materialize this round's cache before the previous round's
-      // is dropped, or later rounds recompute uncached partitions through
-      // unpersisted lineage — the very multiplication persist() is for
+        .localCheckpoint(true)
       done = next.filter(col("label") < col("old")).count() == 0
-      labels.unpersist()
       labels = next.select("doc_id", "label")
       it += 1
     }
@@ -511,17 +513,75 @@ object Dedup {
     // and misassign representatives — fail loudly instead
     if (!done) sys.error(
       s"clustersFromPairs did not converge in $maxIters rounds " +
-        "(component diameter exceeds the bound; raise maxIters or switch " +
-        "to large-star/small-star rounds)")
-    // localCheckpoint truncates the iteration lineage and materializes the
-    // (clustered-docs-sized) result, letting BOTH loop caches be released
-    // here instead of leaking one pinned frame per call; checkpoint blocks
-    // are GC-released with the frame
+        "(component diameter exceeds the bound; raise maxIters or use " +
+        "clustersFromPairsStar, whose round count is O(log n))")
     val out = labels.select(col("doc_id"), col("label").as("cluster_rep"))
       .localCheckpoint(true)
-    labels.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Connected components by alternating large-star / small-star edge
+    * contraction (the public MapReduce CC construction of Kiveris et al.)
+    * — the adversarial-chain form [[clustersFromPairs]]'s doc promises:
+    * min-label propagation needs O(diameter) rounds, so a pathological
+    * duplication CHAIN (each doc near-dup of the next) stalls it, while
+    * star contraction converges in O(log n) rounds regardless of
+    * diameter. Each round:
+    *
+    *   - large-star: every node connects its strictly-LARGER neighbors
+    *     to the minimum of its closed neighborhood;
+    *   - small-star: every node connects its smaller-or-equal neighbors
+    *     (edges oriented large→small) and itself to that minimum;
+    *
+    * both are one groupBy-min + one equi-join over the current edge set,
+    * which contracts toward single-level stars rooted at component
+    * minima. Same per-round persist/release discipline as the label
+    * loop; same deterministic min-rep output, so the two operators are
+    * interchangeable (q79 pins this one against q60's recursive-CTE
+    * oracle, and PropertySpec runs both against a driver union-find). */
+  def clustersFromPairsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // eager localCheckpoint per round for the same reason as the label
+    // loop: the plan references `edges` several times per round, so an
+    // un-truncated lineage grows geometrically with rounds
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .distinct().localCheckpoint(true)
+    var it = 0
+    var done = edges.isEmpty
+    while (!done && it < maxIters) {
+      val nbrs = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbrs.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // orient large→small for the small-star pass; self-loops (v landed
+      // on its own min) carry no information and would survive as noise
+      val directed = large.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val smins = directed.groupBy("u").agg(min(col("v")).as("m"))
+      val next = directed.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint(true)
+      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      it += 1
+    }
+    if (!done) sys.error(
+      s"clustersFromPairsStar did not converge in $maxIters rounds — " +
+        "O(log n) bound exceeded, which indicates a bug, not a deep graph")
+    // fixpoint edges are (member → component-min) stars; the minima name
+    // themselves, same contract as clustersFromPairs / the q60 oracle
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_rep")))
+      .distinct()
+      .localCheckpoint(true)
   }
 
   /** q60: 3-gram-Jaccard near-dup clusters with canonical representatives
@@ -543,6 +603,93 @@ object Dedup {
     clustersFromPairs(
       jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.3))
       .orderBy("doc_id")
+  }
+
+  // ---- Repeated-span removal (C4-style boilerplate dedup) ---------------
+
+  final val SpanTokens = 3
+  final val SpanMaxDocFreq = 2
+
+  /** Cross-document repeated-span removal — the C4 / RefinedWeb recipe's
+    * sub-document dedup step: whole-doc dedup (q26) misses the nav bars,
+    * cookie banners and license headers that repeat across otherwise
+    * distinct pages, so each doc is cut into NON-overlapping
+    * `spanTokens`-token spans (the stand-in for sentences — the corpus has
+    * no sentence punctuation) and any span appearing in more than
+    * `maxDocFreq` DISTINCT docs is removed from every doc; survivors are
+    * reassembled in order.
+    *
+    * Scale shape: one scan-local explode; one doc-frequency aggregate
+    * shuffled on the span (map-side combinable); the frequent-span set —
+    * boilerplate is by definition a SMALL distinct set on a real corpus —
+    * broadcasts into a left-anti probe, so the corpus spans are never
+    * shuffled for the filter; reassembly is one doc_id exchange (the same
+    * class as any per-doc aggregate). Output keeps the rewritten text as
+    * an md5 plus span accounting: the gate-visible contract without
+    * shipping the full text through the oracle compare. */
+  def dedupSpans(docs: DataFrame, spanTokens: Int = SpanTokens,
+      maxDocFreq: Int = SpanMaxDocFreq): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w), $spanTokens), " +
+          s"i -> struct(i AS idx, concat_ws(' ', slice(w, i, $spanTokens)) AS span))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.idx").as("idx"), col("s.span").as("span"))
+    val frequent = spans.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
+      .select("span")
+    val kept = spans.join(broadcast(frequent), Seq("span"), "left_anti")
+    val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept_spans"),
+      // array_sort on (idx, span) structs orders by idx — unique per doc,
+      // so the reassembly is deterministic under any partitioning
+      md5(expr("concat_ws(' ', transform(" +
+        "array_sort(collect_list(struct(idx, span))), s -> s.span))"))
+        .as("kept_md5"))
+    totals.join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept_spans"), lit(0L)).as("n_kept_spans"),
+        (col("n_spans") - coalesce(col("n_kept_spans"), lit(0L))).as("n_removed"),
+        // a doc whose every span was boilerplate reassembles to the empty
+        // string — md5('') in both engines, not NULL
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** q80: repeated-span removal over the full corpus. Full value-level
+    * oracle: span extraction, the distinct-doc frequency cut, and the
+    * ORDERED reassembly all replay in DuckDB (string_agg ORDER BY idx ≡
+    * the array_sort-by-idx fold). */
+  val q80SpanDedup: QuerySpec = QuerySpec(
+    "q80_span_dedup",
+    s"""WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |spans AS (
+      |  SELECT doc_id, i AS idx, array_to_string(w[i:i+${SpanTokens - 1}], ' ') AS span
+      |  FROM docs, unnest(generate_series(1, len(w), $SpanTokens)) AS t(i)),
+      |freq AS (
+      |  SELECT span FROM (
+      |    SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span)
+      |  WHERE df > $SpanMaxDocFreq),
+      |kept AS (
+      |  SELECT * FROM spans WHERE span NOT IN (SELECT span FROM freq)),
+      |tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    md5(string_agg(span, ' ' ORDER BY idx)) AS kept_md5
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id AS doc_id,
+      |  CAST(t.n_spans AS BIGINT) AS n_spans,
+      |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_spans,
+      |  CAST(t.n_spans - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(a.kept_md5, md5('')) AS kept_md5
+      |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    dedupSpans(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
   // ---- Benchmark decontamination ---------------------------------------
@@ -735,7 +882,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q79: the SAME clustering contract as q60, computed by star
+    * contraction — the O(log n)-round scale form. Identical recursive-CTE
+    * oracle (the semantics are equal by construction; the oracle proves
+    * it value-level on the gate slice). */
+  val q79NearDupClustersStar: QuerySpec = QuerySpec(
+    "q79_neardup_clusters_star", q60NearDupClusters.oracle.get) { (s, dir) =>
+    clustersFromPairsStar(
+      jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.3))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
-    q60NearDupClusters, q65Decontaminate, q71IncrementalDedup)
+    q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
+    q79NearDupClustersStar, q80SpanDedup)
 }

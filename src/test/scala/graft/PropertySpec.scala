@@ -66,7 +66,27 @@ class PropertySpec extends SparkSpec {
           edges.toDF("doc_a", "doc_b"), maxIters = 50).collect()
           .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
         assert(got == expected, s"graph #$i diverged: edges=$edges")
+        // the star-contraction form must agree on the same graphs — the
+        // two operators are documented as interchangeable
+        val star = ext.Dedup.clustersFromPairsStar(
+          edges.toDF("doc_a", "doc_b")).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+        assert(star == expected, s"graph #$i star diverged: edges=$edges")
       }
+    }
+  }
+
+  test("star contraction collapses a deep chain the label loop's budget cannot") {
+    import spark.implicits._
+    // a 60-hop duplication chain: min-label propagation moves the label
+    // one hop per round (needs ~60), star contraction needs O(log 60)
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val star = ext.Dedup.clustersFromPairsStar(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(star == (0L until 60L).map(_ -> 0L).toMap)
+    intercept[RuntimeException] {
+      ext.Dedup.clustersFromPairs(chain, maxIters = 10)
     }
   }
 
