@@ -485,6 +485,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: cross-doc boilerplate removed everywhere, unique spans survive") {
+    import graft.ext.Dedup
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // "the cookie banner" spans 4 distinct docs (> maxDocFreq 2) → removed
+    // from every doc, including doc 5 which consists of nothing else
+    val docs = docsDf(
+      1L -> "the cookie banner alpha beta gamma",
+      2L -> "the cookie banner delta epsilon zeta",
+      3L -> "the cookie banner eta theta iota",
+      4L -> "unique words only here",
+      5L -> "the cookie banner")
+    val out = Dedup.dedupSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Long]("n_spans") == 2
+        && out(id).getAs[Long]("n_removed") == 1, out(id))
+    }
+    assert(out(1L).getAs[String]("kept_md5") == md5Hex("alpha beta gamma"))
+    // untouched doc reassembles to its own text (partial tail span kept)
+    assert(out(4L).getAs[Long]("n_removed") == 0
+      && out(4L).getAs[String]("kept_md5") == md5Hex("unique words only here"))
+    // all-boilerplate doc stays accounted, reassembles to the empty string
+    assert(out(5L).getAs[Long]("n_kept_spans") == 0
+      && out(5L).getAs[String]("kept_md5") == md5Hex(""))
+  }
+
   test("corpus build manifest: unique docs, funnel-consistent, bins monotone per shard") {
     import graft.ext.CorpusBuild
     val m = SparkEntry.queries("q75_corpus_build")(spark, sf).collect()

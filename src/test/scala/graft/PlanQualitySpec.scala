@@ -155,6 +155,15 @@ class PlanQualitySpec extends SparkSpec {
       s"a stage of the build degenerated to all-pairs:\n$p")
   }
 
+  test("q80: frequent-span filter probes via broadcast anti join") {
+    val p = planOf("q80_span_dedup")
+    // the corpus span stream must not shuffle for the boilerplate filter —
+    // the frequent set is small by definition and must broadcast
+    assert("""BroadcastHashJoin .*LeftAnti""".r.findFirstIn(p).isDefined,
+      s"frequent-span probe is not a broadcast anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q77: banded manifest joins on band keys, never a shingle self-join") {
     // the exact form's candidate stage shuffles the kept set on the
     // shingle TEXT (O(pairs-sharing-a-shingle) — the test-scale plan);
