@@ -93,6 +93,42 @@ object Streaming {
       }
       .start()
 
+  /** Streaming corpus admission — the streaming twin of the q71 batch
+    * admit: each micro-batch of documents is tested against the CURRENT
+    * admitted corpus (exact fingerprint + near-dup shingle probes via
+    * [[graft.ext.Dedup.admitBatch]], the batch always the broadcast side
+    * so the corpus is never shuffled) and only `admit` decisions append.
+    * Dedup state lives in the corpus TABLE, not in stream state: a
+    * replayed batch finds its own docs already admitted and rejects them
+    * as exact duplicates, which is what makes at-least-once foreachBatch
+    * delivery idempotent here — the same state-in-the-table rule as
+    * [[upsertStream]], and the unbounded-keys answer to
+    * `dropDuplicates`' grow-forever stream state (a fingerprint index
+    * table scales with the corpus, not with executor memory). */
+  def corpusAdmitStream(docs: DataFrame, corpusPath: String,
+      checkpoint: String, minJaccard: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val corpus =
+          if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
+            spark.read.parquet(corpusPath).select("doc_id", "text")
+          else Seq.empty[(Long, String)].toDF("doc_id", "text")
+        val admitted = batch.join(
+          graft.ext.Dedup.admitBatch(corpus, batch.select("doc_id", "text"),
+              minJaccard)
+            .filter(col("decision") === "admit").select("doc_id"),
+          "doc_id")
+        admitted.write.mode("append").parquet(corpusPath)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window event metrics (streaming twin of
     * q35_events_window). */
   def windowedEventMetrics(events: DataFrame, horizon: String = "2 hours"): DataFrame =

@@ -69,6 +69,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("price") == 899.99, "newer batch must win")
   }
 
+  test("streaming corpus admission: dedup state lives in the table, replay idempotent") {
+    val in = tmpDir("admit_in")
+    val corpus = tmpDir("admit_corpus") + "/corpus"
+    val ckpt = tmpDir("admit_ckpt")
+    val docsCsvSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream() = Streaming.csvFileSource(spark, in, docsCsvSchema)
+    // batch 1: docs 1/2 are identical (in-batch keep-first → 1 wins)
+    Files.writeString(Paths.get(in, "b1.csv"),
+      """doc_id,text
+        |1,alpha beta gamma delta
+        |2,alpha beta gamma delta
+        |3,unrelated text one two""".stripMargin)
+    Streaming.corpusAdmitStream(stream(), corpus, ckpt).awaitTermination()
+    def ids() = spark.read.parquet(corpus).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids() == Seq(1L, 3L))
+    // batch 2 (same checkpoint → only the new file): 4 is an exact copy of
+    // an ADMITTED doc, 5 shares 2 of 3 shingles with doc 3 (jaccard 2/3 ≥
+    // 0.5 → near-dup reject), 6 is new
+    Files.writeString(Paths.get(in, "b2.csv"),
+      """doc_id,text
+        |4,alpha beta gamma delta
+        |5,unrelated text one two five
+        |6,completely fresh document here""".stripMargin)
+    Streaming.corpusAdmitStream(stream(), corpus, ckpt).awaitTermination()
+    assert(ids() == Seq(1L, 3L, 6L))
+    // replay safety: a FRESH checkpoint re-delivers every batch (simulating
+    // at-least-once redelivery); every doc now collides with the corpus —
+    // its own admitted copy — so nothing is appended twice
+    Streaming.corpusAdmitStream(stream(), corpus, tmpDir("admit_ckpt2"))
+      .awaitTermination()
+    assert(ids() == Seq(1L, 3L, 6L), "replayed batches must not re-admit")
+  }
+
   test("watermarked dedup drops repeated order_ids inside the horizon") {
     val in = tmpDir("dedup_in")
     // API-0001 arrives three times: an exact duplicate AND a retried
