@@ -274,6 +274,28 @@ class StoreSpec extends SparkSpec {
     assert(k7.length == 1 && k7.head.getAs[Double]("price") == 700.0)
   }
 
+  test("incremental read recovers a compact swap crashed between its renames") {
+    val table = tmp("orders_swapcrash") + "/orders"
+    Store.upsertOrdersIncremental(spark, ordersDf(
+      ("S-1", 1.0, "2024-01-01 00:00:00"),
+      ("S-2", 2.0, "2024-01-01 00:00:00")), table, numBuckets = 8)
+    val snapshot = Store.readOrdersIncremental(spark, table)
+      .orderBy("order_id").collect().map(_.toSeq).toSeq
+    // simulate compactBuckets dying after "move table aside" and before
+    // "publish staging": the table exists only at __backup
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(table), java.nio.file.Paths.get(table + "__backup"))
+    val recovered = Store.readOrdersIncremental(spark, table)
+      .orderBy("order_id").collect().map(_.toSeq).toSeq
+    assert(recovered == snapshot, "reader must restore the last committed table")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(table))
+      && !java.nio.file.Files.exists(java.nio.file.Paths.get(table + "__backup")))
+    // and the recovered table keeps merging normally
+    Store.upsertOrdersIncremental(spark,
+      ordersDf(("S-3", 3.0, "2024-02-01 00:00:00")), table)
+    assert(Store.readOrdersIncremental(spark, table).count() == 3)
+  }
+
   test("exports + topk retrieval + stats (S8, S11-S14)") {
     val base = tmp("exports")
     val df = ordersDf(
