@@ -83,6 +83,33 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text normalization applied BEFORE fingerprinting —
+    * lowercase, strip non-alphanumerics to spaces, collapse runs, trim.
+    * Raw-byte dedup misses trivially-reformatted copies (case changes,
+    * punctuation, doubled whitespace — the dominant near-exact class on
+    * scraped corpora); normalizing first is the standard recipe step.
+    * Pure scan-local expressions, so the fingerprint stays the only
+    * thing that ever shuffles. Spark's regexp_replace is global by
+    * default; the DuckDB twin needs the explicit 'g' flag. */
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  private def normalizeForDedupSql(x: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Dedup groups keyed on the NORMALIZED fingerprint, with the count of
+    * distinct RAW fingerprints inside each group made observable —
+    * n_raw_variants > 1 is exactly the set a raw-byte dedup would have
+    * missed. Same one-digest-shuffle shape as [[exactDedupGroups]]. */
+  def normalizedDedupGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(normalizeForDedup(col("text"))).as("norm_fp"),
+        md5(col("text")).as("raw_fp"))
+      .groupBy("norm_fp")
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_fp")).as("n_raw_variants"))
+
   /** Exact pairwise Jaccard over distinct shingle sets via shingle
     * equi-join (candidate generation) + per-pair intersection counts. */
   def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
@@ -605,6 +632,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q81: normalization-aware dedup over a corpus with injected
+    * reformatted copies (doc_id % 11 == 3 docs reappear uppercased, with
+    * doubled spacing and trailing punctuation) — those groups show
+    * n_copies = 2 with n_raw_variants = 2: collapsed here, invisible to
+    * the raw-byte dedup (q26). */
+  val q81NormalizedDedup: QuerySpec = QuerySpec(
+    "q81_normalized_dedup",
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, upper(text) || '  !!' AS text
+      |  FROM documents WHERE doc_id % 11 = 3),
+      |fp AS (
+      |  SELECT doc_id,
+      |    md5(${normalizeForDedupSql("text")}) AS norm_fp,
+      |    md5(text) AS raw_fp
+      |  FROM corpus)
+      |SELECT norm_fp,
+      |  min(doc_id) AS keeper_doc_id,
+      |  count(*) AS n_copies,
+      |  CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants
+      |FROM fp
+      |GROUP BY norm_fp
+      |ORDER BY keeper_doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text")))
+    normalizedDedupGroups(corpus).orderBy("keeper_doc_id")
+  }
+
   // ---- Repeated-span removal (C4-style boilerplate dedup) ---------------
 
   final val SpanTokens = 3
@@ -896,5 +955,5 @@ object Dedup {
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
-    q79NearDupClustersStar, q80SpanDedup)
+    q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup)
 }

@@ -485,6 +485,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("normalized dedup collapses reformatted copies the raw fingerprint misses") {
+    import graft.ext.Dedup
+    val docs = docsDf(1L -> "hello world", 2L -> "HELLO,  world!!",
+      3L -> "different text")
+    val groups = Dedup.normalizedDedupGroups(docs).collect()
+      .map(r => r.getAs[Long]("keeper_doc_id") -> r).toMap
+    assert(groups.size == 2, s"expected 2 normalized groups: ${groups.keys}")
+    assert(groups(1L).getAs[Long]("n_copies") == 2
+      && groups(1L).getAs[Long]("n_raw_variants") == 2,
+      "reformatted copy must share the normalized group while differing raw")
+    assert(groups(3L).getAs[Long]("n_copies") == 1)
+    // the raw-byte dedup (q26's operator) sees three distinct docs —
+    // the gap this operator exists to close
+    assert(Dedup.exactDedupGroups(docs).count() == 3)
+  }
+
   test("span dedup: cross-doc boilerplate removed everywhere, unique spans survive") {
     import graft.ext.Dedup
     def md5Hex(s: String): String =
