@@ -751,6 +751,82 @@ object Dedup {
     dedupSpans(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
+  // ---- Winnowing fingerprints (MOSS) -------------------------------------
+
+  final val WinnowGram = 4
+  final val WinnowWindow = 5
+  final val WinnowMinShared = 3L
+
+  /** Winnowing document fingerprints (the public MOSS construction,
+    * Schleimer et al. "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): hash every `k`-token gram, slide a window of `w`
+    * consecutive gram-hashes, select each window's MINIMUM. The selection
+    * GUARANTEES any substring of at least w+k-1 tokens shared between two
+    * docs contributes at least one identical selected fingerprint —
+    * arbitrary-alignment substring matching that the non-overlapping span
+    * dedup (q80) structurally misses (a copied paragraph at a different
+    * token offset realigns every span), at ~2/(w+1) of the gram density
+    * instead of every position.
+    *
+    * Scale shape: selection is scan-local array arithmetic per doc (the
+    * O(n·w) window mins run inside one projection); only the selected
+    * fingerprints — a fraction of the grams — reach the equi-join.
+    * Gram hashes are md5-arithmetic, so the whole construction replays
+    * bitwise in DuckDB. */
+  def winnowFingerprints(docs: DataFrame, k: Int = WinnowGram,
+      w: Int = WinnowWindow): DataFrame = {
+    require(k >= 1 && w >= 1, s"invalid winnowing params k=$k w=$w")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("wt"))
+      // need one full window of gram hashes: grams = n-k+1 >= w; also
+      // keeps both sequence() calls ascending (the descending-sequence trap)
+      .filter(size(col("wt")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(wt) - ${k - 1}), i -> " +
+          s"cast(conv(substring(md5(concat_ws(' ', slice(wt, i, $k))), 1, 8), 16, 10) as long))")
+        .as("h"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(h) - ${w - 1}), j -> array_min(slice(h, j, $w)))")))
+        .as("fp"))
+  }
+
+  /** Substring-clone candidate pairs: docs sharing at least `minShared`
+    * selected fingerprints. One fingerprint equi-join — sub-quadratic,
+    * the same join class as the shingle/band joins. */
+  def winnowPairs(docs: DataFrame, minShared: Long = WinnowMinShared): DataFrame = {
+    val s = winnowFingerprints(docs)
+    s.as("a").join(s.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** q82: winnowing substring-clone candidates over the full corpus.
+    * Full value-level oracle — gram hashing, window-min selection and the
+    * shared-count cut all replay exactly in DuckDB. */
+  val q82WinnowFingerprints: QuerySpec = QuerySpec(
+    "q82_winnow_fingerprints",
+    s"""WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= ${WinnowGram + WinnowWindow - 1}),
+      |grams AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(w) - ${WinnowGram - 1}),
+      |    i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+${WinnowGram - 1}], ' ')), 1, 8)) AS BIGINT)) AS h
+      |  FROM docs),
+      |sel AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(h) - ${WinnowWindow - 1}),
+      |    j -> list_min(h[j:j+${WinnowWindow - 1}])))) AS fp
+      |  FROM grams)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  count(*) AS n_shared
+      |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING count(*) >= $WinnowMinShared
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    winnowPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+  }
+
   // ---- Benchmark decontamination ---------------------------------------
 
   /** Distinct word-n-gram md5 fingerprints per doc, exploded to
@@ -955,5 +1031,6 @@ object Dedup {
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
-    q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup)
+    q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
+    q82WinnowFingerprints)
 }

@@ -501,6 +501,29 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.exactDedupGroups(docs).count() == 3)
   }
 
+  test("winnowing: a misaligned shared substring is guaranteed a common fingerprint") {
+    import graft.ext.Dedup
+    // 8 tokens = WinnowWindow + WinnowGram - 1, the guarantee threshold:
+    // the run yields exactly one full window of identical gram hashes in
+    // BOTH docs regardless of its offset, and that window's min is
+    // selected in both — this is what q80's non-overlapping spans miss
+    // when a copied passage lands at a different token offset
+    val shared = "one two three four five six seven eight"
+    val docs = docsDf(
+      1L -> s"$shared tail junk words here",
+      2L -> s"pre alpha beta $shared",
+      3L -> "totally unrelated text with nothing in common at all")
+    val fps = Dedup.winnowFingerprints(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "guarantee violated: shared 8-token run selected no common fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    val pairs = Dedup.winnowPairs(docs, minShared = 1).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("span dedup: cross-doc boilerplate removed everywhere, unique spans survive") {
     import graft.ext.Dedup
     def md5Hex(s: String): String =
