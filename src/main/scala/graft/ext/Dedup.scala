@@ -790,12 +790,25 @@ object Dedup {
         .as("fp"))
   }
 
+  final val WinnowMaxDocFreq = 64L
+
   /** Substring-clone candidate pairs: docs sharing at least `minShared`
     * selected fingerprints. One fingerprint equi-join — sub-quadratic,
-    * the same join class as the shingle/band joins. */
-  def winnowPairs(docs: DataFrame, minShared: Long = WinnowMinShared): DataFrame = {
+    * the same join class as the shingle/band joins — with the standard
+    * winnowing-at-scale guard: a fingerprint selected by more than
+    * `maxDocFreq` distinct docs is cross-corpus boilerplate (q80's
+    * territory, not pairwise-clone evidence) and would make the join
+    * QUADRATIC on its key, so the hot set — tiny by construction — is
+    * excluded via a broadcast anti-probe. No result change at the gate
+    * SFs (max observed doc-freq: 6 at sf0.1, 18 at the 3x corpus). */
+  def winnowPairs(docs: DataFrame, minShared: Long = WinnowMinShared,
+      maxDocFreq: Long = WinnowMaxDocFreq): DataFrame = {
     val s = winnowFingerprints(docs)
-    s.as("a").join(s.as("b"),
+    val hot = s.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq).select("fp")
+    val cold = s.join(broadcast(hot), Seq("fp"), "left_anti")
+    cold.as("a").join(cold.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -817,10 +830,15 @@ object Dedup {
       |sel AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(h) - ${WinnowWindow - 1}),
       |    j -> list_min(h[j:j+${WinnowWindow - 1}])))) AS fp
-      |  FROM grams)
+      |  FROM grams),
+      |hot AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(DISTINCT doc_id) AS df FROM sel GROUP BY fp)
+      |  WHERE df > $WinnowMaxDocFreq),
+      |cold AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  count(*) AS n_shared
-      |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |GROUP BY a.doc_id, b.doc_id
       |HAVING count(*) >= $WinnowMinShared
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
