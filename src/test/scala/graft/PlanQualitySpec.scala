@@ -164,6 +164,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q82: winnow pair join excludes hot fingerprints via broadcast anti-probe") {
+    val p = planOf("q82_winnow_fingerprints")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow candidate join degenerated to all-pairs:\n$p")
+    // at the spec SF no fingerprint exceeds the 64-doc cap, so AQE
+    // rightly ELIMINATES the empty anti join from q82's final plan; cap 2
+    // makes the hot set non-empty (39 fps at sf0.001) while df=2 pairs
+    // survive, so both joins materialize and the shape is observable
+    val forced = graft.ext.Dedup.winnowPairs(
+      Tables.documents(spark, sf), minShared = 1, maxDocFreq = 2)
+    forced.collect()
+    val fp = forced.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("""BroadcastHashJoin .*LeftAnti""".r.findFirstIn(fp).isDefined,
+      s"hot-fingerprint exclusion must broadcast, not shuffle the selection:\n$fp")
+  }
+
   test("q77: banded manifest joins on band keys, never a shingle self-join") {
     // the exact form's candidate stage shuffles the kept set on the
     // shingle TEXT (O(pairs-sharing-a-shingle) — the test-scale plan);
