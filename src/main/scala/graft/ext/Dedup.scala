@@ -803,6 +803,11 @@ object Dedup {
     * SFs (max observed doc-freq: 6 at sf0.1, 18 at the 3x corpus). */
   def winnowPairs(docs: DataFrame, minShared: Long = WinnowMinShared,
       maxDocFreq: Long = WinnowMaxDocFreq): DataFrame = {
+    // the selection scan runs twice (hot-set aggregate + pair join) —
+    // the same deliberate trade as admitBatch's probe re-scan: two
+    // scan-local passes beat caching inside a lazily-returned operator
+    // (session-lifetime leak) or shuffling the selection to reuse it; at
+    // real scale the selection is a materialized index table anyway
     val s = winnowFingerprints(docs)
     val hot = s.groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("df"))
