@@ -820,12 +820,13 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** q82: winnowing substring-clone candidates over the full corpus.
-    * Full value-level oracle — gram hashing, window-min selection and the
-    * shared-count cut all replay exactly in DuckDB. */
-  val q82WinnowFingerprints: QuerySpec = QuerySpec(
-    "q82_winnow_fingerprints",
-    s"""WITH docs AS (
+  /** Shared DuckDB CTE block replaying [[winnowFingerprints]] — ends in a
+    * `sel(doc_id, fp)` CTE; one source of truth for the q82 and q83
+    * oracles (a gram width or window tweak landing in only one would
+    * silently desynchronize the pair oracle from the decontamination
+    * oracle). */
+  private def winnowSelSqlCtes: String =
+    s"""docs AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |  WHERE len(string_split(text, ' ')) >= ${WinnowGram + WinnowWindow - 1}),
       |grams AS (
@@ -835,7 +836,14 @@ object Dedup {
       |sel AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(h) - ${WinnowWindow - 1}),
       |    j -> list_min(h[j:j+${WinnowWindow - 1}])))) AS fp
-      |  FROM grams),
+      |  FROM grams)""".stripMargin
+
+  /** q82: winnowing substring-clone candidates over the full corpus.
+    * Full value-level oracle — gram hashing, window-min selection and the
+    * shared-count cut all replay exactly in DuckDB. */
+  val q82WinnowFingerprints: QuerySpec = QuerySpec(
+    "q82_winnow_fingerprints",
+    "WITH " + winnowSelSqlCtes + s""",
       |hot AS (
       |  SELECT fp FROM (
       |    SELECT fp, count(DISTINCT doc_id) AS df FROM sel GROUP BY fp)
@@ -848,6 +856,54 @@ object Dedup {
       |HAVING count(*) >= $WinnowMinShared
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     winnowPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+  }
+
+  /** Winnow-based decontamination: the q65 overlap audit at winnowing
+    * density — contamination is measured over SELECTED fingerprints
+    * (~2/(w+1) of the grams) instead of every n-gram, so the broadcast
+    * eval index and the corpus-side probe shrink by the same factor
+    * while the winnowing guarantee still holds: any absorbed eval run of
+    * at least w+k-1 tokens is certain to register a hit. Shorter
+    * overlaps may escape — the deliberate trade that makes the index
+    * broadcastable for a REAL eval suite at 100 TB (q65's every-gram
+    * form stays as the exhaustive gate-scale audit). Same broadcast
+    * shape as q65; the selection scan runs twice (eval + corpus split of
+    * one frame) — the documented probe re-scan trade. */
+  def winnowDecontaminate(docs: DataFrame, evalMod: Int): DataFrame = {
+    require(evalMod >= 2, s"evalMod must be >= 2, got $evalMod")
+    val sel = winnowFingerprints(docs)
+    val ev = sel.filter(col("doc_id") % evalMod === 0)
+      .select("fp").distinct().withColumn("hit", lit(1))
+    sel.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(ev), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_fps"), col("n_hit"),
+        graft.functions.Functions.round4(
+          col("n_hit").cast("double") / col("n_fps")).as("contamination"),
+        (col("n_hit") > 0).as("contaminated"))
+  }
+
+  /** q83: winnow-fingerprint decontamination (eval slice = doc_id % 50,
+    * mirroring q65 so the two contamination measures are directly
+    * comparable doc-for-doc). */
+  val q83WinnowDecontaminate: QuerySpec = QuerySpec(
+    "q83_winnow_decontaminate",
+    "WITH " + winnowSelSqlCtes + s""",
+      |ev AS (SELECT DISTINCT fp FROM sel WHERE doc_id % 50 = 0),
+      |c AS (SELECT doc_id, fp FROM sel WHERE doc_id % 50 <> 0)
+      |SELECT c.doc_id AS doc_id,
+      |  count(*) AS n_fps,
+      |  CAST(sum(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  ${graft.functions.Functions.round4Sql(
+        "CAST(sum(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS contamination,
+      |  sum(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+      |FROM c LEFT JOIN ev ON c.fp = ev.fp
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    winnowDecontaminate(Tables.documents(s, dir), evalMod = 50)
+      .orderBy("doc_id")
   }
 
   // ---- Benchmark decontamination ---------------------------------------
@@ -1055,5 +1111,5 @@ object Dedup {
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
     q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
-    q82WinnowFingerprints)
+    q82WinnowFingerprints, q83WinnowDecontaminate)
 }

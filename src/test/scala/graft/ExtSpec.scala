@@ -524,6 +524,29 @@ class ExtSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("winnow decontamination: absorbed eval run >= threshold always registers; density below every-gram") {
+    import graft.ext.Dedup
+    // doc 50 is the eval doc (doc_id % 50 == 0); doc 7 absorbed an
+    // 8-token run from it (= WinnowWindow + WinnowGram - 1, the guarantee
+    // length); doc 9 shares nothing
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = docsDf(
+      50L -> s"$run india juliet kilo lima",
+      7L -> s"intro words here $run closing words",
+      9L -> "nothing shared with the eval document at all whatsoever today")
+    val out = Dedup.winnowDecontaminate(docs, evalMod = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(7L).getAs[Boolean]("contaminated"),
+      "guarantee violated: absorbed 8-token eval run not flagged")
+    assert(!out(9L).getAs[Boolean]("contaminated"))
+    assert(!out.contains(50L), "eval docs must not appear in the audited corpus")
+    // the density win q83 exists for: strictly fewer audited fingerprints
+    // than q65-style every-position grams (n - k + 1 of them)
+    val nGrams7 = out(7L) // doc 7 has 14 tokens -> 11 4-grams
+    assert(nGrams7.getAs[Long]("n_fps") < 11,
+      s"selection did not thin the gram stream: ${nGrams7.getAs[Long]("n_fps")}")
+  }
+
   test("span dedup: cross-doc boilerplate removed everywhere, unique spans survive") {
     import graft.ext.Dedup
     def md5Hex(s: String): String =
