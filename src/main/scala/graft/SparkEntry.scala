@@ -27,6 +27,7 @@ object SparkEntry {
       graft.ext.Snapshot.all ++
       graft.ext.CorpusBuild.all ++
       graft.ext.LmScore.all ++
+      graft.ext.Selection.all ++
       graft.pipeline.Ingest.all ++
       graft.ext.Multimodal.all ++
       graft.queries.Advanced.all

@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data selection under a token budget — the DataComp/DsDm-style step
+  * between scoring and training: rank the corpus by quality, then keep
+  * the best docs until the budget is spent. The greedy prefix over a
+  * TOTAL order (quality band DESC, then a deterministic hash tiebreak)
+  * makes the selected set reproducible across runs, engines, and
+  * partitionings — the same determinism contract as `Sampling`.
+  *
+  * Scale shape — a global running sum without a global sort: the same
+  * two-level prefix-sum decomposition as q70's chunked window. Docs get
+  * a scan-local (band, bucket) group key whose lexicographic order IS
+  * the selection order; per-group token sums (≤ bands × buckets rows —
+  * metadata, not data) take ONE tiny running-sum window for the group
+  * offsets, which broadcast back; each doc's exact global cumulative is
+  * then its group offset plus a within-group window — parallel across
+  * all (band, bucket) groups. No full-corpus sort, no single-partition
+  * window over data rows.
+  */
+object Selection {
+
+  final val SelectBudgetTokens = 10000L
+  final val SelectBands = 20
+  final val SelectBuckets = 256
+
+  /** Every doc with its priority band and the selected flag: selected ⇔
+    * the doc STARTS before the budget is exhausted in (band DESC,
+    * bucket, doc_id) order (greedy prefix — the first doc to cross the
+    * boundary is still taken, matching "fill the budget"). */
+  def selectUnderBudget(docs: DataFrame,
+      budgetTokens: Long = SelectBudgetTokens): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
+    val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
+    val assigned = docs
+      .withColumn("band", floor(q * SelectBands).cast("int"))
+      .select(col("doc_id"), col("band"),
+        Sampling.hashBucket(col("doc_id"), SelectBuckets, salt = "select:")
+          .as("bucket"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    // group metadata: ≤ bands × buckets rows; the running sum over it is
+    // a single-partition window over METADATA (the q70 block-map
+    // argument), never over corpus rows
+    val groups = assigned.groupBy("band", "bucket")
+      .agg(sum(col("n_tokens")).as("grp_tokens"))
+    val wOff = Window.orderBy(col("band").desc, col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = groups
+      .withColumn("grp_off", sum(col("grp_tokens")).over(wOff) - col("grp_tokens"))
+      .select("band", "bucket", "grp_off")
+    val wIn = Window.partitionBy("band", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned
+      .join(broadcast(offsets), Seq("band", "bucket"))
+      .withColumn("cum",
+        col("grp_off") + sum(col("n_tokens")).over(wIn))
+      .select(col("doc_id"), col("band"), col("n_tokens"),
+        (col("cum") - col("n_tokens") < budgetTokens).as("selected"))
+  }
+
+  /** q84: budget selection over the full corpus. The oracle replays the
+    * SAME total order as one flat running sum — DuckDB at gate scale can
+    * afford the global window the Spark plan exists to avoid, which is
+    * exactly what proves the two-level decomposition exact. */
+  val q84BudgetSelect: QuerySpec = QuerySpec(
+    "q84_budget_select",
+    "WITH p AS (\n  " +
+      TextAnalysis.qualityPartsSql(", text") + "),\n" +
+      s"f AS (\n  SELECT doc_id, text, ${TextAnalysis.QualityBlendSql} AS q FROM p),\n" +
+      s"""t AS (
+        |  SELECT doc_id,
+        |    CAST(floor(q * $SelectBands) AS INT) AS band,
+        |    ${Sampling.hashBucketSql("doc_id", SelectBuckets, "select:")} AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, band, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY band DESC, bucket, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, band, n_tokens,
+        |  (cum - n_tokens < $SelectBudgetTokens) AS selected
+        |FROM c
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    selectUnderBudget(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q84BudgetSelect)
+}

@@ -575,6 +575,30 @@ class ExtSpec extends SparkSpec {
       && out(5L).getAs[String]("kept_md5") == md5Hex(""))
   }
 
+  test("budget selection: greedy quality prefix, exact under repartitioning") {
+    import graft.ext.Selection
+    val docs = Tables.documents(spark, sf)
+    val out = Selection.selectUnderBudget(docs, budgetTokens = 500L).collect()
+    val sel = out.filter(_.getAs[Boolean]("selected"))
+    val unsel = out.filterNot(_.getAs[Boolean]("selected"))
+    assert(sel.nonEmpty && unsel.nonEmpty, "budget must split the corpus for this test")
+    // greedy prefix: the selection crosses the budget by at most the
+    // boundary doc, and never stops short of it
+    val tot = sel.map(_.getAs[Long]("n_tokens")).sum
+    val maxSel = sel.map(_.getAs[Long]("n_tokens")).max
+    assert(tot >= 500L && tot - maxSel < 500L, s"greedy boundary violated: tot=$tot")
+    // band dominance: every doc in a band strictly above the lowest
+    // selected band must itself be selected (the order is band DESC)
+    val minSelBand = sel.map(_.getAs[Int]("band")).min
+    unsel.foreach(r => assert(r.getAs[Int]("band") <= minSelBand,
+      s"doc ${r.get(0)} in band ${r.get(1)} skipped below band $minSelBand"))
+    // the two-level prefix sum must not depend on physical layout
+    val re = Selection.selectUnderBudget(docs.repartition(7), budgetTokens = 500L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("selected")).toMap
+    assert(out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("selected")).toMap == re,
+      "selection changed under repartitioning")
+  }
+
   test("corpus build manifest: unique docs, funnel-consistent, bins monotone per shard") {
     import graft.ext.CorpusBuild
     val m = SparkEntry.queries("q75_corpus_build")(spark, sf).collect()
