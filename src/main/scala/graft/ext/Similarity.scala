@@ -266,39 +266,54 @@ object Similarity {
     cents
   }
 
+  private val LloydCosSql =
+    "list_dot_product(e.v, c.centroid) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))"
+
+  /** One assignment template for every use (Lloyd rounds, final corpus
+    * assignment, query probes, SemDeDup cell scoping) — a tie-break or
+    * cosine tweak landing in only some copies would silently break
+    * engine/oracle parity. */
+  private def lloydAssignCte(cents: String, out: String,
+      idAlias: String = "vec_id", maxRank: Int = 1, where: String = ""): String =
+    s"$out AS (\n" +
+      s"  SELECT vec_id AS $idAlias, cell_id FROM (\n" +
+      "    SELECT e.vec_id, c.cell_id,\n" +
+      s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY $LloydCosSql DESC, c.cell_id) AS rnk\n" +
+      s"    FROM e CROSS JOIN $cents c$where) WHERE rnk <= $maxRank)"
+
+  private def lloydRecomputeCte(assigned: String, out: String): String =
+    s"$out AS (\n" +
+      "  SELECT cell_id, list(cv ORDER BY dim_idx) AS centroid FROM (\n" +
+      "    SELECT cell_id, dim_idx, round(avg(x), 4) AS cv FROM (\n" +
+      s"      SELECT a.cell_id AS cell_id,\n" +
+      "        unnest(generate_series(1, len(e.v))) AS dim_idx,\n" +
+      "        unnest(e.v) AS x\n" +
+      s"      FROM $assigned a JOIN e ON e.vec_id = a.vec_id)\n" +
+      "    GROUP BY cell_id, dim_idx)\n" +
+      "  GROUP BY cell_id)"
+
+  /** CTE chain `e, c0, a1/c1 … a_N/c_N` replaying [[ivfCentroids]]'
+    * seeded Lloyd refinement — shared by the q44 and q85 oracles (one
+    * source of truth for the index build). Final centroids CTE:
+    * [[lloydFinalCentsSql]]. */
+  private def lloydChainSql: String = {
+    val rounds = (1 to LloydRounds).map { r =>
+      lloydAssignCte(s"c${r - 1}", s"a$r") + ",\n" + lloydRecomputeCte(s"a$r", s"c$r")
+    }.mkString(",\n")
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+      s"c0 AS (SELECT vec_id AS cell_id, v AS centroid FROM e ORDER BY vec_id LIMIT $IvfCells),\n" +
+      rounds
+  }
+
+  private def lloydFinalCentsSql: String = s"c$LloydRounds"
+
   /** DuckDB replay of [[ivfTopK]]: seeds → [[LloydRounds]] unrolled
     * assign/recompute rounds → probe join → exact cosine top-k. */
   private def ivfOracleSql(maxQueryId: Int, k: Int): String = {
-    val cos = "list_dot_product(e.v, c.centroid) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))"
-    // one assignment template for all three uses (Lloyd rounds, final
-    // corpus assignment, query probes) — a tie-break or cosine tweak that
-    // lands in only some copies would silently break engine/oracle parity
-    def assignCte(cents: String, out: String, idAlias: String = "vec_id",
-        maxRank: Int = 1, where: String = ""): String =
-      s"$out AS (\n" +
-        s"  SELECT vec_id AS $idAlias, cell_id FROM (\n" +
-        "    SELECT e.vec_id, c.cell_id,\n" +
-        s"      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell_id) AS rnk\n" +
-        s"    FROM e CROSS JOIN $cents c$where) WHERE rnk <= $maxRank)"
-    def recomputeCte(assigned: String, out: String): String =
-      s"$out AS (\n" +
-        "  SELECT cell_id, list(cv ORDER BY dim_idx) AS centroid FROM (\n" +
-        "    SELECT cell_id, dim_idx, round(avg(x), 4) AS cv FROM (\n" +
-        s"      SELECT a.cell_id AS cell_id,\n" +
-        "        unnest(generate_series(1, len(e.v))) AS dim_idx,\n" +
-        "        unnest(e.v) AS x\n" +
-        s"      FROM $assigned a JOIN e ON e.vec_id = a.vec_id)\n" +
-        "    GROUP BY cell_id, dim_idx)\n" +
-        "  GROUP BY cell_id)"
-    val rounds = (1 to LloydRounds).map { r =>
-      assignCte(s"c${r - 1}", s"a$r") + ",\n" + recomputeCte(s"a$r", s"c$r")
-    }.mkString(",\n")
-    val cFinal = s"c$LloydRounds"
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
-      s"c0 AS (SELECT vec_id AS cell_id, v AS centroid FROM e ORDER BY vec_id LIMIT $IvfCells),\n" +
-      rounds + ",\n" +
-      assignCte(cFinal, "ac", idAlias = "cand_id") + ",\n" +
-      assignCte(cFinal, "aq", idAlias = "query_id", maxRank = IvfProbes,
+    val cFinal = lloydFinalCentsSql
+    "WITH " + lloydChainSql + ",\n" +
+      lloydAssignCte(cFinal, "ac", idAlias = "cand_id") + ",\n" +
+      lloydAssignCte(cFinal, "aq", idAlias = "query_id", maxRank = IvfProbes,
         where = s" WHERE e.vec_id < $maxQueryId") + ",\n" +
       "cand AS (\n" +
       "  SELECT DISTINCT query_id, cand_id FROM aq JOIN ac USING (cell_id)\n" +
@@ -419,6 +434,35 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Semantic dedup, cluster-scoped (the published SemDeDup recipe):
+    * assign every vector to its IVF cell, then mine near-dup pairs ONLY
+    * within cells. Candidates shrink from N² (q45's exact baseline) to
+    * Σ|cell|² ≈ N²/k with k clusters — and unlike the LSH route (q46)
+    * the scoping follows the DATA's own geometry, so dense semantic
+    * neighborhoods land in one cell rather than being sliced by random
+    * hyperplanes. Pairs whose members straddle a cell boundary are
+    * missed by construction — the recall/cost dial real SemDeDup runs
+    * accept (more cells = cheaper + lossier); ExtSpec pins the output as
+    * a subset of q45's exact pairs with recall on the clustered fixture.
+    * Shape: the cell assignment is the same broadcast argmax as the IVF
+    * index, the pair join is an id-only equi-join on cell_id, and
+    * vectors re-attach per side afterwards. */
+  def semanticNearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
+    val cents = ivfCentroids(corpus)
+    val assigned = assignCells(
+      corpus.select(col("vec_id"), col("embedding")), cents, "vec_id", 1)
+    val a = assigned.select(col("vec_id").as("id_a"), col("cell_id"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("cell_id"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .join(sideVectors(corpus, "id_a", "ea", "na"), "id_a")
+      .join(sideVectors(corpus, "id_b", "eb", "nb"), "id_b")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cell_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   // ---- registered queries ----------------------------------------------
 
   /** Per-vector L2 norms (oracle via list_dot_product on DOUBLE[] casts). */
@@ -518,6 +562,30 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** q85: SemDeDup cluster-scoped near-dup pairs at the q45/q46
+    * threshold so the three strategies are comparable pair-for-pair.
+    * Oracle = the q44 Lloyd chain + top-1 assignment + an in-cell pair
+    * join — the whole index build AND the scoping replayed value-level. */
+  val q85SemanticNearDup: QuerySpec = QuerySpec(
+    "q85_semantic_neardup",
+    "WITH " + lloydChainSql + ",\n" +
+      lloydAssignCte(lloydFinalCentsSql, "ac") + ",\n" +
+      """p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell_id AS cell_id
+        |  FROM ac a JOIN ac b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b, cell_id,
+        |    list_dot_product(ea.v, eb.v)
+        |      / (sqrt(list_dot_product(ea.v, ea.v))
+        |         * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+        |  FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+        |SELECT id_a, id_b, cell_id, round(cos, 6) AS cosine
+        |FROM scored WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    semanticNearDupPairs(Tables.embeddings(s, dir), 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH-bucketed near-dup pairs, full value-level oracle (plane-literal
     * replay, like q33); recall vs q45 additionally asserted in ExtSpec. */
   val q46EmbeddingNearDupLsh: QuerySpec = QuerySpec(
@@ -589,5 +657,6 @@ object Similarity {
 
   val all: Seq[QuerySpec] = Seq(
     q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
-    q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats)
+    q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats,
+    q85SemanticNearDup)
 }

@@ -197,6 +197,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semantic near-dup: cell-scoped pairs are exact-subset; recall high on clustered data") {
+    // the same degenerate-seed fixture as the IVF test: 4 tight clusters,
+    // all 16 seeds inside cluster 0 — Lloyd refinement must spread the
+    // cells so each cluster's near-dups land in ONE cell
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def point(cluster: Int, id: Long): Row = {
+      val base = Array.fill(dim)(0.0f)
+      base(cluster * 2) = 1.0f
+      Row(id, base.map(c => c + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq, cluster)
+    }
+    val rows = (0L until 25L).map(point(0, _)) ++
+      (25L until 100L).map(id => point((id % 3 + 1).toInt, id))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val corpus = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val exact = Similarity.cosineNearDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val sem = Similarity.semanticNearDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(sem.subsetOf(exact), "cell scoping must never invent pairs")
+    assert(exact.nonEmpty)
+    val recall = sem.size.toDouble / exact.size
+    // 16 cells over 4 clusters SUBDIVIDES each cluster, so in-cluster
+    // pairs straddling sub-cells are missed — the cells-vs-cost dial
+    // (fewer cells = higher recall, bigger cells). Observed ~0.77 here;
+    // the floor guards against the degenerate-seed failure mode (all
+    // cells in one region → scoping loses most structure entirely)
+    assert(recall >= 0.5, s"SemDeDup recall on clustered corpus $recall")
+  }
+
   test("embedding near-dup: lsh pairs are a subset of exact pairs with decent recall") {
     val exact = SparkEntry.queries("q45_embedding_neardup")(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
