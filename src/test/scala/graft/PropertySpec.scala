@@ -196,6 +196,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("budget selection: greedy-prefix invariants hold for random budgets (property)") {
+    val docs = Tables.documents(spark, sf)
+    samples(Gen.chooseNum(100L, 3000L), 6).distinct.foreach { budget =>
+      val out = graft.ext.Selection.selectUnderBudget(docs, budget).collect()
+      val sel = out.filter(_.getAs[Boolean]("selected"))
+      assert(sel.nonEmpty, s"budget $budget selected nothing")
+      val tot = sel.map(_.getAs[Long]("n_tokens")).sum
+      val maxSel = sel.map(_.getAs[Long]("n_tokens")).max
+      // greedy prefix: never stops short of the budget while docs remain,
+      // never overshoots by more than the boundary doc
+      if (out.length > sel.length)
+        assert(tot >= budget && tot - maxSel < budget,
+          s"boundary violated at budget=$budget: tot=$tot maxSel=$maxSel")
+      // monotonicity stand-in: band dominance (order is band DESC)
+      val minSelBand = sel.map(_.getAs[Int]("band")).min
+      out.filterNot(_.getAs[Boolean]("selected")).foreach(r =>
+        assert(r.getAs[Int]("band") <= minSelBand))
+    }
+  }
+
   test("dedup idempotence: Clean.dedupFull twice equals once") {
     val df = Tables.orders(spark, sf).select("o_orderstatus", "o_orderpriority")
     val once = Clean.dedupFull(df)

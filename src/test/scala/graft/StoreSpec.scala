@@ -272,6 +272,18 @@ class StoreSpec extends SparkSpec {
     val k7 = Store.readOrdersIncremental(spark, table)
       .filter(col("order_id") === "K-7").collect()
     assert(k7.length == 1 && k7.head.getAs[Double]("price") == 700.0)
+    // the dial turns BOTH ways: a tiny target file size re-expands the
+    // modulus (the grew-100x case), data still value-identical
+    Store.compactBuckets(spark, table, targetFileBytes = 512)
+    assert(bucketDirs() > 1, "tiny target must grow the modulus back")
+    val expected = snapshot.map {
+      case s if s.head == "K-7" =>
+        Seq("K-7", 700.0, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+      case s => s
+    }
+    assert(Store.readOrdersIncremental(spark, table)
+      .orderBy("order_id").collect().map(_.toSeq).toSeq == expected,
+      "re-expansion changed the data")
   }
 
   test("incremental read recovers a compact swap crashed between its renames") {
