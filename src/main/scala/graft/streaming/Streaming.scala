@@ -104,7 +104,16 @@ object Streaming {
     * delivery idempotent here — the same state-in-the-table rule as
     * [[upsertStream]], and the unbounded-keys answer to
     * `dropDuplicates`' grow-forever stream state (a fingerprint index
-    * table scales with the corpus, not with executor memory). */
+    * table scales with the corpus, not with executor memory).
+    *
+    * Per-batch cost, stated honestly: each micro-batch re-derives the
+    * corpus-side fingerprints and shingles from the TEXT table — O(corpus)
+    * scan-local work per batch (never a shuffle; the probes stay
+    * batch-broadcast). Fine at gate scale; a 100 TB deployment
+    * materializes the fingerprint/shingle index tables once and APPENDS
+    * each admitted batch's rows to them (the admitBatch probe shape is
+    * unchanged — its inputs just become the index tables), making the
+    * per-batch cost O(batch + index-scan-without-text). */
   def corpusAdmitStream(docs: DataFrame, corpusPath: String,
       checkpoint: String, minJaccard: Double = 0.5): StreamingQuery =
     docs.writeStream
