@@ -196,6 +196,59 @@ object Sampling {
       .orderBy("split")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate docs must land in
+    * the SAME split — a per-doc hash split (q64) puts members of a
+    * near-dup cluster on both sides of the train/test boundary, which is
+    * eval leakage (the model trains on a near-copy of a test doc). The
+    * split key becomes the doc's near-dup CLUSTER REPRESENTATIVE
+    * (MinHash-banded candidates → star-contraction components — both the
+    * sub-quadratic scale forms), falling back to the doc's own id when it
+    * has no near-dups; membership stays deterministic and incremental-
+    * corpus-stable for exactly the reasons [[assignSplit]] documents.
+    *
+    * Scale shape: the pair mining is q28's band equi-join, the
+    * clustering is q79's O(log n) contraction over the (sparse) pair
+    * set, and the split itself is scan-local — the only corpus-wide
+    * extra vs q64 is the signature aggregate. */
+  def leakageSafeSplit(docs: DataFrame, minEstimate: Double = 0.5): DataFrame = {
+    val clusters = Dedup.clustersFromPairsStar(
+      Dedup.minhashCandidates(docs, minEstimate))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("split_key"),
+        col("cluster_rep").isNotNull.as("clustered"))
+      .withColumn("split", assignSplit(col("split_key")))
+  }
+
+  /** q86: leakage-safe split over the full corpus. Oracle: the q28
+    * MinHash pair CTEs + the q60 recursive-CTE components + the shared
+    * split fragment over the coalesced representative. */
+  val q86LeakageSafeSplit: QuerySpec = QuerySpec(
+    "q86_leakage_safe_split",
+    "WITH RECURSIVE " +
+      Dedup.minhashPairsSqlCtesFrom("documents",
+        math.ceil(0.5 * Dedup.MinhashK).toInt) + s""",
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+      |  FROM reach GROUP BY src)
+      |SELECT d.doc_id AS doc_id,
+      |  coalesce(l.rep, d.doc_id) AS split_key,
+      |  (l.rep IS NOT NULL) AS clustered,
+      |  ${assignSplitSql("coalesce(l.rep, d.doc_id)")} AS split
+      |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    leakageSafeSplit(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    q53StratifiedSample, q61CorpusMixture, q64TrainValTestSplit)
+    q53StratifiedSample, q61CorpusMixture, q64TrainValTestSplit,
+    q86LeakageSafeSplit)
 }

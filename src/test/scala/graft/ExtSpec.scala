@@ -632,6 +632,37 @@ class ExtSpec extends SparkSpec {
       "selection changed under repartitioning")
   }
 
+  test("leakage-safe split: near-dup clusters never straddle the train/test boundary") {
+    import graft.ext.{Dedup, Sampling}
+    import org.apache.spark.sql.functions.{col => c}
+    // 40 identical docs (one near-dup cluster) + distinct singletons; the
+    // per-doc split WOULD scatter the cluster across splits — that's the
+    // leakage the operator exists to prevent
+    val shared = "the exact same document text repeated verbatim in every copy here"
+    val docs = docsDf(
+      ((1L to 40L).map(_ -> shared) ++
+        (100L to 120L).map(i => i -> s"singleton number $i with its own words entirely")): _*)
+    val out = Sampling.leakageSafeSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("split"), r.getAs[Boolean]("clustered"))).toMap
+    val clusterSplits = (1L to 40L).map(out(_)._1).toSet
+    assert(clusterSplits.size == 1,
+      s"cluster members landed in multiple splits: $clusterSplits")
+    assert((1L to 40L).forall(out(_)._2), "cluster members must be flagged")
+    // non-vacuity: the naive per-doc assignment scatters those same ids
+    val naive = docs.select(c("doc_id"),
+        Sampling.assignSplit(c("doc_id")).as("split"))
+      .collect().filter(_.getLong(0) <= 40L).map(_.getString(1)).toSet
+    assert(naive.size > 1, "fixture too small to demonstrate the leakage fix")
+    // singletons keep their stable per-doc assignment (no spurious coupling)
+    (100L to 120L).foreach { i =>
+      assert(!out(i)._2, s"singleton $i wrongly clustered")
+    }
+    // sanity: the pair source really is the banded path (no text self-join)
+    assert(Dedup.minhashCandidates(docs, 0.5).count() >= (40 * 39) / 2 * 0.9,
+      "identical docs must band-collide")
+  }
+
   test("corpus build manifest: unique docs, funnel-consistent, bins monotone per shard") {
     import graft.ext.CorpusBuild
     val m = SparkEntry.queries("q75_corpus_build")(spark, sf).collect()
