@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -248,7 +249,95 @@ object Sampling {
     leakageSafeSplit(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
+  /** Per-tier keep rates (percent) for [[qualityTierSample]] — ONE home
+    * shared by the Scala rate chain and the oracle's CASE (assembled from
+    * this Seq) so a tuned rate can't land in only one engine. */
+  final val TierRates: Seq[(String, Int)] = Seq(
+    "high" -> 100, "medium" -> 50, "low" -> 10)
+
+  /** Tier-rated deterministic sample — the CCNet-style corpus-balancing
+    * move: keep ALL high-quality docs, half of medium, a thin slice of
+    * low (the tail still contributes diversity, just not volume). Tiers
+    * are [[TextAnalysis.qualityTier]]'s published 0.6/0.4 bands, so the
+    * sample agrees with the q23 profiling view by construction;
+    * membership is the per-record hash decision every operator in this
+    * module uses (scan-local, partitioning-independent, own salt). */
+  def qualityTierSample(docs: DataFrame): DataFrame = {
+    val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
+    val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
+    val tier = TextAnalysis.qualityTier(q)
+    val rate = TierRates.foldLeft(when(lit(false), 0)) {
+      case (acc, (t, p)) => acc.when(tier === t, p)
+    }.otherwise(0)
+    docs.select(col("doc_id"), tier.as("tier"),
+      (hashBucket(col("doc_id"), 100, salt = "tier:") < rate).as("kept"))
+  }
+
+  /** q88: tier-rated sampling over the full corpus, all rows with their
+    * keep decision (audit shape, like q84's `selected`). */
+  val q88QualityTierSample: QuerySpec = QuerySpec(
+    "q88_quality_tier_sample",
+    "WITH p AS (\n  " +
+      TextAnalysis.qualityPartsSql("") + "),\n" +
+      s"f AS (\n  SELECT doc_id, ${TextAnalysis.QualityBlendSql} AS q FROM p),\n" +
+      s"t AS (\n  SELECT doc_id, ${TextAnalysis.qualityTierSql("q")} AS tier FROM f)\n" +
+      s"""SELECT doc_id, tier,
+        |  (${hashBucketSql("doc_id", 100, "tier:")} <
+        |    CASE tier ${TierRates.map { case (t, p) => s"WHEN '$t' THEN $p" }
+          .mkString(" ")} ELSE 0 END) AS kept
+        |FROM t
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    qualityTierSample(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  final val EpochShards = 8
+  final val ShuffleEpoch = 1
+
+  /** Deterministic epoch shuffle — the training-order step between
+    * corpus build and the data loader: every doc gets a shard and a
+    * position within it, both pure functions of (doc_id, epoch), so the
+    * epoch-1 order is reproducible across runs, engines, and cluster
+    * sizes, and each epoch is a fresh decorrelated permutation (the salt
+    * carries the epoch). No `rand()`: a layout-dependent shuffle order
+    * is silently different data on every re-run — the exact failure
+    * [[hashBucket]]'s doc explains.
+    *
+    * Scale shape: shard assignment is scan-local; the only ordered step
+    * is the per-shard `row_number`, and nShards is chosen to match the
+    * WRITER count (thousands of output files at 100 TB), so each shard
+    * is ~N/nShards rows by hash uniformity — the per-shard sort IS the
+    * per-output-file sort a shard writer needs anyway. No global sort,
+    * no low-cardinality skew (shards are uniform by construction). */
+  def epochShuffle(docs: DataFrame, epoch: Int = ShuffleEpoch,
+      nShards: Int = EpochShards): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    docs.select(col("doc_id"),
+        hashBucket(col("doc_id"), nShards, salt = s"epoch$epoch:").as("shard"),
+        md5(concat(lit(s"order$epoch:"), col("doc_id").cast("string")))
+          .as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("ord")
+  }
+
+  /** q89: the epoch-1 shuffle order. Both engines order by the same
+    * lowercase-hex md5 string, so the per-shard permutation is
+    * byte-identical cross-engine. */
+  val q89EpochShuffle: QuerySpec = QuerySpec(
+    "q89_epoch_shuffle",
+    s"""SELECT doc_id, shard, pos FROM (
+      |  SELECT doc_id,
+      |    ${hashBucketSql("doc_id", EpochShards, s"epoch$ShuffleEpoch:")} AS shard,
+      |    row_number() OVER (
+      |      PARTITION BY ${hashBucketSql("doc_id", EpochShards, s"epoch$ShuffleEpoch:")}
+      |      ORDER BY md5('order$ShuffleEpoch:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    epochShuffle(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q53StratifiedSample, q61CorpusMixture, q64TrainValTestSplit,
-    q86LeakageSafeSplit)
+    q86LeakageSafeSplit, q88QualityTierSample, q89EpochShuffle)
 }

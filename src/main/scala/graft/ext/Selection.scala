@@ -28,6 +28,9 @@ object Selection {
   final val SelectBands = 20
   final val SelectBuckets = 256
 
+  final val CapPerSource = 10
+  final val CapBuckets = 16
+
   /** Every doc with its priority band and the selected flag: selected ⇔
     * the doc STARTS before the budget is exhausted in (band DESC,
     * bucket, doc_id) order (greedy prefix — the first doc to cross the
@@ -90,5 +93,71 @@ object Selection {
     selectUnderBudget(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q84BudgetSelect)
+  /** Per-source document cap — the RefinedWeb/C4-style "no single domain
+    * dominates the corpus" rule: keep at most `k` docs per source,
+    * preferring the highest-quality ones under the same total order as
+    * [[selectUnderBudget]] (quality band DESC, then doc_id).
+    *
+    * Scale shape — top-K per key without sorting a key's whole row set in
+    * one task: the obvious `row_number() OVER (PARTITION BY source)`
+    * serializes each source's full history through ONE task, and source
+    * cardinality is exactly what a web corpus can't promise to be large
+    * (a handful of giant domains is the norm — the q70 skew cliff with a
+    * sort attached). So the cap runs the map-side-combine form of top-K:
+    * phase 1 ranks within (source, hash-bucket) — parallelism sources ×
+    * buckets, each group corpus/(sources × buckets) rows — and keeps k
+    * per group, a superset of the answer (any row in a source's global
+    * top-k is top-k within its own bucket); phase 2 re-ranks the
+    * ≤ buckets × k survivors per source — metadata-scale rows — to the
+    * exact global cap. ExtSpec pins phase-1+2 ≡ the naive single window. */
+  def capPerSource(docs: DataFrame, k: Int = CapPerSource,
+      buckets: Int = CapBuckets): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
+    val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
+    val assigned = docs.select(col("doc_id"), col("source"),
+      floor(q * SelectBands).cast("int").as("band"),
+      Sampling.hashBucket(col("doc_id"), buckets, salt = "cap:").as("bucket"))
+    val wBucket = Window.partitionBy("source", "bucket")
+      .orderBy(col("band").desc, col("doc_id"))
+    val survivors = assigned
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= k)
+      .drop("rn", "bucket")
+    val wSource = Window.partitionBy("source")
+      .orderBy(col("band").desc, col("doc_id"))
+    survivors
+      // filter on the raw rank, cast after: a predicate on CAST(rn)
+      // doesn't match InferWindowGroupLimit, and the trim is the point
+      .withColumn("rn2", row_number().over(wSource))
+      .filter(col("rn2") <= k)
+      .withColumn("src_rank", col("rn2").cast("long"))
+      .drop("rn2")
+  }
+
+  /** q87: the cap over the full corpus. The oracle replays the SAME
+    * total order as ONE flat per-source window — affordable at gate
+    * scale, which is exactly what proves the two-phase form exact. */
+  val q87SourceCap: QuerySpec = QuerySpec(
+    "q87_source_cap",
+    "WITH p AS (\n  " +
+      TextAnalysis.qualityPartsSql(", source") + "),\n" +
+      s"f AS (\n  SELECT doc_id, source, ${TextAnalysis.QualityBlendSql} AS q FROM p),\n" +
+      s"""t AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(q * $SelectBands) AS INT) AS band
+        |  FROM f),
+        |r AS (
+        |  SELECT doc_id, source, band,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY band DESC, doc_id) AS src_rank
+        |  FROM t)
+        |SELECT doc_id, source, band, src_rank
+        |FROM r WHERE src_rank <= $CapPerSource
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    capPerSource(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q84BudgetSelect, q87SourceCap)
 }

@@ -97,6 +97,22 @@ object TextAnalysis {
   final val QualityBlendSql: String =
     "0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5))"
 
+  /** Quality tier from the blended score — ONE home for the 0.6/0.4
+    * cut points shared by q23's profiling view and q88's tier-rated
+    * sampler (a threshold tuned in one but not the other would sample at
+    * rates that disagree with the published quality bands). */
+  final val TierHighMin = 0.6
+  final val TierMediumMin = 0.4
+
+  def qualityTier(q: Column): Column =
+    when(q >= TierHighMin, "high").when(q >= TierMediumMin, "medium")
+      .otherwise("low")
+
+  def qualityTierSql(qExpr: String): String =
+    s"CASE WHEN $qExpr >= $TierHighMin THEN 'high'\n" +
+      s"       WHEN $qExpr >= $TierMediumMin THEN 'medium'\n" +
+      "       ELSE 'low' END"
+
   val q21TextStats: QuerySpec = QuerySpec(
     "q21_text_stats",
     s"""SELECT doc_id, lang, source,
@@ -161,9 +177,7 @@ object TextAnalysis {
       s"  ${round4Sql("ttr")} AS diversity_score,\n" +
       s"  ${round4Sql("stop_ratio")} AS stopword_ratio,\n" +
       s"  ${round4Sql(QualityBlendSql)} AS quality_score,\n" +
-      s"  CASE WHEN $QualityBlendSql >= 0.6 THEN 'high'\n" +
-      s"       WHEN $QualityBlendSql >= 0.4 THEN 'medium'\n" +
-      "       ELSE 'low' END AS quality_band\n" +
+      s"  ${qualityTierSql(QualityBlendSql)} AS quality_band\n" +
       "FROM (\n  " + qualityPartsSql("") + ")\n" +
       "ORDER BY doc_id") { (s, dir) =>
     val d = Tables.documents(s, dir)
@@ -178,8 +192,7 @@ object TextAnalysis {
       round4(col("ttr")).as("diversity_score"),
       round4(col("stop_ratio")).as("stopword_ratio"),
       round4(q).as("quality_score"),
-      when(q >= 0.6, "high").when(q >= 0.4, "medium").otherwise("low")
-        .as("quality_band"))
+      qualityTier(q).as("quality_band"))
       .orderBy("doc_id")
   }
 

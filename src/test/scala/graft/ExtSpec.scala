@@ -703,6 +703,77 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("source cap: two-phase top-K equals the naive single window") {
+    import graft.ext.Selection
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val k = 3
+    // naive form: ONE window over each source's full row set — the plan
+    // the two-phase operator exists to avoid; affordable here, which is
+    // what makes it the differential oracle
+    val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
+    val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
+    val w = Window.partitionBy("source")
+      .orderBy(col("band").desc, col("doc_id"))
+    val naive = docs
+      .select(col("doc_id"), col("source"),
+        floor(q * Selection.SelectBands).cast("int").as("band"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= k)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("src_rank")).toMap
+    // bucketed form, with few buckets so phase-1 pruning actually bites
+    val capped = Selection.capPerSource(docs, k = k, buckets = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("src_rank")).toMap
+    assert(capped == naive, "two-phase cap diverges from the single-window form")
+    // and the cap binds: no source exceeds k
+    val bySource = Selection.capPerSource(docs, k = k, buckets = 4)
+      .groupBy("source").count().collect()
+    bySource.foreach(r => assert(r.getAs[Long]("count") <= k))
+  }
+
+  test("tier sample: decisions match an independent md5 replay, all high kept") {
+    import graft.ext.Sampling
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = Sampling.qualityTierSample(Tables.documents(spark, sf)).collect()
+    val rates = Sampling.TierRates.toMap
+    assert(out.map(_.getAs[String]("tier")).toSet.size >= 2,
+      "corpus must span tiers for this test")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bucket = (java.lang.Long.parseLong(
+        md5Hex(s"tier:$id").take(8), 16) % 100).toInt
+      val expected = bucket < rates(r.getAs[String]("tier"))
+      assert(r.getAs[Boolean]("kept") == expected,
+        s"doc $id tier ${r.get(1)}: kept=${r.get(2)}, replay says $expected")
+    }
+    out.filter(_.getAs[String]("tier") == "high")
+      .foreach(r => assert(r.getAs[Boolean]("kept"), s"high doc ${r.get(0)} dropped"))
+  }
+
+  test("epoch shuffle: contiguous per-shard positions, layout-independent, per-epoch fresh") {
+    import graft.ext.Sampling
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.epochShuffle(docs, epoch = 1, nShards = 4).collect()
+    assert(out.length == docs.count())
+    // every shard's positions are exactly 1..n — a permutation, no gaps
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq == (1L to rows.length).toSeq, s"shard $shard positions: $pos")
+    }
+    // pure function of (doc_id, epoch): physical layout can't change it
+    val re = Sampling.epochShuffle(docs.repartition(7), epoch = 1, nShards = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    assert(re.toMap == out.map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toMap,
+      "shuffle order changed under repartitioning")
+    // a new epoch is a fresh permutation, not a replay of the last one
+    val e2 = Sampling.epochShuffle(docs, epoch = 2, nShards = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toMap
+    val e1 = out.map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toMap
+    assert(e1 != e2, "epoch 2 replayed epoch 1's order")
+  }
+
   test("snapshot diff classifies inserts, deletes, updates exactly") {
     import graft.ext.Snapshot
     val orders = Tables.orders(spark, sf)

@@ -228,4 +228,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(blocks.forall(_ > 1),
       s"every event_type must span >1 block for the guard to mean anything: ${blocks.toSeq}")
   }
+
+  test("q87: cap's phase-1 window hashes on (source, bucket), not source alone") {
+    val p = planOf("q87_source_cap")
+    // two-phase top-K: the first (full-corpus) window must partition by
+    // BOTH keys — a single source-partitioned window over the corpus is
+    // the low-cardinality skew cliff the operator exists to avoid
+    assert("""hashpartitioning\(source#\d+, bucket#""".r.findFirstIn(p).isDefined,
+      s"phase-1 window not bucketed:\n$p")
+    // both windows get the rank<=k WindowGroupLimit trim — neither phase
+    // sorts rows it will immediately discard
+    val trims = "WindowGroupLimit".r.findAllIn(p).length
+    assert(trims >= 2, s"expected both cap windows trimmed, got $trims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cap plan degenerated:\n$p")
+  }
+
+  test("q89: epoch shuffle is one scan, one shard-partitioned window") {
+    val p = planOf("q89_epoch_shuffle")
+    assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
+      s"shuffle order window not partitioned by shard:\n$p")
+    // scan-local shard+ord assignment: exactly one documents scan and no
+    // joins — the operator adds one exchange (the shard partition), period
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single documents scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"epoch shuffle must be join-free:\n$p")
+  }
 }
