@@ -1107,9 +1107,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix — WHERE the near-dups come from:
+    * pair counts and mean similarity by unordered source pair, the
+    * mirror-site / syndication report a corpus audit starts with (a hot
+    * off-diagonal cell means one source republishes another and should be
+    * capped or dropped wholesale; a hot diagonal cell means a source
+    * self-duplicates). Candidates are the q28 banded MinHash set — the
+    * sparse sub-quadratic pair source — with the two source labels
+    * attached by id equi-joins against a 2-column (doc_id, source)
+    * projection; the aggregate output is ≤ sources² rows, metadata.
+    * avg(est_jaccard) sums multiples of 1/16 (exact in binary, so the
+    * unordered sum is deterministic) and floor-rounds via round4 in both
+    * engines. */
+  def sourceOverlapMatrix(docs: DataFrame,
+      minEstimate: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashCandidates(docs, minEstimate)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("est_jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.Functions.round4(avg(col("est_jaccard"))).as("avg_est"))
+  }
+
+  /** q90: the overlap matrix over the full corpus (the q28/q86 pair CTEs
+    * plus two label joins and one small aggregate). */
+  val q90SourceOverlap: QuerySpec = QuerySpec(
+    "q90_source_overlap",
+    "WITH " + minhashPairsSqlCtesFrom("documents",
+      math.ceil(0.5 * MinhashK).toInt) + s""",
+      |lab AS (
+      |  SELECT p.est_jaccard, da.source AS sa, db.source AS sb
+      |  FROM pairs p
+      |  JOIN documents da ON p.doc_a = da.doc_id
+      |  JOIN documents db ON p.doc_b = db.doc_id)
+      |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+      |  count(*) AS n_pairs,
+      |  ${graft.functions.Functions.round4Sql("avg(est_jaccard)")} AS avg_est
+      |FROM lab GROUP BY 1, 2
+      |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    sourceOverlapMatrix(Tables.documents(s, dir)).orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
     q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
-    q82WinnowFingerprints, q83WinnowDecontaminate)
+    q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap)
 }

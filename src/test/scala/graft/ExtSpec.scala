@@ -703,6 +703,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("source overlap matrix: attributes near-dup pairs to source pairs") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val rows = Seq(
+      Row(1L, t, "srcA"), Row(2L, t, "srcB"), Row(3L, t, "srcA"),
+      Row(4L, "totally different words nothing shared here at all by anyone ever",
+        "srcB"))
+    val docs = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+    val m = Dedup.sourceOverlapMatrix(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("avg_est")))).toMap
+    // identical docs 1,3 in srcA; their twin 2 in srcB; 4 unrelated
+    assert(m(("srcA", "srcA"))._1 == 1L, s"within-A pair missing: $m")
+    assert(m(("srcA", "srcB"))._1 == 2L, s"cross-pair count wrong: $m")
+    assert(!m.contains(("srcB", "srcB")), s"spurious within-B pair: $m")
+    m.values.foreach { case (_, est) => assert(est == 1.0, s"identical docs est: $m") }
+  }
+
   test("source cap: two-phase top-K equals the naive single window") {
     import graft.ext.Selection
     import org.apache.spark.sql.expressions.Window
