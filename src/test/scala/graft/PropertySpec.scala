@@ -216,6 +216,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("source cap ≡ naive single window for random (k, buckets) (differential)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.{Selection, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    // the naive form once; the two-phase form must match it for EVERY
+    // bucketing — bucket count is a performance knob, never a semantics one
+    val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
+    val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        floor(q * Selection.SelectBands).cast("int").as("band"))
+      .withColumn("src_rank", row_number().over(Window.partitionBy("source")
+        .orderBy(col("band").desc, col("doc_id"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("src_rank")).toMap
+    val cases = samples(for {
+      k <- Gen.chooseNum(1, 8); b <- Gen.chooseNum(1, 8)
+    } yield (k, b), 6).distinct
+    cases.foreach { case (k, b) =>
+      val capped = Selection.capPerSource(docs, k = k, buckets = b)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("src_rank")).toMap
+      val naive = ranked.filter(_._2 <= k)
+      assert(capped == naive, s"cap diverges at k=$k buckets=$b")
+    }
+  }
+
+  test("epoch shuffle is a permutation for random shard counts (property)") {
+    import graft.ext.Sampling
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    samples(for {
+      e <- Gen.chooseNum(0, 5); n <- Gen.chooseNum(1, 16)
+    } yield (e, n), 5).distinct.foreach { case (epoch, nShards) =>
+      val out = Sampling.epochShuffle(docs, epoch = epoch, nShards = nShards).collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == ids,
+        s"shuffle dropped or invented docs at epoch=$epoch shards=$nShards")
+      out.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rows) =>
+        assert(shard >= 0 && shard < nShards, s"shard $shard out of range")
+        val pos = rows.map(_.getAs[Long]("pos")).sorted.toSeq
+        assert(pos == (1L to rows.length), s"holes in shard $shard at epoch=$epoch")
+      }
+    }
+  }
+
   test("dedup idempotence: Clean.dedupFull twice equals once") {
     val df = Tables.orders(spark, sf).select("o_orderstatus", "o_orderpriority")
     val once = Clean.dedupFull(df)
