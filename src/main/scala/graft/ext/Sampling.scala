@@ -290,6 +290,102 @@ object Sampling {
     qualityTierSample(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
+  /** Target token shares (percent) for [[tokenMixture]]'s registered
+    * query — concentrate on src0/src1, thin the rest. */
+  final val TokenShares: Seq[(String, Int)] = Seq(
+    "src0" -> 30, "src1" -> 20, "src2" -> 10, "src3" -> 5)
+
+  /** Token-share mixture — [[mixCorpus]]'s inverse: the caller states the
+    * token DISTRIBUTION the training run should see (DoReMi/Pile-style
+    * domain shares) and the operator solves for each source's repetition
+    * weight from the corpus's actual token counts. With a token budget of
+    * the corpus total B, a source with share p% and S tokens gets
+    * target T = B·p DIV 100, i.e. T DIV S full epochs plus a fractional
+    * epoch of ((T mod S)·100 DIV S)% of its docs (the usual hash-bucket
+    * membership, own salt). ALL of that is integer arithmetic on token
+    * counts — no double ratio ever materializes, so the rate table is
+    * bitwise cross-engine and q91 carries a full oracle (the
+    * floating-point weight quantization this avoids is exactly the
+    * rounding-tie class SURVEY.md §7.4 bans). Unlisted sources get share
+    * 0 and drop out.
+    *
+    * Scale shape: one agg builds the ≤|sources|-row rate table (map-side
+    * partial agg, low-cardinality shuffle of partials only), which
+    * broadcast-joins back; the explode is a scan-local projection. The
+    * corpus is read twice (rate pass + apply pass) — the same documented
+    * probe-shaped trade as admitBatch; cache the token projection if the
+    * second scan matters. */
+  def tokenMixture(docs: DataFrame,
+      sharePctBySource: Seq[(String, Int)] = TokenShares): DataFrame = {
+    require(sharePctBySource.nonEmpty, "at least one target share required")
+    sharePctBySource.foreach { case (s, p) =>
+      require(p >= 0 && p <= 100, s"share for $s must be in [0,100], got $p") }
+    require(sharePctBySource.map(_._2).sum <= 100,
+      s"shares exceed 100%: $sharePctBySource")
+    val withTok = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val share = sharePctBySource.foldLeft(when(lit(false), 0L)) {
+      case (acc, (s, p)) => acc.when(col("source") === s, p.toLong)
+    }.otherwise(0L)
+    val rated = withTok.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .crossJoin(broadcast(
+        withTok.agg(sum(col("n_tokens")).as("total_tokens"))))
+      .withColumn("share_pct", share)
+      .withColumn("target_tokens", expr("(total_tokens * share_pct) DIV 100"))
+      .withColumn("full_copies", expr("target_tokens DIV src_tokens"))
+      .withColumn("frac_pct",
+        expr("((target_tokens % src_tokens) * 100) DIV src_tokens"))
+      .select("source", "full_copies", "frac_pct")
+    withTok.join(broadcast(rated), Seq("source"))
+      .withColumn("__n_copies", col("full_copies") +
+        when(hashBucket(col("doc_id"), 100, salt = "tokmix:") < col("frac_pct"),
+          1L).otherwise(0L))
+      .filter(col("__n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n_copies") - 1)))
+      .select("doc_id", "source", "n_tokens", "copy")
+  }
+
+  /** q91: the token-share mixture summarized per (source, copy) — the
+    * oracle pins the rate table (via the integer arithmetic), the
+    * fractional memberships, and the achieved token volumes. */
+  val q91TokenMixture: QuerySpec = QuerySpec(
+    "q91_token_mixture",
+    s"""WITH tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |tot AS (SELECT sum(n_tokens) AS total_tokens FROM tok),
+      |rates AS (
+      |  SELECT source,
+      |    ((t.total_tokens * (CASE source ${TokenShares.map { case (s, p) =>
+          s"WHEN '$s' THEN $p" }.mkString(" ")} ELSE 0 END)) // 100)
+      |      // sum(n_tokens) AS full_copies,
+      |    ((((t.total_tokens * (CASE source ${TokenShares.map { case (s, p) =>
+          s"WHEN '$s' THEN $p" }.mkString(" ")} ELSE 0 END)) // 100)
+      |      % sum(n_tokens)) * 100) // sum(n_tokens) AS frac_pct
+      |  FROM tok, tot t GROUP BY source, t.total_tokens),
+      |c AS (
+      |  SELECT tok.doc_id, tok.source, tok.n_tokens,
+      |    CAST(r.full_copies + (CASE WHEN ${hashBucketSql("doc_id", 100, "tokmix:")}
+      |      < r.frac_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+      |  FROM tok JOIN rates r ON tok.source = r.source),
+      |x AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    unnest(generate_series(0, n_copies - 1)) AS copy
+      |  FROM c WHERE n_copies > 0)
+      |SELECT source, copy, count(*) AS n_rows,
+      |  sum(n_tokens) AS tok_sum, min(doc_id) AS first_doc
+      |FROM x GROUP BY source, copy
+      |ORDER BY source, copy""".stripMargin) { (s, dir) =>
+    tokenMixture(Tables.documents(s, dir))
+      .withColumn("copy", col("copy").cast("long"))
+      .groupBy("source", "copy")
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_tokens")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "copy")
+  }
+
   final val EpochShards = 8
   final val ShuffleEpoch = 1
 
@@ -339,5 +435,6 @@ object Sampling {
 
   val all: Seq[QuerySpec] = Seq(
     q53StratifiedSample, q61CorpusMixture, q64TrainValTestSplit,
-    q86LeakageSafeSplit, q88QualityTierSample, q89EpochShuffle)
+    q86LeakageSafeSplit, q88QualityTierSample, q89EpochShuffle,
+    q91TokenMixture)
 }

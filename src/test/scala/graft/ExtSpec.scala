@@ -771,6 +771,49 @@ class ExtSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Boolean]("kept"), s"high doc ${r.get(0)} dropped"))
   }
 
+  test("token mixture: per-doc copy counts match an exact integer replay") {
+    import graft.ext.Sampling
+    def md5Bucket(s: String): Int =
+      (java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+        % 100).toInt
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replay the rate table with exact integer arithmetic — the property
+    // the operator buys by never materializing a double weight
+    val total = toks.map(_._3).sum
+    val bySrc = toks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val shares = Sampling.TokenShares.toMap
+    val expected = toks.map { case (id, src, _) =>
+      val s = bySrc(src)
+      val t = total * shares.getOrElse(src, 0) / 100
+      val full = t / s
+      val pct = t % s * 100 / s
+      id -> (full + (if (md5Bucket(s"tokmix:$id") < pct) 1L else 0L))
+    }.toMap
+    val got = Sampling.tokenMixture(docs).groupBy("doc_id").count()
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    expected.foreach { case (id, n) =>
+      assert(got.getOrElse(id, 0L) == n, s"doc $id: got ${got.get(id)}, expected $n")
+    }
+    // the achieved shares land: each listed source's token volume is
+    // within one fractional-bucket's noise of its target
+    val achieved = toks.groupBy(_._2).view.mapValues { rows =>
+      rows.map { case (id, src, n) => expected(id) * n }.sum
+    }.toMap
+    Sampling.TokenShares.foreach { case (src, pct) =>
+      val target = total * pct / 100
+      val a = achieved.getOrElse(src, 0L)
+      // deterministic, but the fractional epoch picks DOCS by hash while
+      // the target is in TOKENS — allow doc-granularity slack
+      assert(math.abs(a - target) <= bySrc(src) / 10 +
+        toks.filter(_._2 == src).map(_._3).max,
+        s"$src achieved $a vs target $target")
+    }
+  }
+
   test("epoch shuffle: contiguous per-shard positions, layout-independent, per-epoch fresh") {
     import graft.ext.Sampling
     val docs = Tables.documents(spark, sf)

@@ -243,6 +243,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cap plan degenerated:\n$p")
   }
 
+  test("q91: rate table broadcasts back; no cartesian beyond the 1-row total") {
+    val p = planOf("q91_token_mixture")
+    // the <= |sources|-row rate table must re-attach via broadcast — a
+    // shuffle join here would repartition the whole corpus to join 20 rows
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    // the only nested-loop shape allowed is the 1-row corpus-total attach
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian fallback:\n$p")
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
