@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -375,6 +375,59 @@ object Similarity {
       .join(broadcast(sideVectors(queries, "query_id", "qe", "qn")), "query_id")
       .join(sideVectors(corpus, "cand_id", "ce", "cn"), "cand_id")
       .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  // ---- persisted IVF index ---------------------------------------------
+
+  /** Build and persist the IVF index: the 16 centroid rows plus the
+    * corpus vectors partitioned BY CELL on disk. At 100 TB the index is
+    * built once and amortized across every probe batch — re-running the
+    * Lloyd chain per batch (what [[ivfTopK]] does, correctly, for its
+    * self-contained oracle form) would dominate probe cost. Laying the
+    * vectors out cell-per-directory turns the probe's cell restriction
+    * into a PLANNING-time partition prune: a batch probing p cells reads
+    * ~p/[[IvfCells]] of the index files — the on-disk analogue of the
+    * in-memory candidate shrink (AsOfNativeSpec-style numFiles metric
+    * asserted in ExtSpec). */
+  def buildIvfIndex(corpus: DataFrame, dir: String): Unit = {
+    val cents = ivfCentroids(corpus)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(corpus.select(col("vec_id").as("cand_id"), col("embedding")),
+        cents, "cand_id", 1)
+      .join(corpus.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/cells")
+  }
+
+  /** Probe a persisted index: assign queries to their [[IvfProbes]]
+    * nearest cells against the SAVED centroids (no Lloyd re-run),
+    * statically restrict the cells scan to the probed cell ids (the
+    * collect is ≤ queries × probes ids of index METADATA, bounded by
+    * [[IvfCells]] — the same driver-side class as the centroid
+    * literalize), then rank in-cell candidates exactly like [[ivfTopK]].
+    * ExtSpec pins probe-after-build ≡ ivfTopK on the same inputs. */
+  def probeIvfIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val queryCells = assignCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      cents, "query_id", IvfProbes)
+    val probed = queryCells.select("cell_id").distinct()
+      .collect().map(_.getAs[Long]("cell_id"))
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell_id").isin(probed: _*))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    queryCells.join(cells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id", "embedding", "nrm")
+      .dropDuplicates("query_id", "cand_id")
+      .join(broadcast(sideVectors(queries, "query_id", "qe", "qn")), "query_id")
+      .withColumn("cos", dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"),

@@ -703,6 +703,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ivf index: probe-after-build ≡ inline ivf top-k; cells scan prunes to probed cells") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.buildIvfIndex(e, dir)
+    val queries = e.filter(col("vec_id") < 6)
+    def key(r: Row) = (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+      r.getAs[Long]("cand_id"), r.getAs[Double]("cosine"))
+    val inline = Similarity.ivfTopK(queries, e, 5).collect().map(key).toSet
+    val probe = Similarity.probeIvfIndex(spark, dir, queries, 5)
+    assert(probe.collect().map(key).toSet == inline,
+      "persisted-index probe diverges from the inline IVF form")
+    // the probe must NOT have read the whole index: the cells scan is
+    // statically restricted to the probed cells, so planning-time
+    // partition pruning skips the rest of the files
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides scans inside materialized query stages — collectLeaves
+    // stops at the stage boundary, so walk through them explicitly
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case o => o.children.flatMap(scans)
+    }
+    val scan = scans(probe.queryExecution.executedPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains("cells")))
+      .getOrElse(fail("no cells scan in probe plan"))
+    val scanned = scan.metrics("numFiles").value
+    val total = spark.read.parquet(s"$dir/cells").inputFiles.length
+    assert(scanned < total,
+      s"probe read all $total index files; pruning is the point of the layout")
+  }
+
   test("source overlap matrix: attributes near-dup pairs to source pairs") {
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val rows = Seq(
