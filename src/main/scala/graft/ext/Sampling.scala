@@ -309,12 +309,16 @@ object Sampling {
     * rounding-tie class SURVEY.md §7.4 bans). Unlisted sources get share
     * 0 and drop out.
     *
-    * Scale shape: one agg builds the ≤|sources|-row rate table (map-side
-    * partial agg, low-cardinality shuffle of partials only), which
-    * broadcast-joins back; the explode is a scan-local projection. The
-    * corpus is read twice (rate pass + apply pass) — the same documented
-    * probe-shaped trade as admitBatch; cache the token projection if the
-    * second scan matters. */
+    * Scale shape: ONE rate pass (a per-source agg — map-side partials,
+    * low-cardinality shuffle of partials only) whose ≤|sources|-row
+    * result is reduced driver-side — the same bounded-metadata class as
+    * the IVF centroid literalize and [[mixCorpus]]'s weight spec — into
+    * literal when-chain rates for the LISTED sources (the share spec is
+    * a small named list by construction; unlisted sources drop out), and
+    * ONE apply pass that is a pure scan-local projection, join-free. Two
+    * corpus scans total; a broadcast-join rate attach was measured to
+    * plan a THIRD full scan for the corpus-total row, which the driver
+    * reduction removes. */
   def tokenMixture(docs: DataFrame,
       sharePctBySource: Seq[(String, Int)] = TokenShares): DataFrame = {
     require(sharePctBySource.nonEmpty, "at least one target share required")
@@ -324,22 +328,28 @@ object Sampling {
       s"shares exceed 100%: $sharePctBySource")
     val withTok = docs.select(col("doc_id"), col("source"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    val share = sharePctBySource.foldLeft(when(lit(false), 0L)) {
-      case (acc, (s, p)) => acc.when(col("source") === s, p.toLong)
-    }.otherwise(0L)
-    val rated = withTok.groupBy("source")
+    val srcTokens = withTok.groupBy("source")
       .agg(sum(col("n_tokens")).as("src_tokens"))
-      .crossJoin(broadcast(
-        withTok.agg(sum(col("n_tokens")).as("total_tokens"))))
-      .withColumn("share_pct", share)
-      .withColumn("target_tokens", expr("(total_tokens * share_pct) DIV 100"))
-      .withColumn("full_copies", expr("target_tokens DIV src_tokens"))
-      .withColumn("frac_pct",
-        expr("((target_tokens % src_tokens) * 100) DIV src_tokens"))
-      .select("source", "full_copies", "frac_pct")
-    withTok.join(broadcast(rated), Seq("source"))
-      .withColumn("__n_copies", col("full_copies") +
-        when(hashBucket(col("doc_id"), 100, salt = "tokmix:") < col("frac_pct"),
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("src_tokens")).toMap
+    val total = srcTokens.values.sum
+    // exact integer replay of the SQL oracle's // arithmetic — all Long,
+    // no double weight ever materializes
+    val rates = sharePctBySource.collect {
+      case (s, p) if p > 0 && srcTokens.contains(s) =>
+        val sTok = srcTokens(s)
+        val t = total * p / 100
+        (s, t / sTok, t % sTok * 100 / sTok)
+    }
+    val fullCol = rates.foldLeft(when(lit(false), 0L)) {
+      case (acc, (s, f, _)) => acc.when(col("source") === s, f)
+    }.otherwise(0L)
+    val pctCol = rates.foldLeft(when(lit(false), 0L)) {
+      case (acc, (s, _, pc)) => acc.when(col("source") === s, pc)
+    }.otherwise(0L)
+    withTok
+      .withColumn("__n_copies", fullCol +
+        when(hashBucket(col("doc_id"), 100, salt = "tokmix:") < pctCol,
           1L).otherwise(0L))
       .filter(col("__n_copies") > 0)
       .withColumn("copy", explode(sequence(lit(0L), col("__n_copies") - 1)))
