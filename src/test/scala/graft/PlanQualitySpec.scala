@@ -243,6 +243,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cap plan degenerated:\n$p")
   }
 
+  test("q90: overlap matrix inherits the banded pair join — no cartesian anywhere") {
+    val p = planOf("q90_source_overlap")
+    // candidates must come from the q28 band equi-join (hash join on the
+    // band keys); any all-pairs fallback in the pair mining or the two
+    // source-label attach joins would show up as a cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap matrix degenerated to all-pairs:\n$p")
+    assert("""band_key""".r.findFirstIn(p).isDefined,
+      s"no banded join key in the candidate stage:\n$p")
+  }
+
   test("q91: the apply pass is one scan, join-free (rates fold to literals)") {
     // the rate pass runs eagerly at build time (driver-reduced metadata);
     // the query's own plan is ONLY the apply pass — which must be a
