@@ -141,5 +141,108 @@ object Packing {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val all: Seq[QuerySpec] = Seq(q62SequencePacking, q73DocumentChunks)
+  final val AssemblyBudget = 2048L
+  final val AssemblyShards = 8
+  final val AssemblyEpoch = 1
+
+  /** Epoch assembly — the sampling-family capstone (what q75's manifest
+    * is for the dedup family): corpus → target token mixture
+    * ([[Sampling.tokenMixture]]) → deterministic epoch order (the
+    * [[Sampling.epochShuffle]] construction, keyed by the (doc, copy)
+    * INSTANCE so repeated epochs of an upsampled doc scatter
+    * independently instead of packing back-to-back) → per-shard
+    * cumulative-offset bins ([[packSequences]]'s window). One declarative
+    * DAG producing exactly what a pretraining loader consumes: for every
+    * training instance, its shard, bin, and start offset in the shard's
+    * token stream — reproducible across runs, engines, partitionings,
+    * and cluster sizes.
+    *
+    * Scale shape is the union of its stages' shapes, all already
+    * plan-guarded individually: one rate-pass agg (driver-reduced
+    * metadata), then ONE apply pass whose only exchange is the shard
+    * partition and whose only ordered step is the per-shard window. */
+  def assembleEpoch(docs: DataFrame,
+      sharePctBySource: Seq[(String, Int)] = Sampling.TokenShares,
+      epoch: Int = AssemblyEpoch, budget: Long = AssemblyBudget,
+      shards: Int = AssemblyShards): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val inst = concat(col("doc_id").cast("string"), lit(":"),
+      col("copy").cast("string"))
+    val sharded = Sampling.tokenMixture(docs, sharePctBySource)
+      .withColumn("shard",
+        Sampling.hashBucket(inst, shards, salt = s"epoch$epoch:"))
+      .withColumn("ord", md5(concat(lit(s"order$epoch:"), inst)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"), col("copy"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("start_offset") / budget).cast("long"))
+      .select("doc_id", "copy", "source", "shard", "bin", "n_tokens",
+        "start_offset")
+  }
+
+  /** q92: the epoch assembly summarized per (shard, bin) — the oracle
+    * replays mixture rates (q91's integer CTEs), the instance-keyed
+    * shuffle order, and the packing window in one statement, pinning the
+    * whole composition. */
+  val q92EpochAssembly: QuerySpec = {
+    val instSql = "CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)"
+    QuerySpec(
+      "q92_epoch_assembly",
+      s"""WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT sum(n_tokens) AS total_tokens FROM tok),
+        |rates AS (
+        |  SELECT source,
+        |    ((t.total_tokens * (CASE source ${Sampling.TokenShares.map {
+            case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")} ELSE 0 END)) // 100)
+        |      // sum(n_tokens) AS full_copies,
+        |    ((((t.total_tokens * (CASE source ${Sampling.TokenShares.map {
+            case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")} ELSE 0 END)) // 100)
+        |      % sum(n_tokens)) * 100) // sum(n_tokens) AS frac_pct
+        |  FROM tok, tot t GROUP BY source, t.total_tokens),
+        |c AS (
+        |  SELECT tok.doc_id, tok.source, tok.n_tokens,
+        |    CAST(r.full_copies + (CASE WHEN ${Sampling.hashBucketSql(
+            "doc_id", 100, "tokmix:")}
+        |      < r.frac_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |  FROM tok JOIN rates r ON tok.source = r.source),
+        |x AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(generate_series(0, n_copies - 1)) AS copy
+        |  FROM c WHERE n_copies > 0),
+        |y AS (
+        |  SELECT doc_id, source, n_tokens, copy,
+        |    ${Sampling.hashBucketSql(instSql, AssemblyShards,
+            s"epoch$AssemblyEpoch:")} AS shard,
+        |    md5('order$AssemblyEpoch:' || $instSql) AS ord
+        |  FROM x),
+        |o AS (
+        |  SELECT shard, n_tokens, doc_id,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id, copy
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS start_offset
+        |  FROM y)
+        |SELECT shard,
+        |  CAST(floor(CAST(start_offset AS DOUBLE) / $AssemblyBudget) AS BIGINT) AS bin,
+        |  count(*) AS n_instances, CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM o GROUP BY 1, 2
+        |ORDER BY shard, bin""".stripMargin) { (s, dir) =>
+      assembleEpoch(Tables.documents(s, dir))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_instances"),
+          sum(col("n_tokens")).as("tokens_packed"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("shard", "bin")
+    }
+  }
+
+  val all: Seq[QuerySpec] = Seq(q62SequencePacking, q73DocumentChunks,
+    q92EpochAssembly)
 }

@@ -869,6 +869,35 @@ class ExtSpec extends SparkSpec {
     assert(e1 != e2, "epoch 2 replayed epoch 1's order")
   }
 
+  test("epoch assembly: mixture copies preserved, shard offsets tile, copies scatter") {
+    import graft.ext.{Packing, Sampling}
+    val docs = Tables.documents(spark, sf)
+    val out = Packing.assembleEpoch(docs).collect()
+    // stage consistency: the assembly carries exactly the mixture's
+    // instances — nothing dropped or invented by the shuffle/pack stages
+    val copies = Sampling.tokenMixture(docs).groupBy("doc_id").count()
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    val gotCopies = out.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(gotCopies == copies, "assembly lost or invented instances")
+    // each shard's token stream tiles exactly: every instance starts
+    // where the previous one ended
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("start_offset")).foreach { r =>
+        assert(r.getAs[Long]("start_offset") == cum,
+          s"shard $shard stream has a gap at ${r.getAs[Long]("start_offset")}")
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // the instance-keyed shuffle scatters an upsampled doc's epochs —
+    // copies must not ride the same shard just because they share a doc
+    val multi = out.groupBy(_.getAs[Long]("doc_id")).filter(_._2.length >= 4)
+    assert(multi.nonEmpty, "fixture needs an upsampled doc for this test")
+    assert(multi.exists(_._2.map(_.getAs[Int]("shard")).distinct.length >= 2),
+      "no multi-copy doc scattered across shards")
+  }
+
   test("snapshot diff classifies inserts, deletes, updates exactly") {
     import graft.ext.Snapshot
     val orders = Tables.orders(spark, sf)
