@@ -241,6 +241,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("token mixture: integer rate replay holds for random share lists (property)") {
+    import graft.ext.Sampling
+    def md5Bucket(s: String): Int =
+      (java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+        % 100).toInt
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val total = toks.map(_._3).sum
+    val bySrc = toks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val sources = bySrc.keys.toSeq.sorted
+    // random subsets with random small shares — exercises frac_pct = 0,
+    // dropped sources, and single-source concentration
+    val shareGen = for {
+      n <- Gen.chooseNum(1, math.min(5, sources.size))
+      picked <- Gen.pick(n, sources)
+      pcts <- Gen.listOfN(n, Gen.chooseNum(0, 20))
+    } yield picked.toSeq.zip(pcts)
+    samples(shareGen, 5).foreach { shares =>
+      val expected = toks.map { case (id, src, _) =>
+        val p = shares.collectFirst { case (s, pc) if s == src => pc }.getOrElse(0)
+        val sTok = bySrc(src)
+        val t = total * p / 100
+        val pct = t % sTok * 100 / sTok
+        id -> (t / sTok + (if (md5Bucket(s"tokmix:$id") < pct) 1L else 0L))
+      }.toMap.filter(_._2 > 0)
+      val got = Sampling.tokenMixture(docs, shares).groupBy("doc_id").count()
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+      assert(got == expected, s"replay diverged for shares=$shares")
+    }
+  }
+
   test("epoch shuffle is a permutation for random shard counts (property)") {
     import graft.ext.Sampling
     val docs = Tables.documents(spark, sf)
