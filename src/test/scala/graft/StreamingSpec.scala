@@ -168,4 +168,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0,
       "streamed windows disagree with batch aggregation")
   }
+
+  test("tier sample and epoch shuffle assignment are streaming-safe projections") {
+    // the new sampling family decides membership per-record (hash of the
+    // record's own key) — stateless projections, so the SAME column
+    // expressions must run unchanged on a stream and agree with the
+    // batch result row-for-row. The per-shard position (a window) is the
+    // one deliberately batch-only step; shard ASSIGNMENT is what a
+    // streaming writer needs and is covered here.
+    import graft.ext.Sampling
+    import org.apache.spark.sql.functions.col
+    val docDir = tmpDir("docs_stream")
+    Tables.documents(spark, sf).orderBy("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+    val stream = Streaming.parquetFileSource(spark, docDir, schema)
+    Streaming.drainToMemory(
+      Sampling.qualityTierSample(stream)
+        .withColumn("shard", Sampling.hashBucket(col("doc_id"), 8, "epoch1:")),
+      "tier_stream")
+    val streamed = spark.sql("SELECT doc_id, tier, kept, shard FROM tier_stream")
+    val batch = Sampling.qualityTierSample(Tables.documents(spark, sf))
+      .withColumn("shard", Sampling.hashBucket(col("doc_id"), 8, "epoch1:"))
+    assert(streamed.count() == batch.count, "stream dropped rows")
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streamed tier/shard decisions disagree with batch")
+  }
 }
