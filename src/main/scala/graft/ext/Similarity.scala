@@ -403,6 +403,25 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/cells")
   }
 
+  /** Append new vectors to a persisted index WITHOUT a rebuild — the
+    * per-batch maintenance op the amortization story depends on: assign
+    * the batch against the SAVED centroids (IVF tolerates centroid
+    * staleness — recall drifts only as the data distribution does, so
+    * re-running Lloyd is a scheduled maintenance rebuild, not a
+    * per-batch cost) and append cell-partitioned files. Append-only by
+    * construction: no existing file is rewritten, so concurrent probes
+    * stay consistent, and cells the batch doesn't touch keep their file
+    * sets byte-identical (asserted in ExtSpec). */
+  def appendToIvfIndex(spark: SparkSession, dir: String,
+      newVecs: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assignCells(newVecs.select(col("vec_id").as("cand_id"), col("embedding")),
+        cents, "cand_id", 1)
+      .join(newVecs.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .write.mode("append").partitionBy("cell_id").parquet(s"$dir/cells")
+  }
+
   /** Probe a persisted index: assign queries to their [[IvfProbes]]
     * nearest cells against the SAVED centroids (no Lloyd re-run),
     * statically restrict the cells scan to the probed cell ids (the

@@ -736,6 +736,41 @@ class ExtSpec extends SparkSpec {
       s"probe read all $total index files; pruning is the point of the layout")
   }
 
+  test("ivf index append: new vectors are probe-visible; untouched cells unchanged") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    Similarity.buildIvfIndex(e, dir)
+    def cellFiles(): Map[String, Set[String]] =
+      spark.read.parquet(s"$dir/cells").inputFiles.toSet
+        .groupBy(f => f.substring(f.indexOf("cell_id=")).takeWhile(_ != '/'))
+    val before = cellFiles()
+    // append exact clones of the query vectors under fresh ids: each
+    // clone lands in its original's cell and must dominate the probe
+    val queries = e.filter(col("vec_id") < 6)
+    Similarity.appendToIvfIndex(spark, dir,
+      queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val after = cellFiles()
+    // append-only: cells that received no clone keep identical file sets
+    val touched = after.keys.filter(c => after(c) != before.getOrElse(c, Set()))
+      .toSet
+    assert(touched.nonEmpty && touched.size < after.size,
+      s"append must touch some cells and spare the rest (touched ${touched.size}/${after.size})")
+    before.foreach { case (cell, files) =>
+      if (!touched.contains(cell))
+        assert(after(cell) == files, s"untouched cell $cell rewritten")
+    }
+    // probe-visible at rank 1: an identical vector has cosine 1.0 and the
+    // clone shares its original's cell, which is always among the probes
+    val top = Similarity.probeIvfIndex(spark, dir, queries, 1).collect()
+    queries.select("vec_id").collect().map(_.getLong(0)).foreach { q =>
+      val r = top.find(_.getAs[Long]("query_id") == q)
+        .getOrElse(fail(s"query $q missing from probe"))
+      assert(r.getAs[Long]("cand_id") == q + 100000L
+          && r.getAs[Double]("cosine") == 1.0,
+        s"query $q rank-1 is ${r.getAs[Long]("cand_id")} (${r.getAs[Double]("cosine")}), not its clone")
+    }
+  }
+
   test("source overlap matrix: attributes near-dup pairs to source pairs") {
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val rows = Seq(
