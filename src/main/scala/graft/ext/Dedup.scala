@@ -1151,9 +1151,107 @@ object Dedup {
     sourceOverlapMatrix(Tables.documents(s, dir)).orderBy("src_a", "src_b")
   }
 
+  // ---- Bloom-filter admission (distributed bit array) -------------------
+
+  /** Bits in the distributed bloom "bit array" — sized so k*n/m stays ≪ 1
+    * at every bench SF; at real scale m grows with the corpus fingerprint
+    * count (m ≈ 10–20 bits per inserted key keeps fpp < 1%). */
+  final val BloomBits = 1 << 20
+  final val BloomHashes = 5
+
+  private def bloomBucketCols(fp: Column): Seq[Column] =
+    (0 until BloomHashes).map(i =>
+      pmod(xxhash64(fp, lit(i)), lit(BloomBits.toLong)))
+
+  /** Bloom-filter batch admission — the cheapest possible "have we seen
+    * this document before" gate for a continuously-ingesting corpus:
+    * where q71's shingle-index admit buys near-dup detection with an
+    * index probe per increment, this buys EXACT-dup screening with a
+    * fixed-size summary that never looks at the corpus text again.
+    *
+    * The bloom bit array is modeled as a DISTRIBUTED RELATION of set
+    * bucket ids — `{ xxhash64(fp, seed_i) mod m : i < k }` over the
+    * corpus fingerprints — not a driver-side object: build is one
+    * map-side-combined distinct aggregate (k tiny rows per corpus doc),
+    * the probe is one equi-join on bucket id with the k-row-per-doc batch
+    * side broadcast, and a doc is "maybe present" iff all k of its
+    * buckets hit. Semantically identical to the classic bit-array bloom
+    * filter (no false negatives; fpp ≈ (1-e^(-kn/m))^k) but partitioned,
+    * incrementally appendable (new corpus docs add bucket rows), and
+    * never bounded by one executor's memory.
+    *
+    * Validation-harness contract (same as q47/q59): exact anchors both
+    * engines can compute (batch size, exact dup/new split via the
+    * fingerprint join) plus bloom-property booleans the engine PROVES on
+    * the data and the oracle pins as literal TRUE — no-false-negatives
+    * is structural (an exact dup has its keys' buckets inserted by
+    * definition); the false-positive bound holds with huge slack at the
+    * configured m. xxhash64 exists only Spark-side, which is exactly why
+    * the booleans, not the raw bloom verdicts, are the contract. */
+  def bloomAdmitAudit(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val corpusFp = corpus.select(md5(col("text")).as("fingerprint")).distinct()
+    val batchFp = batch.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+    // the distributed "bit array": distinct set bucket ids
+    val bits = corpusFp
+      .select(explode(array(bloomBucketCols(col("fingerprint")): _*)).as("bucket"))
+      .distinct()
+    // probe: all k buckets must hit; batch side is the broadcast build side
+    val probes = batchFp.select(col("doc_id"),
+      posexplode(array(bloomBucketCols(col("fingerprint")): _*)))
+      .select(col("doc_id"), col("col").as("bucket"))
+    val bloomMaybe = bits.join(broadcast(probes), "bucket")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") === BloomHashes)
+      .select(col("doc_id"), lit(true).as("bloom_maybe"))
+    // exact membership: corpus-streams-probe-batch, as in admitBatch
+    val exactHits = corpusFp
+      .join(broadcast(batchFp.select("fingerprint").distinct()), "fingerprint")
+      .select(col("fingerprint"), lit(true).as("exact_dup"))
+    val decided = batchFp
+      .join(broadcast(exactHits), Seq("fingerprint"), "left")
+      .join(bloomMaybe, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("bloom_maybe"), lit(false)).as("bloom_maybe"))
+    decided.agg(
+      count(lit(1)).as("n_batch"),
+      sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+      sum(when(!col("exact_dup"), 1L).otherwise(0L)).as("n_exact_new"),
+      (sum(when(col("exact_dup") && !col("bloom_maybe"), 1L).otherwise(0L)) === 0L)
+        .as("bloom_no_false_negatives"),
+      (sum(when(!col("exact_dup") && col("bloom_maybe"), 1L).otherwise(0L))
+        .cast("double") <=
+        greatest(lit(5.0), count(lit(1)).cast("double") * 0.01))
+        .as("bloom_fp_within_bound"))
+  }
+
+  /** q94: bloom-screen the q71 batch slice against the rest of the
+    * corpus. */
+  val q94BloomAdmit: QuerySpec = QuerySpec(
+    "q94_bloom_admit",
+    """WITH batch AS (
+      |  SELECT doc_id, md5(text) AS fingerprint
+      |  FROM documents WHERE doc_id % 10 = 7),
+      |cfp AS (
+      |  SELECT DISTINCT md5(text) AS fingerprint
+      |  FROM documents WHERE doc_id % 10 <> 7)
+      |SELECT count(*) AS n_batch,
+      |  CAST(sum(CASE WHEN cfp.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(sum(CASE WHEN cfp.fingerprint IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_new,
+      |  TRUE AS bloom_no_false_negatives,
+      |  TRUE AS bloom_fp_within_bound
+      |FROM batch LEFT JOIN cfp ON batch.fingerprint = cfp.fingerprint""".stripMargin) {
+    (s, dir) =>
+      val d = Tables.documents(s, dir)
+      bloomAdmitAudit(
+        d.filter(col("doc_id") % 10 =!= 7),
+        d.filter(col("doc_id") % 10 === 7))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
     q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
-    q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap)
+    q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
+    q94BloomAdmit)
 }

@@ -65,6 +65,108 @@ object Snapshot {
         col("change_type"), col("old_totalprice"), col("new_totalprice"))
   }
 
+  /** Distribution-drift audit between two snapshots — the dataset-shift
+    * monitor a recurring ingestion pipeline runs before publishing a new
+    * snapshot (the reference republishes blindly; here the shift is
+    * measured so a pipeline can gate on it).
+    *
+    * Per (dimension, bin): both snapshots' counts, shares, and an EXACT
+    * integer drift numerator `|cnt1*total2 - cnt2*total1|` (the
+    * total-variation-distance contribution scaled by `total1*total2`) —
+    * kept rational on purpose: KL/PSI's `ln` terms are irrational and
+    * their sums order-sensitive across engines, while cross-multiplied
+    * counts are exact in any summation order. TVD per dimension =
+    * `sum(drift_num) / (2*total1*total2)`.
+    *
+    * Scale shape: one projection explodes each row into its 3
+    * (dimension, bin) pairs, ONE map-side-combined groupBy over ~3N tiny
+    * rows, then a bin-level full-outer join (bin cardinality, not row
+    * cardinality) against the other snapshot's counts; totals ride a
+    * 1-row broadcast. No row-level join between the snapshots.
+    * `drift_num` longs: cnt ≤ N per bin and total ≤ N, so the product
+    * stays within Long up to N ≈ 3e9 rows per snapshot; beyond that,
+    * swap the numerator to DECIMAL(38,0) — documented, not hit at any
+    * bench SF. */
+  def snapshotDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def binned(df: DataFrame): DataFrame = df.select(explode(array(
+      struct(lit("orderstatus").as("dimension"),
+        col("o_orderstatus").as("bin")),
+      struct(lit("orderpriority").as("dimension"),
+        col("o_orderpriority").as("bin")),
+      struct(lit("price_bucket").as("dimension"),
+        floor(col("o_totalprice") / 50000.0).cast("long").cast("string")
+          .as("bin")))).as("db"))
+      .select(col("db.dimension"), col("db.bin"))
+      .groupBy("dimension", "bin").count()
+    val c1 = binned(v1).withColumnRenamed("count", "cnt_v1")
+    val c2 = binned(v2).withColumnRenamed("count", "cnt_v2")
+    val totals = broadcast(v1.agg(count(lit(1)).as("total_v1"))
+      .crossJoin(v2.agg(count(lit(1)).as("total_v2"))))
+    import graft.functions.Functions.round6
+    c1.join(c2, Seq("dimension", "bin"), "full_outer")
+      .na.fill(0L, Seq("cnt_v1", "cnt_v2"))
+      .crossJoin(totals)
+      .select(col("dimension"), col("bin"), col("cnt_v1"), col("cnt_v2"),
+        round6(col("cnt_v1").cast("double") / col("total_v1")).as("share_v1"),
+        round6(col("cnt_v2").cast("double") / col("total_v2")).as("share_v2"),
+        abs(col("cnt_v1") * col("total_v2") - col("cnt_v2") * col("total_v1"))
+          .as("drift_num"))
+  }
+
+  /** Shared oracle CTE: the deterministic next snapshot (all columns —
+    * q69's copy keeps only the diffed ones). */
+  private def v2AllColsCte: String =
+    s"""off AS (
+      |  SELECT (max(o_orderkey) // ${Snapshot.InsertOffsetUnit} + 1)
+      |    * ${Snapshot.InsertOffsetUnit} AS v FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+      |      ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT v FROM off), o_orderstatus,
+      |    o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 101 = 0)""".stripMargin
+
+  private def binnedSql(rel: String): String =
+    s"""SELECT dimension, bin, count(*) AS cnt FROM (
+      |    SELECT 'orderstatus' AS dimension, o_orderstatus AS bin FROM $rel
+      |    UNION ALL
+      |    SELECT 'orderpriority', o_orderpriority FROM $rel
+      |    UNION ALL
+      |    SELECT 'price_bucket',
+      |      CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR)
+      |    FROM $rel) GROUP BY 1, 2""".stripMargin
+
+  /** q93: snapshot-to-snapshot distribution drift, exact-integer TVD
+    * numerators. */
+  val q93SnapshotDrift: QuerySpec = QuerySpec(
+    "q93_snapshot_drift", {
+      import graft.functions.Functions.round6Sql
+      s"""WITH $v2AllColsCte,
+        |b1 AS (${binnedSql("orders")}),
+        |b2 AS (${binnedSql("v2")}),
+        |t AS (SELECT (SELECT count(*) FROM orders) AS total_v1,
+        |             (SELECT count(*) FROM v2) AS total_v2)
+        |SELECT coalesce(b1.dimension, b2.dimension) AS dimension,
+        |  coalesce(b1.bin, b2.bin) AS bin,
+        |  coalesce(b1.cnt, 0) AS cnt_v1,
+        |  coalesce(b2.cnt, 0) AS cnt_v2,
+        |  ${round6Sql("coalesce(b1.cnt, 0) / CAST(total_v1 AS DOUBLE)")} AS share_v1,
+        |  ${round6Sql("coalesce(b2.cnt, 0) / CAST(total_v2 AS DOUBLE)")} AS share_v2,
+        |  abs(coalesce(b1.cnt, 0) * total_v2
+        |    - coalesce(b2.cnt, 0) * total_v1) AS drift_num
+        |FROM b1 FULL JOIN b2
+        |  ON b1.dimension = b2.dimension AND b1.bin = b2.bin
+        |CROSS JOIN t
+        |ORDER BY dimension, bin""".stripMargin
+    }) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    snapshotDrift(orders, nextOrdersSnapshot(orders))
+      .orderBy("dimension", "bin")
+  }
+
   /** q69: the orders delta between the base snapshot and the
     * deterministic next snapshot. */
   val q69SnapshotDiff: QuerySpec = QuerySpec(
@@ -97,5 +199,5 @@ object Snapshot {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[QuerySpec] = Seq(q69SnapshotDiff)
+  val all: Seq[QuerySpec] = Seq(q69SnapshotDiff, q93SnapshotDrift)
 }

@@ -496,8 +496,122 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  // ---- BPE merge induction (tokenizer training, pair-count rounds) ------
+
+  final val BpeRounds = 3
+
+  /** One round's weighted adjacent-symbol-pair counts over the vocab.
+    * `symseq` is the space-joined symbol sequence with sentinel spaces at
+    * both ends (" t h e "). */
+  private def bpePairCounts(vocab: DataFrame): DataFrame = vocab
+    .select(col("freq"),
+      expr("filter(split(symseq, ' '), x -> x <> '')").as("s"))
+    .filter(size(col("s")) >= 2)
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(s) - 1), " +
+        "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))")).as("pair"))
+    .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+
+  /** BPE tokenizer induction — the learned-merge half of training a
+    * byte-pair-encoding tokenizer on the corpus (q24's `n_bpe_est` is the
+    * chars/4 estimate; this computes the actual merge table the estimate
+    * stands in for). Per round: count adjacent symbol pairs weighted by
+    * word frequency, take the global argmax (count desc, pair asc), fuse
+    * it everywhere, repeat.
+    *
+    * Scale shape — the classic trainer optimization is built in: pairs
+    * are counted over the DISTINCT-WORD vocabulary weighted by occurrence
+    * counts, so the corpus text is scanned once (one map-side-combined
+    * word count); every later round touches only the vocab table, which
+    * is `localCheckpoint`ed per round both to bound lineage and because
+    * each round's argmax feeds the next round's projection (without the
+    * checkpoint the plan re-derives the corpus scan 2^rounds times). The
+    * argmax itself is a 1-row top-1 that rides a broadcast crossJoin —
+    * index metadata, not a data-plane collect.
+    *
+    * Merge application is defined as THREE left-to-right non-overlapping
+    * `replace` passes of " x y " → " xy " (both engines' `replace` share
+    * LTR semantics; a single pass can miss a merge whose leading sentinel
+    * space was consumed by the previous match — e.g. " a a a a " — and
+    * three passes fix every such chain at any word length that survives
+    * the length filters). The DuckDB oracle replays the same unrolled
+    * rounds, so the merge table is value-pinned end to end. */
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("symseq",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val top = bpePairCounts(vocab)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .select(lit(r).as("round"), col("pair"), col("cnt"))
+        .localCheckpoint(true)
+      vocab = vocab.crossJoin(broadcast(top.select(
+        concat(lit(" "), col("pair"), lit(" ")).as("__pat"),
+        concat(lit(" "), regexp_replace(col("pair"), " ", ""), lit(" "))
+          .as("__rep"))))
+        .withColumn("symseq", expr(
+          "replace(replace(replace(symseq, __pat, __rep), __pat, __rep), __pat, __rep)"))
+        .drop("__pat", "__rep")
+        .localCheckpoint(true)
+      top
+    }
+    merges.reduce(_ unionByName _)
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    def pairsCte(v: String, out: String): String =
+      s"""$out AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+        |      i -> s[i] || ' ' || s[i + 1])) AS pair
+        |    FROM (SELECT freq,
+        |            list_filter(string_split(symseq, ' '), x -> x <> '') AS s
+        |          FROM $v)
+        |    WHERE len(s) >= 2)
+        |  GROUP BY pair)""".stripMargin
+    val chain = (1 to rounds).map { r =>
+      val apply =
+        if (r == rounds) ""
+        else s""",
+          |v$r AS (
+          |  SELECT word, freq, replace(replace(replace(symseq,
+          |      (SELECT ' ' || pair || ' ' FROM t$r),
+          |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r)),
+          |      (SELECT ' ' || pair || ' ' FROM t$r),
+          |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r)),
+          |      (SELECT ' ' || pair || ' ' FROM t$r),
+          |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r)) AS symseq
+          |  FROM v${r - 1})""".stripMargin
+      pairsCte(s"v${r - 1}", s"p$r") + s""",
+        |t$r AS (SELECT $r AS round, pair, cnt FROM p$r
+        |        ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin + apply
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+      |  SELECT word, count(*) AS freq,
+      |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS symseq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0
+      |  GROUP BY word),
+      |$chain
+      |${(1 to rounds).map(r => s"SELECT round, pair, cnt FROM t$r").mkString("\nUNION ALL ")}
+      |ORDER BY round""".stripMargin
+  }
+
+  /** q95: the first [[BpeRounds]] learned BPE merges over the corpus. */
+  val q95BpeMerges: QuerySpec = QuerySpec(
+    "q95_bpe_merges", bpeOracleSql(BpeRounds)) { (s, dir) =>
+    bpeMerges(Tables.documents(s, dir)).orderBy("round")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
-    q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard)
+    q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
+    q95BpeMerges)
 }
