@@ -385,7 +385,7 @@ object Sampling {
       |    unnest(generate_series(0, n_copies - 1)) AS copy
       |  FROM c WHERE n_copies > 0)
       |SELECT source, copy, count(*) AS n_rows,
-      |  sum(n_tokens) AS tok_sum, min(doc_id) AS first_doc
+      |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
       |FROM x GROUP BY source, copy
       |ORDER BY source, copy""".stripMargin) { (s, dir) =>
     tokenMixture(Tables.documents(s, dir))

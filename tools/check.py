@@ -58,6 +58,19 @@ def cmp(name, a: pd.DataFrame, b: pd.DataFrame):
         return f"row count mismatch: spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes values exactly, so an int64 column on one side
+        # vs float64 on the other (e.g. DuckDB sum(BIGINT) -> HUGEINT ->
+        # pandas float) hash-mismatches even when every value is equal.
+        # Mirror that: integer-vs-float dtype splits are a FAIL here, not a
+        # tolerance-absorbed pass (q91 round-5 escape: bare sum(n_tokens)
+        # in the oracle's final SELECT; fix is CAST(sum(..) AS BIGINT)).
+        if (pd.api.types.is_integer_dtype(av) !=
+                pd.api.types.is_integer_dtype(bv)) and \
+                (pd.api.types.is_float_dtype(av) or
+                 pd.api.types.is_float_dtype(bv)):
+            return (f"dtype mismatch col={c}: spark={av.dtype} "
+                    f"duck={bv.dtype} (driver hash is dtype-exact; "
+                    f"CAST the oracle aggregate)")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             af = av.astype(float)
             bf = bv.astype(float)
