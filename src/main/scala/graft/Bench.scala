@@ -78,7 +78,25 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.mkString(",\"failed\":[\"", "\",\"", "\"]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"min_total":$minTotal,"queries":$qs,"query_min":$mins,"sf":"$sfDir"$failedJson}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"min_total":$minTotal,"queries":$qs,"query_min":$mins,"sf":"$sfDir"$failedJson}"""
+    // Full-precision record → file (survives any stdout truncation) + one
+    // human-readable print for anyone scrolling the log.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"), full)
+    catch { case _: Throwable => () }
+    println(full)
+    // The driver keeps only a ~2000-char TAIL of stdout; with 95+ queries
+    // the full-name full-precision line is ~5k chars and gets cut mid-map
+    // (rounds 3-5 all shipped truncated tails). So the LAST line printed is
+    // a compact twin guaranteed to fit: query keys shortened to their qNN
+    // prefix (unique by construction), medians rounded to milliseconds.
+    // Full names + full precision live in target/bench_full.json and the
+    // line above.
+    val compactQs = results.map { case (k, (med, _)) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(med * 1000) / 1000)
+    }.mkString("{", ",", "}")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters,"min_total":${r3(minTotal)},"queries":$compactQs,"sf":"$sfDir","detail":"target/bench_full.json"$failedJson}""")
     spark.stop()
   }
 }
