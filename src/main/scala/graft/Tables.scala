@@ -23,10 +23,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every
-    * session builder here). Truncate to micros — the same ns→µs truncation
-    * DuckDB applies — so both engines see identical timestamps. */
+  /** `events.ts` arrives in whichever physical form the driver generated:
+    * parquet TIMESTAMP(NANOS) — which Spark reads only as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
+    * builder here) and we truncate to micros, the same ns→µs truncation
+    * DuckDB applies — or naive TIMESTAMP(MICROS), which Spark 4 infers as
+    * TIMESTAMP_NTZ and both engines read identically as-is. Either way the
+    * two engines see the same wall-clock values. (Streaming consumers that
+    * need a watermark get the NTZ→LTZ mapping at the stream source —
+    * `Streaming.parquetFileSource` — not here, so batch/oracle outputs keep
+    * the table's native type.) */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {

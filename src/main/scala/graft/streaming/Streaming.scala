@@ -37,11 +37,26 @@ object Streaming {
       .withColumn("source_file", input_file_name())
   }
 
-  /** Parquet file source (used to replay the `events` table as a stream). */
-  def parquetFileSource(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema)
+  /** Parquet file source (used to replay the `events` table as a stream).
+    *
+    * Timestamp columns are read as session-local TIMESTAMP even when the
+    * parquet file stores them naive (isAdjustedToUTC=false, which Spark 4
+    * infers as TIMESTAMP_NTZ): `withWatermark` only accepts TIMESTAMP, so
+    * an NTZ event-time column would reject every watermarked plan downstream
+    * ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Requesting TimestampType in
+    * the read schema is exactly the pre-NTZ read path — with the session
+    * pinned to UTC the wall-clock values are unchanged, so batch twins
+    * differ only in type, not value. */
+  def parquetFileSource(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val ltz = StructType(schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+      else f
+    })
+    spark.readStream.schema(ltz)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+  }
 
   /** Bounded-state keyed dedup: keep the first-seen order_id within the
     * watermark horizon (replaces the SQLite UNIQUE upsert,

@@ -26,8 +26,12 @@ class SessionStateSpec extends SparkSpec {
       """SELECT user_id, session_start, n_events, duration_sec
         |FROM sessions_out""".stripMargin)
 
+    // the stream reads ts as TIMESTAMP (watermark requirement) while the
+    // batch query keeps the table's native NTZ — same UTC wall clock, so
+    // align types for exceptAll with a value-preserving cast
     val batch = SparkEntry.queries("q42_sessionize")(spark, sf)
       .select("user_id", "session_start", "n_events", "duration_sec")
+      .withColumn("session_start", col("session_start").cast("timestamp"))
 
     // append mode emits only CLOSED sessions (timeout needs watermark
     // advance); every emitted session must exist in the batch result

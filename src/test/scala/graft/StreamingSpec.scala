@@ -139,7 +139,11 @@ class StreamingSpec extends SparkSpec {
       Streaming.attributionJoin(side("view"), side("click")), "attribution")
     val streamed = spark.sql(
       "SELECT user_id, view_id, view_ts, click_id, click_ts FROM attribution")
+    // stream side carries TIMESTAMP (watermark requirement); batch keeps
+    // the table's NTZ — same UTC wall clock, cast to align for exceptAll
     val batch = SparkEntry.queries("q48_event_attribution")(spark, sf)
+      .withColumn("view_ts", col("view_ts").cast("timestamp"))
+      .withColumn("click_ts", col("click_ts").cast("timestamp"))
     assert(streamed.count() == batch.count(),
       "stream-stream join emitted a different match count than batch")
     assert(streamed.exceptAll(batch).count() == 0 &&
@@ -161,6 +165,7 @@ class StreamingSpec extends SparkSpec {
       "SELECT window_start, event_type, n_events, sum_value FROM ev_metrics")
     val batch = SparkEntry.queries("q35_events_window")(spark, sf)
       .select("window_start", "event_type", "n_events", "sum_value")
+      .withColumn("window_start", col("window_start").cast("timestamp"))
     // append mode withholds windows not yet past the watermark; everything
     // emitted must match the batch aggregation exactly
     val emitted = streamed.count()
