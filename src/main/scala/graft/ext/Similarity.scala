@@ -296,12 +296,20 @@ object Similarity {
     * seeded Lloyd refinement — shared by the q44 and q85 oracles (one
     * source of truth for the index build). Final centroids CTE:
     * [[lloydFinalCentsSql]]. */
-  private def lloydChainSql: String = {
+  /** `eCols`/`scopeWhere` generalize the chain to an index built over a
+    * SUBSET of the table (q98 trains on the non-eval corpus only): every
+    * seed pick and assignment round carries the scope filter, while `e`
+    * itself stays the full table so out-of-scope rows (the eval side) can
+    * still be assigned against the finished centroids. */
+  private def lloydChainSql(
+      eCols: String = "vec_id, CAST(embedding AS DOUBLE[]) AS v",
+      scopeWhere: String = ""): String = {
     val rounds = (1 to LloydRounds).map { r =>
-      lloydAssignCte(s"c${r - 1}", s"a$r") + ",\n" + lloydRecomputeCte(s"a$r", s"c$r")
+      lloydAssignCte(s"c${r - 1}", s"a$r", where = scopeWhere) + ",\n" +
+        lloydRecomputeCte(s"a$r", s"c$r")
     }.mkString(",\n")
-    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
-      s"c0 AS (SELECT vec_id AS cell_id, v AS centroid FROM e ORDER BY vec_id LIMIT $IvfCells),\n" +
+    s"e AS (SELECT $eCols FROM embeddings),\n" +
+      s"c0 AS (SELECT vec_id AS cell_id, v AS centroid FROM e$scopeWhere ORDER BY vec_id LIMIT $IvfCells),\n" +
       rounds
   }
 
@@ -311,7 +319,7 @@ object Similarity {
     * assign/recompute rounds → probe join → exact cosine top-k. */
   private def ivfOracleSql(maxQueryId: Int, k: Int): String = {
     val cFinal = lloydFinalCentsSql
-    "WITH " + lloydChainSql + ",\n" +
+    "WITH " + lloydChainSql() + ",\n" +
       lloydAssignCte(cFinal, "ac", idAlias = "cand_id") + ",\n" +
       lloydAssignCte(cFinal, "aq", idAlias = "query_id", maxRank = IvfProbes,
         where = s" WHERE e.vec_id < $maxQueryId") + ",\n" +
@@ -640,7 +648,7 @@ object Similarity {
     * join — the whole index build AND the scoping replayed value-level. */
   val q85SemanticNearDup: QuerySpec = QuerySpec(
     "q85_semantic_neardup",
-    "WITH " + lloydChainSql + ",\n" +
+    "WITH " + lloydChainSql() + ",\n" +
       lloydAssignCte(lloydFinalCentsSql, "ac") + ",\n" +
       """p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell_id AS cell_id
@@ -727,8 +735,167 @@ object Similarity {
     quantizeStats(Tables.embeddings(s, dir)).orderBy("vec_id")
   }
 
+  // ---- ANN recall audit -------------------------------------------------
+
+  /** Recall@k of the two ANN paths (sign-LSH q33, IVF q44) against the
+    * exact top-k — the index-quality monitor a production ANN deployment
+    * runs continuously: recall regressions (data drift away from the
+    * trained centroids, an unlucky plane set for a new modality) are
+    * invisible from the ANN results alone. Per (method, query): how many
+    * of the true top-k the index returned, as an exact integer — no float
+    * ever crosses the oracle boundary.
+    *
+    * Scale shape: the exact side is the audit's cost and runs over the
+    * same bounded QUERY PANEL the ANN batch does (queries broadcast,
+    * corpus scanned once per method — never self-joined); recall over a
+    * fixed panel is the standard estimator precisely because exact top-k
+    * over every corpus vector is the quadratic wall the index exists to
+    * avoid. The intersection is an id-only equi-join on (query, cand). */
+  def annRecallAudit(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val exact = cosineTopK(queries, corpus, k).select("query_id", "cand_id")
+    val approx =
+      annTopK(queries, corpus, k).select("query_id", "cand_id")
+        .withColumn("method", lit("lsh"))
+        .unionByName(ivfTopK(queries, corpus, k).select("query_id", "cand_id")
+          .withColumn("method", lit("ivf")))
+    val hits = approx.join(exact, Seq("query_id", "cand_id"))
+      .groupBy("method", "query_id").agg(count(lit(1)).as("h"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val panel = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(broadcast(Seq("lsh", "ivf").toDF("method")))
+    panel.join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        expr(s"CAST(coalesce(h, 0) * 100 DIV $k AS BIGINT)").as("recall_pct"))
+  }
+
+  /** q97: recall@5 of both ANN paths over the q31/q33/q44 query panel.
+    * Oracle: the exact, LSH, and IVF oracles nested as CTEs (each already
+    * value-pinned by its own query) joined into per-query hit counts. */
+  val q97AnnRecall: QuerySpec = QuerySpec(
+    "q97_ann_recall",
+    s"""WITH ex AS (
+      |  WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |             FROM embeddings WHERE vec_id < 10),
+      |  c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+      |        FROM embeddings),
+      |  scored AS (
+      |    SELECT query_id, cand_id,
+      |      list_dot_product(qe, ce)
+      |        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+      |    FROM q JOIN c ON query_id <> cand_id)
+      |  SELECT query_id, cand_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY cos DESC, cand_id) AS rank FROM scored)
+      |  WHERE rank <= 5),
+      |lsh AS (
+      |${annLshOracleSql(maxQueryId = 10, k = 5)}),
+      |ivf AS (
+      |${ivfOracleSql(maxQueryId = 10, k = 5)}),
+      |m AS (
+      |  SELECT 'lsh' AS method, query_id, cand_id FROM lsh
+      |  UNION ALL
+      |  SELECT 'ivf' AS method, query_id, cand_id FROM ivf),
+      |h AS (
+      |  SELECT method, query_id, CAST(count(*) AS BIGINT) AS h
+      |  FROM m JOIN ex USING (query_id, cand_id) GROUP BY method, query_id),
+      |panel AS (
+      |  SELECT method, vec_id AS query_id
+      |  FROM (VALUES ('lsh'), ('ivf')) t(method)
+      |  CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 10))
+      |SELECT method, query_id,
+      |  CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+      |  CAST(coalesce(h, 0) * 100 // 5 AS BIGINT) AS recall_pct
+      |FROM panel LEFT JOIN h USING (method, query_id)
+      |ORDER BY method, query_id""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    annRecallAudit(e.filter(col("vec_id") < 10), e, 5)
+      .orderBy("method", "query_id")
+  }
+
+  // ---- semantic decontamination ----------------------------------------
+
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * q65's n-gram form (paraphrased eval leakage shares no 8-gram but
+    * sits next to the eval doc in embedding space): drop every corpus
+    * vector within `minCos` of ANY eval vector. Scoped by the corpus's
+    * own IVF cells with the eval side probing its [[IvfProbes]] nearest
+    * cells (the q44 recall dial, not top-1 — an eval vector near a cell
+    * boundary still reaches contaminated neighbors one cell over).
+    *
+    * Scale shape — probe-shaped like q71's admission: the eval set is
+    * the broadcast side (bounded by contract), the corpus is never
+    * self-joined and never shuffled with its vectors (id-only cell join;
+    * vectors re-attach per side), and the index is trained on the CORPUS
+    * only — training on corpus+eval would let eval outliers steal
+    * centroids and reshape every cell. Audit output (every corpus row
+    * with its verdict), same contract as q65/q84. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      minCos: Double): DataFrame = {
+    val cents = ivfCentroids(corpus)
+    val corpusCells = assignCells(
+      corpus.select(col("vec_id").as("cand_id"), col("embedding")),
+      cents, "cand_id", 1)
+    val evalCells = assignCells(
+      evalSet.select(col("vec_id").as("eval_id"), col("embedding")),
+      cents, "eval_id", IvfProbes)
+    val hits = evalCells.join(corpusCells, Seq("cell_id"))
+      .select("cand_id", "eval_id")
+      .dropDuplicates("cand_id", "eval_id")
+      .join(broadcast(sideVectors(evalSet, "eval_id", "ee", "en")), "eval_id")
+      .join(sideVectors(corpus, "cand_id", "ce", "cn"), "cand_id")
+      .withColumn("cos", dot(col("ce"), col("ee")) / (col("cn") * col("en")))
+      .filter(col("cos") >= minCos)
+      .groupBy("cand_id")
+      .agg(count(lit(1)).as("h"), max(col("cos")).as("mc"))
+    corpus.select(col("vec_id"), col("label"))
+      .join(hits.withColumnRenamed("cand_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        col("h").isNotNull.as("dropped"),
+        coalesce(col("h"), lit(0L)).as("n_evals_hit"),
+        graft.functions.Functions.round6(col("mc")).as("max_cos"))
+  }
+
+  /** q98: semantic decontamination of the label≠0 corpus against the
+    * label=0 vectors as the eval set, at the q45/q85 threshold. Oracle:
+    * the Lloyd chain scoped to the corpus subset, top-1 corpus / top-4
+    * eval assignment, in-cell pair scoring — all value-pinned. */
+  val q98SemanticDecontaminate: QuerySpec = QuerySpec(
+    "q98_semantic_decontaminate", {
+      val scope = " WHERE e.label <> 0"
+      "WITH " + lloydChainSql(
+        "vec_id, label, CAST(embedding AS DOUBLE[]) AS v", scope) + ",\n" +
+        lloydAssignCte(lloydFinalCentsSql, "ac", idAlias = "cand_id",
+          where = scope) + ",\n" +
+        lloydAssignCte(lloydFinalCentsSql, "aq", idAlias = "eval_id",
+          maxRank = IvfProbes, where = " WHERE e.label = 0") + ",\n" +
+        s"""cand AS (
+          |  SELECT DISTINCT cand_id, eval_id FROM aq JOIN ac USING (cell_id)),
+          |scored AS (
+          |  SELECT cand_id, eval_id, ${cosSql("a", "b")} AS cos
+          |  FROM cand JOIN e a ON a.vec_id = cand.cand_id
+          |            JOIN e b ON b.vec_id = cand.eval_id),
+          |hits AS (
+          |  SELECT cand_id, CAST(count(*) AS BIGINT) AS n_evals_hit,
+          |    max(cos) AS max_cos
+          |  FROM scored WHERE cos >= 0.4 GROUP BY cand_id)
+          |SELECT e.vec_id AS vec_id, e.label AS label,
+          |  (h.cand_id IS NOT NULL) AS dropped,
+          |  CAST(coalesce(h.n_evals_hit, 0) AS BIGINT) AS n_evals_hit,
+          |  ${graft.functions.Functions.round6Sql("h.max_cos")} AS max_cos
+          |FROM e LEFT JOIN hits h ON h.cand_id = e.vec_id
+          |WHERE e.label <> 0
+          |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    semanticDecontaminate(
+      e.filter(col("label") =!= 0), e.filter(col("label") === 0), 0.4)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
     q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats,
-    q85SemanticNearDup)
+    q85SemanticNearDup, q97AnnRecall, q98SemanticDecontaminate)
 }

@@ -564,7 +564,11 @@ object TextAnalysis {
     merges.reduce(_ unionByName _)
   }
 
-  private def bpeOracleSql(rounds: Int): String = {
+  /** CTE chain `v0, p1/t1/v1 … p_rounds/t_rounds` replaying [[bpeMerges]]'
+    * induction rounds — `t_r` is round r's winning merge, `v_r` the vocab
+    * after applying it. Shared by the q95 and q96 oracles (one source of
+    * truth for the trainer replay). */
+  private def bpeChainCtes(rounds: Int): String = {
     def pairsCte(v: String, out: String): String =
       s"""$out AS (
         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -592,16 +596,19 @@ object TextAnalysis {
         |t$r AS (SELECT $r AS round, pair, cnt FROM p$r
         |        ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin + apply
     }.mkString(",\n")
-    s"""WITH v0 AS (
+    s"""v0 AS (
       |  SELECT word, count(*) AS freq,
       |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS symseq
       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |  WHERE length(word) > 0
       |  GROUP BY word),
-      |$chain
+      |$chain""".stripMargin
+  }
+
+  private def bpeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeChainCtes(rounds)}
       |${(1 to rounds).map(r => s"SELECT round, pair, cnt FROM t$r").mkString("\nUNION ALL ")}
       |ORDER BY round""".stripMargin
-  }
 
   /** q95: the first [[BpeRounds]] learned BPE merges over the corpus. */
   val q95BpeMerges: QuerySpec = QuerySpec(
@@ -609,9 +616,88 @@ object TextAnalysis {
     bpeMerges(Tables.documents(s, dir)).orderBy("round")
   }
 
+  /** Apply a learned merge table to the corpus — the ENCODE half of the
+    * tokenizer loop ([[bpeMerges]] is train): per doc, split to words,
+    * expand each word to its sentinel-padded symbol sequence, fuse the
+    * merges in rank order (the same three-pass LTR `replace` semantics the
+    * trainer defines — apply MUST replay train's exact fusion rule or the
+    * token counts drift from the vocab the merges were induced on), and
+    * count surviving symbols. Output is the per-doc token accounting a
+    * packing/budgeting stage consumes (q62/q84 run on estimates; this is
+    * the real count for the learned vocab).
+    *
+    * Scale shape: the merge table is a `lit` chain — ≤ rounds strings of
+    * tokenizer METADATA (the IVF-centroid driver-side class; a real run
+    * loads it from the tokenizer artifact rather than re-inducing). The
+    * encode itself is pure scan-local array expressions — zero shuffles,
+    * zero joins: per-word memoization (encode each DISTINCT word once,
+    * join counts back) would trade a shuffle on a skewed word key for
+    * work that is already O(|word| · rounds) string ops, a loss at any
+    * scale. */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    require(merges.nonEmpty, "at least one merge required")
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    def rep3(s: Column, pat: Column, rp: Column): Column =
+      replace(replace(replace(s, pat, rp), pat, rp), pat, rp)
+    val sym0 = transform(col("__words"),
+      w => concat(lit(" "), regexp_replace(w, "(.)", "$1 ")))
+    val fused = merges.foldLeft(sym0) { (acc, pair) =>
+      val pat = lit(s" $pair ")
+      val rp = lit(" " + pair.replace(" ", "") + " ")
+      transform(acc, s => rep3(s, pat, rp))
+    }
+    docs
+      .withColumn("__words", words)
+      .select(col("doc_id"), col("source"),
+        size(col("__words")).cast("long").as("n_words"),
+        aggregate(fused, lit(0L), (a, s) =>
+          a + size(filter(split(s, " "), x => length(x) > 0)).cast("long"))
+          .as("n_bpe_tokens"))
+  }
+
+  /** q96: induce the [[BpeRounds]] merges (q95) then encode the corpus
+    * with them — train + apply pinned end-to-end. The oracle replays the
+    * induction chain ([[bpeChainCtes]]) and the same per-word fusion. */
+  val q96BpeEncode: QuerySpec = QuerySpec(
+    "q96_bpe_encode", {
+      val m = (1 to BpeRounds).map { r =>
+        (s: String) => s"""replace(replace(replace($s,
+          |    (SELECT ' ' || pair || ' ' FROM t$r),
+          |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r)),
+          |    (SELECT ' ' || pair || ' ' FROM t$r),
+          |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r)),
+          |    (SELECT ' ' || pair || ' ' FROM t$r),
+          |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r))""".stripMargin
+      }
+      val enc = m.foldLeft("s")((acc, f) => f(acc))
+      s"""WITH ${bpeChainCtes(BpeRounds)},
+        |w AS (
+        |  SELECT doc_id, source,
+        |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0),
+        |f AS (SELECT doc_id, source, $enc AS s FROM w),
+        |g AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(len(list_filter(string_split(s, ' '), x -> x <> '')))
+        |      AS BIGINT) AS n_bpe_tokens
+        |  FROM f GROUP BY doc_id, source)
+        |SELECT d.doc_id AS doc_id, d.source AS source,
+        |  CAST(coalesce(g.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(g.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM documents d LEFT JOIN g USING (doc_id, source)
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = bpeMerges(docs, BpeRounds).orderBy("round")
+      .collect().map(_.getAs[String]("pair")).toSeq
+    bpeEncode(docs, merges).orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
-    q95BpeMerges)
+    q95BpeMerges, q96BpeEncode)
 }

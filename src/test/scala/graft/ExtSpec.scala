@@ -197,6 +197,85 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode: hand-computed counts under a known merge, totals bounded") {
+    val docs = docsDf(
+      1L -> "aaab ab",
+      2L -> "b b b",
+      3L -> "aaab aaab aaab").withColumn("source", lit("t"))
+    // merge "a b": " a a a b " → " a a ab " (3-pass LTR), " a b " → " ab "
+    val out = TextAnalysis.bpeEncode(docs, Seq("a b")).orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))
+    assert(out.toSeq == Seq((1L, 2L, 4L), (2L, 3L, 3L), (3L, 3L, 9L)))
+    // chain fusion needs the multi-pass: "a a" then applied repeatedly
+    val chained = TextAnalysis.bpeEncode(docsDf(1L -> "aaaa")
+      .withColumn("source", lit("t")), Seq("a a", "aa aa"))
+      .collect().head.getAs[Long]("n_bpe_tokens")
+    assert(chained == 1L, s"aaaa under [a a, aa aa] must fuse to 1, got $chained")
+    // full-corpus invariant: n_words <= n_bpe_tokens <= total chars
+    val real = Tables.documents(spark, sf)
+    val merges = TextAnalysis.bpeMerges(real).orderBy("round")
+      .collect().map(_.getAs[String]("pair")).toSeq
+    val enc = TextAnalysis.bpeEncode(real, merges)
+      .join(real.select(col("doc_id"), col("n_chars")), "doc_id")
+    assert(enc.filter(col("n_bpe_tokens") < col("n_words") ||
+      col("n_bpe_tokens") > col("n_chars")).isEmpty,
+      "per-doc BPE token count must lie between word count and char count")
+  }
+
+  test("ann recall audit: hit counts replay the set intersection, zero-hit queries present") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 10)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cand_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ids(Similarity.cosineTopK(queries, e, 5))
+    val byMethod = Map(
+      "lsh" -> ids(Similarity.annTopK(queries, e, 5)),
+      "ivf" -> ids(Similarity.ivfTopK(queries, e, 5)))
+    val audit = Similarity.annRecallAudit(queries, e, 5).collect()
+    assert(audit.length == 20, "2 methods x 10 panel queries, no row dropped")
+    audit.foreach { r =>
+      val (m, q) = (r.getAs[String]("method"), r.getAs[Long]("query_id"))
+      val expected = exact(q)
+        .intersect(byMethod(m).getOrElse(q, Set.empty[Long])).size.toLong
+      assert(r.getAs[Long]("n_hits") == expected,
+        s"$m/$q n_hits ${r.getAs[Long]("n_hits")} != recomputed $expected")
+      assert(r.getAs[Long]("recall_pct") == expected * 100 / 5)
+    }
+  }
+
+  test("semantic decontamination: verdicts subset exact contamination, threshold respected") {
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("label") =!= 0)
+    val evalSet = e.filter(col("label") === 0)
+    // exact contaminated set (brute force eval x corpus)
+    val ev = evalSet.select(col("vec_id").as("eval_id"),
+      col("embedding").as("ee"))
+    val exact = corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", Similarity.cosine(col("ce"), col("ee")))
+      .filter(col("cos") >= 0.4)
+      .select("cand_id").distinct()
+      .collect().map(_.getAs[Long]("cand_id")).toSet
+    val out = Similarity.semanticDecontaminate(corpus, evalSet, 0.4).collect()
+    assert(out.length == corpus.count().toInt, "audit covers every corpus row")
+    val dropped = out.filter(_.getAs[Boolean]("dropped"))
+    assert(dropped.map(_.getAs[Long]("vec_id")).toSet.subsetOf(exact),
+      "cell scoping must never invent contamination")
+    dropped.foreach { r =>
+      assert(r.getAs[Double]("max_cos") >= 0.4 && r.getAs[Long]("n_evals_hit") >= 1L)
+    }
+    out.filterNot(_.getAs[Boolean]("dropped")).foreach { r =>
+      assert(r.getAs[Long]("n_evals_hit") == 0L && r.isNullAt(r.fieldIndex("max_cos")))
+    }
+    if (exact.nonEmpty) {
+      val recall = dropped.length.toDouble / exact.size
+      assert(recall >= 0.3, s"semantic decontamination recall $recall")
+    }
+  }
+
   test("semantic near-dup: cell-scoped pairs are exact-subset; recall high on clustered data") {
     // the same degenerate-seed fixture as the IVF test: 4 tight clusters,
     // all 16 seeds inside cluster 0 — Lloyd refinement must spread the
