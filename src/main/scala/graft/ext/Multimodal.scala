@@ -247,5 +247,164 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q37MultimodalMeta, q38FrameSample, q39MediaFeatures)
+  // ---- perceptual near-dup (dHash) -------------------------------------
+
+  /** dHash geometry: an 8×9 sample grid gives 8 horizontal gradient bits
+    * per row → a 64-bit hash; [[DhashMaxHamming]]+1 = 4 disjoint 16-bit
+    * bands make the hamming-≤3 band join pigeonhole-LOSSLESS (any pair
+    * within the budget agrees exactly on ≥1 band — q29's construction). */
+  final val DhashGridRows = 8
+  final val DhashGridCols = 9
+  final val DhashMaxHamming = 3
+
+  private final val DhashSamples = DhashGridRows * DhashGridCols
+  private final val DhashBits = DhashGridRows * (DhashGridCols - 1)
+
+  /** (offset, width) band split covering all [[DhashBits]] bits for a
+    * hamming budget — maxHamming+1 disjoint bands (pigeonhole; q29's
+    * construction, re-derived here for the 64-bit hash width). */
+  private def dhashBandDefs(maxHamming: Int): Seq[(Int, Int)] = {
+    val n = maxHamming + 1
+    val base = DhashBits / n
+    val extra = DhashBits % n
+    val widths = Seq.tabulate(n)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
+  }
+
+  /** Band mask: for a full-width 64-bit band the shift-and-mask idiom
+    * breaks (shift amounts are mod 64 in both engines), but widths here
+    * are ≤ 64/(maxHamming+1) ≤ 32 for any budget ≥ 1, and the budget-0
+    * single 64-bit band uses the hash itself. */
+  private def bandMask(w: Int): Long =
+    if (w >= 64) -1L else (1L << w) - 1
+
+  /** Deterministic sample positions: 1 + k·(n−1) DIV (samples−1) — pure
+    * integer arithmetic (a float scale factor would hang the oracle on
+    * rounding ties at band boundaries). Payloads shorter than the grid
+    * just resample bytes, exactly like downscaling a tiny image. */
+  private def samplePos(k: Int, lenCol: String): String =
+    s"1 + CAST($k * ($lenCol - 1) AS BIGINT) DIV ${DhashSamples - 1}"
+
+  /** Perceptual near-duplicate audit over media payloads — the multimodal
+    * twin of the text near-dup family: a difference hash (dHash, the
+    * published perceptual-hash scheme: resample to a fixed grid, emit one
+    * bit per horizontal gradient) over a deterministic byte-sample grid,
+    * then the q29 banded-pigeonhole hamming join. Two images that differ
+    * by re-encoding/minor edits keep most gradients, so they land within
+    * the hamming budget; the band join finds them without an all-pairs
+    * scan. The pixel source is the payload byte grid (the container has
+    * no codecs — a real deployment swaps [[MediaDecoder]]'s decoded
+    * luma plane into the SAME grid sampling; nothing downstream changes).
+    *
+    * Audit shape (q65/q84 contract): EVERY media row with its hash and
+    * neighbor stats, so the oracle pins all 64 bits of every hash, not
+    * just the pairs. Rows below 2 bytes are below the grid's resolution
+    * and are filtered in both engines.
+    *
+    * Scale shape: the hash is one scan-local projection (72 byte reads,
+    * 64 comparisons, codegen'd); candidates are an id-only equi-join on
+    * (band, 16-bit pattern) — collisions ≈ N²/2¹⁶ per band, never
+    * all-pairs; the exact `bit_count(xor)` filter touches candidates
+    * only; the final left join attaches neighbor stats back to the
+    * audit rows on media_id. */
+  def mediaNearDup(media: DataFrame,
+      maxHamming: Int = DhashMaxHamming): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < DhashBits,
+      s"maxHamming must be in [0, $DhashBits), got $maxHamming")
+    val txt = media.select(col("media_id"), col("kind"),
+      col("payload").cast("string").as("txt"))
+      .withColumn("n", length(col("txt")).cast("long"))
+      .filter(col("n") >= 2)
+    val sampled = txt.select(col("media_id") +: col("kind") +:
+      (0 until DhashSamples).map(k =>
+        expr(s"ascii(substr(txt, ${samplePos(k, "n")}, 1))").as(s"s_$k")): _*)
+    val hash = (for {
+      r <- 0 until DhashGridRows
+      c <- 0 until DhashGridCols - 1
+    } yield when(col(s"s_${r * DhashGridCols + c}") >
+        col(s"s_${r * DhashGridCols + c + 1}"),
+      lit(1L << (r * (DhashGridCols - 1) + c))).otherwise(0L))
+      .reduce(_ + _)
+    val hashed = sampled.select(col("media_id"), col("kind"),
+      hash.as("dhash"))
+    val bandCols = dhashBandDefs(maxHamming).zipWithIndex.map {
+      case ((off, w), i) =>
+        struct(lit(i).as("band"),
+          (if (w >= 64) col("dhash")
+           else shiftright(col("dhash"), off).bitwiseAND(bandMask(w)))
+            .as("band_val"))
+    }
+    val probes = hashed
+      .select(col("media_id"), col("dhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+    val near = probes.toDF("id_a", "ha", "band", "band_val")
+      .join(probes.toDF("id_b", "hb", "band", "band_val"),
+        Seq("band", "band_val"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b", "ha", "hb")
+      .dropDuplicates("id_a", "id_b")
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .groupBy(col("id_a").as("media_id"))
+      .agg(count(lit(1)).as("nn"), min(col("id_b")).as("ni"))
+    hashed.join(near, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"), col("dhash"),
+        coalesce(col("nn"), lit(0L)).as("n_near"),
+        col("ni").as("near_min_id"))
+  }
+
+  /** q99: the dHash near-dup audit over the synthetic media table.
+    * Oracle replays the byte-sample grid, all 64 gradient bits, the
+    * band split, and the hamming join in DuckDB integer arithmetic. */
+  val q99MediaNearDup: QuerySpec = QuerySpec(
+    "q99_media_neardup", {
+      val samples = (0 until DhashSamples).map(k =>
+        s"ascii(substr(txt, 1 + ($k * (n - 1)) // ${DhashSamples - 1}, 1)) AS s_$k")
+        .mkString(",\n    ")
+      val bits = (for {
+        r <- 0 until DhashGridRows
+        c <- 0 until DhashGridCols - 1
+      } yield s"(CASE WHEN s_${r * DhashGridCols + c} > s_${r * DhashGridCols + c + 1}" +
+        s" THEN CAST(${1L << (r * (DhashGridCols - 1) + c)} AS BIGINT) ELSE 0 END)")
+        .mkString("\n      + ")
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    text AS txt, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE length(text) >= 2),
+        |s AS (
+        |  SELECT media_id, kind,
+        |    $samples
+        |  FROM m),
+        |h AS (
+        |  SELECT media_id, kind,
+        |    $bits AS dhash
+        |  FROM s),
+        |pr AS (
+        |  ${dhashBandDefs(DhashMaxHamming).zipWithIndex.map { case ((off, w), i) =>
+             s"SELECT media_id, dhash, $i AS band, (dhash >> $off) & ${bandMask(w)} AS band_val FROM h"
+           }.mkString("\n  UNION ALL\n  ")}),
+        |cand AS (
+        |  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+        |    x.dhash AS ha, y.dhash AS hb
+        |  FROM pr x JOIN pr y
+        |    ON x.band = y.band AND x.band_val = y.band_val
+        |    AND x.media_id <> y.media_id),
+        |near AS (
+        |  SELECT id_a, CAST(count(*) AS BIGINT) AS n_near, min(id_b) AS near_min_id
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= $DhashMaxHamming
+        |  GROUP BY id_a)
+        |SELECT h.media_id AS media_id, h.kind AS kind, h.dhash AS dhash,
+        |  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+        |  near.near_min_id AS near_min_id
+        |FROM h LEFT JOIN near ON near.id_a = h.media_id
+        |ORDER BY media_id""".stripMargin
+    }) { (s, dir) =>
+    mediaNearDup(mediaFromDocuments(Tables.documents(s, dir)))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q37MultimodalMeta, q38FrameSample,
+    q39MediaFeatures, q99MediaNearDup)
 }

@@ -101,4 +101,46 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("media_id").count()
       .filter(col("count") > 8).count() == 0, "maxFrames cap")
   }
+
+  test("dHash near-dup: edited copies collide, distant payloads do not, audit covers all rows") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = ("ab" * 80) + "cdef" * 20   // 240 bytes, structured gradients
+    val edited = base.updated(17, 'z').updated(143, 'q') // few-byte edit
+    val distant = "z" * 120 + ("qx" * 60)  // different gradient structure
+    val rows = Seq(
+      Row(1L, "image", base.getBytes("US-ASCII")),
+      Row(2L, "image", edited.getBytes("US-ASCII")),
+      Row(3L, "image", distant.getBytes("US-ASCII")),
+      Row(4L, "audio", base.getBytes("US-ASCII")))
+    val m = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("kind", StringType),
+        StructField("payload", BinaryType))))
+    val out = Multimodal.mediaNearDup(m).orderBy("media_id").collect()
+    assert(out.length == 4, "audit row per media row")
+    val byId = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    // identical payloads (1, 4) are hamming 0 — must pair with each other
+    assert(byId(1L).getAs[Long]("n_near") >= 1 &&
+      byId(4L).getAs[Long]("near_min_id") == 1L)
+    assert(byId(1L).getAs[Long]("dhash") == byId(4L).getAs[Long]("dhash"))
+    // the distant payload must not match the base family
+    assert(byId(3L).getAs[Long]("n_near") == 0 &&
+      byId(3L).isNullAt(byId(3L).fieldIndex("near_min_id")))
+    // a small edit stays within the hamming budget of the band join at a
+    // generous threshold: verify subset-consistency instead of a fixed
+    // hamming (the edit may or may not cross sampled positions) — at
+    // maxHamming 63 every differing pair sharing any band collides, and
+    // the exact filter is what decides
+    val loose = Multimodal.mediaNearDup(m, maxHamming = 16)
+      .orderBy("media_id").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_near")).toMap
+    assert(loose(2L) >= 1, "edited copy within hamming 16 of its base")
+    // banding never invents pairs: tight results subset loose results
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_near") <=
+        loose(r.getAs[Long]("media_id")), "monotone in the hamming budget")
+    }
+  }
 }
