@@ -266,6 +266,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"expected one documents scan in the apply pass, got $scans:\n$p")
   }
 
+  test("q96: bpe encode apply pass is join-free, one corpus scan (merges fold to literals)") {
+    // merge induction runs eagerly at build time (bounded tokenizer
+    // metadata, driver-collected like the IVF centroids); the encode
+    // plan itself must be a pure scan-local projection
+    val p = planOf("q96_bpe_encode")
+    assert(!p.contains("Join"), s"encode pass must be join-free:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one documents scan in the encode pass, got $scans:\n$p")
+  }
+
+  test("q97: recall audit candidate joins stay hash joins — no cartesian fallback") {
+    // the exact baseline legitimately broadcasts the query panel (q31's
+    // BroadcastNestedLoopJoin idiom); the LSH/IVF candidate generation
+    // must remain (table,bucket)/(cell_id) equi-joins
+    val p = planOf("q97_ann_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"recall audit degenerated to a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join in the candidate stages:\n$p")
+  }
+
+  test("q98: decontamination probes cell-scoped — eval broadcast, no cartesian pair scan") {
+    val p = planOf("q98_semantic_decontaminate")
+    assert(!p.contains("CartesianProduct"),
+      s"eval x corpus degenerated to a cartesian:\n$p")
+    // the eval-side vector attach must broadcast (eval bounded by
+    // contract); the only nested-loop joins allowed are the 16-row
+    // centroid broadcasts of the cell assignment
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval attach not a broadcast hash join:\n$p")
+  }
+
+  test("q99: dhash near-dup pairs via banded equi-join, never a cartesian") {
+    val p = planOf("q99_media_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dhash pair mining degenerated to all-pairs:\n$p")
+    // the executed AQE plan collapses materialized stages to references,
+    // hiding the join subtree — assert the band join key on the pre-AQE
+    // physical plan, where the candidate equi-join prints in full
+    val df = SparkEntry.queries("q99_media_neardup")(spark, sf)
+    val pre = df.queryExecution.sparkPlan.toString
+    assert("""band_val""".r.findFirstIn(pre).isDefined,
+      s"no banded join key in the candidate stage:\n$pre")
+    assert(!pre.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
