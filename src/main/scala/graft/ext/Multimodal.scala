@@ -306,7 +306,13 @@ object Multimodal {
     * (band, 16-bit pattern) — collisions ≈ N²/2¹⁶ per band, never
     * all-pairs; the exact `bit_count(xor)` filter touches candidates
     * only; the final left join attaches neighbor stats back to the
-    * audit rows on media_id. */
+    * audit rows on media_id. The hash subtree is referenced three times
+    * (both self-join sides + the audit rows) and plans as three scans of
+    * the cheap projection (measured: the alias-renamed probe sides do NOT
+    * canonicalize to a reused exchange) — q29's self-join carries the
+    * same trade; a persisted-hash layout (the
+    * [[Similarity.buildIvfIndex]] build-once pattern) is the
+    * amortization once hashes are probed by many batches. */
   def mediaNearDup(media: DataFrame,
       maxHamming: Int = DhashMaxHamming): DataFrame = {
     require(maxHamming >= 0 && maxHamming < DhashBits,
