@@ -285,6 +285,43 @@ object Multimodal {
   private def samplePos(k: Int, lenCol: String): String =
     s"1 + CAST($k * ($lenCol - 1) AS BIGINT) DIV ${DhashSamples - 1}"
 
+  /** The scan-local hash projection: one (media_id, kind, dhash) row per
+    * media row with ≥ 2 payload bytes (below the grid's resolution). */
+  def hashMedia(media: DataFrame): DataFrame = {
+    val txt = media.select(col("media_id"), col("kind"),
+      col("payload").cast("string").as("txt"))
+      .withColumn("n", length(col("txt")).cast("long"))
+      .filter(col("n") >= 2)
+    val sampled = txt.select(col("media_id") +: col("kind") +:
+      (0 until DhashSamples).map(k =>
+        expr(s"ascii(substr(txt, ${samplePos(k, "n")}, 1))").as(s"s_$k")): _*)
+    val hash = (for {
+      r <- 0 until DhashGridRows
+      c <- 0 until DhashGridCols - 1
+    } yield when(col(s"s_${r * DhashGridCols + c}") >
+        col(s"s_${r * DhashGridCols + c + 1}"),
+      lit(1L << (r * (DhashGridCols - 1) + c))).otherwise(0L))
+      .reduce(_ + _)
+    sampled.select(col("media_id"), col("kind"), hash.as("dhash"))
+  }
+
+  /** Band-key probe rows (media_id, dhash, band, band_val) for a hashed
+    * frame — the pigeonhole join keys, id+hash only. */
+  private def bandProbes(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val bandCols = dhashBandDefs(maxHamming).zipWithIndex.map {
+      case ((off, w), i) =>
+        struct(lit(i).as("band"),
+          (if (w >= 64) col("dhash")
+           else shiftright(col("dhash"), off).bitwiseAND(bandMask(w)))
+            .as("band_val"))
+    }
+    hashed
+      .select(col("media_id"), col("dhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+  }
+
   /** Perceptual near-duplicate audit over media payloads — the multimodal
     * twin of the text near-dup family: a difference hash (dHash, the
     * published perceptual-hash scheme: resample to a fixed grid, emit one
@@ -310,41 +347,16 @@ object Multimodal {
     * (both self-join sides + the audit rows) and plans as three scans of
     * the cheap projection (measured: the alias-renamed probe sides do NOT
     * canonicalize to a reused exchange) — q29's self-join carries the
-    * same trade; a persisted-hash layout (the
-    * [[Similarity.buildIvfIndex]] build-once pattern) is the
-    * amortization once hashes are probed by many batches. */
+    * same trade; [[buildMediaHashIndex]]/[[probeMediaHashIndex]] is the
+    * implemented amortization once hashes are probed by many batches
+    * (payloads scanned once at build, probes read 16-byte hash rows). */
   def mediaNearDup(media: DataFrame,
       maxHamming: Int = DhashMaxHamming): DataFrame = {
     require(maxHamming >= 0 && maxHamming < DhashBits,
       s"maxHamming must be in [0, $DhashBits), got $maxHamming")
-    val txt = media.select(col("media_id"), col("kind"),
-      col("payload").cast("string").as("txt"))
-      .withColumn("n", length(col("txt")).cast("long"))
-      .filter(col("n") >= 2)
-    val sampled = txt.select(col("media_id") +: col("kind") +:
-      (0 until DhashSamples).map(k =>
-        expr(s"ascii(substr(txt, ${samplePos(k, "n")}, 1))").as(s"s_$k")): _*)
-    val hash = (for {
-      r <- 0 until DhashGridRows
-      c <- 0 until DhashGridCols - 1
-    } yield when(col(s"s_${r * DhashGridCols + c}") >
-        col(s"s_${r * DhashGridCols + c + 1}"),
-      lit(1L << (r * (DhashGridCols - 1) + c))).otherwise(0L))
-      .reduce(_ + _)
-    val hashed = sampled.select(col("media_id"), col("kind"),
-      hash.as("dhash"))
-    val bandCols = dhashBandDefs(maxHamming).zipWithIndex.map {
-      case ((off, w), i) =>
-        struct(lit(i).as("band"),
-          (if (w >= 64) col("dhash")
-           else shiftright(col("dhash"), off).bitwiseAND(bandMask(w)))
-            .as("band_val"))
-    }
-    val probes = hashed
-      .select(col("media_id"), col("dhash"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("media_id"), col("dhash"),
-        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+    val hashed = hashMedia(media)
+    val probes = bandProbes(
+      hashed.select(col("media_id"), col("dhash")), maxHamming)
     val near = probes.toDF("id_a", "ha", "band", "band_val")
       .join(probes.toDF("id_b", "hb", "band", "band_val"),
         Seq("band", "band_val"))
@@ -358,6 +370,50 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("dhash"),
         coalesce(col("nn"), lit(0L)).as("n_near"),
         col("ni").as("near_min_id"))
+  }
+
+  /** Persist the media hash index: one (media_id, kind, dhash) row per
+    * media row — 8 bytes of hash instead of the payload. The build pays
+    * the payload scan ONCE; every probe batch afterwards reads only the
+    * hash column ([[Similarity.buildIvfIndex]]'s build-once pattern,
+    * which the inline [[mediaNearDup]] audit — three payload scans per
+    * run — exists to be amortized INTO). Append-only maintenance mirrors
+    * [[Similarity.appendToIvfIndex]]: new batches append their hash rows,
+    * no existing file is rewritten. */
+  def buildMediaHashIndex(media: DataFrame, dir: String): Unit =
+    hashMedia(media).write.mode("overwrite").parquet(s"$dir/hashes")
+
+  /** Append a batch's hashes to a persisted index without a rebuild. */
+  def appendToMediaHashIndex(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit =
+    hashMedia(batch).write.mode("append").parquet(s"$dir/hashes")
+
+  /** Probe a persisted hash index: hash the incoming batch inline (small
+    * by contract), band-join against the saved hashes, exact hamming
+    * filter — [[mediaNearDup]]'s candidate machinery with the corpus
+    * side reading 16-byte rows instead of re-hashing payloads. Returns
+    * (batch_id, index_id, hamming) candidate pairs; self-matches by id
+    * are excluded so a batch already appended to the index can probe it.
+    * ExtSpec pins probe-after-build ≡ the inline audit's pair set. */
+  def probeMediaHashIndex(spark: SparkSession, dir: String,
+      batch: DataFrame, maxHamming: Int = DhashMaxHamming): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < DhashBits,
+      s"maxHamming must be in [0, $DhashBits), got $maxHamming")
+    val saved = spark.read.parquet(s"$dir/hashes")
+      .select(col("media_id").as("index_id"), col("dhash").as("hb"))
+    val probes = bandProbes(hashMedia(batch)
+      .select(col("media_id"), col("dhash")), maxHamming)
+      .toDF("batch_id", "ha", "band", "band_val")
+    probes
+      .join(bandProbes(saved.toDF("media_id", "dhash"), maxHamming)
+        .toDF("index_id", "hb", "band", "band_val"),
+        Seq("band", "band_val"))
+      .filter(col("batch_id") =!= col("index_id"))
+      .select("batch_id", "index_id", "ha", "hb")
+      .dropDuplicates("batch_id", "index_id")
+      .select(col("batch_id"), col("index_id"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** q99: the dHash near-dup audit over the synthetic media table.

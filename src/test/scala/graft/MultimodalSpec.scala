@@ -143,4 +143,37 @@ class MultimodalSpec extends SparkSpec {
         loose(r.getAs[Long]("media_id")), "monotone in the hamming budget")
     }
   }
+
+  test("media hash index: probe-after-build ≡ inline audit pairs; probes read hashes, not payloads") {
+    val m = media
+    val dir = java.nio.file.Files.createTempDirectory("dhash_idx").toString
+    Multimodal.buildMediaHashIndex(m, dir)
+    // probing the index with the corpus itself must reproduce the inline
+    // audit's neighbor relation exactly (same bands, same hamming filter)
+    val probed = Multimodal.probeMediaHashIndex(spark, dir, m)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("index_id")))
+      .toSet
+    val inline = Multimodal.mediaNearDup(m).collect()
+      .filter(_.getAs[Long]("n_near") > 0)
+      .map(_.getAs[Long]("media_id"))
+      .toSet
+    assert(probed.map(_._1) == inline,
+      "probe pair set disagrees with the inline audit's flagged rows")
+    assert(probed.forall { case (a, b) => probed.contains((b, a)) },
+      "pair relation must be symmetric when batch = corpus")
+    // append: a near-identical new row becomes probe-visible
+    val base = m.orderBy("media_id").limit(1)
+    val clone = base.selectExpr("media_id + 1000000 AS media_id", "kind", "payload")
+    Multimodal.appendToMediaHashIndex(spark, dir, clone)
+    val hits = Multimodal.probeMediaHashIndex(spark, dir, clone)
+      .filter(org.apache.spark.sql.functions.col("hamming") === 0).collect()
+    assert(hits.exists(_.getAs[Long]("index_id") ==
+      base.collect().head.getAs[Long]("media_id")),
+      "appended clone must collide with its original at hamming 0")
+    // the probe plan reads the hash parquet, never the media payloads
+    val plan = Multimodal.probeMediaHashIndex(spark, dir, clone)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("hashes"), s"probe does not read the hash index:\n$plan")
+  }
 }
