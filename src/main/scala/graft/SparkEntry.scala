@@ -30,6 +30,7 @@ object SparkEntry {
       graft.ext.Selection.all ++
       graft.pipeline.Ingest.all ++
       graft.ext.Multimodal.all ++
+      graft.ext.Integrity.all ++
       graft.queries.Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -263,7 +263,7 @@ object Multimodal {
   /** (offset, width) band split covering all [[DhashBits]] bits for a
     * hamming budget — maxHamming+1 disjoint bands (pigeonhole; q29's
     * construction, re-derived here for the 64-bit hash width). */
-  private def dhashBandDefs(maxHamming: Int): Seq[(Int, Int)] = {
+  private[graft] def dhashBandDefs(maxHamming: Int): Seq[(Int, Int)] = {
     val n = maxHamming + 1
     val base = DhashBits / n
     val extra = DhashBits % n
@@ -275,7 +275,7 @@ object Multimodal {
     * breaks (shift amounts are mod 64 in both engines), but widths here
     * are ≤ 64/(maxHamming+1) ≤ 32 for any budget ≥ 1, and the budget-0
     * single 64-bit band uses the hash itself. */
-  private def bandMask(w: Int): Long =
+  private[graft] def bandMask(w: Int): Long =
     if (w >= 64) -1L else (1L << w) - 1
 
   /** Deterministic sample positions: 1 + k·(n−1) DIV (samples−1) — pure

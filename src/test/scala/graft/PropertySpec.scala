@@ -395,4 +395,33 @@ class PropertySpec extends SparkSpec {
         s"frame $i: native and composed as-of diverge")
     }
   }
+
+  test("dhash band split is pigeonhole-lossless for random hash pairs (property)") {
+    import graft.ext.Multimodal
+    // for ANY pair within the hamming budget, at least one band must
+    // match exactly — this is the property that makes the q99 candidate
+    // join lossless, so a band-geometry regression must fail here
+    val caseGen = for {
+      maxH <- Gen.chooseNum(0, 12)
+      h1 <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      nFlips <- Gen.chooseNum(0, maxH)
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 63))
+    } yield (maxH, h1, flips)
+    samples(caseGen, 2000).foreach { case (maxH, h1, flips) =>
+      val h2 = flips.foldLeft(h1)((h, b) => h ^ (1L << b))
+      assert(java.lang.Long.bitCount(h1 ^ h2) <= maxH)
+      val defs = Multimodal.dhashBandDefs(maxH)
+      assert(defs.map(_._2).sum == 64, s"bands must cover all 64 bits: $defs")
+      defs.sliding(2).foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o1 + w1 == o2, "bands must be disjoint+contiguous")
+        case _ => ()
+      }
+      val shared = defs.exists { case (off, w) =>
+        val mask = Multimodal.bandMask(w)
+        ((h1 >>> off) & mask) == ((h2 >>> off) & mask)
+      }
+      assert(shared,
+        s"pair within hamming budget $maxH lost by the band split: $h1 / $h2")
+    }
+  }
 }
