@@ -153,6 +153,51 @@ object Streaming {
       }
       .start()
 
+  /** Streaming media admission — q99's dHash workflow as a continuous
+    * pipeline: each micro-batch of media rows probes the PERSISTED hash
+    * index ([[graft.ext.Multimodal.probeMediaHashIndex]] — 16-byte hash
+    * rows, payloads never re-scanned), and a row is rejected when it (a)
+    * replays an already-indexed media_id, (b) lands within the hamming
+    * budget of any indexed row, or (c) has a smaller-id near neighbor
+    * inside its own batch (greedy keep-first, the [[corpusAdmitStream]]
+    * batch-internal rule). Admitted rows append to `mediaPath` and their
+    * hashes to the index — so unlike corpusAdmitStream (which re-derives
+    * corpus fingerprints from text per batch, documented as the gate-scale
+    * simplification), the dedup state here IS the materialized index from
+    * the start: per-batch cost O(batch + hash-index scan), the amortized
+    * shape that doc promises for 100 TB. Replay idempotency: a
+    * re-delivered batch hits rule (a) on its own admitted rows — nothing
+    * appends twice. */
+  def mediaAdmitStream(media: DataFrame, mediaPath: String, indexPath: String,
+      checkpoint: String,
+      maxHamming: Int = graft.ext.Multimodal.DhashMaxHamming): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val internal = graft.ext.Multimodal.mediaNearDup(batch, maxHamming)
+          .filter(col("near_min_id") < col("media_id"))
+          .select("media_id")
+        val dropIds =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/hashes"))) {
+            val replayed = batch.select("media_id").join(
+              spark.read.parquet(s"$indexPath/hashes").select("media_id"),
+              "media_id")
+            val near = graft.ext.Multimodal
+              .probeMediaHashIndex(spark, indexPath, batch, maxHamming)
+              .select(col("batch_id").as("media_id"))
+            internal.unionByName(replayed).unionByName(near)
+          } else internal
+        val admitted = batch.join(dropIds.distinct(), Seq("media_id"), "left_anti")
+        admitted.write.mode("append").parquet(mediaPath)
+        graft.ext.Multimodal.appendToMediaHashIndex(spark, indexPath, admitted)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window event metrics (streaming twin of
     * q35_events_window). */
   def windowedEventMetrics(events: DataFrame, horizon: String = "2 hours"): DataFrame =

@@ -104,6 +104,49 @@ class StreamingSpec extends SparkSpec {
     assert(ids() == Seq(1L, 3L, 6L), "replayed batches must not re-admit")
   }
 
+  test("streaming media admission: hash index is the dedup state, replay idempotent") {
+    val in = tmpDir("madmit_in")
+    val mediaOut = tmpDir("madmit_media") + "/media"
+    val idx = tmpDir("madmit_idx")
+    val ckpt = tmpDir("madmit_ckpt")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("kind", StringType),
+      StructField("text", StringType)))
+    def stream() = Streaming.csvFileSource(spark, in, schema)
+      .select(col("media_id"), col("kind"), col("text").cast("binary").as("payload"))
+    // distinct gradient structures (pairwise hamming > budget); 2 is an
+    // exact copy of 1 (in-batch keep-first -> 1 wins)
+    val base = "ab" * 80 + "cdef" * 20
+    val distant = "z" * 120 + "qx" * 60
+    val third = "mnop" * 30 + "w" * 60 + "st" * 30
+    Files.writeString(Paths.get(in, "m1.csv"),
+      s"""media_id,kind,text
+        |1,image,$base
+        |2,image,$base
+        |3,image,$distant""".stripMargin)
+    Streaming.mediaAdmitStream(stream(), mediaOut, idx, ckpt).awaitTermination()
+    def ids() = spark.read.parquet(mediaOut).collect()
+      .map(_.getAs[Long]("media_id")).sorted.toSeq
+    assert(ids() == Seq(1L, 3L))
+    // batch 2: 4 duplicates an ADMITTED payload (near/exact vs the index),
+    // 5 is fresh
+    Files.writeString(Paths.get(in, "m2.csv"),
+      s"""media_id,kind,text
+        |4,image,$base
+        |5,audio,$third""".stripMargin)
+    Streaming.mediaAdmitStream(stream(), mediaOut, idx, ckpt).awaitTermination()
+    assert(ids() == Seq(1L, 3L, 5L))
+    // the index holds exactly the admitted hashes
+    val indexed = spark.read.parquet(s"$idx/hashes").collect()
+      .map(_.getAs[Long]("media_id")).sorted.toSeq
+    assert(indexed == Seq(1L, 3L, 5L))
+    // replay from a fresh checkpoint: every row re-delivers; admitted ids
+    // hit the exact-id rule, rejected ones their original near-dup rule
+    Streaming.mediaAdmitStream(stream(), mediaOut, idx, tmpDir("madmit_ckpt2"))
+      .awaitTermination()
+    assert(ids() == Seq(1L, 3L, 5L), "replayed batches must not re-admit")
+  }
+
   test("watermarked dedup drops repeated order_ids inside the horizon") {
     val in = tmpDir("dedup_in")
     // API-0001 arrives three times: an exact duplicate AND a retried
