@@ -276,6 +276,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("corpus integrity: missing embeddings, orphan vectors, and dim drift all surface") {
+    import graft.ext.Integrity
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "web"), Row(2L, "web"), Row(3L, "books")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType))))
+    val emb = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(1.0f, 2.0f)),           // matched, dim 2
+        Row(3L, Seq(1.0f, 2.0f, 3.0f)),     // matched, dim 3 (drift)
+        Row(9L, Seq(0.5f))),                // orphan (no doc 9)
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val out = Integrity.corpusIntegrity(docs, emb).collect()
+      .map(r => (r.getAs[String]("entity"), r.getAs[String]("source")) -> r).toMap
+    val web = out(("documents", "web"))
+    assert(web.getAs[Long]("n_total") == 2 && web.getAs[Long]("n_matched") == 1 &&
+      web.getAs[Long]("n_unmatched") == 1, "doc 2 has no embedding")
+    assert(web.getAs[Int]("dim_min") == 2 && web.getAs[Int]("dim_max") == 2)
+    val books = out(("documents", "books"))
+    assert(books.getAs[Long]("n_matched") == 1 &&
+      books.getAs[Int]("dim_min") == 3, "dim drift visible per source")
+    val e = out(("embeddings", "(all)"))
+    assert(e.getAs[Long]("n_total") == 3 && e.getAs[Long]("n_unmatched") == 1,
+      "orphan vector 9 must be counted")
+    assert(e.getAs[Int]("dim_min") == 1 && e.getAs[Int]("dim_max") == 3)
+  }
+
   test("semantic near-dup: cell-scoped pairs are exact-subset; recall high on clustered data") {
     // the same degenerate-seed fixture as the IVF test: 4 tight clusters,
     // all 16 seeds inside cluster 0 — Lloyd refinement must spread the
