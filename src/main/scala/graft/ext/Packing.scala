@@ -80,6 +80,74 @@ object Packing {
       .orderBy("shard", "bin")
   }
 
+  /** Extend an existing packing with a new batch WITHOUT repacking — the
+    * incremental form of [[packSequences]] for append-only ingest: per
+    * shard, the batch's documents continue from the shard's current
+    * end-of-stream offset. Equivalence contract: when every batch key
+    * sorts after the shard's existing keys (monotone ids — the
+    * append-only case), `resume(pack(A), B) ≡ pack(A ∪ B)` row for row —
+    * the existing manifest rows are untouched by construction, so the
+    * property is proven by the q101 oracle (which packs the union from
+    * scratch) and differentially in ExtSpec over random splits.
+    *
+    * Scale shape: the carried state is ONE aggregate row per shard (the
+    * end offset = max(start+len), an order-independent max), broadcast
+    * into the batch's packing; the manifest is never re-shuffled or
+    * rewritten — each increment is O(batch) work plus a shards-row
+    * manifest aggregate, which is what makes per-batch manifest
+    * maintenance viable at corpus scale (a full repack per batch would
+    * re-window the whole corpus). */
+  def resumePacking(manifest: DataFrame, newDocs: DataFrame, key: Column,
+      tokenCol: Column, budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val ends = manifest.groupBy("shard")
+      .agg(max(col("start_offset") + col("n_tokens")).as("__base"))
+    packSequences(newDocs, key, tokenCol, budget, shards)
+      .drop("bin")
+      .join(broadcast(ends), Seq("shard"), "left")
+      .withColumn("start_offset",
+        col("start_offset") + coalesce(col("__base"), lit(0L)))
+      .withColumn("bin", floor(col("start_offset") / budget).cast("long"))
+      .drop("__base")
+  }
+
+  /** q101: incremental packing — docs < 250 are the existing manifest,
+    * the rest arrive as a batch and resume per-shard; the oracle packs
+    * the WHOLE corpus from scratch (q62's window arithmetic at 1024×4),
+    * so a full match proves incremental ≡ batch value-level. */
+  val q101PackingResume: QuerySpec = QuerySpec(
+    "q101_packing_resume",
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    ${Sampling.hashBucketSql("doc_id", 4, "pack:")} AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+      |  FROM t)
+      |SELECT shard, CAST(floor(CAST(start_offset AS DOUBLE) / 1024) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2
+      |ORDER BY shard, bin""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tok = size(TextAnalysis.tokens(col("text")))
+    val manifest = packSequences(
+      docs.filter(col("doc_id") < 250), col("doc_id"), tok, 1024L, 4)
+    val resumed = resumePacking(
+      manifest, docs.filter(col("doc_id") >= 250), col("doc_id"), tok, 1024L, 4)
+    manifest.select("doc_id", "shard", "n_tokens", "start_offset", "bin")
+      .unionByName(resumed.select("doc_id", "shard", "n_tokens", "start_offset", "bin"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_packed"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
   /** Split each document into overlapping token windows — the
     * context-length chunking step between a cleaned corpus and embedding
     * / pretraining consumers (window = model context budget, stride <
@@ -244,5 +312,5 @@ object Packing {
   }
 
   val all: Seq[QuerySpec] = Seq(q62SequencePacking, q73DocumentChunks,
-    q92EpochAssembly)
+    q92EpochAssembly, q101PackingResume)
 }

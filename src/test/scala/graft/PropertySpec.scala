@@ -396,6 +396,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packing resume ≡ full repack for random splits/budgets/shards (differential)") {
+    import graft.ext.Packing
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+    val tok = split(col("text"), " ")
+    val caseGen = for {
+      splitAt <- Gen.chooseNum(0L, maxId + 1)
+      budget <- Gen.oneOf(64L, 512L, 2048L)
+      shards <- Gen.oneOf(1, 3, 8)
+    } yield (splitAt, budget, shards)
+    samples(caseGen, 6).foreach { case (splitAt, budget, shards) =>
+      val manifest = Packing.packSequences(
+        docs.filter(col("doc_id") < splitAt), col("doc_id"), size(tok), budget, shards)
+      val resumed = Packing.resumePacking(
+        manifest, docs.filter(col("doc_id") >= splitAt), col("doc_id"),
+        size(tok), budget, shards)
+      val cols = Seq("doc_id", "shard", "n_tokens", "start_offset", "bin")
+      val incremental = manifest.select(cols.head, cols.tail: _*)
+        .unionByName(resumed.select(cols.head, cols.tail: _*))
+      val full = Packing.packSequences(
+        docs, col("doc_id"), size(tok), budget, shards)
+        .select(cols.head, cols.tail: _*)
+      assert(incremental.exceptAll(full).isEmpty &&
+        full.exceptAll(incremental).isEmpty,
+        s"resume != repack at split=$splitAt budget=$budget shards=$shards")
+    }
+  }
+
   test("dhash band split is pigeonhole-lossless for random hash pairs (property)") {
     import graft.ext.Multimodal
     // for ANY pair within the hamming budget, at least one band must
