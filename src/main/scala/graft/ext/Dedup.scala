@@ -825,7 +825,7 @@ object Dedup {
     * oracles (a gram width or window tweak landing in only one would
     * silently desynchronize the pair oracle from the decontamination
     * oracle). */
-  private def winnowSelSqlCtes: String =
+  private[ext] def winnowSelSqlCtes: String =
     s"""docs AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |  WHERE len(string_split(text, ' ')) >= ${WinnowGram + WinnowWindow - 1}),
@@ -941,29 +941,36 @@ object Dedup {
         (col("n_hit") > 0).as("contaminated"))
   }
 
+  /** CTE fragment for the q65 n-gram contamination oracle — distinct
+    * per-doc 4-gram md5s (`ngg`) and the eval slice's gram set (`ngev`) —
+    * shared with the q102 defense-in-depth card (one source of truth for
+    * the gram width and eval slice). */
+  private[ext] def ngramDeconSqlCtes: String =
+    """ngd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 4),
+      |ngg AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),
+      |      i -> md5(array_to_string(w[i:i+3], ' ')))) AS gram
+      |    FROM ngd)),
+      |ngev AS (SELECT DISTINCT gram FROM ngg WHERE doc_id % 50 = 0)""".stripMargin
+
   /** q65: 4-gram eval-set overlap over the full corpus (eval slice =
     * doc_id % 50). Full value-level oracle: md5 gram fingerprints replay
     * exactly in DuckDB. */
   val q65Decontaminate: QuerySpec = QuerySpec(
     "q65_decontaminate",
-    """WITH d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 4),
-      |g AS (
-      |  SELECT DISTINCT doc_id, gram FROM (
-      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 3),
-      |      i -> md5(array_to_string(w[i:i+3], ' ')))) AS gram
-      |    FROM d)),
-      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
-      |SELECT g.doc_id,
+    s"""WITH $ngramDeconSqlCtes
+      |SELECT ngg.doc_id AS doc_id,
       |  count(*) AS n_grams,
-      |  CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-      |  floor(CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |  CAST(sum(CASE WHEN ngev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  floor(CAST(sum(CASE WHEN ngev.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
       |    / count(*) * 10000 + 0.5) / 10000 AS contamination,
-      |  sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
-      |FROM g LEFT JOIN ev ON g.gram = ev.gram
-      |WHERE g.doc_id % 50 <> 0
-      |GROUP BY g.doc_id
+      |  sum(CASE WHEN ngev.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+      |FROM ngg LEFT JOIN ngev ON ngg.gram = ngev.gram
+      |WHERE ngg.doc_id % 50 <> 0
+      |GROUP BY ngg.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     evalContamination(Tables.documents(s, dir), evalMod = 50, n = 4)
       .orderBy("doc_id")

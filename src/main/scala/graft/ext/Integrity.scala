@@ -80,5 +80,85 @@ object Integrity {
     corpusIntegrity(Tables.documents(s, dir), Tables.embeddings(s, dir))
   }
 
-  val all: Seq[QuerySpec] = Seq(q100CorpusIntegrity)
+  /** Defense-in-depth contamination card — the union view of the three
+    * registered decontamination detectors, per training doc: lexical
+    * 4-gram overlap (q65), winnow-density fingerprints (q83), and
+    * embedding-space proximity (q98, joined on the doc↔vec id bridge
+    * q100 audits). Production decontamination runs EXACTLY this way —
+    * multiple detectors with different blind spots (verbatim copies,
+    * misaligned substrings, paraphrases), a doc dropped if ANY flags it —
+    * and the per-detector flags are what make the drop auditable. Each
+    * detector keeps its own registered eval definition, so the card's
+    * columns agree row-for-row with q65/q83/q98 (pinned in ExtSpec).
+    *
+    * Scale shape: nothing new — the three detectors keep their own
+    * audited plans (broadcast eval gram/fingerprint sets, IVF-cell-scoped
+    * probes), and the card adds three id-only left joins from the doc
+    * list. Detectors that cannot see a doc (too short to fingerprint,
+    * doc is the semantic eval side) report false, never null — the card
+    * is a complete verdict over the whole training slice. */
+  def contaminationCard(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val ng = Dedup.evalContamination(docs, evalMod = 50, n = 4)
+      .select(col("doc_id"), col("contaminated").as("ng"))
+    val wn = Dedup.winnowDecontaminate(docs, evalMod = 50)
+      .select(col("doc_id"), col("contaminated").as("wn"))
+    val sem = Similarity.semanticDecontaminate(
+        emb.filter(col("label") =!= 0), emb.filter(col("label") === 0), 0.4)
+      .filter(col("dropped"))
+      .select(col("vec_id").as("doc_id"), lit(true).as("sm"))
+    val flags = docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+      .join(ng, Seq("doc_id"), "left")
+      .join(wn, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ng"), lit(false)).as("ngram_hit"),
+        coalesce(col("wn"), lit(false)).as("winnow_hit"),
+        coalesce(col("sm"), lit(false)).as("semantic_hit"))
+    flags.select(col("doc_id"), col("ngram_hit"), col("winnow_hit"),
+      col("semantic_hit"),
+      (col("ngram_hit").cast("long") + col("winnow_hit").cast("long") +
+        col("semantic_hit").cast("long")).as("n_detectors"),
+      (col("ngram_hit") || col("winnow_hit") || col("semantic_hit"))
+        .as("flagged"))
+  }
+
+  /** q102: the contamination card over the gate tables. Oracle composes
+    * the three detectors' shared CTE fragments (q65's gram set, q82/q83's
+    * winnow selection, q98's Lloyd-chain hits) — one source of truth with
+    * the individual oracles. */
+  val q102ContaminationCard: QuerySpec = QuerySpec(
+    "q102_contamination_card",
+    "WITH " + Dedup.winnowSelSqlCtes + ",\n" +
+      Dedup.ngramDeconSqlCtes + ",\n" +
+      Similarity.semanticDeconSqlCtes + s""",
+      |ng_hit AS (
+      |  SELECT ngg.doc_id AS doc_id,
+      |    max(CASE WHEN ngev.gram IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      |  FROM ngg LEFT JOIN ngev ON ngg.gram = ngev.gram
+      |  WHERE ngg.doc_id % 50 <> 0 GROUP BY ngg.doc_id),
+      |w_ev AS (SELECT DISTINCT fp FROM sel WHERE doc_id % 50 = 0),
+      |w_hit AS (
+      |  SELECT c.doc_id AS doc_id,
+      |    max(CASE WHEN w_ev.fp IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      |  FROM sel c LEFT JOIN w_ev ON c.fp = w_ev.fp
+      |  WHERE c.doc_id % 50 <> 0 GROUP BY c.doc_id),
+      |base AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+      |SELECT b.doc_id AS doc_id,
+      |  coalesce(ng.hit, 0) = 1 AS ngram_hit,
+      |  coalesce(w.hit, 0) = 1 AS winnow_hit,
+      |  (h.cand_id IS NOT NULL) AS semantic_hit,
+      |  CAST(coalesce(ng.hit, 0) + coalesce(w.hit, 0)
+      |    + (CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detectors,
+      |  (coalesce(ng.hit, 0) + coalesce(w.hit, 0)
+      |    + (CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END)) > 0 AS flagged
+      |FROM base b
+      |LEFT JOIN ng_hit ng ON ng.doc_id = b.doc_id
+      |LEFT JOIN w_hit w ON w.doc_id = b.doc_id
+      |LEFT JOIN hits h ON h.cand_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    contaminationCard(Tables.documents(s, dir), Tables.embeddings(s, dir))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q100CorpusIntegrity, q102ContaminationCard)
 }

@@ -861,33 +861,41 @@ object Similarity {
     * label=0 vectors as the eval set, at the q45/q85 threshold. Oracle:
     * the Lloyd chain scoped to the corpus subset, top-1 corpus / top-4
     * eval assignment, in-cell pair scoring — all value-pinned. */
+  /** CTE fragment for the q98 semantic-decontamination oracle — the
+    * corpus-scoped Lloyd chain, top-1 corpus / multi-probe eval
+    * assignment, and the thresholded `hits` per-cand rows — shared with
+    * the q102 defense-in-depth card (one source of truth for the index
+    * scope, probe width, and threshold). */
+  private[ext] def semanticDeconSqlCtes: String = {
+    val scope = " WHERE e.label <> 0"
+    lloydChainSql(
+      "vec_id, label, CAST(embedding AS DOUBLE[]) AS v", scope) + ",\n" +
+      lloydAssignCte(lloydFinalCentsSql, "ac", idAlias = "cand_id",
+        where = scope) + ",\n" +
+      lloydAssignCte(lloydFinalCentsSql, "aq", idAlias = "eval_id",
+        maxRank = IvfProbes, where = " WHERE e.label = 0") + ",\n" +
+      s"""cand AS (
+        |  SELECT DISTINCT cand_id, eval_id FROM aq JOIN ac USING (cell_id)),
+        |scored AS (
+        |  SELECT cand_id, eval_id, ${cosSql("a", "b")} AS cos
+        |  FROM cand JOIN e a ON a.vec_id = cand.cand_id
+        |            JOIN e b ON b.vec_id = cand.eval_id),
+        |hits AS (
+        |  SELECT cand_id, CAST(count(*) AS BIGINT) AS n_evals_hit,
+        |    max(cos) AS max_cos
+        |  FROM scored WHERE cos >= 0.4 GROUP BY cand_id)""".stripMargin
+  }
+
   val q98SemanticDecontaminate: QuerySpec = QuerySpec(
-    "q98_semantic_decontaminate", {
-      val scope = " WHERE e.label <> 0"
-      "WITH " + lloydChainSql(
-        "vec_id, label, CAST(embedding AS DOUBLE[]) AS v", scope) + ",\n" +
-        lloydAssignCte(lloydFinalCentsSql, "ac", idAlias = "cand_id",
-          where = scope) + ",\n" +
-        lloydAssignCte(lloydFinalCentsSql, "aq", idAlias = "eval_id",
-          maxRank = IvfProbes, where = " WHERE e.label = 0") + ",\n" +
-        s"""cand AS (
-          |  SELECT DISTINCT cand_id, eval_id FROM aq JOIN ac USING (cell_id)),
-          |scored AS (
-          |  SELECT cand_id, eval_id, ${cosSql("a", "b")} AS cos
-          |  FROM cand JOIN e a ON a.vec_id = cand.cand_id
-          |            JOIN e b ON b.vec_id = cand.eval_id),
-          |hits AS (
-          |  SELECT cand_id, CAST(count(*) AS BIGINT) AS n_evals_hit,
-          |    max(cos) AS max_cos
-          |  FROM scored WHERE cos >= 0.4 GROUP BY cand_id)
-          |SELECT e.vec_id AS vec_id, e.label AS label,
-          |  (h.cand_id IS NOT NULL) AS dropped,
-          |  CAST(coalesce(h.n_evals_hit, 0) AS BIGINT) AS n_evals_hit,
-          |  ${graft.functions.Functions.round6Sql("h.max_cos")} AS max_cos
-          |FROM e LEFT JOIN hits h ON h.cand_id = e.vec_id
-          |WHERE e.label <> 0
-          |ORDER BY vec_id""".stripMargin
-    }) { (s, dir) =>
+    "q98_semantic_decontaminate",
+    "WITH " + semanticDeconSqlCtes + s"""
+      |SELECT e.vec_id AS vec_id, e.label AS label,
+      |  (h.cand_id IS NOT NULL) AS dropped,
+      |  CAST(coalesce(h.n_evals_hit, 0) AS BIGINT) AS n_evals_hit,
+      |  ${graft.functions.Functions.round6Sql("h.max_cos")} AS max_cos
+      |FROM e LEFT JOIN hits h ON h.cand_id = e.vec_id
+      |WHERE e.label <> 0
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
     semanticDecontaminate(
       e.filter(col("label") =!= 0), e.filter(col("label") === 0), 0.4)

@@ -276,6 +276,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("contamination card flags agree row-for-row with q65/q83/q98 (differential)") {
+    def flagged(q: String, idCol: String, flagCol: String): Set[Long] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .filter(_.getAs[Boolean](flagCol))
+        .map(_.getAs[Long](idCol)).toSet
+    val ng = flagged("q65_decontaminate", "doc_id", "contaminated")
+    val wn = flagged("q83_winnow_decontaminate", "doc_id", "contaminated")
+    val sm = flagged("q98_semantic_decontaminate", "vec_id", "dropped")
+    val card = SparkEntry.queries("q102_contamination_card")(spark, sf).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("ngram_hit") == ng.contains(id), s"ngram flag at $id")
+      assert(r.getAs[Boolean]("winnow_hit") == wn.contains(id), s"winnow flag at $id")
+      assert(r.getAs[Boolean]("semantic_hit") == sm.contains(id), s"semantic flag at $id")
+      val n = Seq(ng, wn, sm).count(_.contains(id)).toLong
+      assert(r.getAs[Long]("n_detectors") == n && r.getAs[Boolean]("flagged") == (n > 0))
+    }
+    // the card must cover the whole training slice, including docs no
+    // detector can see
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 =!= 0).count()
+    assert(card.length.toLong == base, "card must cover every training doc")
+  }
+
   test("corpus integrity: missing embeddings, orphan vectors, and dim drift all surface") {
     import graft.ext.Integrity
     val docs = spark.createDataFrame(
