@@ -312,6 +312,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pre.contains("CartesianProduct"))
   }
 
+  test("q101: resume carries per-shard state via broadcast; windows stay shard-partitioned") {
+    val p = planOf("q101_packing_resume")
+    assert("""hashpartitioning\(shard""".r.findFirstIn(p).isDefined,
+      s"packing windows not partitioned by shard:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"per-shard end-offset state not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q102: contamination card composes the detectors' audited shapes — no cartesian") {
+    val p = planOf("q102_contamination_card")
+    assert(!p.contains("CartesianProduct"),
+      s"a detector degenerated to a cartesian inside the card:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-side sets not broadcast in the card:\n$p")
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
