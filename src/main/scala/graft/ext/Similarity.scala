@@ -902,8 +902,77 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- cluster-balanced (diversity) sampling ----------------------------
+
+  final val CellPickK = 8
+  private final val CellPickBuckets = 1024
+
+  /** Cluster-balanced subset selection — the diversity sampler behind
+    * "don't let one topic dominate the curated set": vectors are assigned
+    * to their IVF cell (the same quantizer the ANN index uses, so the
+    * notion of "topic" is shared with q44/q85/q98) and each cell
+    * contributes at most `k` representatives, picked by a salted-hash
+    * rank so the within-cell choice is uniform, deterministic, and
+    * decorrelated from every other sampling stage
+    * ([[Sampling.hashBucket]]'s salt discipline). A pure uniform sample
+    * keeps cluster mass proportional — a 60%-one-topic crawl stays 60%
+    * one topic; per-cell caps are the standard fix (the SemDeDup paper's
+    * diversification motivation, applied at selection rather than dedup).
+    *
+    * Scale shape: centroid metadata rides the [[ivfCentroids]] broadcast;
+    * assignment is the map-side-combined argmax (no row blowup past the
+    * scan-local broadcast join); the per-cell pick is a row_number window
+    * whose partition count is the cell count — which for a real index
+    * scales as ~√N (gate-scale pins [[IvfCells]]=16), and the predicate
+    * on the raw rank keeps InferWindowGroupLimit eligible, so each
+    * partition is trimmed to k rows map-side BEFORE the exchange: the
+    * window never sorts a cell's full membership in one task. cell_size
+    * re-attaches from a cells-cardinality aggregate broadcast. */
+  def cellBalancedSample(corpus: DataFrame, k: Int = CellPickK): DataFrame = {
+    require(k >= 1, s"per-cell cap must be >= 1, got $k")
+    val cents = ivfCentroids(corpus)
+    val cells = assignCells(
+      corpus.select(col("vec_id"), col("embedding")), cents, "vec_id", 1)
+    val sizes = cells.groupBy("cell_id").agg(count(lit(1)).as("cell_size"))
+    val w = Window.partitionBy("cell_id").orderBy(
+      Sampling.hashBucket(col("vec_id"), CellPickBuckets, salt = "cellpick:"),
+      col("vec_id"))
+    cells
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .withColumn("pick_rank", col("rn").cast("long"))
+      .drop("rn")
+      .join(broadcast(sizes), Seq("cell_id"))
+      .select(col("cell_id"), col("pick_rank"), col("vec_id"), col("cell_size"))
+  }
+
+  /** q104: the balanced pick over the full embeddings table — cap 8 per
+    * cell. Oracle: the unrolled Lloyd chain (the q44-proven index build)
+    * plus the same salted-hash window replayed in SQL. */
+  val q104CellBalancedSample: QuerySpec = QuerySpec(
+    "q104_cell_balanced_sample",
+    "WITH " + lloydChainSql() + ",\n" +
+      lloydAssignCte(lloydFinalCentsSql, "ac") + s""",
+      |sz AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS cell_size
+      |       FROM ac GROUP BY cell_id),
+      |r AS (
+      |  SELECT cell_id, vec_id,
+      |    row_number() OVER (PARTITION BY cell_id ORDER BY
+      |      ${Sampling.hashBucketSql("vec_id", CellPickBuckets, "cellpick:")},
+      |      vec_id) AS pick_rank
+      |  FROM ac)
+      |SELECT r.cell_id AS cell_id, CAST(pick_rank AS BIGINT) AS pick_rank,
+      |  vec_id, cell_size
+      |FROM r JOIN sz ON sz.cell_id = r.cell_id
+      |WHERE pick_rank <= $CellPickK
+      |ORDER BY cell_id, pick_rank""".stripMargin) { (s, dir) =>
+    cellBalancedSample(Tables.embeddings(s, dir))
+      .orderBy("cell_id", "pick_rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
     q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats,
-    q85SemanticNearDup, q97AnnRecall, q98SemanticDecontaminate)
+    q85SemanticNearDup, q97AnnRecall, q98SemanticDecontaminate,
+    q104CellBalancedSample)
 }

@@ -98,8 +98,19 @@ object Snapshot {
           .as("bin")))).as("db"))
       .select(col("db.dimension"), col("db.bin"))
       .groupBy("dimension", "bin").count()
-    val c1 = binned(v1).withColumnRenamed("count", "cnt_v1")
-    val c2 = binned(v2).withColumnRenamed("count", "cnt_v2")
+    driftJoin(binned(v1), binned(v2), v1, v2)
+  }
+
+  /** The drift-table assembly shared by q93 (orders) and q103 (corpus):
+    * bin-level full-outer join of the two snapshots' per-dimension counts,
+    * totals riding a 1-row broadcast, exact-integer TVD numerators
+    * (`drift_num` = |cnt_v1·total_v2 − cnt_v2·total_v1| — a zero-float
+    * cross-multiplied share difference; divide by total_v1·total_v2 for
+    * the real-valued delta). */
+  private def driftJoin(b1: DataFrame, b2: DataFrame,
+      v1: DataFrame, v2: DataFrame): DataFrame = {
+    val c1 = b1.withColumnRenamed("count", "cnt_v1")
+    val c2 = b2.withColumnRenamed("count", "cnt_v2")
     val totals = broadcast(v1.agg(count(lit(1)).as("total_v1"))
       .crossJoin(v2.agg(count(lit(1)).as("total_v2"))))
     import graft.functions.Functions.round6
@@ -199,5 +210,109 @@ object Snapshot {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[QuerySpec] = Seq(q69SnapshotDiff, q93SnapshotDrift)
+  // ---- Corpus quality drift (q103) ---------------------------------------
+
+  /** Deterministic "next corpus snapshot" of documents — the crawl-over-
+    * crawl evolution a corpus monitor watches: ~8% of docs dropped
+    * (doc_id % 13 — a source went dark), ~14% mutated by appended
+    * boilerplate (doc_id % 7 gains " the a the a" — shifts length, TTR
+    * and stopword density, i.e. the QUALITY distribution, not just
+    * counts), ~9% re-crawled duplicates inserted past the id range
+    * (doc_id % 11 = 3, offset derived from the scanned max id exactly as
+    * [[nextOrdersSnapshot]] so clone ids can never collide at any SF). */
+  def nextDocsSnapshot(docs: DataFrame): DataFrame = {
+    val off = broadcast(docs.agg(
+      ((expr(s"max(doc_id) div $InsertOffsetUnit") + 1L)
+        * InsertOffsetUnit).as("__off")))
+    val survivors = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" the a the a")))
+          .otherwise(col("text")))
+    val inserts = docs.filter(col("doc_id") % 11 === 3)
+      .crossJoin(off)
+      .withColumn("doc_id", col("doc_id") + col("__off"))
+      .drop("__off")
+    survivors.unionByName(inserts).select("doc_id", "text", "lang", "source")
+  }
+
+  /** Corpus-to-corpus distribution drift over the dimensions a training-
+    * data pipeline actually monitors between crawls: the QUALITY-SCORE
+    * decile (the blend shared with q23/q63/q88 —
+    * [[TextAnalysis.qualityScore]]), language and source composition.
+    * Same exact-integer TVD output contract as [[snapshotDrift]].
+    *
+    * Scale shape: each snapshot is one scan → scan-local quality
+    * arithmetic → a 3-way explode to (dimension, bin) pairs → ONE
+    * map-side-combined groupBy of tiny rows; the snapshots then meet only
+    * at bin cardinality (≤ 10 deciles + langs + sources) in a full-outer
+    * join — no row-level join between corpora, totals on a 1-row
+    * broadcast. */
+  def corpusScoreDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def binned(df: DataFrame): DataFrame = {
+      val (lenS, ttr, stop) = TextAnalysis.qualityParts(col("text"))
+      val q = TextAnalysis.qualityScore(lenS, ttr, stop)
+      df.select(col("lang"), col("source"),
+          least(lit(9L), floor(q * 10)).cast("string").as("decile"))
+        .select(explode(array(
+          struct(lit("quality_decile").as("dimension"), col("decile").as("bin")),
+          struct(lit("lang").as("dimension"), col("lang").as("bin")),
+          struct(lit("source").as("dimension"), col("source").as("bin")))).as("db"))
+        .select(col("db.dimension"), col("db.bin"))
+        .groupBy("dimension", "bin").count()
+    }
+    driftJoin(binned(v1), binned(v2), v1, v2)
+  }
+
+  private def corpusBinnedSql(rel: String): String =
+    s"""SELECT dimension, bin, count(*) AS cnt FROM (
+      |    SELECT 'quality_decile' AS dimension,
+      |      CAST(least(9, CAST(floor((${TextAnalysis.QualityBlendSql}) * 10) AS BIGINT)) AS VARCHAR) AS bin
+      |    FROM (${TextAnalysis.qualityPartsSql(", lang, source", rel)})
+      |    UNION ALL
+      |    SELECT 'lang', lang FROM $rel
+      |    UNION ALL
+      |    SELECT 'source', source FROM $rel) GROUP BY 1, 2""".stripMargin
+
+  /** q103: crawl-over-crawl corpus drift — quality deciles, language and
+    * source shares, exact-integer TVD numerators; the decile boundary is
+    * deterministic cross-engine because both engines evaluate the SAME
+    * IEEE blend arithmetic (the q23/q63/q88-proven fragments). */
+  val q103CorpusDrift: QuerySpec = QuerySpec(
+    "q103_corpus_drift", {
+      import graft.functions.Functions.round6Sql
+      s"""WITH off AS (
+        |  SELECT (max(doc_id) // $InsertOffsetUnit + 1)
+        |    * $InsertOffsetUnit AS v FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' the a the a' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT v FROM off), text, lang, source
+        |  FROM documents WHERE doc_id % 11 = 3),
+        |b1 AS (${corpusBinnedSql("documents")}),
+        |b2 AS (${corpusBinnedSql("v2")}),
+        |t AS (SELECT (SELECT count(*) FROM documents) AS total_v1,
+        |             (SELECT count(*) FROM v2) AS total_v2)
+        |SELECT coalesce(b1.dimension, b2.dimension) AS dimension,
+        |  coalesce(b1.bin, b2.bin) AS bin,
+        |  coalesce(b1.cnt, 0) AS cnt_v1,
+        |  coalesce(b2.cnt, 0) AS cnt_v2,
+        |  ${round6Sql("coalesce(b1.cnt, 0) / CAST(total_v1 AS DOUBLE)")} AS share_v1,
+        |  ${round6Sql("coalesce(b2.cnt, 0) / CAST(total_v2 AS DOUBLE)")} AS share_v2,
+        |  abs(coalesce(b1.cnt, 0) * total_v2
+        |    - coalesce(b2.cnt, 0) * total_v1) AS drift_num
+        |FROM b1 FULL JOIN b2
+        |  ON b1.dimension = b2.dimension AND b1.bin = b2.bin
+        |CROSS JOIN t
+        |ORDER BY dimension, bin""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    corpusScoreDrift(docs, nextDocsSnapshot(docs))
+      .orderBy("dimension", "bin")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q69SnapshotDiff, q93SnapshotDrift, q103CorpusDrift)
 }

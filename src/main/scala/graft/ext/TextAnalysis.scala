@@ -84,7 +84,7 @@ object TextAnalysis {
     * Scala sharing (two hand-copies of the blend already diverged once in
     * review). `extraCols` rides along for the funnel's filter columns;
     * pre-stripped: assemble by concatenation, never re-stripMargin. */
-  def qualityPartsSql(extraCols: String): String =
+  def qualityPartsSql(extraCols: String, rel: String = "documents"): String =
     s"""SELECT doc_id$extraCols,
        |    least(1.0, CAST(length(text) AS DOUBLE) / 400) AS len_score,
        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -92,7 +92,7 @@ object TextAnalysis {
        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
        |       + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS DOUBLE)
        |      / len(string_split(text, ' ')) AS stop_ratio
-       |  FROM documents""".stripMargin
+       |  FROM $rel""".stripMargin
 
   final val QualityBlendSql: String =
     "0.4 * len_score + 0.4 * ttr + 0.2 * (1 - least(1.0, stop_ratio * 5))"

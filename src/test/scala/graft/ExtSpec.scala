@@ -1085,4 +1085,48 @@ class ExtSpec extends SparkSpec {
       assert(r.getAs[Double]("new_totalprice") == r.getAs[Double]("old_totalprice") + 10.0)
     }
   }
+
+  test("corpus drift: per-dimension counts reconcile with snapshot totals") {
+    import graft.ext.Snapshot
+    val docs = Tables.documents(spark, sf)
+    val v2 = Snapshot.nextDocsSnapshot(docs)
+    val (n1, n2) = (docs.count(), v2.count())
+    val rows = Snapshot.corpusScoreDrift(docs, v2).collect()
+    val dims = rows.groupBy(_.getAs[String]("dimension"))
+    assert(dims.keySet == Set("quality_decile", "lang", "source"))
+    // every dimension partitions its snapshot exactly — bins are MECE
+    for ((d, rs) <- dims) {
+      assert(rs.map(_.getAs[Long]("cnt_v1")).sum == n1, s"$d v1 total")
+      assert(rs.map(_.getAs[Long]("cnt_v2")).sum == n2, s"$d v2 total")
+    }
+    // the appended boilerplate must move quality mass between deciles
+    assert(dims("quality_decile").exists(_.getAs[Long]("drift_num") > 0),
+      "mutated docs produced no quality drift")
+    // drift_num is the exact cross-multiplied share difference
+    rows.foreach { r =>
+      val exp = math.abs(
+        r.getAs[Long]("cnt_v1") * n2 - r.getAs[Long]("cnt_v2") * n1)
+      assert(r.getAs[Long]("drift_num") == exp, s"drift_num mismatch: $r")
+    }
+  }
+
+  test("cell-balanced sample: nonempty cells fill to the cap, ranks dense") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val picked = Similarity.cellBalancedSample(e, k = 3).collect()
+    val byCell = picked.groupBy(_.getAs[Long]("cell_id"))
+    assert(byCell.nonEmpty)
+    byCell.values.foreach { rs =>
+      val size = rs.head.getAs[Long]("cell_size")
+      // a cell with >= k members contributes exactly k; smaller cells
+      // contribute all members — the cap never silently undersamples
+      assert(rs.length.toLong == math.min(3L, size),
+        s"cell picked ${rs.length} of $size under cap 3")
+      assert(rs.map(_.getAs[Long]("pick_rank")).sorted.toSeq ==
+        (1L to rs.length).map(identity), "pick ranks not dense from 1")
+    }
+    // picks must cover every cell that has members: the union of picked
+    // cell sizes accounts for the whole corpus
+    assert(byCell.values.map(_.head.getAs[Long]("cell_size")).sum == e.count())
+  }
 }

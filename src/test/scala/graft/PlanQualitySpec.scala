@@ -329,6 +329,30 @@ class PlanQualitySpec extends SparkSpec {
       s"eval-side sets not broadcast in the card:\n$p")
   }
 
+  test("q103: snapshots meet only at bin cardinality — no row-level join") {
+    val p = planOf("q103_corpus_drift")
+    // the drift join is the full-outer on (dimension, bin); a doc_id join
+    // key anywhere means the snapshots were joined row-level
+    assert(p.contains("FullOuter"), s"bin-level full-outer join missing:\n$p")
+    assert(!"""Join.*doc_id#\d+L?\]?,? ?(Full|Inner|Left|Right)""".r
+      .findFirstIn(p).isDefined, s"row-level snapshot join appeared:\n$p")
+    // totals ride 1-row broadcasts, quality binning is scan-local: the
+    // only exchanges are the two per-dimension count aggregates + the
+    // bin join's — never a doc_id hash partition
+    assert(!"""hashpartitioning\(doc_id""".r.findFirstIn(p).isDefined,
+      s"a doc_id exchange appeared in the drift plan:\n$p")
+  }
+
+  test("q104: per-cell pick trims map-side; cell sizes broadcast back") {
+    val p = planOf("q104_cell_balanced_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cell cap not trimmed before the exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell sizes / centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian appeared in cell assignment:\n$p")
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
