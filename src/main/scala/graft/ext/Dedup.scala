@@ -377,7 +377,8 @@ object Dedup {
     * md5-arithmetic base hash makes it bitwise identical — and may freely
     * use the same band equi-join (the RESULT is what's compared, and the
     * candidate set is definitionally band-collision-dependent). */
-  def minhashPairsSqlCtesFrom(srcRel: String, minAgree: Int): String = {
+  def minhashPairsSqlCtesFrom(srcRel: String, minAgree: Int,
+      pairsCte: String = "pairs"): String = {
     val rows = MinhashK / Bands
     val sigExprs = (0 until MinhashK).map { i =>
       val (a, b) = hashParams(i)
@@ -405,7 +406,7 @@ object Dedup {
       "  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b\n" +
       "  FROM mh_bands x JOIN mh_bands y\n" +
       "    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),\n" +
-      "pairs AS (\n" +
+      s"$pairsCte AS (\n" +
       "  SELECT doc_a, doc_b,\n" +
       s"    round(CAST($agreeExpr AS DOUBLE) / $MinhashK, 4) AS est_jaccard\n" +
       "  FROM mh_cand JOIN mh_sig a ON a.doc_id = doc_a JOIN mh_sig b ON b.doc_id = doc_b\n" +
@@ -1255,10 +1256,140 @@ object Dedup {
         d.filter(col("doc_id") % 10 === 7))
   }
 
+  // ---- MinHash banding recall audit --------------------------------------
+
+  /** Recall of the MinHash band CANDIDATE generation against exact
+    * Jaccard, per similarity band — the text-side twin of q97's ANN
+    * recall audit: banding misses a true pair only when all
+    * [[Bands]] band signatures differ, a probability that falls with
+    * similarity (1-(1-j^r)^b), so the audit reports recall bucketed by
+    * the exact Jaccard decile — the curve a dedup owner tunes b×r
+    * against. Candidates are taken PRE-threshold (estimate filter 0):
+    * banding recall and estimate precision are separate dials, and this
+    * audit isolates the first.
+    *
+    * Scale shape: the exact side is the audit's cost and runs on a
+    * bounded slice by contract (the q27 rule — exact pairwise Jaccard is
+    * the quadratic wall the bands exist to avoid); the banded side is
+    * the production q28 plan on the same slice; the comparison is an
+    * id-pair left join + one tiny per-decile aggregate. */
+  def minhashRecallAudit(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val exact = jaccardPairs(docs, minJaccard)
+    val caught = minhashCandidates(docs, 0.0)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("caught"))
+    exact.join(caught, Seq("doc_a", "doc_b"), "left")
+      .select(floor(col("jaccard") * 10).cast("long").as("band"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"))
+      .select(col("band"), col("n_pairs"), col("n_caught"),
+        expr("CAST(n_caught * 100 DIV n_pairs AS BIGINT)").as("recall_pct"))
+  }
+
+  /** q106: banding recall over the q27 slice, exact floor 0.05 — BELOW
+    * the q28 dedup threshold on purpose: the corpus's pair mass is
+    * bimodal (weak j<0.1 overlaps vs j≥0.9 clones), and the audit's
+    * value is showing recall ~0 on the weak band and 100 on the clone
+    * band — the curve that justifies the b×r choice. Oracle: the
+    * exact-pair CTEs and the banded CTEs (both already value-pinned by
+    * q27/q28) joined per pair, folded per decile. */
+  val q106MinhashRecall: QuerySpec = QuerySpec(
+    "q106_minhash_recall",
+    "WITH " + ngramPairsSqlCtes(1000, 0.05) + ",\n" +
+      minhashPairsSqlCtesFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 1000)",
+        minAgree = 0, pairsCte = "mh_pairs") + """,
+      |j AS (
+      |  SELECT p.jaccard,
+      |    CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+      |  FROM pairs p LEFT JOIN mh_pairs m
+      |    ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b)
+      |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band,
+      |  count(*) AS n_pairs,
+      |  CAST(sum(caught) AS BIGINT) AS n_caught,
+      |  CAST(sum(caught) * 100 // count(*) AS BIGINT) AS recall_pct
+      |FROM j GROUP BY 1
+      |ORDER BY band""".stripMargin) { (s, dir) =>
+    minhashRecallAudit(Tables.documents(s, dir).filter(col("doc_id") < 1000), 0.05)
+      .orderBy("band")
+  }
+
+  // ---- quality-aware cluster survivorship --------------------------------
+
+  /** Near-dup survivorship by QUALITY: clusters keep their best-scoring
+    * member instead of the smallest id. Min-id reps (q60/q79) make the
+    * clustering oracle-checkable, but a production dedup wants the copy
+    * worth training on — the cleanest extraction among the mirror, the
+    * quote-wrapped repost, and the truncated syndication. Keeper = argmax
+    * of (quality, lowest-id tiebreak) per cluster, with the cluster_rep
+    * label retained so the survivorship choice stays auditable against
+    * the q60 clustering.
+    *
+    * Scale shape: the [[clustersFromPairs]] rounds plus ONE quality
+    * projection (scan-local arithmetic), one per-cluster max-struct
+    * aggregate (map-side combinable — the D3 keep-first idiom, no
+    * window), and one keeper re-join on cluster_rep — the same exchange
+    * class as the aggregate that produced it. */
+  def qualityKeeperClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
+    import graft.functions.Functions.round4
+    val clusters = clustersFromPairs(jaccardPairs(docs, minJaccard))
+    val (lenS, ttr, stop) = TextAnalysis.qualityParts(col("text"))
+    val scored = docs
+      .select(col("doc_id"), TextAnalysis.qualityScore(lenS, ttr, stop).as("q"))
+      .join(clusters, "doc_id")
+    val keepers = scored.groupBy("cluster_rep")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("neg"))).as("m"))
+      .select(col("cluster_rep"), (-col("m.neg")).as("keeper_doc_id"))
+    scored.join(keepers, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"), col("keeper_doc_id"),
+        (col("doc_id") === col("keeper_doc_id")).as("kept"),
+        round4(col("q")).as("quality"))
+  }
+
+  /** q107: quality survivorship over the q60 clustering. Oracle: the
+    * recursive-CTE clusters plus the shared quality blend, keeper via
+    * the same (quality desc, id) total order. */
+  val q107QualityKeeper: QuerySpec = QuerySpec(
+    "q107_quality_keeper", {
+      import graft.functions.Functions.round4Sql
+      "WITH RECURSIVE " + ngramPairsSqlCtes(1000, 0.3) + ",\n" +
+        s"""edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |cl AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |  FROM reach GROUP BY src),
+        |sc AS (
+        |  SELECT p.doc_id, cl.cluster_rep,
+        |    ${TextAnalysis.QualityBlendSql} AS q
+        |  FROM (${TextAnalysis.qualityPartsSql("")}) p
+        |  JOIN cl ON cl.doc_id = p.doc_id),
+        |k AS (
+        |  SELECT cluster_rep, doc_id AS keeper_doc_id FROM (
+        |    SELECT cluster_rep, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_rep
+        |        ORDER BY q DESC, doc_id) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT sc.doc_id AS doc_id, sc.cluster_rep AS cluster_rep,
+        |  k.keeper_doc_id AS keeper_doc_id,
+        |  (sc.doc_id = k.keeper_doc_id) AS kept,
+        |  ${round4Sql("q")} AS quality
+        |FROM sc JOIN k ON k.cluster_rep = sc.cluster_rep
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    qualityKeeperClusters(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000), 0.3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
     q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
     q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
-    q94BloomAdmit)
+    q94BloomAdmit, q106MinhashRecall, q107QualityKeeper)
 }

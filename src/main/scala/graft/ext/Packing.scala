@@ -311,6 +311,70 @@ object Packing {
     }
   }
 
+  // ---- packing efficiency audit ------------------------------------------
+
+  /** Packing efficiency audit — the padding/truncation accounting a
+    * pretraining loader team reads before accepting a packed manifest:
+    * cumulative-offset binning trades the NP-hard bin pack for a single
+    * window, at the cost of bins that under-fill (padding the loader
+    * burns compute on) or overflow by their last document's tail (tokens
+    * a truncate-policy loader drops). Per shard: bin count, packed
+    * tokens, padded and truncated tokens under the budget, and the fill
+    * ratio — the number that justifies (or indicts) the budget choice.
+    *
+    * Scale shape: the [[packSequences]] plan plus two map-side-combined
+    * aggregates (bins, then shards) — nothing new moves; the per-bin
+    * load rows are metadata scale (corpus tokens / budget). */
+  def packingEfficiency(docs: DataFrame, key: Column, tokenCol: Column,
+      budget: Long, shards: Int): DataFrame = {
+    import graft.functions.Functions.round4
+    val binLoads = packSequences(docs, key, tokenCol, budget, shards)
+      .groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("load"))
+    binLoads.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("load")).as("tokens_packed"),
+        sum(greatest(lit(0L), lit(budget) - col("load"))).as("padded_tokens"),
+        sum(greatest(lit(0L), col("load") - lit(budget))).as("truncated_tokens"))
+      .select(col("shard"), col("n_bins"), col("tokens_packed"),
+        col("padded_tokens"), col("truncated_tokens"),
+        round4(col("tokens_packed").cast("double")
+          / (col("n_bins") * budget)).as("fill_ratio"))
+  }
+
+  /** q105: the audit over q62's exact packing (2048-token bins, 8
+    * shards) — the oracle replays the q62 window and folds the same
+    * greatest-arithmetic per bin. */
+  val q105PackingEfficiency: QuerySpec = QuerySpec(
+    "q105_packing_efficiency", {
+      import graft.functions.Functions.round4Sql
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    ${Sampling.hashBucketSql("doc_id", 8, "pack:")} AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+        |  FROM t),
+        |b AS (
+        |  SELECT shard, CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin,
+        |    CAST(sum(n_tokens) AS BIGINT) AS load
+        |  FROM o GROUP BY 1, 2)
+        |SELECT shard, count(*) AS n_bins,
+        |  CAST(sum(load) AS BIGINT) AS tokens_packed,
+        |  CAST(sum(greatest(0, 2048 - load)) AS BIGINT) AS padded_tokens,
+        |  CAST(sum(greatest(0, load - 2048)) AS BIGINT) AS truncated_tokens,
+        |  ${round4Sql("CAST(sum(load) AS DOUBLE) / (count(*) * 2048)")} AS fill_ratio
+        |FROM b GROUP BY shard
+        |ORDER BY shard""".stripMargin
+    }) { (s, dir) =>
+    packingEfficiency(Tables.documents(s, dir), col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))), budget = 2048L, shards = 8)
+      .orderBy("shard")
+  }
+
   val all: Seq[QuerySpec] = Seq(q62SequencePacking, q73DocumentChunks,
-    q92EpochAssembly, q101PackingResume)
+    q92EpochAssembly, q101PackingResume, q105PackingEfficiency)
 }

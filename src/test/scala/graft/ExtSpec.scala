@@ -1129,4 +1129,64 @@ class ExtSpec extends SparkSpec {
     // cell sizes accounts for the whole corpus
     assert(byCell.values.map(_.head.getAs[Long]("cell_size")).sum == e.count())
   }
+
+  test("packing efficiency: padding and truncation reconcile to bin capacity") {
+    import graft.ext.{Packing, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val budget = 512L
+    val rows = Packing.packingEfficiency(Tables.documents(spark, sf),
+      col("doc_id"), asize(TextAnalysis.tokens(col("text"))), budget, 4)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // per shard: packed + padded - truncated == n_bins * budget, exactly
+      val cap = r.getAs[Long]("n_bins") * budget
+      assert(r.getAs[Long]("tokens_packed") + r.getAs[Long]("padded_tokens")
+        - r.getAs[Long]("truncated_tokens") == cap, s"capacity identity: $r")
+      assert(r.getAs[Double]("fill_ratio") > 0)
+    }
+  }
+
+  test("minhash recall audit: an exact clone pair is always caught at band 10") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashRecallAudit(docs, 0.5).collect()
+    // identical texts → identical signatures → every band collides:
+    // candidate generation can never miss a jaccard-1.0 pair
+    val top = rows.find(_.getAs[Long]("band") == 10L)
+      .getOrElse(fail(s"no band-10 row in ${rows.mkString(",")}"))
+    assert(top.getAs[Long]("n_pairs") == 1L)
+    assert(top.getAs[Long]("n_caught") == 1L)
+    assert(top.getAs[Long]("recall_pct") == 100L)
+    // the disjoint doc produced no exact pair, so no other bands appear
+    assert(rows.length == 1)
+  }
+
+  test("quality keeper: the best-scoring member survives, not the min id") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      // min-id member: the SHORT copy (lower length score)
+      (10L, base),
+      // higher-quality near-dup: same shingles plus distinct extra tokens
+      (20L, base + " " + (1 to 20).map(i => s"extra$i").mkString(" ")),
+      // unrelated doc: must not join the cluster
+      (30L, (1 to 25).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.qualityKeeperClusters(docs, 0.3).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(10L, 20L),
+      "cluster scope wrong")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_rep") == 10L, "rep label is the min id")
+      assert(r.getAs[Long]("keeper_doc_id") == 20L,
+        "keeper must be the higher-quality member")
+      assert(r.getAs[Boolean]("kept") == (r.getAs[Long]("doc_id") == 20L))
+    }
+  }
 }

@@ -353,6 +353,24 @@ class PlanQualitySpec extends SparkSpec {
       s"cartesian appeared in cell assignment:\n$p")
   }
 
+  test("q105: efficiency audit adds only aggregates to the q62 packing plan") {
+    val p = planOf("q105_packing_efficiency")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"audit scans documents more than once:\n$p")
+    assert("""hashpartitioning\(shard""".r.findFirstIn(p).isDefined,
+      s"packing window not shard-partitioned:\n$p")
+    assert(!p.contains("Join"), s"the audit must be join-free:\n$p")
+  }
+
+  test("q106/q107: exact sides stay equi-joins — no cartesian anywhere") {
+    Seq("q106_minhash_recall", "q107_quality_keeper").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$p")
+    }
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
