@@ -687,17 +687,22 @@ object Dedup {
     * class as any per-doc aggregate). Output keeps the rewritten text as
     * an md5 plus span accounting: the gate-visible contract without
     * shipping the full text through the oracle compare. */
-  def dedupSpans(docs: DataFrame, spanTokens: Int = SpanTokens,
-      maxDocFreq: Int = SpanMaxDocFreq): DataFrame = {
-    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val spans = docs
+  /** Non-overlapping `spanTokens`-token spans per doc — the extraction
+    * shared by the q80 removal and the q110 miner. */
+  private def spanRows(docs: DataFrame, spanTokens: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(w), $spanTokens), " +
           s"i -> struct(i AS idx, concat_ws(' ', slice(w, i, $spanTokens)) AS span))"))
         .as("s"))
       .select(col("doc_id"), col("s.idx").as("idx"), col("s.span").as("span"))
+
+  def dedupSpans(docs: DataFrame, spanTokens: Int = SpanTokens,
+      maxDocFreq: Int = SpanMaxDocFreq): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val spans = spanRows(docs, spanTokens)
     val frequent = spans.groupBy("span")
       .agg(countDistinct(col("doc_id")).as("doc_freq"))
       .filter(col("doc_freq") > maxDocFreq)
@@ -750,6 +755,62 @@ object Dedup {
       |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
     dedupSpans(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  // ---- Boilerplate span miner --------------------------------------------
+
+  final val BoilerplateTopK = 20
+
+  /** Boilerplate n-gram miner — the OBSERVABILITY face of q80's removal:
+    * q80 silently deletes every span above the doc-frequency cut; before
+    * tuning that cut, a corpus owner wants to SEE the candidates — the
+    * nav bars, license headers and cookie banners ranked by reach. Top-k
+    * spans by distinct-doc frequency with occurrence counts and corpus
+    * share, total-ordered (doc_freq, occurrences, span) so the cut line
+    * is explicit.
+    *
+    * Scale shape: the q80 extraction (scan-local explode) + one span
+    * aggregate (map-side combinable), then a global top-k that plans as
+    * TakeOrderedAndProject — per-partition heads, never a full sort; the
+    * corpus-size denominator rides a 1-row broadcast. */
+  def boilerplateSpans(docs: DataFrame, spanTokens: Int = SpanTokens,
+      topK: Int = BoilerplateTopK): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import graft.functions.Functions.round4
+    val total = broadcast(docs.agg(count(lit(1)).as("n_docs_total")))
+    spanRows(docs, spanTokens)
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("n_occurrences"))
+      .crossJoin(total)
+      .select(col("span"), col("doc_freq"), col("n_occurrences"),
+        round4(col("doc_freq").cast("double") / col("n_docs_total"))
+          .as("pct_docs"))
+      .orderBy(col("doc_freq").desc, col("n_occurrences").desc, col("span"))
+      .limit(topK)
+  }
+
+  /** q110: the top-20 3-token boilerplate candidates over the corpus. */
+  val q110BoilerplateSpans: QuerySpec = QuerySpec(
+    "q110_boilerplate_spans", {
+      import graft.functions.Functions.round4Sql
+      s"""WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |spans AS (
+        |  SELECT doc_id, array_to_string(w[i:i+${SpanTokens - 1}], ' ') AS span
+        |  FROM docs, unnest(generate_series(1, len(w), $SpanTokens)) AS t(i)),
+        |t AS (SELECT count(*) AS n_docs_total FROM documents),
+        |f AS (
+        |  SELECT span, count(DISTINCT doc_id) AS doc_freq,
+        |    count(*) AS n_occurrences
+        |  FROM spans GROUP BY span)
+        |SELECT span, doc_freq, n_occurrences,
+        |  ${round4Sql("CAST(doc_freq AS DOUBLE) / n_docs_total")} AS pct_docs
+        |FROM f CROSS JOIN t
+        |ORDER BY doc_freq DESC, n_occurrences DESC, span
+        |LIMIT $BoilerplateTopK""".stripMargin
+    }) { (s, dir) =>
+    boilerplateSpans(Tables.documents(s, dir))
   }
 
   // ---- Winnowing fingerprints (MOSS) -------------------------------------
@@ -1391,5 +1452,6 @@ object Dedup {
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
     q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
     q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
-    q94BloomAdmit, q106MinhashRecall, q107QualityKeeper)
+    q94BloomAdmit, q106MinhashRecall, q107QualityKeeper,
+    q110BoilerplateSpans)
 }

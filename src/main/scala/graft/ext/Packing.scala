@@ -375,6 +375,75 @@ object Packing {
       .orderBy("shard")
   }
 
+  // ---- length-bucketed batching audit ------------------------------------
+
+  final val LengthBuckets: Seq[Int] = Seq(16, 32, 64, 128, 256, 512)
+
+  /** Power-of-two padded-length class for a token count — the bucketed
+    * batching rule (batch sequences of similar length together, pad to
+    * the class size, not the batch/corpus max). */
+  def lengthBucket(n: Column): Column =
+    LengthBuckets.init.foldLeft(when(lit(false), 0)) {
+      case (acc, b) => acc.when(n <= b, b)
+    }.otherwise(LengthBuckets.last).cast("long")
+
+  private def lengthBucketSql(nExpr: String): String =
+    "CAST(CASE " + LengthBuckets.init.map(b =>
+      s"WHEN $nExpr <= $b THEN $b").mkString(" ") +
+      s" ELSE ${LengthBuckets.last} END AS BIGINT)"
+
+  /** Length-bucketed batching audit — pad-to-class vs pad-to-corpus-max
+    * accounting: dynamic-padding loaders group sequences into length
+    * classes precisely because padding every sequence to the global max
+    * burns attention FLOPs on pad tokens. Per class: membership, real
+    * tokens, padding under the class size, padding the naive global-max
+    * policy would have spent, and the class utilization — the table that
+    * justifies the bucket boundaries.
+    *
+    * Scale shape: token counts and class assignment are scan-local; ONE
+    * map-side-combined aggregate at class cardinality; the global max
+    * rides a 1-row broadcast. No window, no join on data rows. */
+  def lengthBucketAudit(docs: DataFrame): DataFrame = {
+    import graft.functions.Functions.round4
+    val base = docs.select(
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+    val mx = broadcast(base.agg(max(col("n")).as("max_n")))
+    base
+      .withColumn("bucket_len", lengthBucket(col("n")))
+      .crossJoin(mx)
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("bucket_len") - col("n")).as("padded_tokens"),
+        sum(col("max_n") - col("n")).as("naive_padded_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("n_tokens"),
+        col("padded_tokens"), col("naive_padded_tokens"),
+        round4(col("n_tokens").cast("double")
+          / (col("n_docs") * col("bucket_len"))).as("util_pct"))
+  }
+
+  /** q109: the bucketed-batching audit over the corpus. */
+  val q109LengthBuckets: QuerySpec = QuerySpec(
+    "q109_length_buckets", {
+      import graft.functions.Functions.round4Sql
+      s"""WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |m AS (SELECT max(n) AS max_n FROM t),
+        |b AS (SELECT n, ${lengthBucketSql("n")} AS bucket_len FROM t)
+        |SELECT bucket_len, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bucket_len - n) AS BIGINT) AS padded_tokens,
+        |  CAST(sum(max_n - n) AS BIGINT) AS naive_padded_tokens,
+        |  ${round4Sql("CAST(sum(n) AS DOUBLE) / (count(*) * bucket_len)")} AS util_pct
+        |FROM b CROSS JOIN m
+        |GROUP BY bucket_len
+        |ORDER BY bucket_len""".stripMargin
+    }) { (s, dir) =>
+    lengthBucketAudit(Tables.documents(s, dir)).orderBy("bucket_len")
+  }
+
   val all: Seq[QuerySpec] = Seq(q62SequencePacking, q73DocumentChunks,
-    q92EpochAssembly, q101PackingResume, q105PackingEfficiency)
+    q92EpochAssembly, q101PackingResume, q105PackingEfficiency,
+    q109LengthBuckets)
 }

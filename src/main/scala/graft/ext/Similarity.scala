@@ -970,9 +970,78 @@ object Similarity {
       .orderBy("cell_id", "pick_rank")
   }
 
+  // ---- hard-negative mining ----------------------------------------------
+
+  final val HardNegPos = 5
+  final val HardNegK = 5
+
+  /** Hard-negative mining for contrastive training — per query: the
+    * IVF-candidate vectors that score HIGH on cosine but fall OUTSIDE the
+    * exact top-`kPos` — the "close but wrong" examples a retrieval /
+    * embedding trainer pairs against its positives (random negatives are
+    * trivially separable; hard ones carry the gradient). Positives come
+    * from the exact top-k (the quality bar), negatives from the ANN
+    * candidate pool (the scale path) — the standard split of roles.
+    *
+    * Scale shape: the ANN side is [[ivfTopK]]'s id-only cell join at
+    * `kPos + kNeg` depth; the exact side runs over the bounded query
+    * panel only (the q97 audit rule); the subtraction is an id-pair
+    * anti-join, and the re-rank window partitions by query over ≤
+    * kPos+kNeg rows each. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      kPos: Int = HardNegPos, kNeg: Int = HardNegK): DataFrame = {
+    val ann = ivfTopK(queries, corpus, kPos + kNeg).drop("rank")
+    val pos = cosineTopK(queries, corpus, kPos)
+      .select(col("query_id"), col("cand_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    ann.join(pos, Seq("query_id", "cand_id"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kNeg)
+      .select(col("query_id"), col("rn").cast("long").as("neg_rank"),
+        col("cand_id"), col("cosine"))
+  }
+
+  /** q112: top-5 hard negatives per panel query (exact top-5 as the
+    * positive set, IVF top-10 as the candidate pool). Oracle: the q44
+    * and q31 chains nested as CTEs, subtracted and re-ranked on the same
+    * rounded cosine. */
+  val q112HardNegatives: QuerySpec = QuerySpec(
+    "q112_hard_negatives",
+    s"""WITH ivfk AS (
+      |${ivfOracleSql(maxQueryId = 10, k = HardNegPos + HardNegK)}),
+      |ex AS (
+      |  WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |             FROM embeddings WHERE vec_id < 10),
+      |  c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+      |        FROM embeddings),
+      |  scored AS (
+      |    SELECT query_id, cand_id,
+      |      list_dot_product(qe, ce)
+      |        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+      |    FROM q JOIN c ON query_id <> cand_id)
+      |  SELECT query_id, cand_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY cos DESC, cand_id) AS rank FROM scored)
+      |  WHERE rank <= $HardNegPos),
+      |neg AS (
+      |  SELECT i.query_id, i.cand_id, i.cosine
+      |  FROM ivfk i LEFT JOIN ex
+      |    ON ex.query_id = i.query_id AND ex.cand_id = i.cand_id
+      |  WHERE ex.cand_id IS NULL)
+      |SELECT query_id, CAST(rn AS BIGINT) AS neg_rank, cand_id, cosine
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, cand_id) AS rn FROM neg)
+      |WHERE rn <= $HardNegK
+      |ORDER BY query_id, neg_rank""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    hardNegatives(e.filter(col("vec_id") < 10), e)
+      .orderBy("query_id", "neg_rank")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
     q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats,
     q85SemanticNearDup, q97AnnRecall, q98SemanticDecontaminate,
-    q104CellBalancedSample)
+    q104CellBalancedSample, q112HardNegatives)
 }

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot differencing — CDC-style change detection between two
@@ -313,6 +313,117 @@ object Snapshot {
       .orderBy("dimension", "bin")
   }
 
+  // ---- Embedding-space drift (q111) --------------------------------------
+
+  /** Deterministic "next embeddings snapshot": ~8% of vectors dropped
+    * (vec_id % 13 — their source docs left the corpus), ~14% re-embedded
+    * with a shifted encoder (vec_id % 7 gains +0.25 per dimension — 0.25
+    * is a power of two, exact in IEEE at any width), ~9% re-crawled
+    * duplicates appended past the id range (vec_id % 11 = 3, derived
+    * offset). ALL v2 arithmetic runs in DOUBLE after an exact
+    * float→double widening, so both engines see bit-identical inputs. */
+  def nextEmbeddingsSnapshot(emb: DataFrame): DataFrame = {
+    val off = broadcast(emb.agg(
+      ((expr(s"max(vec_id) div $InsertOffsetUnit") + 1L)
+        * InsertOffsetUnit).as("__off")))
+    val widened = transform(col("embedding"), x => x.cast("double"))
+    val survivors = emb.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"), col("label"),
+        when(col("vec_id") % 7 === 0,
+          transform(col("embedding"), x => x.cast("double") + 0.25))
+          .otherwise(widened).as("e"))
+    val inserts = emb.filter(col("vec_id") % 11 === 3)
+      .crossJoin(off)
+      .select((col("vec_id") + col("__off")).as("vec_id"), col("label"),
+        widened.as("e"))
+    survivors.unionByName(inserts)
+  }
+
+  /** Embedding-space drift between two corpus snapshots, per label: the
+    * encoder-regression monitor — a re-embedding run or a crawl shift
+    * moves class centroids, and every ANN index / semantic-decon
+    * threshold downstream was tuned on the OLD geometry. Centroids are
+    * the q32-proven round-4 per-dimension averages; the drift metrics
+    * (centroid cosine, L2 shift) are computed FROM the rounded centroids
+    * with order-fixed array arithmetic, so no unordered float sum ever
+    * crosses the oracle boundary.
+    *
+    * Scale shape: one posexplode + (label × dim)-cardinality aggregate
+    * per snapshot — the q32 plan twice — then a label-cardinality join;
+    * the snapshots never meet row-level. */
+  def embeddingDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    import graft.functions.Functions.{round4, round6}
+    def cents(df: DataFrame, e: Column): DataFrame = df
+      .select(col("label"), posexplode(e).as(Seq("dim_idx", "v")))
+      .groupBy("label", "dim_idx")
+      .agg(round(avg(col("v").cast("double")), 4).as("cv"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim_idx"), col("cv")))),
+        s => s.getField("cv")).as("c"))
+    val c1 = cents(v1, col("embedding")).withColumnRenamed("c", "c1")
+    val c2 = cents(v2, col("e")).withColumnRenamed("c", "c2")
+    val n1 = v1.groupBy("label").agg(count(lit(1)).as("n_v1"))
+    val n2 = v2.groupBy("label").agg(count(lit(1)).as("n_v2"))
+    val d11 = Similarity.dot(col("c1"), col("c1"))
+    val d22 = Similarity.dot(col("c2"), col("c2"))
+    val d12 = Similarity.dot(col("c1"), col("c2"))
+    c1.join(c2, Seq("label")).join(n1, Seq("label")).join(n2, Seq("label"))
+      .select(col("label"), col("n_v1"), col("n_v2"),
+        round6(d12 / (sqrt(d11) * sqrt(d22))).as("centroid_cos"),
+        round4(sqrt(greatest(lit(0.0), d11 - lit(2.0) * d12 + d22)))
+          .as("l2_shift"))
+  }
+
+  /** q111: per-label embedding drift between the base snapshot and the
+    * deterministic next one. */
+  val q111EmbeddingDrift: QuerySpec = QuerySpec(
+    "q111_embedding_drift", {
+      import graft.functions.Functions.{round4Sql, round6Sql}
+      def centsSql(rel: String, out: String) =
+        s"""$out AS (
+          |  SELECT label, list(cv ORDER BY i) AS c FROM (
+          |    SELECT label, i, round(avg(v), 4) AS cv FROM (
+          |      SELECT label, unnest(generate_series(1, len(e))) AS i,
+          |        unnest(e) AS v FROM $rel)
+          |    GROUP BY label, i)
+          |  GROUP BY label)""".stripMargin
+      s"""WITH off AS (
+        |  SELECT (max(vec_id) // $InsertOffsetUnit + 1)
+        |    * $InsertOffsetUnit AS v FROM embeddings),
+        |e1 AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |e2 AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN vec_id % 7 = 0
+        |      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.25)
+        |      ELSE CAST(embedding AS DOUBLE[]) END AS e
+        |  FROM embeddings WHERE vec_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT v FROM off), label,
+        |    CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 11 = 3),
+        |${centsSql("e1", "c1")},
+        |${centsSql("e2", "c2")},
+        |n1 AS (SELECT label, count(*) AS n_v1 FROM e1 GROUP BY label),
+        |n2 AS (SELECT label, count(*) AS n_v2 FROM e2 GROUP BY label)
+        |SELECT c1.label AS label, n_v1, n_v2,
+        |  ${round6Sql("list_dot_product(c1.c, c2.c) / " +
+             "(sqrt(list_dot_product(c1.c, c1.c)) * sqrt(list_dot_product(c2.c, c2.c)))")}
+        |    AS centroid_cos,
+        |  ${round4Sql("sqrt(greatest(0.0, list_dot_product(c1.c, c1.c) " +
+             "- 2.0 * list_dot_product(c1.c, c2.c) + list_dot_product(c2.c, c2.c)))")}
+        |    AS l2_shift
+        |FROM c1 JOIN c2 ON c1.label = c2.label
+        |JOIN n1 ON n1.label = c1.label
+        |JOIN n2 ON n2.label = c1.label
+        |ORDER BY label""".stripMargin
+    }) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    embeddingDrift(emb, nextEmbeddingsSnapshot(emb)).orderBy("label")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q69SnapshotDiff, q93SnapshotDrift, q103CorpusDrift)
+    Seq(q69SnapshotDiff, q93SnapshotDrift, q103CorpusDrift, q111EmbeddingDrift)
 }

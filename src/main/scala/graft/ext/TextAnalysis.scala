@@ -648,7 +648,7 @@ object TextAnalysis {
     }
     docs
       .withColumn("__words", words)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("lang"),
         size(col("__words")).cast("long").as("n_words"),
         aggregate(fused, lit(0L), (a, s) =>
           a + size(filter(split(s, " "), x => length(x) > 0)).cast("long"))
@@ -692,12 +692,78 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
     val merges = bpeMerges(docs, BpeRounds).orderBy("round")
       .collect().map(_.getAs[String]("pair")).toSeq
-    bpeEncode(docs, merges).orderBy("doc_id")
+    bpeEncode(docs, merges)
+      .select("doc_id", "source", "n_words", "n_bpe_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility audit — subword tokens per word, per language:
+    * THE tokenizer-fairness metric (a vocab trained on one language's
+    * distribution fragments the others; fertility quantifies how much
+    * sequence budget each language burns per word, which prices both
+    * training cost and effective context length). Groups the real
+    * [[bpeEncode]] counts under the corpus-induced merges.
+    *
+    * Scale shape: the q96 encode plan (scan-local string ops, merge
+    * table as literal metadata) plus ONE map-side-combined aggregate at
+    * language cardinality. */
+  def tokenizerFertility(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    bpeEncode(docs, merges)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        round4(col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("fertility"))
+  }
+
+  /** q108: fertility per language under the q95-induced merges. Oracle:
+    * the q96 chain grouped by lang, the ratio in the shared floor-round
+    * arithmetic. */
+  val q108TokenizerFertility: QuerySpec = QuerySpec(
+    "q108_tokenizer_fertility", {
+      val m = (1 to BpeRounds).map { r =>
+        (s: String) => s"""replace(replace(replace($s,
+          |    (SELECT ' ' || pair || ' ' FROM t$r),
+          |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r)),
+          |    (SELECT ' ' || pair || ' ' FROM t$r),
+          |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r)),
+          |    (SELECT ' ' || pair || ' ' FROM t$r),
+          |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t$r))""".stripMargin
+      }
+      val enc = m.foldLeft("s")((acc, f) => f(acc))
+      s"""WITH ${bpeChainCtes(BpeRounds)},
+        |w AS (
+        |  SELECT doc_id, lang,
+        |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0),
+        |f AS (SELECT doc_id, lang, $enc AS s FROM w),
+        |g AS (
+        |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(len(list_filter(string_split(s, ' '), x -> x <> '')))
+        |      AS BIGINT) AS n_bpe_tokens
+        |  FROM f GROUP BY doc_id, lang)
+        |SELECT d.lang AS lang, count(*) AS n_docs,
+        |  CAST(sum(coalesce(g.n_words, 0)) AS BIGINT) AS n_words,
+        |  CAST(sum(coalesce(g.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+        |  ${round4Sql(
+             "CAST(sum(coalesce(g.n_bpe_tokens, 0)) AS DOUBLE) / sum(coalesce(g.n_words, 0))")} AS fertility
+        |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+        |GROUP BY d.lang
+        |ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = bpeMerges(docs, BpeRounds).orderBy("round")
+      .collect().map(_.getAs[String]("pair")).toSeq
+    tokenizerFertility(docs, merges).orderBy("lang")
   }
 
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
-    q95BpeMerges, q96BpeEncode)
+    q95BpeMerges, q96BpeEncode, q108TokenizerFertility)
 }

@@ -201,7 +201,8 @@ class ExtSpec extends SparkSpec {
     val docs = docsDf(
       1L -> "aaab ab",
       2L -> "b b b",
-      3L -> "aaab aaab aaab").withColumn("source", lit("t"))
+      3L -> "aaab aaab aaab")
+      .withColumn("source", lit("t")).withColumn("lang", lit("en"))
     // merge "a b": " a a a b " → " a a ab " (3-pass LTR), " a b " → " ab "
     val out = TextAnalysis.bpeEncode(docs, Seq("a b")).orderBy("doc_id")
       .collect().map(r => (r.getAs[Long]("doc_id"),
@@ -209,7 +210,8 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 4L), (2L, 3L, 3L), (3L, 3L, 9L)))
     // chain fusion needs the multi-pass: "a a" then applied repeatedly
     val chained = TextAnalysis.bpeEncode(docsDf(1L -> "aaaa")
-      .withColumn("source", lit("t")), Seq("a a", "aa aa"))
+      .withColumn("source", lit("t")).withColumn("lang", lit("en")),
+      Seq("a a", "aa aa"))
       .collect().head.getAs[Long]("n_bpe_tokens")
     assert(chained == 1L, s"aaaa under [a a, aa aa] must fuse to 1, got $chained")
     // full-corpus invariant: n_words <= n_bpe_tokens <= total chars
@@ -1165,6 +1167,90 @@ class ExtSpec extends SparkSpec {
     assert(top.getAs[Long]("recall_pct") == 100L)
     // the disjoint doc produced no exact pair, so no other bands appear
     assert(rows.length == 1)
+  }
+
+  test("tokenizer fertility: >= 1 per language, totals reconcile with per-doc counts") {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val merges = TextAnalysis.bpeMerges(docs).orderBy("round")
+      .collect().map(_.getAs[String]("pair")).toSeq
+    val rows = TextAnalysis.tokenizerFertility(docs, merges).collect()
+    assert(rows.nonEmpty)
+    // BPE starts from characters and only fuses: a word is never fewer
+    // than one token, so fertility is bounded below by 1
+    rows.foreach(r => assert(r.getAs[Double]("fertility") >= 1.0, s"$r"))
+    val perDoc = TextAnalysis.bpeEncode(docs, merges)
+      .groupBy("lang").sum("n_bpe_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_bpe_tokens") == perDoc(r.getAs[String]("lang"))))
+  }
+
+  test("length buckets: capacity identity holds; bucketing beats pad-to-max") {
+    import graft.ext.Packing
+    val rows = Packing.lengthBucketAudit(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") + r.getAs[Long]("padded_tokens")
+        == r.getAs[Long]("n_docs") * r.getAs[Long]("bucket_len"), s"$r")
+    }
+    // in aggregate the class padding must undercut the naive global-max
+    // policy — that saving is the operator's reason to exist
+    assert(rows.map(_.getAs[Long]("padded_tokens")).sum
+      < rows.map(_.getAs[Long]("naive_padded_tokens")).sum)
+  }
+
+  test("boilerplate miner: a span shared by every doc ranks first with full reach") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here now alpha beta gamma"),
+      (2L, "click here now delta epsilon zeta"),
+      (3L, "click here now eta theta iota"))
+      .toDF("doc_id", "text")
+    val top = Dedup.boilerplateSpans(docs, spanTokens = 3, topK = 3).collect()
+    assert(top.head.getAs[String]("span") == "click here now")
+    assert(top.head.getAs[Long]("doc_freq") == 3L)
+    assert(top.head.getAs[Double]("pct_docs") == 1.0)
+  }
+
+  test("embedding drift: re-embedded labels shift, metrics stay in range") {
+    import graft.ext.Snapshot
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Snapshot.embeddingDrift(
+      emb, Snapshot.nextEmbeddingsSnapshot(emb)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("centroid_cos") <= 1.000001, s"$r")
+      assert(r.getAs[Double]("l2_shift") >= 0.0, s"$r")
+    }
+    // the +0.25/dim re-embedding of ~1/7 of members must move SOME label
+    // centroid visibly
+    assert(rows.exists(_.getAs[Double]("l2_shift") > 0.05),
+      "no label shows the planted encoder shift")
+  }
+
+  test("hard negatives: disjoint from exact positives, ranked by cosine") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 10)
+    val neg = Similarity.hardNegatives(queries, e).collect()
+    assert(neg.nonEmpty)
+    val pos = Similarity.cosineTopK(queries, e, Similarity.HardNegPos)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    neg.foreach { r =>
+      assert(!pos.contains(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))),
+        s"negative overlaps a positive: $r")
+    }
+    neg.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("neg_rank"))
+      assert(sorted.map(_.getAs[Long]("neg_rank")).toSeq ==
+        (1L to sorted.length).map(identity), "ranks not dense")
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        "cosine not monotone within a query")
+    }
   }
 
   test("quality keeper: the best-scoring member survives, not the min id") {

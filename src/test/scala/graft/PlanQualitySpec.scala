@@ -371,6 +371,34 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q108: fertility is one scan + one lang aggregate — merge table stays literal") {
+    val p = planOf("q108_tokenizer_fertility")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"encode scans documents more than once:\n$p")
+    assert(!p.contains("Join"), s"fertility must be join-free:\n$p")
+  }
+
+  test("q110: boilerplate top-k plans as TakeOrderedAndProject") {
+    val p = planOf("q110_boilerplate_spans")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q111: snapshots meet at label cardinality — never on vec_id") {
+    val p = planOf("q111_embedding_drift")
+    assert(!"""hashpartitioning\(vec_id""".r.findFirstIn(p).isDefined,
+      s"a vec_id exchange appeared in the drift plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q112: negative re-rank trims map-side; no cartesian") {
+    val p = planOf("q112_hard_negatives")
+    assert(p.contains("WindowGroupLimit"),
+      s"re-rank window not trimmed before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
