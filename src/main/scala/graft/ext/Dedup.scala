@@ -94,7 +94,7 @@ object Dedup {
   def normalizeForDedup(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  private def normalizeForDedupSql(x: String): String =
+  private[ext] def normalizeForDedupSql(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Dedup groups keyed on the NORMALIZED fingerprint, with the count of

@@ -160,5 +160,97 @@ object Integrity {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q100CorpusIntegrity, q102ContaminationCard)
+  /** Defense-in-depth DUPLICATION card — the q102 pattern applied to the
+    * dedup family: per training doc, the verdict of each registered
+    * duplicate detector — raw-byte identity (q26's md5 groups),
+    * normalization-aware identity (q81's canonical fingerprint), and
+    * MinHash-banded near-duplication (q28's candidates contracted to
+    * components by q79's star rounds, the q86 construction). The three
+    * have strictly widening reach and DIFFERENT keep-first keepers; the
+    * card makes the union policy ("drop if any detector demotes the
+    * doc") auditable per row instead of buried in a pipeline's plumbing.
+    *
+    * Scale shape: two 16-byte-digest shuffles (raw + normalized groups
+    * joined back on their digest), the q28/q79 banded pair + contraction
+    * chain, and three id-only joins from the doc list — every piece the
+    * plan its own query ships. */
+  def dedupCard(docs: DataFrame): DataFrame = {
+    val b = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+      md5(Dedup.normalizeForDedup(col("text"))).as("nfp"))
+    val g1 = b.groupBy("fp").agg(
+      min(col("doc_id")).as("exact_keeper"), count(lit(1)).as("c1"))
+    val g2 = b.groupBy("nfp").agg(
+      min(col("doc_id")).as("norm_keeper"), count(lit(1)).as("c2"))
+    val near = Dedup.clustersFromPairsStar(Dedup.minhashCandidates(docs, 0.5))
+      .withColumnRenamed("cluster_rep", "near_rep")
+    b.join(g1, Seq("fp")).join(g2, Seq("nfp"))
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("c1") > 1).as("in_exact_group"), col("exact_keeper"),
+        (col("c2") > 1).as("in_norm_group"), col("norm_keeper"),
+        col("near_rep"),
+        (col("doc_id") =!= col("exact_keeper")
+          || col("doc_id") =!= col("norm_keeper")
+          || (col("near_rep").isNotNull
+            && col("doc_id") =!= col("near_rep"))).as("drop_candidate"))
+  }
+
+  /** q114: the duplication card over the corpus with q26's injected
+    * exact copies and q81's reformatted copies, so all three detectors
+    * have work. Oracle: digest groups in SQL, the q28 chain + q60's
+    * recursive components for the near side. */
+  val q114DedupCard: QuerySpec = QuerySpec(
+    "q114_dedup_card", {
+      val corpusSql =
+        """corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000,
+          |    upper(text) || '  !!' AS text
+          |  FROM documents WHERE doc_id % 11 = 3)""".stripMargin
+      s"""WITH RECURSIVE $corpusSql,
+        |${Dedup.minhashPairsSqlCtesFrom("corpus", math.ceil(0.5 * Dedup.MinhashK).toInt)},
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS near_rep
+        |  FROM reach GROUP BY src),
+        |b AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    md5(${Dedup.normalizeForDedupSql("text")}) AS nfp
+        |  FROM corpus),
+        |g1 AS (SELECT fp, min(doc_id) AS exact_keeper, count(*) AS c1
+        |       FROM b GROUP BY fp),
+        |g2 AS (SELECT nfp, min(doc_id) AS norm_keeper, count(*) AS c2
+        |       FROM b GROUP BY nfp)
+        |SELECT b.doc_id AS doc_id,
+        |  (g1.c1 > 1) AS in_exact_group, g1.exact_keeper AS exact_keeper,
+        |  (g2.c2 > 1) AS in_norm_group, g2.norm_keeper AS norm_keeper,
+        |  l.near_rep AS near_rep,
+        |  (b.doc_id <> g1.exact_keeper OR b.doc_id <> g2.norm_keeper
+        |    OR (l.near_rep IS NOT NULL AND b.doc_id <> l.near_rep))
+        |    AS drop_candidate
+        |FROM b JOIN g1 USING (fp) JOIN g2 USING (nfp)
+        |LEFT JOIN labels l ON l.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text")))
+    dedupCard(corpus).orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q100CorpusIntegrity, q102ContaminationCard, q114DedupCard)
 }

@@ -1039,9 +1039,98 @@ object Similarity {
       .orderBy("query_id", "neg_rank")
   }
 
+  // ---- ANN ranking-quality (MRR) audit -----------------------------------
+
+  /** MRR@k of the two ANN paths — the RANKING-quality companion to q97's
+    * recall: recall counts set overlap, but a retrieval consumer reads
+    * from the top, so where the TRUE nearest neighbor lands in the
+    * method's list is the metric that prices user-visible quality.
+    * Reciprocal ranks are kept as exact integers scaled by 60 (= lcm of
+    * ranks 1..5, so 60/r is whole for every position and absent → 0);
+    * only the final mean crosses to a rounded double.
+    *
+    * Scale shape: both method lists and the exact rank-1 side run over
+    * the bounded query panel (the q97 audit rule); the position lookup
+    * is an id-pair equi-join; the fold is a 2-row aggregate. */
+  def annMrrAudit(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Functions.round4
+    val trueNn = cosineTopK(queries, corpus, 1)
+      .select(col("query_id"), col("cand_id").as("true_nn"))
+    val approx =
+      annTopK(queries, corpus, k).select("query_id", "cand_id", "rank")
+        .withColumn("method", lit("lsh"))
+        .unionByName(ivfTopK(queries, corpus, k)
+          .select("query_id", "cand_id", "rank")
+          .withColumn("method", lit("ivf")))
+    val rrs = approx.join(trueNn, Seq("query_id"))
+      .filter(col("cand_id") === col("true_nn"))
+      .select(col("method"), col("query_id"),
+        expr("CAST(60 DIV rank AS BIGINT)").as("rr_x60"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val panel = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(broadcast(Seq("lsh", "ivf").toDF("method")))
+    panel.join(rrs, Seq("method", "query_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(col("rr_x60"), lit(0L))).as("sum_rr_x60"))
+      .select(col("method"), col("n_queries"), col("sum_rr_x60"),
+        round4(col("sum_rr_x60").cast("double")
+          / (col("n_queries") * 60)).as("mrr"))
+  }
+
+  /** q113: MRR@5 of both ANN paths over the q97 panel. Oracle: the LSH /
+    * IVF chains nested as CTEs, the exact rank-1 side, 60//rank
+    * integer reciprocal ranks. */
+  val q113AnnMrr: QuerySpec = QuerySpec(
+    "q113_ann_mrr", {
+      import graft.functions.Functions.round4Sql
+      s"""WITH ex1 AS (
+        |  WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |             FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+        |        FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, cand_id,
+        |      list_dot_product(qe, ce)
+        |        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |    FROM q JOIN c ON query_id <> cand_id)
+        |  SELECT query_id, cand_id AS true_nn
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, cand_id) AS rank FROM scored)
+        |  WHERE rank = 1),
+        |lsh AS (
+        |${annLshOracleSql(maxQueryId = 10, k = 5)}),
+        |ivf AS (
+        |${ivfOracleSql(maxQueryId = 10, k = 5)}),
+        |m AS (
+        |  SELECT 'lsh' AS method, query_id, cand_id, rank FROM lsh
+        |  UNION ALL
+        |  SELECT 'ivf' AS method, query_id, cand_id, rank FROM ivf),
+        |rr AS (
+        |  SELECT method, m.query_id, CAST(60 // rank AS BIGINT) AS rr_x60
+        |  FROM m JOIN ex1 ON ex1.query_id = m.query_id
+        |    AND ex1.true_nn = m.cand_id),
+        |panel AS (
+        |  SELECT method, vec_id AS query_id
+        |  FROM (VALUES ('lsh'), ('ivf')) t(method)
+        |  CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 10))
+        |SELECT method, count(*) AS n_queries,
+        |  CAST(sum(coalesce(rr_x60, 0)) AS BIGINT) AS sum_rr_x60,
+        |  ${round4Sql(
+             "CAST(sum(coalesce(rr_x60, 0)) AS DOUBLE) / (count(*) * 60)")} AS mrr
+        |FROM panel LEFT JOIN rr USING (method, query_id)
+        |GROUP BY method
+        |ORDER BY method""".stripMargin
+    }) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    annMrrAudit(e.filter(col("vec_id") < 10), e, 5)
+      .orderBy("method")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
     q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats,
     q85SemanticNearDup, q97AnnRecall, q98SemanticDecontaminate,
-    q104CellBalancedSample, q112HardNegatives)
+    q104CellBalancedSample, q112HardNegatives, q113AnnMrr)
 }

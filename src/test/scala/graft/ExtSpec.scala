@@ -1253,6 +1253,57 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ann mrr: bounded, consistent with its integer numerators; exact on a one-cell fixture") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val rows = Similarity.annMrrAudit(e.filter(col("vec_id") < 10), e, 5).collect()
+    assert(rows.map(_.getAs[String]("method")).sorted.toSeq == Seq("ivf", "lsh"))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_queries")
+      val s60 = r.getAs[Long]("sum_rr_x60")
+      val mrr = r.getAs[Double]("mrr")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"$r")
+      assert(math.abs(mrr - s60.toDouble / (n * 60)) < 1e-4, s"$r")
+    }
+    // 4-vector fixture: IVF seeds every vector as its own cell and the
+    // probe width covers them all -> candidates are exhaustive -> the
+    // true nearest neighbor is always rank 1
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val ivf = Similarity.annMrrAudit(tiny.filter(col("vec_id") < 2), tiny, 3)
+      .collect().find(_.getAs[String]("method") == "ivf").get
+    assert(ivf.getAs[Double]("mrr") == 1.0, s"exhaustive probe must be exact: $ivf")
+  }
+
+  test("dedup card: each detector flags its injected class with the right keeper") {
+    val rows = SparkEntry.queries("q114_dedup_card")(spark, sf).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val exactClones = byId.keys.filter(_ >= 1000000L).filter(_ < 3000000L)
+    val normClones = byId.keys.filter(_ >= 3000000L)
+    assert(exactClones.nonEmpty && normClones.nonEmpty, "fixture classes missing")
+    exactClones.foreach { id =>
+      val r = byId(id)
+      assert(r.getAs[Boolean]("in_exact_group"), s"exact clone unflagged: $r")
+      assert(r.getAs[Long]("exact_keeper") == id - 1000000L, s"wrong keeper: $r")
+      assert(r.getAs[Boolean]("drop_candidate"))
+    }
+    normClones.foreach { id =>
+      val r = byId(id)
+      // reformatting breaks the raw digest but not the canonical one
+      assert(!r.getAs[Boolean]("in_exact_group"), s"norm clone in raw group: $r")
+      assert(r.getAs[Boolean]("in_norm_group"), s"norm clone unflagged: $r")
+      assert(r.getAs[Long]("norm_keeper") == id - 3000000L, s"wrong keeper: $r")
+      assert(r.getAs[Boolean]("drop_candidate"))
+    }
+    // originals that head their groups and sit outside near-dup clusters
+    // must NOT be drop candidates — keep-first keeps them
+    assert(rows.exists(r => !r.getAs[Boolean]("drop_candidate")),
+      "card dropped the whole corpus")
+  }
+
   test("quality keeper: the best-scoring member survives, not the min id") {
     import graft.ext.Dedup
     import spark.implicits._

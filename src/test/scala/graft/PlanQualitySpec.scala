@@ -399,6 +399,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q113/q114: audit compositions stay cartesian-free") {
+    Seq("q113_ann_mrr", "q114_dedup_card").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
