@@ -761,9 +761,53 @@ object TextAnalysis {
     tokenizerFertility(docs, merges).orderBy("lang")
   }
 
+  /** Per-source quality quantiles — the calibration table behind every
+    * threshold in the funnel/tier/cap family: a single global cut (q63's
+    * 0.4, q88's bands) implicitly assumes sources share a quality
+    * distribution; this table shows each source's actual quartiles +
+    * tails so a per-source cut can be argued from data. Same exact-
+    * percentile form as q57 (gate-scale; the q47/q59 GK-sketch harness
+    * is the declared scale twin for percentile work).
+    *
+    * Scale shape: scan-local quality arithmetic + ONE aggregate at
+    * source cardinality; exact percentiles hold each group's values —
+    * at real scale swap in the sketch twin, as the q18/q47 pairing
+    * documents. */
+  def sourceQualityQuantiles(docs: DataFrame): DataFrame = {
+    val (lenS, ttr, stop) = qualityParts(col("text"))
+    docs.select(col("source"), qualityScore(lenS, ttr, stop).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round4(expr("percentile(q, 0.25)")).as("p25"),
+        round4(expr("percentile(q, 0.5)")).as("p50"),
+        round4(expr("percentile(q, 0.75)")).as("p75"),
+        round4(expr("percentile(q, 0.95)")).as("p95"),
+        round4(min(col("q"))).as("q_min"),
+        round4(max(col("q"))).as("q_max"))
+  }
+
+  /** q116: the per-source quality calibration table. */
+  val q116SourceQualityQuantiles: QuerySpec = QuerySpec(
+    "q116_source_quality_quantiles",
+    s"""WITH p AS (
+      |  ${qualityPartsSql(", source")}),
+      |f AS (SELECT source, $QualityBlendSql AS q FROM p)
+      |SELECT source, count(*) AS n_docs,
+      |  ${round4Sql("quantile_cont(q, 0.25)")} AS p25,
+      |  ${round4Sql("quantile_cont(q, 0.5)")} AS p50,
+      |  ${round4Sql("quantile_cont(q, 0.75)")} AS p75,
+      |  ${round4Sql("quantile_cont(q, 0.95)")} AS p95,
+      |  ${round4Sql("min(q)")} AS q_min,
+      |  ${round4Sql("max(q)")} AS q_max
+      |FROM f GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    sourceQualityQuantiles(Tables.documents(s, dir)).orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
-    q95BpeMerges, q96BpeEncode, q108TokenizerFertility)
+    q95BpeMerges, q96BpeEncode, q108TokenizerFertility,
+    q116SourceQualityQuantiles)
 }

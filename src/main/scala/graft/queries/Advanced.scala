@@ -354,7 +354,47 @@ object Advanced {
     anomaliesChunked(Tables.events(s, dir)).orderBy("event_id")
   }
 
+  /** Daily retention cohorts — the product-analytics staple over the
+    * events stream: users grouped by their FIRST-seen day, each cohort
+    * tracked by how many members are active again N days later. All
+    * integers and dates (a `CAST(ts AS DATE)` truncation and an exact
+    * day difference — no float, no timezone arithmetic; the session
+    * pins UTC).
+    *
+    * Scale shape: one (user → first day) aggregate and one distinct
+    * (user, day) activity set — both shuffle on user_id, so with AQE
+    * the cohort join is co-partitioned on the key it aggregates by; the
+    * final (cohort, offset) aggregate is days²-cardinality metadata. No
+    * window, no skew cliff (user_id is the high-cardinality key). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), col("ts").cast("date").as("d"))
+    val cohorts = days.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    val active = days.distinct()
+    active.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+        expr("CAST(datediff(d, cohort_day) AS INT)").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
+  /** q115: daily retention over the events table. */
+  val q115RetentionCohorts: QuerySpec = QuerySpec(
+    "q115_retention_cohorts",
+    """WITH w AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS cohort_day FROM w GROUP BY user_id)
+      |SELECT c.cohort_day AS cohort_day,
+      |  CAST(datediff('day', c.cohort_day, w.d) AS INT) AS day_offset,
+      |  count(*) AS n_active_users
+      |FROM w JOIN c ON w.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+    retentionCohorts(Tables.events(s, dir))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
-    q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore)
+    q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
+    q115RetentionCohorts)
 }

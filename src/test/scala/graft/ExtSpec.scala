@@ -1304,6 +1304,40 @@ class ExtSpec extends SparkSpec {
       "card dropped the whole corpus")
   }
 
+  test("retention cohorts: offset 0 equals cohort size; retention never exceeds it") {
+    val ev = Tables.events(spark, sf)
+    val rows = graft.queries.Advanced.retentionCohorts(ev).collect()
+    assert(rows.nonEmpty)
+    val sizes = ev
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("cd"))
+      .groupBy("cd").count().collect()
+      .map(r => r.getDate(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_day")).foreach {
+      case (cd, rs) =>
+        val base = rs.find(_.getAs[Int]("day_offset") == 0)
+          .getOrElse(fail(s"cohort $cd missing its own day"))
+          .getAs[Long]("n_active_users")
+        // every member is active on their first-seen day by definition
+        assert(base == sizes(cd), s"cohort $cd base mismatch")
+        rs.foreach(r =>
+          assert(r.getAs[Long]("n_active_users") <= base, s"$r"))
+    }
+  }
+
+  test("source quality quantiles: monotone within each source, counts total") {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val rows = TextAnalysis.sourceQualityQuantiles(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val seq = Seq("q_min", "p25", "p50", "p75", "p95", "q_max")
+        .map(r.getAs[Double])
+      assert(seq.zip(seq.tail).forall { case (a, b) => a <= b },
+        s"quantiles not monotone: $r")
+    }
+  }
+
   test("quality keeper: the best-scoring member survives, not the min id") {
     import graft.ext.Dedup
     import spark.implicits._

@@ -406,6 +406,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q115: retention shuffles on user_id — no window, no cartesian") {
+    val p = planOf("q115_retention_cohorts")
+    assert("""hashpartitioning\(user_id""".r.findFirstIn(p).isDefined,
+      s"cohort join not partitioned on the user key:\n$p")
+    assert(!p.contains("Window"), s"retention must not window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q116: quality calibration is one scan, join-free") {
+    val p = planOf("q116_source_quality_quantiles")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"calibration scans documents more than once:\n$p")
+    assert(!p.contains("Join"), s"calibration must be join-free:\n$p")
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
