@@ -76,23 +76,44 @@ object Advanced {
       .orderBy("event_id")
   }
 
-  /** Gap-based sessionization (30-minute inactivity gap): lag → new-session
-    * flag → running sum = session id; per-session stats. The batch twin of
-    * Structured Streaming's session windows (SURVEY.md §2.8). */
-  val q42Sessionize: QuerySpec = QuerySpec(
-    "q42_sessionize",
-    """WITH flagged AS (
-      |  SELECT user_id, ts, event_id,
+  /** The gap-rule session-id CTE chain — ONE spelling shared by the q42
+    * oracle and q117's path analysis (a gap-threshold tweak landing in
+    * only one would let the path table disagree with the session stats
+    * it claims to describe). `extraCols` carries per-event payload
+    * columns through (q117 needs event_type). */
+  private def sessionSqlCtes(extraCols: String = ""): String =
+    s"""flagged AS (
+      |  SELECT user_id, ts, event_id$extraCols,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
-      |  SELECT user_id, ts, event_id,
+      |  SELECT user_id, ts, event_id$extraCols,
       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      |  FROM flagged)
+      |  FROM flagged)""".stripMargin
+
+  /** Session-id assignment (the 30-minute gap rule) as a reusable frame:
+    * lag → new-session flag → running sum, both windows per user. */
+  def sessionIds(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("new_session",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run).cast("long"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag → new-session
+    * flag → running sum = session id; per-session stats. The batch twin of
+    * Structured Streaming's session windows (SURVEY.md §2.8). */
+  val q42Sessionize: QuerySpec = QuerySpec(
+    "q42_sessionize",
+    "WITH " + sessionSqlCtes() + """
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
       |  count(*) AS n_events,
       |  min(ts) AS session_start,
@@ -100,14 +121,7 @@ object Advanced {
       |FROM sessions
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .withColumn("new_session",
-        when(lag(col("ts"), 1).over(w).isNull ||
-          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("new_session")).over(run).cast("long"))
+    sessionIds(Tables.events(s, dir))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
@@ -393,8 +407,64 @@ object Advanced {
       .orderBy("cohort_day", "day_offset")
   }
 
+  final val PathLen = 3
+  final val PathTopK = 15
+
+  /** Top session paths — the "how do sessions start" companion to q42's
+    * stats and q58's fixed funnel: each session reduces to its first
+    * [[PathLen]] event types in time order, and paths rank by frequency.
+    * Unlike the funnel (which checks ONE hypothesized order), the path
+    * table DISCOVERS the orders users actually follow.
+    *
+    * Scale shape: the session windows are q42's exact frames (per-user,
+    * high-cardinality key); the path reduction is one per-session
+    * aggregate whose collect_list is bounded by session length, ordered
+    * via array_sort on (ts, event_id, type) structs so reassembly is
+    * deterministic under any partitioning (the q80 rule); the final
+    * top-k is path-cardinality metadata planned as TakeOrdered. */
+  def sessionPaths(events: DataFrame, pathLen: Int = PathLen,
+      topK: Int = PathTopK): DataFrame = {
+    import graft.functions.Functions.round4
+    val paths = sessionIds(events)
+      .groupBy("user_id", "session_id")
+      .agg(concat_ws(">", slice(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), 1, pathLen)).as("path"))
+    val total = broadcast(paths.agg(count(lit(1)).as("n_total")))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(total)
+      .select(col("path"), col("n_sessions"),
+        round4(col("n_sessions").cast("double") / col("n_total"))
+          .as("pct_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
+  /** q117: the top-15 3-step session openings. Oracle: the shared
+    * session CTEs + ordered list slicing. */
+  val q117SessionPaths: QuerySpec = QuerySpec(
+    "q117_session_paths", {
+      import graft.functions.Functions.round4Sql
+      "WITH " + sessionSqlCtes(", event_type") + s""",
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    array_to_string(
+        |      (list(event_type ORDER BY ts, event_id))[1:$PathLen], '>') AS path
+        |  FROM sessions GROUP BY user_id, session_id),
+        |t AS (SELECT count(*) AS n_total FROM p)
+        |SELECT path, count(*) AS n_sessions,
+        |  ${round4Sql("CAST(count(*) AS DOUBLE) / n_total")} AS pct_sessions
+        |FROM p CROSS JOIN t
+        |GROUP BY path, n_total
+        |ORDER BY n_sessions DESC, path
+        |LIMIT $PathTopK""".stripMargin
+    }) { (s, dir) =>
+    sessionPaths(Tables.events(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
-    q115RetentionCohorts)
+    q115RetentionCohorts, q117SessionPaths)
 }

@@ -1338,6 +1338,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("session paths: gap splits produce the exact expected openings") {
+    import graft.queries.Advanced
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      // user 1: one session of four events — path truncates to first 3
+      (1L, at(0), 1L, "view"), (2L, at(5), 1L, "click"),
+      (3L, at(10), 1L, "purchase"), (4L, at(15), 1L, "view"),
+      // user 2: 2-event session, then a 2-hour gap, then a 1-event session
+      (5L, at(0), 2L, "view"), (6L, at(3), 2L, "click"),
+      (7L, at(150), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val paths = Advanced.sessionPaths(ev, pathLen = 3, topK = 10)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(paths == Map(
+      "view>click>purchase" -> 1L, "view>click" -> 1L, "purchase" -> 1L))
+  }
+
   test("quality keeper: the best-scoring member survives, not the min id") {
     import graft.ext.Dedup
     import spark.implicits._

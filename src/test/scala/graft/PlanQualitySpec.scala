@@ -421,6 +421,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"calibration must be join-free:\n$p")
   }
 
+  test("q117: session path top-k plans as TakeOrdered over user-partitioned windows") {
+    val p = planOf("q117_session_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"path top-k fell back to a global sort:\n$p")
+    assert("""hashpartitioning\(user_id""".r.findFirstIn(p).isDefined,
+      s"session windows not user-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
