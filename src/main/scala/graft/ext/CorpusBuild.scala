@@ -151,5 +151,108 @@ object CorpusBuild {
     buildManifest(Tables.documents(s, dir), MinhashBanded).orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q75CorpusBuild, q77CorpusBuildBanded)
+  // ---- release ledger ----------------------------------------------------
+
+  /** The corpus-RELEASE ledger — per-stage survivor accounting for the
+    * full curation pipeline, decontamination included: where q75/q77
+    * emit the final manifest, the ledger emits what a release review
+    * actually reads — how many documents and tokens each stage kept.
+    * Stages (each reusing its standalone query's shared fragments):
+    *
+    *   0_raw            the training slice (doc_id % 50 ≠ 0 — the q102
+    *                    eval-holdout convention);
+    *   1_funnel         q63's length/language/quality rules;
+    *   2_exact_dedup    md5 keep-first;
+    *   3_decontaminated q65's 4-gram eval-overlap drop;
+    *   4_near_dedup     q28 banded candidates, greedy smaller-id-wins
+    *                    (the q77 scale form — never the shingle
+    *                    self-join);
+    *   5_train_split    q64's split, train only.
+    *
+    * Scale shape: stages 0-2 are one scan + one fingerprint window; the
+    * decon stage is the q65 broadcast anti-probe; the near stage is the
+    * banded equi-join over stage-3 survivors; each ledger row is a
+    * 1-row aggregate. The per-stage aggregates re-derive the stage chain
+    * (affordable: aggregates are cheap relative to one extra scan; a
+    * real release persists stage 4 once for both the ledger and the
+    * manifest write). */
+  def releaseLedger(docs: DataFrame): DataFrame = {
+    def tok = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
+    val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
+    val s0 = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val s1 = s0.withColumn("q", q)
+      .filter(col("n_chars") >= TextAnalysis.FunnelMinChars
+        && col("lang") === TextAnalysis.FunnelLang
+        && col("q") >= TextAnalysis.FunnelMinQuality)
+    val s2 = s1.withColumn("fp", md5(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text")
+    val contaminated = Dedup.evalContamination(docs, evalMod = 50, n = 4)
+      .filter(col("contaminated")).select("doc_id")
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    val losers = Dedup.minhashCandidates(s3, NearDupThreshold)
+      .select("doc_b").distinct()
+    val s4 = s3.join(losers, s3("doc_id") === losers("doc_b"), "left_anti")
+    val s5 = s4.filter(Sampling.assignSplit(col("doc_id")) === "train")
+    def stat(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tok), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stat("0_raw", s0)
+      .unionByName(stat("1_funnel", s1))
+      .unionByName(stat("2_exact_dedup", s2))
+      .unionByName(stat("3_decontaminated", s3))
+      .unionByName(stat("4_near_dedup", s4))
+      .unionByName(stat("5_train_split", s5))
+  }
+
+  /** q118: the release ledger over the gate corpus — every stage's SQL
+    * assembled from the same shared fragments as its standalone query. */
+  val q118ReleaseLedger: QuerySpec = QuerySpec(
+    "q118_release_ledger", {
+      def stageSql(name: String, rel: String) =
+        s"""SELECT '$name' AS stage, count(*) AS n_docs,
+           |  CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS n_tokens
+           |FROM $rel""".stripMargin
+      "WITH s0 AS (\n" +
+        "  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 50 <> 0),\n" +
+        "p AS (\n  " +
+        TextAnalysis.qualityPartsSql(", lang, n_chars, text", "s0") + "),\n" +
+        s"f AS (\n  SELECT doc_id, text, lang, n_chars, ${TextAnalysis.QualityBlendSql} AS q FROM p),\n" +
+        s"""s1 AS (
+          |  SELECT * FROM f WHERE n_chars >= ${TextAnalysis.FunnelMinChars}
+          |    AND lang = '${TextAnalysis.FunnelLang}'
+          |    AND q >= ${TextAnalysis.FunnelMinQuality}),
+          |s2 AS (
+          |  SELECT doc_id, text FROM (
+          |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM s1)
+          |  WHERE doc_id = keeper),
+          |""".stripMargin +
+        Dedup.ngramDeconSqlCtes + s""",
+          |contam AS (
+          |  SELECT DISTINCT ngg.doc_id FROM ngg JOIN ngev ON ngg.gram = ngev.gram
+          |  WHERE ngg.doc_id % 50 <> 0),
+          |s3 AS (
+          |  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          |""".stripMargin +
+        Dedup.minhashPairsSqlCtesFrom("s3", MinhashMinAgree, pairsCte = "np") + s""",
+          |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_b FROM np)),
+          |s5 AS (SELECT * FROM s4
+          |       WHERE ${Sampling.assignSplitSql("doc_id")} = 'train')
+          |${stageSql("0_raw", "s0")}
+          |UNION ALL ${stageSql("1_funnel", "s1")}
+          |UNION ALL ${stageSql("2_exact_dedup", "s2")}
+          |UNION ALL ${stageSql("3_decontaminated", "s3")}
+          |UNION ALL ${stageSql("4_near_dedup", "s4")}
+          |UNION ALL ${stageSql("5_train_split", "s5")}
+          |ORDER BY stage""".stripMargin
+    }) { (s, dir) =>
+    releaseLedger(Tables.documents(s, dir)).orderBy("stage")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q75CorpusBuild, q77CorpusBuildBanded, q118ReleaseLedger)
 }

@@ -1358,6 +1358,24 @@ class ExtSpec extends SparkSpec {
       "view>click>purchase" -> 1L, "view>click" -> 1L, "purchase" -> 1L))
   }
 
+  test("release ledger: stages shrink monotonically and cover the full chain") {
+    import graft.ext.CorpusBuild
+    val rows = CorpusBuild.releaseLedger(Tables.documents(spark, sf))
+      .orderBy("stage").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq == Seq(
+      "0_raw", "1_funnel", "2_exact_dedup", "3_decontaminated",
+      "4_near_dedup", "5_train_split"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"doc counts not monotone: ${docs.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      s"token counts not monotone: ${toks.toSeq}")
+    // the pipeline must actually do work at gate scale: the funnel and
+    // the split each drop something
+    assert(docs.last < docs.head, "ledger shows no curation at all")
+  }
+
   test("quality keeper: the best-scoring member survives, not the min id") {
     import graft.ext.Dedup
     import spark.implicits._

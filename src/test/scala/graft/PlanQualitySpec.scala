@@ -430,6 +430,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q118: release ledger ships the banded near-dup stage — no shingle self-join") {
+    val p = planOf("q118_release_ledger")
+    assert(!p.contains("CartesianProduct"),
+      s"a ledger stage degenerated to all-pairs:\n$p")
+    assert("""Join \[shingle""".r.findFirstIn(p).isEmpty,
+      s"shingle self-join leaked into the ledger:\n$p")
+    assert(p.contains("band_key"), s"band equi-join missing:\n$p")
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
