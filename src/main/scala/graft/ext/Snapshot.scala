@@ -108,11 +108,16 @@ object Snapshot {
     * cross-multiplied share difference; divide by total_v1·total_v2 for
     * the real-valued delta). */
   private def driftJoin(b1: DataFrame, b2: DataFrame,
-      v1: DataFrame, v2: DataFrame): DataFrame = {
+      v1: DataFrame, v2: DataFrame): DataFrame =
+    driftJoinCounts(b1, b2,
+      v1.agg(count(lit(1)).as("total_v1")),
+      v2.agg(count(lit(1)).as("total_v2")))
+
+  private def driftJoinCounts(b1: DataFrame, b2: DataFrame,
+      t1: DataFrame, t2: DataFrame): DataFrame = {
     val c1 = b1.withColumnRenamed("count", "cnt_v1")
     val c2 = b2.withColumnRenamed("count", "cnt_v2")
-    val totals = broadcast(v1.agg(count(lit(1)).as("total_v1"))
-      .crossJoin(v2.agg(count(lit(1)).as("total_v2"))))
+    val totals = broadcast(t1.crossJoin(t2))
     import graft.functions.Functions.round6
     c1.join(c2, Seq("dimension", "bin"), "full_outer")
       .na.fill(0L, Seq("cnt_v1", "cnt_v2"))
@@ -247,20 +252,43 @@ object Snapshot {
     * at bin cardinality (≤ 10 deciles + langs + sources) in a full-outer
     * join — no row-level join between corpora, totals on a 1-row
     * broadcast. */
-  def corpusScoreDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
-    def binned(df: DataFrame): DataFrame = {
-      val (lenS, ttr, stop) = TextAnalysis.qualityParts(col("text"))
-      val q = TextAnalysis.qualityScore(lenS, ttr, stop)
-      df.select(col("lang"), col("source"),
-          least(lit(9L), floor(q * 10)).cast("string").as("decile"))
-        .select(explode(array(
-          struct(lit("quality_decile").as("dimension"), col("decile").as("bin")),
-          struct(lit("lang").as("dimension"), col("lang").as("bin")),
-          struct(lit("source").as("dimension"), col("source").as("bin")))).as("db"))
-        .select(col("db.dimension"), col("db.bin"))
-        .groupBy("dimension", "bin").count()
-    }
-    driftJoin(binned(v1), binned(v2), v1, v2)
+  /** The corpus's (dimension, bin) counts — quality decile, lang, source
+    * — as one scan-local projection + one map-side-combined aggregate.
+    * STREAMING-CAPABLE by construction: every expression is per-row, and
+    * the aggregation state is bin cardinality (≤ 10 deciles + langs +
+    * sources), so a continuous monitor can maintain these counts in
+    * complete output mode with BOUNDED state — the property that makes
+    * drift a streaming metric rather than a batch job
+    * (StreamingSpec pins stream ≡ batch). */
+  def corpusBins(df: DataFrame): DataFrame = {
+    val (lenS, ttr, stop) = TextAnalysis.qualityParts(col("text"))
+    val q = TextAnalysis.qualityScore(lenS, ttr, stop)
+    df.select(col("lang"), col("source"),
+        least(lit(9L), floor(q * 10)).cast("string").as("decile"))
+      .select(explode(array(
+        struct(lit("quality_decile").as("dimension"), col("decile").as("bin")),
+        struct(lit("lang").as("dimension"), col("lang").as("bin")),
+        struct(lit("source").as("dimension"), col("source").as("bin")))).as("db"))
+      .select(col("db.dimension"), col("db.bin"))
+      .groupBy("dimension", "bin").count()
+  }
+
+  def corpusScoreDrift(v1: DataFrame, v2: DataFrame): DataFrame =
+    driftJoin(corpusBins(v1), corpusBins(v2), v1, v2)
+
+  /** Drift from PRE-AGGREGATED bin counts — the monitor form: a frozen
+    * reference release keeps only its bins table (metadata scale), the
+    * live side maintains [[corpusBins]] incrementally, and the drift
+    * table derives entirely from the two count sets. Totals are
+    * recovered from the 'lang' dimension (every doc contributes exactly
+    * one lang bin), so no row-level frame is ever needed —
+    * `driftFromBins(corpusBins(a), corpusBins(b)) ≡ corpusScoreDrift(a,
+    * b)` by construction (pinned in ExtSpec). */
+  def driftFromBins(b1: DataFrame, b2: DataFrame): DataFrame = {
+    def total(b: DataFrame, as: String) =
+      b.filter(col("dimension") === "lang")
+        .agg(sum(col("count")).as(as))
+    driftJoinCounts(b1, b2, total(b1, "total_v1"), total(b2, "total_v2"))
   }
 
   private def corpusBinnedSql(rel: String): String =

@@ -217,6 +217,35 @@ class StreamingSpec extends SparkSpec {
       "streamed windows disagree with batch aggregation")
   }
 
+  test("streaming drift monitor: live bins ≡ batch bins; drift vs frozen reference exact") {
+    // the continuous corpus monitor: a frozen release keeps only its
+    // (dimension, bin) counts; the live corpus maintains the same counts
+    // as a COMPLETE-mode streaming aggregation whose state is bin
+    // cardinality — bounded by construction, no watermark needed
+    import graft.ext.Snapshot
+    val docs = Tables.documents(spark, sf)
+    val v2 = Snapshot.nextDocsSnapshot(docs)
+    val v2Dir = tmpDir("drift_stream")
+    v2.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(v2Dir)
+    val schema = spark.read.parquet(v2Dir).schema
+    val stream = Streaming.parquetFileSource(spark, v2Dir, schema)
+    Streaming.drainToMemory(
+      Snapshot.corpusBins(stream), "drift_bins", outputMode = "complete")
+    val streamedBins = spark.sql(
+      "SELECT dimension, bin, count FROM drift_bins")
+    val batchBins = Snapshot.corpusBins(v2)
+    assert(streamedBins.exceptAll(batchBins).count() == 0 &&
+      batchBins.exceptAll(streamedBins).count() == 0,
+      "streamed bin counts disagree with batch")
+    // drift from the streamed counts against the frozen reference bins
+    // must equal the full batch drift query (q103's operator)
+    val live = Snapshot.driftFromBins(Snapshot.corpusBins(docs), streamedBins)
+    val batch = Snapshot.corpusScoreDrift(docs, v2)
+    assert(live.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(live).count() == 0,
+      "monitor drift disagrees with the batch drift query")
+  }
+
   test("tier sample and epoch shuffle assignment are streaming-safe projections") {
     // the new sampling family decides membership per-record (hash of the
     // record's own key) — stateless projections, so the SAME column
