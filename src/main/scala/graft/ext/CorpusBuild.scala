@@ -176,8 +176,11 @@ object CorpusBuild {
     * (affordable: aggregates are cheap relative to one extra scan; a
     * real release persists stage 4 once for both the ledger and the
     * manifest write). */
-  def releaseLedger(docs: DataFrame): DataFrame = {
-    def tok = size(TextAnalysis.tokens(col("text"))).cast("long")
+  /** The release stage chain — each stage's surviving frame, in order.
+    * Shared by the ledger (per-stage accounting) and the publisher (the
+    * final survivors feed the packed manifest), so the two can never
+    * disagree about what the release contains. */
+  private def releaseStages(docs: DataFrame): Seq[(String, DataFrame)] = {
     val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
     val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
     val s0 = docs.filter(col("doc_id") % 50 =!= 0)
@@ -197,16 +200,97 @@ object CorpusBuild {
       .select("doc_b").distinct()
     val s4 = s3.join(losers, s3("doc_id") === losers("doc_b"), "left_anti")
     val s5 = s4.filter(Sampling.assignSplit(col("doc_id")) === "train")
-    def stat(name: String, df: DataFrame): DataFrame =
+    Seq("0_raw" -> s0, "1_funnel" -> s1, "2_exact_dedup" -> s2,
+      "3_decontaminated" -> s3, "4_near_dedup" -> s4, "5_train_split" -> s5)
+  }
+
+  def releaseLedger(docs: DataFrame): DataFrame = {
+    def tok = size(TextAnalysis.tokens(col("text"))).cast("long")
+    releaseStages(docs).map { case (name, df) =>
       df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(tok), lit(0L)).as("n_tokens"))
         .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-    stat("0_raw", s0)
-      .unionByName(stat("1_funnel", s1))
-      .unionByName(stat("2_exact_dedup", s2))
-      .unionByName(stat("3_decontaminated", s3))
-      .unionByName(stat("4_near_dedup", s4))
-      .unionByName(stat("5_train_split", s5))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The packed manifest of the release's near-dedup survivors (all
+    * splits), using the q75/q77 assign/pack tail. */
+  def releaseManifest(docs: DataFrame): DataFrame = {
+    val survivors = releaseStages(docs)
+      .collectFirst { case ("4_near_dedup", df) => df }.get
+    val assigned = survivors.select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      Sampling.assignSplit(col("doc_id")).as("split"),
+      Sampling.hashBucket(col("doc_id"), PackShards, salt = "pack:").as("shard"))
+    val w = Window.partitionBy("split", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("split"), col("shard"),
+        floor(col("off") / PackBudget).cast("long").as("bin"))
+  }
+
+  /** Publish a corpus release as a versioned on-disk artifact: the packed
+    * manifest, the stage ledger, and a JSON release card (stage counts +
+    * the build constants), written to a staging directory and swapped in
+    * atomically with a backup — the Store.upsertOrders rename discipline,
+    * so a crash mid-publish leaves either the old release or a
+    * recoverable `__backup`, never a torn directory. The card is driver-
+    * written metadata (6 ledger rows + constants); the manifest is the
+    * only data-scale write. */
+  def publishRelease(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + "__staging")
+    val backup = new Path(dir + "__backup")
+    val target = new Path(dir)
+    fs.delete(staging, true)
+    releaseManifest(docs).write.mode("overwrite")
+      .parquet(new Path(staging, "manifest").toString)
+    releaseLedger(docs).coalesce(1).write.mode("overwrite")
+      .parquet(new Path(staging, "ledger").toString)
+    val rows = spark.read.parquet(new Path(staging, "ledger").toString)
+      .orderBy("stage").collect()
+    val stages = rows.map(r =>
+      s"""{"stage":"${r.getAs[String]("stage")}","n_docs":${
+        r.getAs[Long]("n_docs")},"n_tokens":${r.getAs[Long]("n_tokens")}}""")
+      .mkString("[", ",", "]")
+    val card =
+      s"""{"pack_budget":$PackBudget,"pack_shards":$PackShards,
+         |"near_dup_threshold":$NearDupThreshold,
+         |"funnel":{"min_chars":${TextAnalysis.FunnelMinChars},
+         |"lang":"${TextAnalysis.FunnelLang}",
+         |"min_quality":${TextAnalysis.FunnelMinQuality}},
+         |"ledger":$stages}""".stripMargin.replace("\n", "")
+    val out = fs.create(new Path(staging, "release.json"), true)
+    try out.write(card.getBytes("UTF-8")) finally out.close()
+    fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"release publish: could not move $target aside")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(backup)) fs.rename(backup, target)
+      sys.error(s"release publish: could not publish $staging over $target")
+    }
+    fs.delete(backup, true)
+  }
+
+  /** Read a published release, recovering from a crash that completed
+    * the move-aside but not the publish (same rule as Store.readTable). */
+  def readRelease(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new Path(dir)
+    val backup = new Path(dir + "__backup")
+    if (!fs.exists(target) && fs.exists(backup)
+        && !fs.rename(backup, target))
+      sys.error(s"release read: could not recover $backup")
+    (spark.read.parquet(new Path(target, "manifest").toString),
+      spark.read.parquet(new Path(target, "ledger").toString))
   }
 
   /** q118: the release ledger over the gate corpus — every stage's SQL

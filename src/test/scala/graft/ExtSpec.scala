@@ -1376,6 +1376,41 @@ class ExtSpec extends SparkSpec {
     assert(docs.last < docs.head, "ledger shows no curation at all")
   }
 
+  test("release publish: atomic artifact round-trips, recovers, republishes") {
+    import graft.ext.CorpusBuild
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("release").toString +
+      "/corpus_v1"
+    CorpusBuild.publishRelease(spark, docs, dir)
+    val (manifest, ledger) = CorpusBuild.readRelease(spark, dir)
+    // the artifact's ledger equals the live query, row for row
+    val live = CorpusBuild.releaseLedger(docs)
+    assert(ledger.exceptAll(live).count() == 0
+      && live.exceptAll(ledger).count() == 0, "published ledger drifted")
+    // manifest coheres with the ledger: train rows = 5_train_split docs
+    val trainDocs = ledger.filter(col("stage") === "5_train_split")
+      .head().getAs[Long]("n_docs")
+    assert(manifest.filter(col("split") === "train").count() == trainDocs)
+    // materialize before the republish swaps the files out from under
+    // the lazily-bound frame
+    val v1Count = manifest.count()
+    // the driver-written card parses as the ledger it claims to be
+    val card = scala.io.Source.fromFile(dir + "/release.json").mkString
+    assert(card.contains("\"ledger\":[") && card.contains("0_raw")
+      && card.contains("\"pack_budget\":2048"))
+    // republish swaps atomically: no staging/backup remnants, new content
+    CorpusBuild.publishRelease(spark, docs.filter(col("doc_id") < 300), dir)
+    val (m2, _) = CorpusBuild.readRelease(spark, dir)
+    assert(m2.count() < v1Count, "republish kept old manifest")
+    assert(!new java.io.File(dir + "__staging").exists, "staging left behind")
+    assert(!new java.io.File(dir + "__backup").exists, "backup left behind")
+    // crash window: target moved aside but new dir not yet published —
+    // the reader must recover from the backup
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__backup")))
+    val (m3, _) = CorpusBuild.readRelease(spark, dir)
+    assert(m3.count() == m2.count(), "backup recovery lost the release")
+  }
+
   test("quality keeper: the best-scoring member survives, not the min id") {
     import graft.ext.Dedup
     import spark.implicits._
