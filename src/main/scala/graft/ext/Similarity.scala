@@ -1128,9 +1128,87 @@ object Similarity {
       .orderBy("method")
   }
 
+  // ---- power iteration: top principal direction --------------------------
+
+  final val PowerRounds = 3
+
+  /** Top principal direction of the embedding second-moment (Gram)
+    * matrix by [[PowerRounds]] fixed power-iteration rounds — the
+    * dominant-direction probe behind embedding whitening / anisotropy
+    * diagnostics (embedding spaces are famously anisotropic; the top
+    * direction is what whitening removes first). Deterministic by the
+    * Lloyd discipline: v₀ = all-ones; each round computes per-dimension
+    * means m_d = avg(sᵢ·x_{i,d}) (round-4 — avgs are the O(1)-magnitude
+    * form whose 4-dp parity q32 proves cross-engine), then rescales by
+    * the MAX-ABS component — a max is order-independent and the
+    * division is exact IEEE on two already-rounded doubles, so the
+    * normalize step introduces no cross-engine summation at all (the
+    * true-norm alternative would). Intermediate vectors literalize
+    * (index metadata, d doubles — the ivfCentroids rule); the FINAL
+    * round stays a distributed frame.
+    *
+    * Scale shape per round: one scan, one broadcast literal dot, one
+    * (dim)-cardinality aggregate. Driver holds d doubles. */
+  def topComponent(corpus: DataFrame): DataFrame = {
+    import graft.functions.Functions.round4
+    val e = corpus.select(
+      transform(col("embedding"), _.cast("double")).as("v"))
+    def meansFor(vlit: Column): DataFrame =
+      e.select(posexplode(col("v")).as(Seq("dim_idx", "x")),
+          dot(col("v"), vlit).as("s"))
+        .groupBy("dim_idx")
+        .agg(round(avg(col("x") * col("s")), 4).as("m"))
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    var comp: Seq[Double] = Seq.fill(d)(1.0)
+    (1 until PowerRounds).foreach { _ =>
+      val m = meansFor(array(comp.map(lit): _*))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+      val mx = m.map(x => math.abs(x._2)).max
+      comp = m.map { case (_, v) => r4(v / mx) }
+    }
+    val last = meansFor(array(comp.map(lit): _*))
+    val mx = broadcast(last.agg(max(abs(col("m"))).as("mx")))
+    last.crossJoin(mx)
+      .select(col("dim_idx"), round4(col("m") / col("mx")).as("component"))
+  }
+
+  /** q120: the top principal direction after 3 unrolled rounds. Oracle:
+    * the same rounds in SQL — all-ones start via a per-row ones list,
+    * round-4 means, max-abs rescale. */
+  val q120TopComponent: QuerySpec = QuerySpec(
+    "q120_top_component", {
+      import graft.functions.Functions.round4Sql
+      def round(r: Int, prevList: String): String =
+        s"""s$r AS (
+          |  SELECT v, list_dot_product(v, $prevList) AS s FROM e),
+          |w$r AS (
+          |  SELECT i AS dim_idx, round(avg(x * s), 4) AS m FROM (
+          |    SELECT unnest(generate_series(1, len(v))) AS i,
+          |      unnest(v) AS x, s
+          |    FROM s$r)
+          |  GROUP BY i),
+          |n$r AS (SELECT max(abs(m)) AS mx FROM w$r),
+          |v$r AS (SELECT dim_idx, ${round4Sql("m / mx")} AS c
+          |        FROM w$r, n$r)""".stripMargin
+      val rounds = (1 to PowerRounds).map { r =>
+        val prev = if (r == 1) "list_transform(v, x -> 1.0)"
+          else s"(SELECT list(c ORDER BY dim_idx) FROM v${r - 1})"
+        round(r, prev)
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |$rounds
+        |SELECT CAST(dim_idx - 1 AS INT) AS dim_idx, c AS component
+        |FROM v$PowerRounds
+        |ORDER BY dim_idx""".stripMargin
+    }) { (s, dir) =>
+    topComponent(Tables.embeddings(s, dir)).orderBy("dim_idx")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
     q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats,
     q85SemanticNearDup, q97AnnRecall, q98SemanticDecontaminate,
-    q104CellBalancedSample, q112HardNegatives, q113AnnMrr)
+    q104CellBalancedSample, q112HardNegatives, q113AnnMrr, q120TopComponent)
 }

@@ -804,10 +804,89 @@ object TextAnalysis {
     sourceQualityQuantiles(Tables.documents(s, dir)).orderBy("source")
   }
 
+  // ---- Count-Min sketch heavy hitters ------------------------------------
+
+  final val CmsDepth = 3
+  final val CmsWidth = 512
+  final val CmsTopK = 20
+
+  /** Count-Min sketch heavy hitters — the streaming-friendly frequent-
+    * token sketch (Cormode & Muthukrishnan): `depth` hash rows × `width`
+    * buckets of occurrence counts; a token's estimate is the MIN of its
+    * buckets, guaranteeing est ≥ true with overshoot ≤ εN w.h.p. This is
+    * the q47/q59 sketch-validation pattern applied to the token domain:
+    * the production operator is the sketch (fixed d×w state regardless
+    * of vocabulary size — mergeable across partitions, maintainable on a
+    * stream); the exact counts ride along at gate scale to make the
+    * bound OBSERVABLE, and the whole thing is integer-exact so the
+    * oracle is full value-level (salted md5 bucket arithmetic, the
+    * [[Sampling.hashBucket]] spelling).
+    *
+    * Scale shape: sketch build is one explode + ONE map-side-combined
+    * aggregate bounded at d×w rows; the candidate probe joins the
+    * BROADCAST sketch (d×w rows — index metadata); the exact side is the
+    * q56 vocabulary aggregate, the declared harness cost. Top-k plans as
+    * TakeOrdered. */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = CmsDepth,
+      width: Int = CmsWidth, k: Int = CmsTopK): DataFrame = {
+    require(depth >= 1 && width >= 1 && k >= 1, "cms params must be positive")
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val rowStructs = (0 until depth).map(i => struct(lit(i).as("r"),
+      Sampling.hashBucket(col("token"), width, salt = s"cms$i:").as("b")))
+    val sketch = toks.select(explode(array(rowStructs: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    val withBuckets = exact.select(
+      col("token") +: col("exact_count") +:
+        (0 until depth).map(i =>
+          Sampling.hashBucket(col("token"), width, salt = s"cms$i:")
+            .as(s"b$i")): _*)
+    val joined = (0 until depth).foldLeft(withBuckets) { (df, i) =>
+      df.join(broadcast(sketch.filter(col("r") === i)
+        .select(col("b").as(s"b$i"), col("c").as(s"c$i"))), Seq(s"b$i"))
+    }
+    joined.select(col("token"),
+        least((0 until depth).map(i => col(s"c$i")): _*).as("cms_est"),
+        col("exact_count"))
+      .orderBy(col("cms_est").desc, col("token"))
+      .limit(k)
+  }
+
+  /** q119: CMS top-20 heavy hitters with the exact counts alongside. */
+  val q119CmsHeavyHitters: QuerySpec = QuerySpec(
+    "q119_cms_heavy_hitters", {
+      def bucket(i: Int) = Sampling.hashBucketSql("token", CmsWidth, s"cms$i:")
+      val rs = (0 until CmsDepth)
+        .map(i => s"SELECT token, $i AS r, ${bucket(i)} AS b FROM tok")
+        .mkString("\n  UNION ALL ")
+      val joins = (0 until CmsDepth)
+        .map(i => s"JOIN sk s$i ON s$i.r = $i AND s$i.b = wb.b$i")
+        .mkString("\n  ")
+      s"""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |rb AS (
+        |  $rs),
+        |sk AS (SELECT r, b, count(*) AS c FROM rb GROUP BY r, b),
+        |wb AS (
+        |  SELECT token, count(*) AS exact_count,
+        |    ${(0 until CmsDepth).map(i => s"${bucket(i)} AS b$i").mkString(",\n    ")}
+        |  FROM tok GROUP BY token)
+        |SELECT token,
+        |  CAST(least(${(0 until CmsDepth).map(i => s"s$i.c").mkString(", ")}) AS BIGINT) AS cms_est,
+        |  CAST(exact_count AS BIGINT) AS exact_count
+        |FROM wb
+        |  $joins
+        |ORDER BY cms_est DESC, token
+        |LIMIT $CmsTopK""".stripMargin
+    }) { (s, dir) =>
+    cmsHeavyHitters(Tables.documents(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
     q95BpeMerges, q96BpeEncode, q108TokenizerFertility,
-    q116SourceQualityQuantiles)
+    q116SourceQualityQuantiles, q119CmsHeavyHitters)
 }

@@ -1411,6 +1411,43 @@ class ExtSpec extends SparkSpec {
     assert(m3.count() == m2.count(), "backup recovery lost the release")
   }
 
+  test("cms heavy hitters: estimate never undercounts; top hitter is the true max") {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val rows = TextAnalysis.cmsHeavyHitters(docs).collect()
+    assert(rows.length == TextAnalysis.CmsTopK)
+    // the count-min guarantee: est >= true, always
+    rows.foreach(r => assert(
+      r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_count"), s"$r"))
+    // at gate scale the dominant token towers over collisions — the
+    // sketch's top hitter must be the exact top token
+    val exactTop = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t"))
+      .head().getString(0)
+    assert(rows.head.getAs[String]("token") == exactTop,
+      s"sketch top ${rows.head} != exact top $exactTop")
+  }
+
+  test("power iteration: planted dominant axis recovered, max-abs normalized") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    // 40 vectors hugging axis 0 with small deterministic axis-1 noise
+    val planted = (1 to 40).map { i =>
+      (i.toLong, Array(10.0f + (i % 3), 0.1f * (i % 5), 0.01f * (i % 7)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val comp = Similarity.topComponent(planted)
+      .orderBy("dim_idx").collect().map(_.getAs[Double]("component"))
+    assert(math.abs(comp(0)) == 1.0, s"dominant axis not max-abs 1: ${comp.toSeq}")
+    assert(math.abs(comp(1)) < 0.2 && math.abs(comp(2)) < 0.2,
+      s"noise axes not suppressed: ${comp.toSeq}")
+    // the real corpus form stays bounded and hits max-abs exactly once
+    val real = Similarity.topComponent(Tables.embeddings(spark, sf))
+      .collect().map(_.getAs[Double]("component"))
+    assert(real.forall(c => math.abs(c) <= 1.0))
+    assert(real.map(math.abs).max == 1.0)
+  }
+
   test("quality keeper: the best-scoring member survives, not the min id") {
     import graft.ext.Dedup
     import spark.implicits._

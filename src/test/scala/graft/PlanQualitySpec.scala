@@ -439,6 +439,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("band_key"), s"band equi-join missing:\n$p")
   }
 
+  test("q119: sketch rides broadcast joins; top-k plans as TakeOrdered") {
+    val p = planOf("q119_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d x w sketch not broadcast into the probe:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"heavy-hitter top-k fell back to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q120: final power round aggregates at dim cardinality — no cartesian") {
+    val p = planOf("q120_top_component")
+    assert("""hashpartitioning\(dim_idx""".r.findFirstIn(p).isDefined,
+      s"per-dimension aggregate exchange missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
