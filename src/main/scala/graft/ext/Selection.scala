@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
+import graft.functions.Functions.{round6, round6Sql}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -159,5 +160,92 @@ object Selection {
     capPerSource(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q84BudgetSelect, q87SourceCap)
+  // ---- DSIR importance weights -------------------------------------------
+
+  final val DsirBuckets = 256
+  final val DsirTargetSource = "src0"
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling") — score every document by how
+    * target-like its token distribution is: hashed-unigram bag features,
+    * a target-vs-raw probability ratio per feature bucket, and the
+    * per-doc mean ratio as the importance weight. Here the target domain
+    * is the `targetSource` slice of the corpus and raw is the whole
+    * corpus; real deployments point the target side at a curated corpus.
+    *
+    * Cross-engine exactness: bucket probabilities are add-one-smoothed
+    * RATIONAL counts, the per-bucket ratio is quantized to integer
+    * micro-units (the q76 trick), and the per-doc aggregate carries the
+    * exact BIGINT micro-sum — the only float is the final rounded mean.
+    *
+    * Scale shape: the feature table is ≤ `buckets` rows built by one
+    * token explode → map-side-combined aggregate (conditional target
+    * counts ride the same pass — the corpus is NOT scanned twice for the
+    * two distributions); totals fold over those ≤ buckets rows, and the
+    * ratio table broadcasts. Doc scoring is explode → broadcast hash
+    * probe → one doc_id aggregate. Nothing shuffles the corpus on text;
+    * model state is O(buckets), independent of vocabulary. */
+  def dsirWeights(docs: DataFrame, targetSource: String = DsirTargetSource,
+      buckets: Int = DsirBuckets): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("b", Sampling.hashBucket(col("token"), buckets, salt = "dsir:"))
+    val bucketCounts = toks.groupBy("b").agg(
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("c_t"),
+      count(lit(1)).as("c_r"))
+    val totals = bucketCounts.agg(
+      sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
+    // exact bigint products, one deterministic double division, micro-round
+    val ratios = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(((col("c_t") + 1) * (col("n_r") + buckets)).cast("double") /
+          ((col("c_r") + 1) * (col("n_t") + buckets)) * 1e6 + 0.5)
+          .cast("long").as("r_micro"))
+    toks.join(broadcast(ratios), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("r_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_micro"),
+        round6(col("sum_micro").cast("double") / col("n_tokens") / 1e6)
+          .as("dsir_weight"))
+  }
+
+  /** q122: DSIR weights for every doc, exact micro-sums alongside. */
+  val q122DsirWeights: QuerySpec = QuerySpec(
+    "q122_dsir_weights",
+    s"""WITH tok AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |ft AS (
+      |  SELECT doc_id, source, token,
+      |    ${Sampling.hashBucketSql("token", DsirBuckets, "dsir:")} AS b
+      |  FROM tok WHERE token <> ''),
+      |bc AS (
+      |  SELECT b,
+      |    CAST(sum(CASE WHEN source = '$DsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+      |    CAST(count(*) AS BIGINT) AS c_r
+      |  FROM ft GROUP BY b),
+      |tt AS (
+      |  SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+      |    CAST(sum(c_r) AS BIGINT) AS n_r FROM bc),
+      |rt AS (
+      |  SELECT b,
+      |    CAST(floor(CAST((c_t + 1) * (n_r + $DsirBuckets) AS DOUBLE) /
+      |      ((c_r + 1) * (n_t + $DsirBuckets)) * 1e6 + 0.5) AS BIGINT) AS r_micro
+      |  FROM bc CROSS JOIN tt)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(r_micro) AS BIGINT) AS sum_micro,
+      |  ${round6Sql("CAST(sum(r_micro) AS DOUBLE) / count(*) / 1e6")} AS dsir_weight
+      |FROM ft JOIN rt USING (b)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    dsirWeights(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q84BudgetSelect, q87SourceCap, q122DsirWeights)
 }

@@ -883,10 +883,113 @@ object TextAnalysis {
     cmsHeavyHitters(Tables.documents(s, dir))
   }
 
+  // ---- BM25 keyword retrieval --------------------------------------------
+
+  /** The fixed query-term panel (mid- and low-frequency corpus words so
+    * idf actually differentiates; `dup` is the rare discriminator). */
+  final val Bm25Terms: Seq[String] = Seq("vector", "merge", "stream", "dup")
+  final val Bm25K1 = 1.2
+  final val Bm25B = 0.75
+  final val Bm25TopK = 20
+
+  /** Exact per-document term frequency via the DOUBLED-space pad: after
+    * `replace(text, ' ', '  ')` every token is flanked by its own spaces,
+    * so ` term ` occurrences never overlap and the replace-delta count is
+    * the true tf (the plain [[occurrences]] pad undercounts adjacent
+    * repeats — fine for marker scoring, wrong for tf). */
+  def termFreq(text: Column, term: String): Column = {
+    val p2 = concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
+    val m = s" $term "
+    ((length(p2) - length(replace(p2, lit(m), lit("")))) / m.length).cast("int")
+  }
+
+  /** BM25 keyword search — the inverted-index retrieval face of the q68
+    * statistics: score every document against a fixed term panel with
+    * Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75) and return the top-k.
+    * The idf is the rational BM25 form (N - df + 0.5)/(df + 0.5) — no
+    * transcendental, so the oracle pins values (q68's lesson), and the
+    * 4-term score sum is written in fixed panel order in both engines.
+    *
+    * Scale shape: corpus stats (N, Σdl, per-term df) are ONE map-side-
+    * combined aggregate producing a single broadcast row — tf and dl are
+    * scan-local string expressions, so there is no token explode and no
+    * (doc, token) shuffle at all, unlike a posting-list build. Scoring is
+    * a second scan-local projection over that broadcast, and the top-k
+    * plans as TakeOrderedAndProject. Two corpus scans, zero wide
+    * exchanges — at 100 TB the only data movement is the 1-row stats
+    * aggregate and k result rows. */
+  def bm25Search(docs: DataFrame, terms: Seq[String] = Bm25Terms,
+      k: Int = Bm25TopK): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "bm25 needs terms and k >= 1")
+    val dl = size(tokens(col("text")))
+    val withTf = docs.select(
+      col("doc_id") +: dl.as("dl") +:
+        terms.map(t => termFreq(col("text"), t).as(s"tf_$t")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("total_dl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val contrib = terms.map { t =>
+      val idf = (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5)
+      idf * (col(s"tf_$t") * (Bm25K1 + 1.0)) /
+        (col(s"tf_$t") +
+          lit(Bm25K1) * (lit(1.0) - Bm25B + lit(Bm25B) * col("dl") / avgdl))
+    }
+    val matched = terms.map(t => when(col(s"tf_$t") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("bm25", round6(contrib.reduce(_ + _)))
+      .withColumn("matched_terms", matched)
+      .filter(col("matched_terms") > 0)
+      .select(col("doc_id") +: col("dl").as("n_tokens") +:
+        col("matched_terms") +: col("bm25") +:
+        terms.map(t => col(s"tf_$t")): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** q121: BM25 top-20 for the fixed term panel, tf columns alongside. */
+  val q121Bm25Search: QuerySpec = QuerySpec(
+    "q121_bm25_search", {
+      def tfSql(t: String) =
+        s"CAST((len(p2) - len(replace(p2, ' $t ', ''))) / ${t.length + 2} AS INT)"
+      val tfCols = Bm25Terms.map(t => s"${tfSql(t)} AS tf_$t").mkString(",\n    ")
+      val dfCols = Bm25Terms
+        .map(t => s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(",\n    ")
+      val contrib = Bm25Terms.map { t =>
+        s"((n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * ${Bm25K1 + 1.0}) / " +
+          s"(tf_$t + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / (CAST(total_dl AS DOUBLE) / n_docs)))"
+      }.mkString("\n    + ")
+      val matched = Bm25Terms
+        .map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tf AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl,
+        |    $tfCols
+        |  FROM (SELECT doc_id, text,
+        |          ' ' || replace(text, ' ', '  ') || ' ' AS p2
+        |        FROM documents)),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS total_dl,
+        |    $dfCols
+        |  FROM tf)
+        |SELECT doc_id, dl AS n_tokens, $matched AS matched_terms,
+        |  ${round6Sql(contrib)} AS bm25,
+        |  ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}
+        |FROM tf CROSS JOIN st
+        |WHERE ($matched) > 0
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT $Bm25TopK""".stripMargin
+    }) { (s, dir) =>
+    bm25Search(Tables.documents(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
     q95BpeMerges, q96BpeEncode, q108TokenizerFertility,
-    q116SourceQualityQuantiles, q119CmsHeavyHitters)
+    q116SourceQualityQuantiles, q119CmsHeavyHitters, q121Bm25Search)
 }

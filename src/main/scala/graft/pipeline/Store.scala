@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage stage (ref `src/storage.py`): keyed upsert into the orders
@@ -490,6 +490,49 @@ object Store {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet").saveAsTable(table)
+  }
+
+  /** Interleave the low `bits` of two non-negative longs into a Z-order
+    * (Morton) value — bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Pure bitwise Column arithmetic, whole-stage-codegen friendly. */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-ordered parquet export — the multi-dimensional file layout: rows
+    * are range-partitioned and sorted by the Morton interleave of two
+    * key columns, so each output FILE covers a small rectangle of the
+    * (colA, colB) space instead of a thin full-width stripe. Parquet
+    * footer min/max stats then prune files for predicates on EITHER
+    * column — the layout a 100 TB table wants when queries filter on two
+    * independent dimensions (a single-column sort gives perfect pruning
+    * on one dimension and none on the other; StoreSpec measures the box
+    * areas). Columns are min/max-normalized to `bits` via exact integer
+    * arithmetic from a 1-row stats broadcast (index metadata, like the
+    * IVF centroids), and the z value is dropped before writing. */
+  def exportZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles >= 1 && bits >= 1 && bits <= 31,
+      s"bad z-order params: numFiles=$numFiles bits=$bits")
+    val stats = df.agg(
+      min(col(colA).cast("long")).as("min_a"),
+      max(col(colA).cast("long")).as("max_a"),
+      min(col(colB).cast("long")).as("min_b"),
+      max(col(colB).cast("long")).as("max_b"))
+    val scale = 1L << bits
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      ((c.cast("long") - lo) * scale) / (hi - lo + 1)
+    val z = interleaveBits(
+      norm(col(colA), col("min_a"), col("max_a")),
+      norm(col(colB), col("min_b"), col("max_b")), bits)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "min_a", "max_a", "min_b", "max_b")
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** File exports S11-S13 (`storage.py:392-442`). */

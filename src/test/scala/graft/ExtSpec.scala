@@ -1470,4 +1470,49 @@ class ExtSpec extends SparkSpec {
       assert(r.getAs[Boolean]("kept") == (r.getAs[Long]("doc_id") == 20L))
     }
   }
+
+  test("bm25: exact tf under adjacent repeats; rare-term rank dominance") {
+    import spark.implicits._
+    val filler = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // adjacent repeats — the doubled-space pad must count both
+      (1L, s"dup dup $filler"),
+      (2L, s"dup $filler"),
+      // common term only: every doc below shares it, so idf is tiny
+      (3L, s"vector $filler"),
+      (4L, s"vector vector vector $filler"),
+      (5L, filler + " vector")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25Search(docs).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Int]("tf_dup") == 2, "adjacent tf undercounted")
+    assert(byId(2L).getAs[Int]("tf_dup") == 1)
+    // rare `dup` (df=2 of 5) must outrank any common-`vector` doc (df=3)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.take(2).toSet == Set(1L, 2L),
+      s"rare-term docs must lead the ranking, got $ids")
+    // higher tf of the same term at equal dl ranks first
+    assert(ids.indexOf(1L) < ids.indexOf(2L))
+    rows.foreach(r => assert(r.getAs[Double]("bm25") > 0))
+  }
+
+  test("dsir: docs made of target-domain tokens score above off-domain docs") {
+    import graft.ext.Selection
+    import spark.implicits._
+    // target source src0 speaks `alpha`, the raw pool speaks `beta`
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "alpha " * 19 + "alpha", "src0")) ++
+        (11 to 30).map(i => (i.toLong, "beta " * 19 + "beta", "srcX")) ++
+        Seq((31L, "alpha " * 9 + "alpha " * 10 + "alpha", "srcX"),
+          (32L, "beta " * 19 + "beta", "srcY")))
+      .map { case (id, t, s) => (id, t.trim, s) }
+      .toDF("doc_id", "text", "source")
+    val w = Selection.dsirWeights(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_weight")).toMap
+    // pure-alpha docs (target-like) must outweigh pure-beta docs
+    assert(w(1L) > w(11L) && w(31L) > w(32L),
+      s"target-like docs must score higher: $w")
+    // identical token bags ⇒ identical weights, regardless of source
+    assert(w(1L) == w(31L) && w(11L) == w(32L),
+      "weight must depend on content only, not the doc's own source")
+  }
 }

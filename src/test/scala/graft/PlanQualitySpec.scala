@@ -455,6 +455,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q121: bm25 never shuffles the corpus — scan-local tf, broadcast stats, TakeOrdered") {
+    val p = planOf("q121_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k fell back to a global sort:\n$p")
+    // tf/dl are string expressions and stats are a 1-row broadcast: the
+    // only exchanges allowed are the single-partition stats fold — a
+    // hash-partitioned exchange means a (doc, token) shuffle crept in
+    assert("""hashpartitioning""".r.findFirstIn(p).isEmpty,
+      s"bm25 shuffled the corpus:\n$p")
+    assert(!p.contains("Generate"), s"bm25 must not explode tokens:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q122: dsir ratio table broadcasts into the token probe") {
+    val p = planOf("q122_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket ratio table not broadcast:\n$p")
+    assert("""hashpartitioning\(doc_id""".r.findFirstIn(p).isDefined,
+      s"per-doc aggregate exchange missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,

@@ -468,6 +468,48 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("z-order export: files cover small 2-d boxes; beats single-column sort on the other dimension") {
+    // two INDEPENDENT uniform dimensions — the layout z-order exists for
+    val df = spark.range(0, 4096).selectExpr(
+      "id",
+      "CAST((id * 2654435761) % 4096 AS BIGINT) AS a",
+      "CAST((id * 40503) % 4096 AS BIGINT) AS b")
+    val zDir = tmp("zorder") + "/t"
+    val sDir = tmp("singlesort") + "/t"
+    Store.exportZOrdered(df, zDir, "a", "b", numFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(sDir)
+    // per-FILE bounding boxes — what parquet footer pruning sees
+    def boxes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"))
+      .collect()
+    val zb = boxes(zDir)
+    val sb = boxes(sDir)
+    assert(zb.length == 16 && sb.length == 16)
+    // what footer min/max pruning sees for a point predicate on one dim:
+    // the number of files whose interval contains the probe value
+    def hit(rows: Array[Row], lo: String, hi: String, v: Long) =
+      rows.count(r => r.getAs[Long](lo) <= v && v <= r.getAs[Long](hi))
+    val probes = Seq(100L, 1500L, 2048L, 3000L, 4000L)
+    val zHitsB = probes.map(hit(zb, "b0", "b1", _)).sum
+    val sHitsB = probes.map(hit(sb, "b0", "b1", _)).sum
+    val zHitsA = probes.map(hit(zb, "a0", "a1", _)).sum
+    // the single-dim sort leaves every file full-width in b — a b
+    // predicate prunes NOTHING (16 files × 5 probes)
+    assert(sHitsB == 16 * probes.length,
+      s"baseline should be unprunable on b, got $sHitsB")
+    // z-order keeps both dimensions prunable: a point predicate on
+    // EITHER dim must touch at most half the files on average
+    assert(zHitsB <= 8 * probes.length,
+      s"z-order not prunable on b: $zHitsB of ${16 * probes.length}")
+    assert(zHitsA <= 8 * probes.length,
+      s"z-order not prunable on a: $zHitsA of ${16 * probes.length}")
+    // layout change must not lose rows
+    assert(spark.read.parquet(zDir).count() == 4096)
+  }
+
   test("health check rolls up component status (pipeline.py:398-460)") {
     val h = Pipeline.healthCheck(spark, sf, tmp("health_out"))
     assert(h.overall == "healthy", h.toString)
