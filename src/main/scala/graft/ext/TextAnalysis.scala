@@ -827,15 +827,29 @@ object TextAnalysis {
     * BROADCAST sketch (d×w rows — index metadata); the exact side is the
     * q56 vocabulary aggregate, the declared harness cost. Top-k plans as
     * TakeOrdered. */
+  /** The d×w Count-Min state as a (r, b, c) frame — ONE map-side-combined
+    * aggregate whose cardinality is depth × width regardless of corpus
+    * size. Streaming-capable: the same expression tree runs as a
+    * COMPLETE-mode aggregation over a document stream (state = d×w rows,
+    * bounded by construction, no watermark needed — the q103 monitor
+    * pattern), which is the maintainable form the sketch exists for;
+    * StreamingSpec pins stream ≡ batch. */
+  def cmsSketch(docs: DataFrame, depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    require(depth >= 1 && width >= 1, "cms params must be positive")
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val rowStructs = (0 until depth).map(i => struct(lit(i).as("r"),
+      Sampling.hashBucket(col("token"), width, salt = s"cms$i:").as("b")))
+    toks.select(explode(array(rowStructs: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   def cmsHeavyHitters(docs: DataFrame, depth: Int = CmsDepth,
       width: Int = CmsWidth, k: Int = CmsTopK): DataFrame = {
     require(depth >= 1 && width >= 1 && k >= 1, "cms params must be positive")
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
-    val rowStructs = (0 until depth).map(i => struct(lit(i).as("r"),
-      Sampling.hashBucket(col("token"), width, salt = s"cms$i:").as("b")))
-    val sketch = toks.select(explode(array(rowStructs: _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("c"))
+    val sketch = cmsSketch(docs, depth, width)
     val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
     val withBuckets = exact.select(
       col("token") +: col("exact_count") +:
@@ -851,6 +865,23 @@ object TextAnalysis {
         col("exact_count"))
       .orderBy(col("cms_est").desc, col("token"))
       .limit(k)
+  }
+
+  /** Probe a (possibly streamed) CMS sketch: estimate the count of each
+    * row of `queryTokens` (a `token` column) as the min over the sketch's
+    * depth rows — the sketch broadcasts (d×w rows of index metadata). */
+  def cmsEstimate(sketch: DataFrame, queryTokens: DataFrame,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val withBuckets = queryTokens.select(
+      col("token") +: (0 until depth).map(i =>
+        Sampling.hashBucket(col("token"), width, salt = s"cms$i:")
+          .as(s"b$i")): _*)
+    val joined = (0 until depth).foldLeft(withBuckets) { (df, i) =>
+      df.join(broadcast(sketch.filter(col("r") === i)
+        .select(col("b").as(s"b$i"), col("c").as(s"c$i"))), Seq(s"b$i"))
+    }
+    joined.select(col("token"),
+      least((0 until depth).map(i => col(s"c$i")): _*).as("cms_est"))
   }
 
   /** q119: CMS top-20 heavy hitters with the exact counts alongside. */

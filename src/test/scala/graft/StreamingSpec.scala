@@ -246,6 +246,34 @@ class StreamingSpec extends SparkSpec {
       "monitor drift disagrees with the batch drift query")
   }
 
+  test("streaming count-min sketch: live d×w state ≡ batch sketch; estimates stay ≥ true") {
+    // the frequent-token monitor: the CMS state is depth × width rows —
+    // bounded by construction, so it runs as a COMPLETE-mode streaming
+    // aggregation with no watermark (same argument as the drift monitor)
+    import graft.ext.TextAnalysis
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = Tables.documents(spark, sf)
+    val docDir = tmpDir("cms_stream")
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+    val stream = Streaming.parquetFileSource(spark, docDir, schema)
+    Streaming.drainToMemory(
+      TextAnalysis.cmsSketch(stream), "cms_live", outputMode = "complete")
+    val streamed = spark.sql("SELECT r, b, c FROM cms_live")
+    val batch = TextAnalysis.cmsSketch(docs)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed sketch state disagrees with batch")
+    // probing the streamed state preserves the count-min guarantee
+    val truth = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").count()
+    val est = TextAnalysis.cmsEstimate(streamed, truth.select("token"))
+    val joined = est.join(truth, "token").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(
+      r.getAs[Long]("cms_est") >= r.getAs[Long]("count"), s"$r"))
+  }
+
   test("tier sample and epoch shuffle assignment are streaming-safe projections") {
     // the new sampling family decides membership per-record (hash of the
     // record's own key) — stateless projections, so the SAME column
