@@ -1206,9 +1206,97 @@ object Similarity {
     topComponent(Tables.embeddings(s, dir)).orderBy("dim_idx")
   }
 
+  // ---- Johnson–Lindenstrauss projection distortion audit -----------------
+
+  final val JlDims = 8
+  private final val JlPlaneOffset = 300
+  final val JlPanelMaxId = 24
+
+  /** JL random-projection distortion audit — the cheap-ANN feasibility
+    * probe: project embeddings to [[JlDims]] dimensions with the
+    * deterministic ±-uniform planes ([[planeVector]], a fresh offset) and
+    * measure, on a bounded pair panel, how well projected squared
+    * distances track the originals. Plane entries are uniform[-1,1)
+    * (variance 1/3), so the unbiased ratio is d2_proj · 3 / (dims ·
+    * d2_orig) — a JL audit reporting ratios near 1 licenses running
+    * q45/q46-style near-dup in 8-dim space at a fraction of the cost.
+    *
+    * Scale shape: the panel filter (`vec_id < maxId`) is a pushed scan
+    * predicate — the audit is O(panel²) on purpose and says so (the q27
+    * bounded-slice contract); the full-corpus PROJECTION itself is
+    * scan-local (dims fused dots per row). All arithmetic is fixed-order
+    * IEEE doubles (explicit per-dimension sum, no unordered float agg),
+    * so the oracle pins values. */
+  def jlDistortion(emb: DataFrame, dims: Int = JlDims,
+      maxId: Int = JlPanelMaxId): DataFrame = {
+    require(dims >= 1 && dims <= 32, s"dims must be in [1,32], got $dims")
+    val panel = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id") +: col("embedding") +:
+        dot(col("embedding"), col("embedding")).as("n2") +:
+        (0 until dims).map(j =>
+          dot(col("embedding"), lit(planeVector(JlPlaneOffset + j)))
+            .as(s"y$j")): _*)
+    def side(tag: String) = panel.select(
+      col("vec_id").as(s"id_$tag") +: col("embedding").as(s"e_$tag") +:
+        col("n2").as(s"n2_$tag") +:
+        (0 until dims).map(j => col(s"y$j").as(s"y${j}_$tag")): _*)
+    val pairs = broadcast(side("a"))
+      .join(side("b"), col("id_a") < col("id_b"))
+    val d2o = col("n2_a") - lit(2.0) * dot(col("e_a"), col("e_b")) + col("n2_b")
+    val d2p = (0 until dims).map { j =>
+      (col(s"y${j}_a") - col(s"y${j}_b")) * (col(s"y${j}_a") - col(s"y${j}_b"))
+    }.reduce(_ + _)
+    pairs
+      .withColumn("d2_orig", graft.functions.Functions.round6(d2o))
+      .withColumn("d2_proj", graft.functions.Functions.round6(d2p))
+      .withColumn("jl_ratio",
+        graft.functions.Functions.round6(d2p * lit(3.0) / (lit(dims) * d2o)))
+      .filter(col("d2_orig") > 0)
+      .select("id_a", "id_b", "d2_orig", "d2_proj", "jl_ratio")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q123: JL distortion over the fixed panel, plane-literal oracle. */
+  val q123JlDistortion: QuerySpec = QuerySpec(
+    "q123_jl_distortion", {
+      val planes = (0 until JlDims)
+        .map(j => s"($j, CAST([${planeVector(JlPlaneOffset + j).take(OracleDim).mkString(", ")}] AS DOUBLE[]))")
+        .mkString("(SELECT * FROM (VALUES\n    ", ",\n    ", ") t(a, b))")
+      val yCols = (0 until JlDims)
+        .map(j => s"max(CASE WHEN pid = $j THEN y END) AS y$j")
+        .mkString(",\n    ")
+      val d2p = (0 until JlDims)
+        .map(j => s"(ya.y$j - yb.y$j) * (ya.y$j - yb.y$j)")
+        .mkString("\n    + ")
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < $JlPanelMaxId),
+        |pl(pid, pv) AS $planes,
+        |p AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |y AS (
+        |  SELECT vec_id, pid, list_dot_product(v, pv) AS y
+        |  FROM e CROSS JOIN pl),
+        |yp AS (
+        |  SELECT vec_id,
+        |    $yCols
+        |  FROM y GROUP BY vec_id)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${graft.functions.Functions.round6Sql("a.n2 - 2.0 * list_dot_product(a.v, b.v) + b.n2")} AS d2_orig,
+        |  ${graft.functions.Functions.round6Sql(s"$d2p")} AS d2_proj,
+        |  ${graft.functions.Functions.round6Sql(s"($d2p) * 3.0 / ($JlDims * (a.n2 - 2.0 * list_dot_product(a.v, b.v) + b.n2))")} AS jl_ratio
+        |FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |  JOIN yp ya ON ya.vec_id = a.vec_id
+        |  JOIN yp yb ON yb.vec_id = b.vec_id
+        |WHERE ${graft.functions.Functions.round6Sql("a.n2 - 2.0 * list_dot_product(a.v, b.v) + b.n2")} > 0
+        |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+    jlDistortion(Tables.embeddings(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q30EmbeddingNorms, q31CosineTopK, q32LabelCentroids, q33AnnLsh, q44AnnIvf,
     q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats,
     q85SemanticNearDup, q97AnnRecall, q98SemanticDecontaminate,
-    q104CellBalancedSample, q112HardNegatives, q113AnnMrr, q120TopComponent)
+    q104CellBalancedSample, q112HardNegatives, q113AnnMrr, q120TopComponent,
+    q123JlDistortion)
 }

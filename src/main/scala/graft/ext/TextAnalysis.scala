@@ -1017,10 +1017,72 @@ object TextAnalysis {
     bm25Search(Tables.documents(s, dir))
   }
 
+  // ---- Per-source novelty & lexical-diversity card -----------------------
+
+  /** Per-source vocabulary card — the "is this source adding anything"
+    * audit a mixture tuner reads next to the q72 composition card: token
+    * volume, distinct vocabulary, the slice of that vocabulary appearing
+    * in NO other source (novelty — a mirror or syndication feed scores
+    * ~0), and Simpson lexical diversity 1 − Σc²/N² (the rational
+    * stand-in for token entropy: 0 = one token repeated, →1 = uniform —
+    * no transcendental, so the oracle pins values; the q120/q68 rule).
+    *
+    * Scale shape: one token explode → (source, token) counts with
+    * map-side partials — the only corpus-sized shuffle; the per-token
+    * source-spread table is a re-aggregate of that count frame
+    * (vocab-sized) joined back broadcast; everything else folds to
+    * #sources rows. Σc² stays in BIGINT. */
+  def sourceNoveltyCard(docs: DataFrame): DataFrame = {
+    val c = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val spread = c.groupBy("token")
+      .agg(count(lit(1)).as("n_sources"))
+    c.join(broadcast(spread), "token")
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("unique_tokens"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("source"), col("n_tokens"), col("distinct_tokens"),
+        col("unique_tokens"),
+        round6(col("unique_tokens").cast("double") / col("distinct_tokens"))
+          .as("novelty_share"),
+        // divide twice: n_tokens² overflows BIGINT at real corpus sizes
+        round6(lit(1.0) - col("sum_c2").cast("double") /
+          col("n_tokens") / col("n_tokens")).as("simpson_diversity"))
+      .orderBy("source")
+  }
+
+  /** q124: the novelty/diversity card per source. */
+  val q124SourceNovelty: QuerySpec = QuerySpec(
+    "q124_source_novelty",
+    s"""WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok WHERE token <> '' GROUP BY source, token),
+      |sp AS (SELECT token, count(*) AS n_sources FROM c GROUP BY token)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS distinct_tokens,
+      |  CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_tokens,
+      |  ${round6Sql("CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS novelty_share,
+      |  ${round6Sql("1.0 - CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) AS BIGINT) / CAST(sum(c) AS BIGINT)")} AS simpson_diversity
+      |FROM c JOIN sp USING (token)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    sourceNoveltyCard(Tables.documents(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
     q95BpeMerges, q96BpeEncode, q108TokenizerFertility,
-    q116SourceQualityQuantiles, q119CmsHeavyHitters, q121Bm25Search)
+    q116SourceQualityQuantiles, q119CmsHeavyHitters, q121Bm25Search,
+    q124SourceNovelty)
 }

@@ -1471,6 +1471,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("source novelty card: mirror source scores zero novelty; repetition kills diversity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z", "A"),          // 3 distinct tokens, 2 unique to A (x, y)
+      (2L, "w w w w", "B"),        // pure repetition → diversity 0
+      (3L, "z", "C")               // mirror of A's vocab slice → novelty 0
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.sourceNoveltyCard(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("A").getAs[Long]("distinct_tokens") == 3)
+    assert(rows("A").getAs[Long]("unique_tokens") == 2) // z shared with C
+    assert(rows("C").getAs[Long]("unique_tokens") == 0)
+    assert(rows("C").getAs[Double]("novelty_share") == 0.0)
+    assert(rows("B").getAs[Double]("simpson_diversity") == 0.0)
+    // A: three singleton counts → 1 - 3/9
+    assert(math.abs(rows("A").getAs[Double]("simpson_diversity") - (1.0 - 3.0 / 9)) < 1e-6)
+  }
+
+  test("jl distortion: unbiased near 1 on average; exact on axis-aligned pairs") {
+    import spark.implicits._
+    // real panel: the mean normalized ratio concentrates near 1 (JL
+    // unbiasedness) even though single pairs vary at 8 projected dims
+    val rows = Similarity.jlDistortion(Tables.embeddings(spark, sf)).collect()
+    assert(rows.length == JlPanelPairs(rows))
+    val ratios = rows.map(_.getAs[Double]("jl_ratio"))
+    assert(ratios.forall(_ > 0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.5, s"JL mean ratio off: $mean")
+    // scaling both vectors scales d2s together: ratio is scale-invariant
+    val a = Array.tabulate(64)(i => (if (i % 3 == 0) 1.0f else -0.5f))
+    val b = Array.tabulate(64)(i => (if (i % 5 == 0) 2.0f else 0.25f))
+    val small = Seq((0L, a, 0), (1L, b, 0)).toDF("vec_id", "embedding", "label")
+    val big = Seq((0L, a.map(_ * 4), 0), (1L, b.map(_ * 4), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.jlDistortion(small).head().getAs[Double]("jl_ratio")
+    val r2 = Similarity.jlDistortion(big).head().getAs[Double]("jl_ratio")
+    assert(math.abs(r1 - r2) < 2e-6, s"not scale-invariant: $r1 vs $r2")
+  }
+
+  private def JlPanelPairs(rows: Array[Row]): Int = {
+    val n = rows.flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .distinct.length
+    n * (n - 1) / 2
+  }
+
   test("bm25: exact tf under adjacent repeats; rare-term rank dominance") {
     import spark.implicits._
     val filler = (1 to 20).map(i => s"w$i").mkString(" ")

@@ -477,6 +477,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q123: JL panel filter pushed to the scan; pair join is broadcast") {
+    val p = planOf("q123_jl_distortion")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(vec_id"),
+      s"panel bound not pushed into the embeddings scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounded pair panel should broadcast one side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
