@@ -867,6 +867,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Persist the CMS sketch as a tiny parquet table (d×w rows). The
+    * index form of the q119 monitor: build pays the corpus scan once;
+    * each batch afterwards merges its own sketch in — Count-Min state is
+    * an elementwise SUM, so merge is a d×w-row aggregate (index
+    * metadata, never corpus data). Published with the Store staging +
+    * backup rename discipline so a crashed append leaves the previous
+    * sketch recoverable, and readers never see a half-written merge. */
+  def buildCmsIndex(docs: DataFrame, dir: String): Unit =
+    cmsSketch(docs).write.mode("overwrite").parquet(s"$dir/sketch")
+
+  /** Merge a batch's sketch into a persisted index without re-scanning
+    * the corpus the index already covers. */
+  def appendToCmsIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    val path = s"$dir/sketch"
+    val merged = readCmsIndex(spark, dir).unionByName(cmsSketch(batch))
+      .groupBy("r", "b").agg(sum(col("c")).as("c"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    val fs = target.getFileSystem(conf)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"cms append: could not move $target aside")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(backup)) fs.rename(backup, target)
+      sys.error(s"cms append: could not publish $staging over $target")
+    }
+    fs.delete(backup, true)
+  }
+
+  /** Read a persisted sketch, recovering from a crashed append swap. */
+  def readCmsIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val path = s"$dir/sketch"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    val fs = target.getFileSystem(conf)
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      sys.error(s"cms read: could not recover $backup")
+    spark.read.parquet(path)
+  }
+
   /** Probe a (possibly streamed) CMS sketch: estimate the count of each
     * row of `queryTokens` (a `token` column) as the min over the sketch's
     * depth rows — the sketch broadcasts (d×w rows of index metadata). */

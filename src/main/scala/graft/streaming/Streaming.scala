@@ -241,4 +241,70 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** Late-data accounting — the operational gap every watermark in this
+    * module opens: rows older than the advanced watermark are dropped
+    * SILENTLY by stateful operators (and Spark's
+    * `numRowsDroppedByWatermark` metric does not see them — late input
+    * is pre-filtered before the state operator; measured on 4.1), so a
+    * pipeline that doesn't count them can't tell "clean upstream" from
+    * "we discarded an hour of events".
+    *
+    * This stream makes the accounting EXPLICIT and durable, the
+    * state-in-table pattern of [[corpusAdmitStream]]: per micro-batch,
+    * rows older than (max event time seen in PRIOR batches − horizon) —
+    * the same threshold a downstream watermarked aggregation would drop
+    * at — are quarantined to `late/`, on-time rows pass to `ontime/`,
+    * and a 1-row ledger entry (batch, input/late counts, the threshold
+    * used) lands in `ledger/` — the number to alert on and reconcile
+    * against source counts in an end-of-day audit. All three outputs are
+    * written to `batch=N` directories with overwrite, so an at-least-once
+    * replay is idempotent; the high-water state is a 1-row parquet and
+    * max() re-applied on replay is a no-op. Driver-side traffic is two
+    * 1-row aggregates per batch — index metadata, never data. */
+  def lateAuditStream(events: DataFrame, outDir: String, checkpoint: String,
+      horizon: String = "2 hours", eventTimeCol: String = "ts"): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val statePath = s"$outDir/state"
+        val saved: Option[java.sql.Timestamp] =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            Option(spark.read.parquet(statePath)
+              .agg(max(col("max_ts"))).head().getTimestamp(0))
+          else None
+        // let the engine parse the horizon: threshold = saved − INTERVAL
+        val threshold = saved.map { t =>
+          spark.range(1)
+            .select((lit(t) - expr(s"INTERVAL $horizon")).cast("timestamp"))
+            .head().getTimestamp(0)
+        }
+        val b = batch.persist()
+        try {
+          val isLate = threshold
+            .map(t => col(eventTimeCol) < lit(t)).getOrElse(lit(false))
+          b.filter(isLate).write.mode("overwrite")
+            .parquet(s"$outDir/late/batch=$batchId")
+          b.filter(!isLate).write.mode("overwrite")
+            .parquet(s"$outDir/ontime/batch=$batchId")
+          val counts = b.agg(count(lit(1)).as("n_input"),
+            sum(when(isLate, 1L).otherwise(0L)).as("n_late"),
+            max(col(eventTimeCol)).as("batch_max")).head()
+          import spark.implicits._
+          Seq((batchId, counts.getAs[Long]("n_input"),
+              counts.getAs[Long]("n_late"), threshold.orNull))
+            .toDF("batch", "n_input", "n_late", "threshold_used")
+            .write.mode("overwrite").parquet(s"$outDir/ledger/batch=$batchId")
+          val maxes = saved.toSeq ++
+            Option(counts.getAs[java.sql.Timestamp]("batch_max")).toSeq
+          if (maxes.nonEmpty)
+            Seq(maxes.maxBy(_.getTime)).toDF("max_ts")
+              .write.mode("overwrite").parquet(statePath)
+        } finally { b.unpersist(); () }
+      }
+      .start()
 }

@@ -1471,6 +1471,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("cms index: append-merge ≡ full rebuild; crash window recovers from backup") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("cms_idx").toString
+    TextAnalysis.buildCmsIndex(first, dir)
+    TextAnalysis.appendToCmsIndex(spark, dir, second)
+    val merged = TextAnalysis.readCmsIndex(spark, dir)
+    val full = TextAnalysis.cmsSketch(docs)
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0,
+      "incremental sketch must equal the one-shot build")
+    // crash window: sketch moved aside, publish not done — reader recovers
+    val p = new java.io.File(dir + "/sketch")
+    assert(p.renameTo(new java.io.File(dir + "/sketch__backup")))
+    val recovered = TextAnalysis.readCmsIndex(spark, dir)
+    assert(recovered.exceptAll(full).count() == 0, "backup recovery lost state")
+  }
+
   test("source novelty card: mirror source scores zero novelty; repetition kills diversity") {
     import spark.implicits._
     val docs = Seq(

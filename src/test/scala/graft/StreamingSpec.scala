@@ -246,6 +246,58 @@ class StreamingSpec extends SparkSpec {
       "monitor drift disagrees with the batch drift query")
   }
 
+  test("late-data ledger: quarantines watermark-late rows with replay-idempotent accounting") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("late_events")
+    def eventsAt(times: Seq[String], startId: Long) = {
+      import spark.implicits._
+      times.zipWithIndex.map { case (t, i) =>
+        (startId + i, java.sql.Timestamp.valueOf(t), 1L, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = tmpDir("late_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    // file A: on-time rows at noon — batch 0 sets the high-water mark
+    writeOne(eventsAt(Seq("2024-06-01 12:00:00", "2024-06-01 12:30:00",
+      "2024-06-01 12:45:00"), 1L), "a.parquet", 1000000L)
+    // file B (later mod-time → batch 1): rows from midnight, ~12h late
+    writeOne(eventsAt(Seq("2024-06-01 00:10:00", "2024-06-01 00:20:00"), 10L),
+      "b.parquet", 2000000L)
+    val out = tmpDir("late_out")
+    val schema = spark.read.parquet(dir).schema
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      Streaming.lateAuditStream(stream, out, ckpt).awaitTermination()
+    }
+    run(tmpDir("late_ckpt"))
+    val ledger = spark.read.parquet(out + "/ledger").orderBy("batch").collect()
+    assert(ledger.length == 2, s"expected 2 ledger rows, got ${ledger.length}")
+    assert(ledger(0).getAs[Long]("n_late") == 0)
+    assert(ledger(1).getAs[Long]("n_input") == 2 &&
+      ledger(1).getAs[Long]("n_late") == 2,
+      s"midnight rows must be flagged late: ${ledger(1)}")
+    // threshold used by batch 1 = 12:45 − 2h
+    assert(ledger(1).getAs[java.sql.Timestamp]("threshold_used") ==
+      java.sql.Timestamp.valueOf("2024-06-01 10:45:00"))
+    // quarantine holds exactly the late rows; on-time rows pass through
+    assert(spark.read.parquet(out + "/late").count() == 2)
+    assert(spark.read.parquet(out + "/ontime").count() == 3)
+    // at-least-once replay (fresh checkpoint, same output) is idempotent:
+    // batch=N directories overwrite, max() state re-applies as a no-op
+    run(tmpDir("late_ckpt2"))
+    assert(spark.read.parquet(out + "/late").count() == 2)
+    assert(spark.read.parquet(out + "/ontime").count() == 3)
+    assert(spark.read.parquet(out + "/ledger").count() == 2)
+  }
+
   test("streaming count-min sketch: live d×w state ≡ batch sketch; estimates stay ≥ true") {
     // the frequent-token monitor: the CMS state is depth × width rows —
     // bounded by construction, so it runs as a COMPLETE-mode streaming
