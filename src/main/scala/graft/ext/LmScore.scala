@@ -185,5 +185,82 @@ object LmScore {
     scoreDocsPruned(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q76LmScore, q78LmScorePruned)
+  // ---- PMI collocation mining --------------------------------------------
+
+  final val CollocMinSupport = 8
+  final val CollocTopK = 25
+
+  /** Collocation mining — pointwise-mutual-information scoring of adjacent
+    * token pairs, the association signal phrase/tokenizer induction and
+    * boilerplate forensics read (a pair glued far above chance is a fixed
+    * phrase): PMI ratio = p(ab) / (p(a)·p(b)) with p(ab) = c_ab/M over
+    * bigram positions and p(a) = c_a/N over token positions, kept as a
+    * RATIONAL ratio quantized to micro-units (no log — the q68/q76 rule),
+    * which preserves the PMI ORDER exactly. A minimum support floor keeps
+    * the rare-pair ratio explosion (the classic PMI failure mode) out of
+    * the ranking.
+    *
+    * Scale shape: bigram and unigram counts are the two [[bigramModel]]
+    * aggregates (map-side combined); totals fold to one broadcast row;
+    * the unigram table broadcasts into the surviving ≥minSupport pairs
+    * (vocab-sized — the same broadcast budget as the exact bigram model,
+    * with the same pruned-at-real-vocab note); top-k plans as
+    * TakeOrdered. */
+  def collocations(docs: DataFrame, minSupport: Int = CollocMinSupport,
+      k: Int = CollocTopK): DataFrame = {
+    require(minSupport >= 1 && k >= 1, "collocation params must be positive")
+    val counts = bigramRows(docs).groupBy("a", "b")
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c_ab")).as("m_bigrams"))
+      .crossJoin(uni.agg(sum(col("c")).as("n_tokens")))
+    val ratio = (col("c_ab").cast("double") / col("m_bigrams")) /
+      ((col("c_a").cast("double") / col("n_tokens")) *
+        (col("c_b").cast("double") / col("n_tokens")))
+    counts.filter(col("c_ab") >= minSupport)
+      .join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        floor(ratio * 1e6 + 0.5).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** q126: top collocations by micro-exact PMI ratio. */
+  val q126Collocations: QuerySpec = QuerySpec(
+    "q126_collocations",
+    s"""WITH bg AS (
+      |  SELECT u.a AS a, u.b AS b FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> {'a': w[i], 'b': w[i+1]})) AS u
+      |    FROM (SELECT string_split(text, ' ') AS w FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 2))),
+      |counts AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+      |uni AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> '' GROUP BY t),
+      |tt AS (
+      |  SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM counts) AS m_bigrams,
+      |    (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_tokens)
+      |SELECT counts.a, counts.b, c_ab,
+      |  ua.c AS c_a, ub.c AS c_b,
+      |  CAST(floor((CAST(c_ab AS DOUBLE) / m_bigrams) /
+      |    ((CAST(ua.c AS DOUBLE) / n_tokens) * (CAST(ub.c AS DOUBLE) / n_tokens))
+      |    * 1e6 + 0.5) AS BIGINT) AS pmi_micro
+      |FROM counts
+      |  JOIN uni ua ON ua.t = counts.a
+      |  JOIN uni ub ON ub.t = counts.b
+      |  CROSS JOIN tt
+      |WHERE c_ab >= $CollocMinSupport
+      |ORDER BY pmi_micro DESC, a, b
+      |LIMIT $CollocTopK""".stripMargin) { (s, dir) =>
+    collocations(Tables.documents(s, dir))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q76LmScore, q78LmScorePruned, q126Collocations)
 }

@@ -443,8 +443,46 @@ object Sampling {
     epochShuffle(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
+  // ---- exact-k deterministic sample --------------------------------------
+
+  final val ExactSampleK = 100
+
+  /** Exactly-k uniform sample — the fixed-size contract the percentage
+    * samplers above can't give ("hand me exactly 1000 eval docs,
+    * reproducibly"): rank every row by a salted md5 draw (60 bits — a
+    * full-width total order, not a bucket) and keep the k smallest.
+    * Deterministic across runs, engines, and partitionings, like every
+    * sampler in this module; uniform because the draw is independent of
+    * any attribute.
+    *
+    * Scale shape: the draw is scan-local and the k smallest plan as
+    * TakeOrderedAndProject — per-partition heaps of k rows merged on the
+    * driver, NO global sort, no single-partition window; the classic
+    * distributed bottom-k. (A reservoir sampler is the streaming cousin;
+    * this is the batch form a 100 TB table wants.) */
+  def exactKSample(docs: DataFrame, k: Int = ExactSampleK): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val draw = conv(substring(
+        md5(concat(lit("ksample:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    docs.select(col("doc_id"), col("lang"), col("source"), draw.as("draw"))
+      .orderBy(col("draw"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** q125: the exact-k sample over documents. */
+  val q125ExactKSample: QuerySpec = QuerySpec(
+    "q125_exact_k_sample",
+    s"""SELECT doc_id, lang, source,
+      |  CAST(('0x' || substr(md5('ksample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS draw
+      |FROM documents
+      |ORDER BY draw, doc_id
+      |LIMIT $ExactSampleK""".stripMargin) { (s, dir) =>
+    exactKSample(Tables.documents(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q53StratifiedSample, q61CorpusMixture, q64TrainValTestSplit,
     q86LeakageSafeSplit, q88QualityTierSample, q89EpochShuffle,
-    q91TokenMixture)
+    q91TokenMixture, q125ExactKSample)
 }

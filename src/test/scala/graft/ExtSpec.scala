@@ -1471,6 +1471,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("exact-k sample: fixed size, deterministic, partitioning-independent") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = Sampling.exactKSample(docs, 50).collect()
+    assert(s1.length == 50)
+    val s2 = Sampling.exactKSample(docs.repartition(7), 50).collect()
+    assert(s1.map(_.getAs[Long]("doc_id")).toSeq ==
+      s2.map(_.getAs[Long]("doc_id")).toSeq,
+      "sample must not depend on physical partitioning")
+    // draws are a total order: strictly increasing along the sample
+    val draws = s1.map(_.getAs[Long]("draw"))
+    assert(draws.sameElements(draws.sorted))
+  }
+
+  test("collocations: a glued pair outranks independent pairs; support floor holds") {
+    import graft.ext.LmScore
+    import spark.implicits._
+    // `rare pair` always adjacent (20×); filler tokens are shuffled
+    // independently, so no filler bigram repeats anywhere near 20×
+    val glued = (1 to 20).map(i => (i.toLong, s"rare pair w$i x$i y$i z$i"))
+    val docs = glued.toDF("doc_id", "text")
+    val rows = LmScore.collocations(docs, minSupport = 8, k = 5).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert(top.getAs[String]("a") == "rare" && top.getAs[String]("b") == "pair",
+      s"glued pair must rank first, got $top")
+    assert(top.getAs[Long]("c_ab") == 20)
+    // support floor: every surviving pair repeats at least minSupport times
+    rows.foreach(r => assert(r.getAs[Long]("c_ab") >= 8, s"$r"))
+  }
+
   test("cms index: append-merge ≡ full rebuild; crash window recovers from backup") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)

@@ -486,6 +486,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q125: exact-k sample is scan + TakeOrdered — no global sort, no shuffle") {
+    val p = planOf("q125_exact_k_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k fell back to a global sort:\n$p")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"exact-k sample must not shuffle the corpus:\n$p")
+  }
+
+  test("q126: collocations broadcast the unigram sides; top-k plans as TakeOrdered") {
+    val p = planOf("q126_collocations")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram tables not broadcast into the pair frame:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PMI top-k fell back to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
