@@ -364,8 +364,60 @@ object Profiling {
       .orderBy("event_type")
   }
 
+  /** Key-skew probe — the shuffle-health diagnostic to run BEFORE keying
+    * a 100 TB join or groupBy on a column: per-key row counts folded into
+    * a log2 count-of-counts histogram (bucket = floor(log2(rows per
+    * key)), via the binary-representation length — pure integer, so the
+    * oracle pins values). A healthy key space concentrates in low
+    * buckets; a hot key shows up as mass in a high bucket, which is the
+    * signal to salt ([[graft.pipeline.Enrich]]'s helper) or let AQE split
+    * it. Bucketing rather than exact per-key quantiles keeps the output
+    * BOUNDED (≤64 rows) at any cardinality — the same sketch-over-exact
+    * trade as q47, except log2 bucketing is lossless for the decision
+    * being made.
+    *
+    * Scale shape: one (key) hash aggregate with map-side partials, one
+    * ≤64-row re-aggregate, one 1-row broadcast for the shares. */
+  def keySkewHistogram(df: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val hist = counts
+      .groupBy((length(bin(col("c"))) - 1).cast("int").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_key_rows"))
+    val total = counts.agg(sum(col("c")).as("total_rows"))
+    hist.crossJoin(broadcast(total))
+      .select(col("log2_bucket"), col("n_keys"), col("n_rows"),
+        col("max_key_rows"),
+        floor(col("n_rows").cast("double") / col("total_rows") * 1e6 + 0.5)
+          .cast("long").as("rows_share_micro"))
+      .orderBy("log2_bucket")
+  }
+
+  /** q127: skew histogram of events.user_id (the natural session key). */
+  val q127KeySkew: QuerySpec = QuerySpec(
+    "q127_key_skew",
+    """WITH c AS (
+      |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id),
+      |h AS (
+      |  SELECT CAST(length(bin(c)) - 1 AS INT) AS log2_bucket,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(max(c) AS BIGINT) AS max_key_rows
+      |  FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS total_rows FROM c)
+      |SELECT log2_bucket, n_keys, n_rows, max_key_rows,
+      |  CAST(floor(CAST(n_rows AS DOUBLE) / total_rows * 1e6 + 0.5) AS BIGINT) AS rows_share_micro
+      |FROM h CROSS JOIN t
+      |ORDER BY log2_bucket""".stripMargin) { (s, dir) =>
+    keySkewHistogram(graft.Tables.events(s, dir), "user_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
-    q59ApproxProfileOrders)
+    q59ApproxProfileOrders, q127KeySkew)
 }

@@ -1471,6 +1471,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("key-skew histogram: a planted hot key lands alone in the top bucket") {
+    import graft.queries.Profiling
+    import spark.implicits._
+    // 64 uniform keys × 4 rows, plus one hot key with 1024 rows
+    val uniform = (1 to 64).flatMap(k => Seq.fill(4)(k.toLong))
+    val hot = Seq.fill(1024)(999L)
+    val df = (uniform ++ hot).toDF("user_id")
+    val hist = Profiling.keySkewHistogram(df, "user_id").collect()
+    val byBucket = hist.map(r => r.getAs[Int]("log2_bucket") -> r).toMap
+    // 4 rows/key → bucket 2; 1024 rows → bucket 10
+    assert(byBucket.keySet == Set(2, 10), s"buckets: ${byBucket.keySet}")
+    assert(byBucket(2).getAs[Long]("n_keys") == 64)
+    assert(byBucket(10).getAs[Long]("n_keys") == 1)
+    assert(byBucket(10).getAs[Long]("max_key_rows") == 1024)
+    // hot key's share: 1024 / 1280 = 80%
+    assert(byBucket(10).getAs[Long]("rows_share_micro") == 800000L)
+  }
+
   test("exact-k sample: fixed size, deterministic, partitioning-independent") {
     val docs = Tables.documents(spark, sf)
     val s1 = Sampling.exactKSample(docs, 50).collect()
