@@ -1447,11 +1447,124 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---- maximal duplicated-span profile -----------------------------------
+
+  final val DupSpanTokens = 4
+
+  /** Maximal duplicated-span profile — the sliding-window complement to
+    * q80's fixed non-overlapping cut (and the exact-substring face of the
+    * Lee et al. "Deduplicating Training Data" finding): every OVERLAPPING
+    * `spanTokens`-token shingle that appears in ≥2 distinct docs marks
+    * its token interval as duplicated, and overlapping marked intervals
+    * merge (gaps-and-islands: shingles at positions p, p' chain iff
+    * p' − p ≤ L−1) into MAXIMAL duplicated spans — so a 40-token lifted
+    * passage reports as ONE span of ~40 tokens, where q80 sees it only as
+    * ceil(40/3) independent cells and q110 only as its most frequent
+    * grams. Per doc: span count, longest span, covered-token total (no
+    * double counting — intervals are merged), and the covered fraction.
+    *
+    * Scale shape: scan-local shingle explode → one span-keyed doc-freq
+    * aggregate; duplicated shingles rejoin by a SHUFFLE join on the
+    * shingle key — deliberately not a broadcast: at df≥2 the duplicated
+    * set is corpus-sized in the worst case, unlike q80's >maxDocFreq
+    * boilerplate cut (a real RefinedWeb-scale run raises minDf or
+    * pre-filters by q110's miner to get a broadcastable set; the join
+    * form is the one that never OOMs). Island merging is two windows
+    * partitioned by doc_id — parallelism = document count, bounded per
+    * task by document length (the q70 cliff does not apply). */
+  def dupSpanProfile(docs: DataFrame,
+      spanTokens: Int = DupSpanTokens): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= spanTokens)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${spanTokens - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(w, i, $spanTokens)) AS g))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("g")
+    val marked = grams.join(dupGrams, "g")
+    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = marked
+      .withColumn("new_island",
+        when(col("pos") - lag(col("pos"), 1).over(wPos) <= spanTokens - 1, 0L)
+          .otherwise(1L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg((max(col("pos")) - min(col("pos")) + spanTokens).as("span_tokens"))
+    val profile = islands.groupBy("doc_id").agg(
+      count(lit(1)).as("n_dup_spans"),
+      max(col("span_tokens")).as("max_span_tokens"),
+      sum(col("span_tokens")).as("covered_tokens"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(profile, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        floor(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens") * 1e6 + 0.5).cast("long").as("cover_micro"))
+  }
+
+  /** q128: the duplicated-span profile over the full corpus. */
+  val q128DupSpanProfile: QuerySpec = QuerySpec(
+    "q128_dup_span_profile",
+    s"""WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(w[i:i+${DupSpanTokens - 1}], ' ') AS g
+      |  FROM docs, unnest(generate_series(1, len(w) - ${DupSpanTokens - 1})) AS t(i)
+      |  WHERE len(w) >= $DupSpanTokens),
+      |dup AS (
+      |  SELECT g FROM (
+      |    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+      |  WHERE df >= 2),
+      |marked AS (SELECT grams.* FROM grams JOIN dup USING (g)),
+      |flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      <= ${DupSpanTokens - 1} THEN 0 ELSE 1 END AS new_island
+      |  FROM marked),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged),
+      |spans AS (
+      |  SELECT doc_id, island,
+      |    max(pos) - min(pos) + $DupSpanTokens AS span_tokens
+      |  FROM isl GROUP BY doc_id, island),
+      |prof AS (
+      |  SELECT doc_id, count(*) AS n_dup_spans,
+      |    max(span_tokens) AS max_span_tokens,
+      |    sum(span_tokens) AS covered_tokens
+      |  FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id,
+      |  CAST(len(d.w) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST(coalesce(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+      |  CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      |  CAST(floor(CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / len(d.w)
+      |    * 1e6 + 0.5) AS BIGINT) AS cover_micro
+      |FROM docs d LEFT JOIN prof p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    dupSpanProfile(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
     q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
     q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
     q94BloomAdmit, q106MinhashRecall, q107QualityKeeper,
-    q110BoilerplateSpans)
+    q110BoilerplateSpans, q128DupSpanProfile)
 }

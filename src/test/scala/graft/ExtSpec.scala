@@ -1471,6 +1471,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dup-span profile: a lifted passage reports as ONE maximal span of its true length") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")  // 10 shared tokens
+    val tail2 = (1 to 8).map(i => s"q$i").mkString(" ")     // second shared run
+    val docs = Seq(
+      // doc 1: passage at the start, unique middle, second shared run at the end
+      (1L, s"$passage u1 u2 u3 u4 u5 $tail2"),
+      // doc 2: same passage and run, different surroundings
+      (2L, s"v1 v2 $passage v3 v4 $tail2 v5"),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Dedup.dupSpanProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // both carriers see TWO maximal spans: the 10-token passage + 8-token run
+    Seq(1L, 2L).foreach { id =>
+      assert(rows(id).getAs[Long]("n_dup_spans") == 2, s"doc $id: ${rows(id)}")
+      assert(rows(id).getAs[Long]("max_span_tokens") == 10, s"doc $id")
+      assert(rows(id).getAs[Long]("covered_tokens") == 18, s"doc $id")
+    }
+    assert(rows(3L).getAs[Long]("n_dup_spans") == 0)
+    assert(rows(3L).getAs[Long]("cover_micro") == 0L)
+  }
+
   test("key-skew histogram: a planted hot key lands alone in the top bucket") {
     import graft.queries.Profiling
     import spark.implicits._
