@@ -452,4 +452,68 @@ class PropertySpec extends SparkSpec {
         s"pair within hamming budget $maxH lost by the band split: $h1 / $h2")
     }
   }
+
+  test("exact-k sample is nested: sample(k1) is a prefix of sample(k2) for k1 < k2 (property)") {
+    // the law that makes the sampler USABLE operationally: growing the
+    // sample never discards already-selected rows (the draw is a fixed
+    // total order, k is just a cut) — so an eval set can be extended
+    // without invalidating published results
+    import graft.ext.Sampling
+    val docs = graft.Tables.documents(spark, sf)
+    val ks = Seq(5, 17, 40, 80)
+    val samples = ks.map(k =>
+      k -> Sampling.exactKSample(docs, k).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq).toMap
+    ks.sliding(2).foreach { case Seq(k1, k2) =>
+      assert(samples(k2).take(k1) == samples(k1),
+        s"sample($k1) must be a prefix of sample($k2)")
+    }
+  }
+
+  test("cms index merge is order-independent over random splits (property)") {
+    // Count-Min state is a commutative monoid: any batch arrival order
+    // must converge to the one-shot sketch
+    import graft.ext.TextAnalysis
+    import org.apache.spark.sql.functions.{col, pmod}
+    val docs = graft.Tables.documents(spark, sf)
+    val full = TextAnalysis.cmsSketch(docs)
+    val rnd = new scala.util.Random(7)
+    (1 to 2).foreach { _ =>
+      val nParts = 2 + rnd.nextInt(3)
+      val order = rnd.shuffle((0 until nParts).toList)
+      val dir = java.nio.file.Files.createTempDirectory("cms_prop").toString
+      TextAnalysis.buildCmsIndex(
+        docs.filter(pmod(col("doc_id"), org.apache.spark.sql.functions.lit(nParts)) === order.head), dir)
+      order.tail.foreach { p =>
+        TextAnalysis.appendToCmsIndex(spark, dir,
+          docs.filter(pmod(col("doc_id"), org.apache.spark.sql.functions.lit(nParts)) === p))
+      }
+      val merged = TextAnalysis.readCmsIndex(spark, dir)
+      assert(merged.exceptAll(full).count() == 0 &&
+        full.exceptAll(merged).count() == 0,
+        s"merge order $order diverged from the one-shot sketch")
+    }
+  }
+
+  test("dup-span islands cover every duplicated shingle position (property)") {
+    // soundness of the gaps-and-islands merge: for random corpora, every
+    // position of every cross-doc-duplicated shingle lies inside some
+    // reported span of its doc, and spans never exceed the doc
+    import graft.ext.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 12).map(i => s"t$i")
+    val docs = (1L to 24L).map { id =>
+      val n = 6 + rnd.nextInt(20)
+      (id, (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val prof = Dedup.dupSpanProfile(docs).collect()
+    prof.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("covered_tokens") <= nTok, s"$r")
+      assert(r.getAs[Long]("max_span_tokens") <= nTok, s"$r")
+      assert((r.getAs[Long]("n_dup_spans") == 0) ==
+        (r.getAs[Long]("covered_tokens") == 0), s"$r")
+    }
+  }
 }
