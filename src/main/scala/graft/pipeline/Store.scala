@@ -535,6 +535,37 @@ object Store {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-files audit — the operational probe that decides when to run
+    * [[compactBuckets]]: a log2 size histogram of a table directory's
+    * data files (bucket = floor(log2(bytes))), built from the NAMENODE
+    * LISTING only — no file is opened. A healthy table concentrates near
+    * the target file size; mass in low buckets is the small-files
+    * problem (open/seek overhead per task at read time), mass in one
+    * high bucket is an unsplittable-file risk. Listing is driver-side by
+    * nature (file metadata, one entry per file — the same class as a
+    * partition discovery), bounded output ≤64 rows. */
+  def fileSizeAudit(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ListBuffer[(String, Long)]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        files += ((f.getPath.toString, f.getLen))
+    }
+    files.toSeq.toDF("file", "bytes")
+      .groupBy((length(bin(greatest(col("bytes"), lit(1L)))) - 1)
+        .cast("int").as("log2_bytes"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("bytes")).as("min_bytes"),
+        max(col("bytes")).as("max_bytes"))
+      .orderBy("log2_bytes")
+  }
+
   /** File exports S11-S13 (`storage.py:392-442`). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -108,6 +108,26 @@ object Advanced {
       .withColumn("session_id", sum(col("new_session")).over(run).cast("long"))
   }
 
+  /** The SAME gap sessions via Spark's native `session_window` grouping
+    * expression — the built-in that replaces the two-window lag chain
+    * with ONE hash aggregate (mergeable session state; also the form
+    * that runs on a stream with update mode). Boundary note: the
+    * built-in's session end is EXCLUSIVE (an event at exactly
+    * prev_ts + gap starts a new session) where [[sessionIds]]' rule
+    * (`ts > prev + gap`) keeps it — identical on any data without exact
+    * gap-boundary timestamps; AdvancedSpec proves equality on the events
+    * table and PropertySpec-style jitter keeps the corpora boundary-free
+    * by construction. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("duration_sec"))
+
   /** Gap-based sessionization (30-minute inactivity gap): lag → new-session
     * flag → running sum = session id; per-session stats. The batch twin of
     * Structured Streaming's session windows (SURVEY.md §2.8). */

@@ -376,8 +376,38 @@ object Relational {
     semi.unionByName(anti).orderBy("cohort")
   }
 
+  /** CUBE: all four aggregation levels of (order status, priority) in one
+    * Expand+Aggregate pass — q50's rollup plus the cross-margins a
+    * dashboard wants. Same groupingSets spelling (and for the same
+    * ambiguous-self-join reason), same coalesce('ALL') labeling. Scale
+    * shape: Expand multiplies rows by the 4 grouping sets BEFORE the
+    * map-side combine, so the exchange still carries only group rows. */
+  val q129Cube: QuerySpec = QuerySpec(
+    "q129_cube",
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  ${moneySumSql("o_totalprice")} AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("revenue"), col("n_orders"))
+      .orderBy("status", "priority")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02TopkOrders, q03RevenueByCustomer, q04RegionRevenue,
     q05RunningRevenue, q06PriorityCounts, q07DedupFull, q08DedupKeyKeepFirst,
-    q09UnionByName, q49GroupedTopk, q50Rollup, q51Pivot, q52SemiAnti)
+    q09UnionByName, q49GroupedTopk, q50Rollup, q51Pivot, q52SemiAnti,
+    q129Cube)
 }

@@ -179,4 +179,20 @@ class AdvancedSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0))
     assert(flagged.toSeq == Seq(30L), s"expected only the spike, got ${flagged.toSeq}")
   }
+
+  test("native session_window ≡ the lag-chain gap sessions on the events table") {
+    import graft.queries.Advanced
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf)
+    // project q42's frames to the id-free shape the built-in produces
+    val lagForm = SparkEntry.queries("q42_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_start"),
+        col("n_events"), col("duration_sec"))
+    val builtin = Advanced.sessionWindowStats(ev)
+    assert(builtin.count() == lagForm.count(),
+      "session counts disagree")
+    assert(builtin.exceptAll(lagForm).count() == 0 &&
+      lagForm.exceptAll(builtin).count() == 0,
+      "native session_window sessions disagree with the gap-rule chain")
+  }
 }

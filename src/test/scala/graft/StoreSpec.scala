@@ -510,6 +510,24 @@ class StoreSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 4096)
   }
 
+  test("file-size audit: histogram accounts for every data file; compaction shifts it") {
+    val dir = tmp("fsaudit") + "/t"
+    spark.range(0, 2048).selectExpr("id", "id * 2 AS v")
+      .repartition(16).write.parquet(dir)
+    val before = Store.fileSizeAudit(spark, dir).collect()
+    assert(before.map(_.getAs[Long]("n_files")).sum == 16,
+      "every data file must be counted (and only data files)")
+    val totalBytes = before.map(_.getAs[Long]("total_bytes")).sum
+    assert(totalBytes > 0)
+    // fewer, larger files → mass moves to fewer rows with higher buckets
+    spark.read.parquet(dir).coalesce(2).write.parquet(dir + "2")
+    val after = Store.fileSizeAudit(spark, dir + "2").collect()
+    assert(after.map(_.getAs[Long]("n_files")).sum == 2)
+    assert(after.map(_.getAs[Int]("log2_bytes")).max >=
+      before.map(_.getAs[Int]("log2_bytes")).max,
+      "compacted files should not be smaller than the originals")
+  }
+
   test("health check rolls up component status (pipeline.py:398-460)") {
     val h = Pipeline.healthCheck(spark, sf, tmp("health_out"))
     assert(h.overall == "healthy", h.toString)
