@@ -298,6 +298,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out + "/ledger").count() == 2)
   }
 
+  test("native session_window runs on the stream: emitted sessions ⊆ the batch sessions") {
+    import graft.queries.Advanced
+    import org.apache.spark.sql.functions.col
+    val evDir = tmpDir("sw_stream")
+    Tables.events(spark, sf).orderBy("ts").coalesce(1)
+      .write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    val stream = Streaming.parquetFileSource(spark, evDir, schema)
+      .withWatermark("ts", "2 hours")
+    Streaming.drainToMemory(
+      Advanced.sessionWindowStats(stream), "sw_sessions")
+    val streamed = spark.sql(
+      "SELECT user_id, session_start, n_events, duration_sec FROM sw_sessions")
+    val batch = Advanced.sessionWindowStats(Tables.events(spark, sf))
+      .withColumn("session_start", col("session_start").cast("timestamp"))
+    // append mode withholds sessions the watermark hasn't closed; every
+    // emitted session must match a batch session exactly
+    assert(streamed.count() > 0, "no sessions emitted")
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streamed sessions disagree with the batch session_window")
+  }
+
   test("streaming count-min sketch: live d×w state ≡ batch sketch; estimates stay ≥ true") {
     // the frequent-token monitor: the CMS state is depth × width rows —
     // bounded by construction, so it runs as a COMPLETE-mode streaming
