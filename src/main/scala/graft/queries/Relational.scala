@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QuerySpec, Tables}
 import graft.functions.Functions.{moneySum, moneySumSql, round2}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -405,9 +406,93 @@ object Relational {
       .orderBy("status", "priority")
   }
 
+  // ---- entity resolution (blocked fuzzy match to a dictionary) -----------
+
+  final val ResolveProbeMod = 50
+
+  /** Entity resolution — fuzzy-match dirty strings to a canonical
+    * dictionary, the record-linkage step upstream of every keyed join on
+    * human-entered data: probes (every `ResolveProbeMod`-th part's name
+    * with ONE deterministically-dropped character — the typo model) are
+    * matched against the distinct-name dictionary by Levenshtein
+    * distance, restricted to a BLOCK (same first word, length within
+    * ±2) so no all-pairs comparison exists. Best match = min (distance,
+    * canon_id) — deterministic; `hit` records whether resolution
+    * recovered the original name, so the query doubles as its own
+    * accuracy audit.
+    *
+    * Scale shape: the dictionary is a distinct-name aggregate (master
+    * data — small by definition; 64 rows here) and BROADCASTS; probes
+    * are scan-local string surgery, the block predicates prune the
+    * broadcast probe to a handful of lev() calls per row, and the
+    * per-probe argmin is a WindowGroupLimit over ≤block rows. The corpus
+    * never shuffles. */
+  def resolveEntities(parts: DataFrame, probeMod: Int = ResolveProbeMod): DataFrame = {
+    require(probeMod >= 1, s"probeMod must be >= 1, got $probeMod")
+    import org.apache.spark.sql.expressions.Window
+    val dict = parts.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("canon_id"))
+      .select(col("canon_id"), col("p_name").as("dict_name"),
+        element_at(split(col("p_name"), " "), 1).as("dict_block"))
+    val probes = parts
+      .filter(pmod(col("p_partkey"), lit(probeMod)) === 0)
+      .selectExpr("p_partkey AS probe_id", "p_name AS true_name",
+        // drop one char of the SECOND word at a key-dependent position
+        s"""concat(
+          |  substring(p_name, 1, length(split(p_name, ' ')[0]) + 1
+          |    + pmod(p_partkey, length(split(p_name, ' ')[1]))),
+          |  substring(p_name, length(split(p_name, ' ')[0]) + 3
+          |    + pmod(p_partkey, length(split(p_name, ' ')[1])))
+          |) AS variant""".stripMargin)
+      .withColumn("probe_block", element_at(split(col("variant"), " "), 1))
+    val candidates = probes
+      .join(broadcast(dict),
+        col("probe_block") === col("dict_block") &&
+          abs(length(col("variant")) - length(col("dict_name"))) <= 2)
+      .withColumn("lev", levenshtein(col("variant"), col("dict_name")))
+    val w = Window.partitionBy("probe_id").orderBy(col("lev"), col("canon_id"))
+    candidates
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .select(col("probe_id"), col("variant"), col("canon_id"),
+        col("dict_name").as("matched_name"), col("lev"),
+        (col("dict_name") === col("true_name")).as("hit"))
+      .orderBy("probe_id")
+  }
+
+  /** q130: resolution of typo'd part names against the name dictionary. */
+  val q130EntityResolution: QuerySpec = QuerySpec(
+    "q130_entity_resolution",
+    s"""WITH dict AS (
+      |  SELECT min(p_partkey) AS canon_id, p_name AS dict_name,
+      |    string_split(p_name, ' ')[1] AS dict_block
+      |  FROM part GROUP BY p_name),
+      |probes AS (
+      |  SELECT p_partkey AS probe_id, p_name AS true_name,
+      |    substr(p_name, 1, len(string_split(p_name, ' ')[1]) + 1
+      |        + (p_partkey % len(string_split(p_name, ' ')[2])))
+      |      || substr(p_name, len(string_split(p_name, ' ')[1]) + 3
+      |        + (p_partkey % len(string_split(p_name, ' ')[2]))) AS variant
+      |  FROM part WHERE p_partkey % $ResolveProbeMod = 0),
+      |cand AS (
+      |  SELECT probe_id, true_name, variant, canon_id, dict_name,
+      |    levenshtein(variant, dict_name) AS lev
+      |  FROM probes JOIN dict
+      |    ON string_split(variant, ' ')[1] = dict_block
+      |    AND abs(len(variant) - len(dict_name)) <= 2),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY lev, canon_id) AS rn FROM cand)
+      |SELECT probe_id, variant, canon_id, dict_name AS matched_name,
+      |  CAST(lev AS INT) AS lev, (dict_name = true_name) AS hit
+      |FROM best WHERE rn <= 1
+      |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+    resolveEntities(Tables.part(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02TopkOrders, q03RevenueByCustomer, q04RegionRevenue,
     q05RunningRevenue, q06PriorityCounts, q07DedupFull, q08DedupKeyKeepFirst,
     q09UnionByName, q49GroupedTopk, q50Rollup, q51Pivot, q52SemiAnti,
-    q129Cube)
+    q129Cube, q130EntityResolution)
 }

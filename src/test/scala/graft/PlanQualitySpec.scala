@@ -503,6 +503,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q130: dictionary broadcasts; per-probe argmin is a window group limit") {
+    val p = planOf("q130_entity_resolution")
+    assert(p.contains("BroadcastHashJoin"),
+      s"name dictionary not broadcast into the probe scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe argmin sorts rows it discards:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,

@@ -51,4 +51,23 @@ class RelationalSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("entity resolution: every probe resolves at distance 1 to its own name") {
+    import graft.queries.Relational
+    val rows = Relational.resolveEntities(Tables.part(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    // the typo model drops exactly one char, and the dictionary always
+    // contains the original — so a correct resolver scores lev=1 on a hit
+    rows.foreach { r =>
+      assert(r.getAs[Int]("lev") >= 1, s"$r")
+    }
+    val hits = rows.count(_.getAs[Boolean]("hit"))
+    assert(hits.toDouble / rows.length >= 0.9,
+      s"resolution accuracy collapsed: $hits/${rows.length}")
+    // cube sanity rides along: grand total row equals the orders count
+    val cube = SparkEntry.queries("q129_cube")(spark, sf)
+      .filter(col("status") === "ALL" && col("priority") === "ALL").collect()
+    assert(cube.length == 1)
+    assert(cube.head.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
+  }
 }
