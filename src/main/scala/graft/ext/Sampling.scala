@@ -470,6 +470,45 @@ object Sampling {
       .limit(k)
   }
 
+  /** Weighted exact-k sample — sequential Poisson sampling (Ohlsson):
+    * priority = draw / weight, keep the k SMALLEST priorities, giving
+    * inclusion probability ≈ proportional to weight (here: token count,
+    * so long docs are sampled ∝ their token mass — the right frame for
+    * token-level corpus estimates). The priority is one exact division
+    * of two integers (the 60-bit draw of [[exactKSample]] over the
+    * scan-local token count) — deterministic cross-engine, no
+    * transcendental (the -ln(u)/w exponential-jump form would cost the
+    * oracle; Ohlsson's u/w form is the standard rational equivalent).
+    * Same TakeOrdered bottom-k plan as [[exactKSample]]: no global sort,
+    * no shuffle. */
+  def weightedKSample(docs: DataFrame, k: Int = ExactSampleK): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val draw = conv(substring(
+        md5(concat(lit("wsample:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val w = size(TextAnalysis.tokens(col("text")))
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        w.cast("long").as("weight"),
+        (draw.cast("double") / w).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** q131: the token-weighted sample over documents. The oracle replays
+    * the identical integer-ratio priority; no rounding is needed because
+    * both engines divide the same exact integers. */
+  val q131WeightedSample: QuerySpec = QuerySpec(
+    "q131_weighted_sample",
+    s"""SELECT doc_id, lang, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+      |  CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |    / len(string_split(text, ' ')) AS priority
+      |FROM documents
+      |ORDER BY priority, doc_id
+      |LIMIT $ExactSampleK""".stripMargin) { (s, dir) =>
+    weightedKSample(Tables.documents(s, dir))
+  }
+
   /** q125: the exact-k sample over documents. */
   val q125ExactKSample: QuerySpec = QuerySpec(
     "q125_exact_k_sample",
@@ -484,5 +523,5 @@ object Sampling {
   val all: Seq[QuerySpec] = Seq(
     q53StratifiedSample, q61CorpusMixture, q64TrainValTestSplit,
     q86LeakageSafeSplit, q88QualityTierSample, q89EpochShuffle,
-    q91TokenMixture, q125ExactKSample)
+    q91TokenMixture, q125ExactKSample, q131WeightedSample)
 }

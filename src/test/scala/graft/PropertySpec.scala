@@ -470,6 +470,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: nested like exact-k, and biased toward heavy docs") {
+    import graft.ext.Sampling
+    import org.apache.spark.sql.functions.{avg, col, size, split}
+    val docs = graft.Tables.documents(spark, sf)
+    // nesting: the priority is a fixed total order, k is just a cut
+    val s20 = Sampling.weightedKSample(docs, 20).collect().map(_.getAs[Long]("doc_id")).toSeq
+    val s60 = Sampling.weightedKSample(docs, 60).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(s60.take(20) == s20, "weighted sample must nest")
+    // size bias: mean token weight of the sample exceeds the corpus mean
+    val corpusMean = docs
+      .agg(avg(size(split(col("text"), " ")))).head().getDouble(0)
+    val sampleMean = Sampling.weightedKSample(docs, 60)
+      .agg(avg(col("weight"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"token-weighted sample not biased to heavy docs: $sampleMean vs $corpusMean")
+  }
+
   test("cms index merge is order-independent over random splits (property)") {
     // Count-Min state is a commutative monoid: any batch arrival order
     // must converge to the one-shot sketch
