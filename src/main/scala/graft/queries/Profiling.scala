@@ -416,8 +416,135 @@ object Profiling {
     keySkewHistogram(graft.Tables.events(s, dir), "user_id")
   }
 
+  /** The lineitem numeric columns entering the q132 correlation matrix,
+    * each with its exact integer encoding (cents — the data is 2dp). */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson correlations over the lineitem measures — the
+    * multi-column profile a feature audit reads (is discount coupled to
+    * price?), computed EXACTLY in one distributed pass: each column is
+    * quantized to integer cents scan-locally, all sums (Σx, Σx², Σxy)
+    * accumulate in DECIMAL(38,0) — exact at any corpus size, where a
+    * BIGINT Σx² overflows near 10^19 and a double sum is
+    * partition-order-dependent — and the correlation is then one
+    * deterministic double expression over those exact sums (both engines
+    * round the same exact integer to the same double). No sampling, one
+    * scan, one 1-row aggregate; the 6 output pairs unfold from that row
+    * with a literal explode, not a re-scan. */
+  def correlationMatrix(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cents = CorrCols.map(c =>
+      floor(col(c) * 100 + lit(0.5)).cast("decimal(38,0)").as(s"e_$c"))
+    val enc = lineitem.select(cents: _*)
+    val sums =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+        CorrCols.map(c => sum(col(s"e_$c")).as(s"s_$c")) ++
+        CorrCols.map(c => sum(col(s"e_$c") * col(s"e_$c")).as(s"ss_$c")) ++
+        CorrCols.combinations(2).map { case Seq(a, b) =>
+          sum(col(s"e_$a") * col(s"e_$b")).as(s"sp_${a}_$b")
+        }.toSeq
+    val agg = enc.agg(sums.head, sums.tail: _*)
+    val pairRows = CorrCols.combinations(2).map { case Seq(a, b) =>
+      val n = col("n").cast("double")
+      def d(c: Column) = c.cast("double")
+      val num = n * d(col(s"sp_${a}_$b")) - d(col(s"s_$a")) * d(col(s"s_$b"))
+      val denA = n * d(col(s"ss_$a")) - d(col(s"s_$a")) * d(col(s"s_$a"))
+      val denB = n * d(col(s"ss_$b")) - d(col(s"s_$b")) * d(col(s"s_$b"))
+      struct(lit(a).as("x_col"), lit(b).as("y_col"),
+        graft.functions.Functions.round6(num / (sqrt(denA) * sqrt(denB)))
+          .as("pearson_r"))
+    }.toSeq
+    agg.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.x_col").as("x_col"), col("p.y_col").as("y_col"),
+        col("p.pearson_r").as("pearson_r"))
+      .orderBy("x_col", "y_col")
+  }
+
+  /** q132: the exact correlation matrix, pinned against DuckDB's replay
+    * of the identical decimal-sum + double-formula arithmetic. */
+  val q132CorrMatrix: QuerySpec = QuerySpec(
+    "q132_corr_matrix", {
+      val enc = CorrCols
+        .map(c => s"CAST(floor($c * 100 + 0.5) AS HUGEINT) AS e_$c")
+        .mkString(",\n    ")
+      val sums =
+        Seq("CAST(count(*) AS HUGEINT) AS n") ++
+          CorrCols.map(c => s"sum(e_$c) AS s_$c") ++
+          CorrCols.map(c => s"sum(e_$c * e_$c) AS ss_$c") ++
+          CorrCols.combinations(2).map { case Seq(a, b) =>
+            s"sum(e_$a * e_$b) AS sp_${a}_$b"
+          }.toSeq
+      val pairs = CorrCols.combinations(2).map { case Seq(a, b) =>
+        val num = s"CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)"
+        val dA = s"CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)"
+        val dB = s"CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)"
+        s"SELECT '$a' AS x_col, '$b' AS y_col,\n" +
+          s"  ${graft.functions.Functions.round6Sql(s"($num) / (sqrt($dA) * sqrt($dB))")} AS pearson_r FROM s"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+        |  SELECT
+        |    $enc
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT
+        |    ${sums.mkString(",\n    ")}
+        |  FROM e)
+        |$pairs
+        |ORDER BY x_col, y_col""".stripMargin
+    }) { (s, dir) =>
+    correlationMatrix(Tables.lineitem(s, dir))
+  }
+
+  /** χ² independence audit — is document language independent of source?
+    * (A source whose language mix diverges from the corpus is a routing
+    * or crawl anomaly; the χ² statistic is the standard test.) Observed
+    * counts are exact integers; expected = row·col/total is one double
+    * ratio of exact ints; each cell's (o−e)²/e contribution is quantized
+    * to micro-units so the total (their BIGINT sum) is exact — the q76
+    * trick applied to a test statistic. Cells carry their own
+    * contributions, so the output doubles as the "which cell drove it"
+    * drill-down.
+    *
+    * Scale shape: one (lang, source) hash aggregate over the corpus;
+    * everything after operates on ≤ langs×sources rows (two re-aggregates
+    * + broadcast joins of those tiny frames). */
+  def chiSquareIndependence(docs: org.apache.spark.sql.DataFrame,
+      rowCol: String = "lang", colCol: String = "source"): org.apache.spark.sql.DataFrame = {
+    val o = docs.groupBy(rowCol, colCol).agg(count(lit(1)).as("o"))
+    val rt = o.groupBy(rowCol).agg(sum(col("o")).as("row_tot"))
+    val ct = o.groupBy(colCol).agg(sum(col("o")).as("col_tot"))
+    val tot = o.agg(sum(col("o")).as("total"))
+    val e = col("row_tot").cast("double") * col("col_tot") / col("total")
+    o.join(broadcast(rt), rowCol)
+      .join(broadcast(ct), colCol)
+      .crossJoin(broadcast(tot))
+      .select(col(rowCol), col(colCol), col("o"),
+        graft.functions.Functions.round6(e).as("expected"),
+        floor((col("o") - e) * (col("o") - e) / e * 1e6 + 0.5)
+          .cast("long").as("chi2_micro"))
+      .orderBy(rowCol, colCol)
+  }
+
+  /** q133: the per-cell χ² table for documents lang × source. */
+  val q133ChiSquare: QuerySpec = QuerySpec(
+    "q133_chi_square",
+    s"""WITH o AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY lang, source),
+      |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS row_tot FROM o GROUP BY lang),
+      |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS col_tot FROM o GROUP BY source),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM o)
+      |SELECT o.lang, o.source, o,
+      |  ${graft.functions.Functions.round6Sql("CAST(row_tot AS DOUBLE) * col_tot / total")} AS expected,
+      |  CAST(floor((o - CAST(row_tot AS DOUBLE) * col_tot / total)
+      |    * (o - CAST(row_tot AS DOUBLE) * col_tot / total)
+      |    / (CAST(row_tot AS DOUBLE) * col_tot / total) * 1e6 + 0.5) AS BIGINT) AS chi2_micro
+      |FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    chiSquareIndependence(graft.Tables.documents(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
-    q59ApproxProfileOrders, q127KeySkew)
+    q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare)
 }

@@ -54,4 +54,39 @@ class ProfilingSpec extends SparkSpec {
       }
     }
   }
+
+  test("correlation matrix: planted linear dependence scores ±1, independence ~0") {
+    import graft.queries.Profiling
+    import spark.implicits._
+    // quantity ∝ price (r=+1), discount = -quantity scaled (r=-1),
+    // tax cycles independently of all
+    val df = (1 to 400).map { i =>
+      ((i % 40 + 1).toDouble, 2.0 * (i % 40 + 1), 0.5 - 0.01 * (i % 40 + 1),
+        0.01 * (i % 7))
+    }.toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val r = Profiling.correlationMatrix(df).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Double]("pearson_r"))
+      .toMap
+    def get(a: String, b: String) = r.getOrElse((a, b), r((b, a)))
+    assert(math.abs(get("l_quantity", "l_extendedprice") - 1.0) < 1e-6)
+    assert(math.abs(get("l_quantity", "l_discount") + 1.0) < 1e-6)
+    r.collect { case ((a, b), v) if a == "l_tax" || b == "l_tax" => v }
+      .foreach(v => assert(math.abs(v) < 0.2, s"tax should be ~independent: $v"))
+  }
+
+  test("chi-square: independent layout scores ~0; a planted cell dominates") {
+    import graft.queries.Profiling
+    import spark.implicits._
+    // perfectly independent 2×2 — every cell's expected equals observed
+    val indep = Seq.fill(50)(("en", "a")) ++ Seq.fill(50)(("en", "b")) ++
+      Seq.fill(50)(("de", "a")) ++ Seq.fill(50)(("de", "b"))
+    val r1 = Profiling.chiSquareIndependence(indep.toDF("lang", "source")).collect()
+    r1.foreach(r => assert(r.getAs[Long]("chi2_micro") == 0L, s"$r"))
+    // source 'x' publishes ONLY German — its cells must carry the statistic
+    val dep = indep ++ Seq.fill(100)(("de", "x"))
+    val r2 = Profiling.chiSquareIndependence(dep.toDF("lang", "source")).collect()
+    val xCells = r2.filter(_.getAs[String]("source") == "x")
+    assert(xCells.map(_.getAs[Long]("chi2_micro")).sum > 10 * 1000000L,
+      "planted dependence must produce a large statistic")
+  }
 }
