@@ -543,8 +543,72 @@ object Profiling {
     chiSquareIndependence(graft.Tables.documents(s, dir))
   }
 
+  final val MedianBuckets = 1024
+
+  /** EXACT median at scale — the answer to "exact percentile needs a
+    * global sort" (q18/q57's `percentile` is exact but sorts; q47/q59's
+    * GK sketch is scalable but approximate; this is both exact AND
+    * shuffle-light): classic two-level rank selection. Pass 1 histograms
+    * the integer-cents values into `MedianBuckets` equi-width buckets
+    * (one map-side-combined aggregate, ≤1024 result rows); the running
+    * sum over those METADATA rows locates the bucket holding global rank
+    * k and the residual rank within it. Pass 2 filters the corpus to
+    * that ONE bucket (scan-local predicate — reads n/1024 of the rows)
+    * and row_numbers the survivors to the residual rank. No global sort
+    * ever touches corpus rows; recursing on the bucket would cut the
+    * residual another 1024× if a single bucket were still too big
+    * (skew-pathological inputs — all mass on one value — degrade to the
+    * bucket being one value, where rank selection is O(1) anyway).
+    *
+    * The oracle is ALGORITHM-INDEPENDENT: a flat `row_number() = k` over
+    * the sorted values — affordable at gate scale, which is exactly what
+    * proves the bucketed path exact (the q84/q87 pattern). */
+  def exactMedianScalable(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = lineitem.select(
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("v"))
+    val stats = cents.agg(count(lit(1)).as("n"),
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .withColumn("k", ceil(col("n").cast("double") / 2).cast("long"))
+      .withColumn("w",
+        greatest(lit(1L), ((col("vmax") - col("vmin")) / MedianBuckets + 1)
+          .cast("long")))
+    val bucketed = cents.crossJoin(broadcast(stats))
+      .withColumn("b", ((col("v") - col("vmin")) / col("w")).cast("long"))
+    val hist = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val target = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(stats.select("k")))
+      .filter(col("cum") >= col("k"))
+      .orderBy("b").limit(1)
+      .select(col("b").as("tb"), (col("k") - (col("cum") - col("cnt"))).as("residual"))
+    val wInBucket = Window.partitionBy("b").orderBy("v")
+    bucketed.join(broadcast(target), col("b") === col("tb"))
+      .withColumn("rn", row_number().over(wInBucket))
+      .filter(col("rn") === col("residual"))
+      .select(col("n"), col("k"), col("v").as("median_cents"),
+        (col("v").cast("double") / 100).as("median"))
+  }
+
+  /** q134: the two-level exact median vs the flat sorted-rank oracle. */
+  val q134ExactMedian: QuerySpec = QuerySpec(
+    "q134_exact_median",
+    """WITH c AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM lineitem),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(ceil(count(*) / 2.0) AS BIGINT) AS k FROM c),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+      |SELECT n, k, v AS median_cents, CAST(v AS DOUBLE) / 100 AS median
+      |FROM r CROSS JOIN s WHERE rn = k""".stripMargin) { (s, dir) =>
+    exactMedianScalable(Tables.lineitem(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
-    q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare)
+    q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
+    q134ExactMedian)
 }

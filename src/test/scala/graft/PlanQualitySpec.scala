@@ -512,6 +512,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q134: exact median never globally sorts corpus rows") {
+    val p = planOf("q134_exact_median")
+    // rank selection replaces the global sort: no range-partitioned
+    // exchange may appear anywhere in the plan
+    assert(!p.contains("rangepartitioning"),
+      s"two-level median fell back to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,

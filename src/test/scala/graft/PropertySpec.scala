@@ -487,6 +487,27 @@ class PropertySpec extends SparkSpec {
       s"token-weighted sample not biased to heavy docs: $sampleMean vs $corpusMean")
   }
 
+  test("two-level exact median ≡ flat sorted rank on random distributions (differential)") {
+    import graft.queries.Profiling
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      // uniform, heavy ties, skewed power-law, constant
+      (1 to 501).map(_ => rnd.nextDouble() * 1000),
+      (1 to 400).map(_ => (rnd.nextInt(3) + 1) * 10.0),
+      (1 to 300).map(_ => math.pow(10, rnd.nextDouble() * 4)),
+      (1 to 100).map(_ => 42.42))
+    cases.foreach { vs =>
+      val df = vs.toDF("l_extendedprice")
+      val got = Profiling.exactMedianScalable(df).head()
+      val cents = vs.map(v => math.floor(v * 100 + 0.5).toLong).sorted
+      val k = math.ceil(cents.length / 2.0).toInt
+      assert(got.getAs[Long]("median_cents") == cents(k - 1),
+        s"median mismatch on n=${vs.length}: got $got want ${cents(k - 1)}")
+      assert(got.getAs[Long]("n") == vs.length && got.getAs[Long]("k") == k)
+    }
+  }
+
   test("cms index merge is order-independent over random splits (property)") {
     // Count-Min state is a commutative monoid: any batch arrival order
     // must converge to the one-shot sketch
