@@ -512,6 +512,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("AQE splits a skewed join partition (the runtime half of the salting story)") {
+    // the README's skew answer is two-layer: hashSalt for aggregations
+    // (PropertySpec) and AQE's skew-join split for joins — this proves the
+    // second actually fires on a planted 90%-hot key, with the thresholds
+    // a real cluster would size to its partition budget
+    val s = spark
+    def withConf[T](pairs: (String, String)*)(body: => T): T = {
+      val old = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+      pairs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import s.implicits._
+      // left: 90% of 6k rows on one hot key (its shuffle partition crosses
+      // the 32KB threshold; the others stay tiny); right: mostly-unique
+      // keys with a small hot slice so the join output stays bounded
+      val left = s.range(0, 6000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 7L ELSE id END AS k",
+          // incompressible payload: shuffle sizes are post-compression,
+          // and range-generated longs compress below the skew threshold
+          "concat(md5(CAST(id AS STRING)), md5(CAST(id * 7 AS STRING))) AS payload")
+      val right = s.range(0, 200)
+        .selectExpr("CASE WHEN id % 10 = 0 THEN 7L ELSE id + 1000000 END AS k",
+          "id * 2 AS rv")
+      val joined = left.join(right, "k")
+      joined.collect() // materialize so AQE finalizes THIS execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$plan")
+    }
+  }
+
   test("q134: exact median never globally sorts corpus rows") {
     val p = planOf("q134_exact_median")
     // rank selection replaces the global sort: no range-partitioned
