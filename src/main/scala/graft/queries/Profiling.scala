@@ -606,9 +606,77 @@ object Profiling {
     exactMedianScalable(Tables.lineitem(s, dir))
   }
 
+  final val GroupMedianBuckets = 256
+
+  /** Per-GROUP exact median by the q134 two-level rank selection — the
+    * scale form of q57's `percentile(value, 0.5)`: the built-in exact
+    * percentile aggregate buffers EVERY value of a group in executor
+    * memory (fine at gate scale, an OOM at 100 TB with few groups —
+    * the q70 cliff in aggregate form), where this plan keeps per-group
+    * state at `GroupMedianBuckets` counters. Histogram keyed by
+    * (group, bucket); per-group running sums and the residual-rank pick
+    * operate on groups×256 METADATA rows; the second corpus pass reads
+    * only each group's target bucket. Values are micro-quantized
+    * (events.value is 2dp — micro is lossless), so ranks are integer and
+    * the flat per-group sorted-rank oracle pins the result. */
+  def groupedExactMedian(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = events.select(col("event_type").as("g"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v"))
+    val stats = vals.groupBy("g").agg(
+        count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .withColumn("k", ceil(col("n").cast("double") / 2).cast("long"))
+      .withColumn("w",
+        greatest(lit(1L), ((col("vmax") - col("vmin")) / GroupMedianBuckets + 1)
+          .cast("long")))
+    val bucketed = vals.join(broadcast(stats), "g")
+      .withColumn("b", ((col("v") - col("vmin")) / col("w")).cast("long"))
+    val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(broadcast(stats.select("g", "k")), "g")
+      .filter(col("cum") >= col("k"))
+    val wFirst = Window.partitionBy("g").orderBy("b")
+    val target = cum
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") <= 1)
+      .select(col("g"), col("b").as("tb"),
+        (col("k") - (col("cum") - col("cnt"))).as("residual"))
+    val wInBucket = Window.partitionBy("g", "b").orderBy("v")
+    bucketed
+      .join(broadcast(target), bucketed("g") === target("g") && col("b") === col("tb"))
+      .drop(target("g"))
+      .withColumn("rn", row_number().over(wInBucket))
+      .filter(col("rn") === col("residual"))
+      .select(col("g").as("event_type"), col("n"), col("k"),
+        (col("v").cast("double") / 1e6).as("median"))
+      .orderBy("event_type")
+  }
+
+  /** q135: grouped exact medians vs the flat per-group sorted-rank oracle. */
+  val q135GroupedMedian: QuerySpec = QuerySpec(
+    "q135_grouped_exact_median",
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(ceil(count(*) / 2.0) AS BIGINT) AS k
+      |  FROM c GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      |  FROM c)
+      |SELECT r.event_type, n, k, CAST(v AS DOUBLE) / 1e6 AS median
+      |FROM r JOIN s ON r.event_type = s.event_type AND r.rn = s.k
+      |ORDER BY r.event_type""".stripMargin) { (s, dir) =>
+    groupedExactMedian(graft.Tables.events(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
     q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
-    q134ExactMedian)
+    q134ExactMedian, q135GroupedMedian)
 }

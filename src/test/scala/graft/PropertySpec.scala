@@ -508,6 +508,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("grouped two-level median ≡ flat per-group rank on random frames (differential)") {
+    import graft.queries.Profiling
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 900).map { i =>
+      val g = s"t${i % 4}"
+      // mix signs, magnitudes, and heavy ties across groups
+      val v = (i % 4) match {
+        case 0 => rnd.nextDouble() * 100 - 50
+        case 1 => (rnd.nextInt(5) + 1) * 1.25
+        case 2 => math.pow(10, rnd.nextDouble() * 3) - 500
+        case _ => 7.77
+      }
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), g, v)
+    }
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    val got = Profiling.groupedExactMedian(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("median")).toMap
+    rows.groupBy(_._3).foreach { case (g, grp) =>
+      val micro = grp.map(r => math.floor(r._4 * 1e6 + 0.5).toLong).sorted
+      val k = math.ceil(micro.length / 2.0).toInt
+      val want = micro(k - 1) / 1e6
+      assert(got(g) == want, s"group $g: got ${got(g)} want $want")
+    }
+  }
+
   test("cms index merge is order-independent over random splits (property)") {
     // Count-Min state is a commutative monoid: any batch arrival order
     // must converge to the one-shot sketch
