@@ -461,6 +461,59 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Occupancy a cell may reach, relative to perfect balance
+    * (total / cells), before the audit schedules a rebuild. */
+  final val IvfOccSkewMax = 4.0
+
+  /** Cosine floor between a SAVED centroid and its cell's CURRENT mean
+    * vector; below it the centroid no longer represents its members. */
+  final val IvfCentroidCosMin = 0.95
+
+  /** Staleness probe for a persisted IVF index — the metric that
+    * SCHEDULES the rebuild [[appendToIvfIndex]]'s contract defers to
+    * ("recall drifts only as the data distribution does"): per cell,
+    * (a) occupancy vs perfect balance — appends concentrating in a few
+    * cells erode the candidate-shrink factor the index exists for, and
+    * (b) cosine between the saved centroid and the cell's CURRENT mean
+    * vector — [[buildIvfIndex]]'s Lloyd invariant is centroid ≈ member
+    * mean, so a shifted mean measures exactly the staleness that costs
+    * recall. `needs_rebuild` fires when either crosses its threshold
+    * ([[IvfOccSkewMax]], [[IvfCentroidCosMin]]).
+    *
+    * Scale shape: ONE pass over the index (posexplode + per-dim avg,
+    * map-side combined, the lloydRecompute aggregate) plus a count — all
+    * outputs ≤ [[IvfCells]] metadata rows; the fileSizeAudit pattern for
+    * index health. */
+  def ivfIndexDriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val means = cells
+      .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      .groupBy("cell_id", "dim_idx")
+      .agg(avg(col("x").cast("double")).as("mv"))
+      .groupBy("cell_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim_idx"), col("mv")))),
+        s => s.getField("mv")).as("mean_vec"))
+    val occ = cells.groupBy("cell_id").agg(count(lit(1)).as("n_vecs"))
+    val total = occ.agg(sum(col("n_vecs")).as("total"),
+      count(lit(1)).as("n_cells"))
+    occ.join(means, "cell_id")
+      .join(broadcast(cents), "cell_id")
+      .crossJoin(broadcast(total))
+      .withColumn("occ_ratio",
+        round(col("n_vecs") * col("n_cells") / col("total"), 4))
+      .withColumn("centroid_cos",
+        round(dot(col("centroid"), col("mean_vec")) /
+          (l2Norm(col("centroid")) * l2Norm(col("mean_vec"))), 6))
+      .withColumn("needs_rebuild",
+        col("occ_ratio") > IvfOccSkewMax ||
+          col("centroid_cos") < IvfCentroidCosMin)
+      .select("cell_id", "n_vecs", "occ_ratio", "centroid_cos",
+        "needs_rebuild")
+      .orderBy("cell_id")
+  }
+
   // ---- embedding-cosine near-dup ---------------------------------------
 
   /** Exact near-dup pairs: all (a < b) with cosine ≥ `minCos` — the

@@ -915,7 +915,12 @@ object TextAnalysis {
 
   /** Probe a (possibly streamed) CMS sketch: estimate the count of each
     * row of `queryTokens` (a `token` column) as the min over the sketch's
-    * depth rows — the sketch broadcasts (d×w rows of index metadata). */
+    * depth rows — the sketch broadcasts (d×w rows of index metadata).
+    * LEFT joins + coalesce(c, 0): a token whose bucket has no sketch row
+    * (a counter no corpus token ever hashed to) gets the correct Count-Min
+    * estimate of 0 — the unseen-token probe (decontamination lookups) is
+    * exactly what this estimator exists for, so every query token must
+    * yield a row. */
   def cmsEstimate(sketch: DataFrame, queryTokens: DataFrame,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
     val withBuckets = queryTokens.select(
@@ -924,10 +929,12 @@ object TextAnalysis {
           .as(s"b$i")): _*)
     val joined = (0 until depth).foldLeft(withBuckets) { (df, i) =>
       df.join(broadcast(sketch.filter(col("r") === i)
-        .select(col("b").as(s"b$i"), col("c").as(s"c$i"))), Seq(s"b$i"))
+        .select(col("b").as(s"b$i"), col("c").as(s"c$i"))),
+        Seq(s"b$i"), "left")
     }
     joined.select(col("token"),
-      least((0 until depth).map(i => col(s"c$i")): _*).as("cms_est"))
+      least((0 until depth).map(i =>
+        coalesce(col(s"c$i"), lit(0L))): _*).as("cms_est"))
   }
 
   /** q119: CMS top-20 heavy hitters with the exact counts alongside. */

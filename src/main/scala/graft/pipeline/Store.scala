@@ -509,9 +509,14 @@ object Store {
     * column — the layout a 100 TB table wants when queries filter on two
     * independent dimensions (a single-column sort gives perfect pruning
     * on one dimension and none on the other; StoreSpec measures the box
-    * areas). Columns are min/max-normalized to `bits` via exact integer
+    * areas). Columns are min/max-normalized to `bits` via exact INTEGER
     * arithmetic from a 1-row stats broadcast (index metadata, like the
-    * IVF centroids), and the z value is dropped before writing. */
+    * IVF centroids): bucket width = `(hi − lo) div 2^bits + 1`, norm =
+    * `(c − lo) div width` — a divide-before-multiply form (SQL `div`,
+    * never float `/`) whose intermediates stay within long for any key
+    * span below 2^63, where the naive `(c − lo) * 2^bits` overflows past
+    * a ~2^47 span and scrambles the layout. The z value is dropped
+    * before writing. */
   def exportZOrdered(df: DataFrame, path: String, colA: String,
       colB: String, numFiles: Int, bits: Int = 16): Unit = {
     require(numFiles >= 1 && bits >= 1 && bits <= 31,
@@ -522,16 +527,17 @@ object Store {
       min(col(colB).cast("long")).as("min_b"),
       max(col(colB).cast("long")).as("max_b"))
     val scale = 1L << bits
-    def norm(c: Column, lo: Column, hi: Column): Column =
-      ((c.cast("long") - lo) * scale) / (hi - lo + 1)
-    val z = interleaveBits(
-      norm(col(colA), col("min_a"), col("max_a")),
-      norm(col(colB), col("min_b"), col("max_b")), bits)
+    val z = interleaveBits(expr("__na div __wa"), expr("__nb div __wb"), bits)
     df.crossJoin(broadcast(stats))
+      .withColumn("__na", col(colA).cast("long") - col("min_a"))
+      .withColumn("__nb", col(colB).cast("long") - col("min_b"))
+      .withColumn("__wa", expr(s"(max_a - min_a) div ${scale}L + 1L"))
+      .withColumn("__wb", expr(s"(max_b - min_b) div ${scale}L + 1L"))
       .withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "min_a", "max_a", "min_b", "max_b")
+      .drop("__z", "__na", "__nb", "__wa", "__wb",
+        "min_a", "max_a", "min_b", "max_b")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

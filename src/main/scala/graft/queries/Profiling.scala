@@ -545,49 +545,117 @@ object Profiling {
 
   final val MedianBuckets = 1024
 
+  /** Rows a single pass-2 rank task may hold before the selection
+    * re-histograms the target bucket (one recursion level, another
+    * `buckets`× cut). ~4M longs per task is comfortably in executor
+    * memory; the spec fixture drops it to 0 to force the recursive path
+    * and prove the selected rank unchanged. */
+  final val BigBucketRows = 4L * 1000 * 1000
+
+  /** Shared core of q134/q135/q136 — EXACT order statistics without a
+    * global sort: classic two-level (plus one recursion level) bucketed
+    * rank selection. `vals` is a (g, v) frame of long-quantized values;
+    * `quantiles` are (label, num, den) fractions, target rank per group =
+    * ceil(num·n/den) computed in exact integer arithmetic. Pass 1
+    * histograms each group into `buckets` equi-width buckets (one
+    * map-side-combined aggregate, ≤ groups×buckets METADATA rows); a
+    * running sum over those rows locates, per (group, quantile), the
+    * bucket holding rank k and the residual rank within it. Pass 2
+    * filters the corpus to the target buckets (scan-local predicate —
+    * reads ~1/buckets of each group) and resolves the residual rank:
+    *  - bucket ≤ `bigBucket` rows → row_number in ONE task (bounded);
+    *  - bigger → re-histogram the bucket into `buckets` sub-buckets
+    *    (another metadata aggregate) and rank only the target SUB-bucket
+    *    — a further `buckets`× cut, so a straggler needs a single bucket
+    *    past bigBucket·buckets rows;
+    *  - target sub-bucket holding ONE distinct value (the heavy-key skew
+    *    that defeats any equi-width cut) → the order statistic IS that
+    *    value, emitted with no ranking task at all.
+    * All branches are declarative and data-dependent — no driver
+    * branching, the union prunes itself at runtime. Oracles are
+    * ALGORITHM-INDEPENDENT flat `row_number() = k` sorts — affordable at
+    * gate scale, which is exactly what proves the bucketed path exact
+    * (the q84/q87 pattern). */
+  private[graft] def bucketedQuantileSelect(
+      vals: org.apache.spark.sql.DataFrame,
+      quantiles: Seq[(String, Long, Long)], buckets: Int,
+      bigBucket: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val qdf = quantiles.toDF("q", "num", "den")
+    val stats = vals.groupBy("g").agg(count(lit(1)).as("n"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .withColumn("w", expr(s"greatest(1L, (vmax - vmin) div ${buckets}L + 1L)"))
+    val ranks = stats.crossJoin(broadcast(qdf))
+      .select(col("g"), col("q"), col("n"),
+        expr("(num * n + den - 1L) div den").as("k"))
+    val bucketed = vals.join(broadcast(stats), "g")
+      .withColumn("b", expr("(v - vmin) div w"))
+    val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFirst = Window.partitionBy("g", "q").orderBy("b")
+    val target = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(broadcast(ranks), "g")
+      .filter(col("cum") >= col("k"))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") <= 1)
+      .select(col("g"), col("q"), col("n"), col("k"), col("b").as("tb"),
+        (col("k") - (col("cum") - col("cnt"))).as("residual"),
+        col("cnt").as("bcnt"))
+    val probed = bucketed.as("x").join(broadcast(target.as("t")),
+        col("x.g") === col("t.g") && col("x.b") === col("t.tb"))
+      .select(col("x.g").as("g"), col("t.q").as("q"), col("t.n").as("n"),
+        col("t.k").as("k"), col("x.v").as("v"), col("x.vmin").as("vmin"),
+        col("x.w").as("w"), col("t.tb").as("tb"),
+        col("t.residual").as("residual"), col("t.bcnt").as("bcnt"))
+    // bounded bucket: rank directly (one task holds ≤ bigBucket rows)
+    val wSmall = Window.partitionBy("g", "q").orderBy("v")
+    val small = probed.filter(col("bcnt") <= bigBucket)
+      .withColumn("rn", row_number().over(wSmall))
+      .filter(col("rn") === col("residual"))
+      .select("g", "q", "n", "k", "v")
+    // oversize bucket: recurse — sub-histogram the bucket's value range
+    val big = probed.filter(col("bcnt") > bigBucket)
+      .withColumn("w2", expr(s"greatest(1L, (w - 1L) div ${buckets}L + 1L)"))
+      .withColumn("b2", expr("(v - vmin - tb * w) div w2"))
+    val hist2 = big.groupBy("g", "q", "b2").agg(count(lit(1)).as("cnt2"),
+      min(col("v")).as("bmin"), max(col("v")).as("bmax"))
+    val wCum2 = Window.partitionBy("g", "q").orderBy("b2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFirst2 = Window.partitionBy("g", "q").orderBy("b2")
+    val target2 = hist2.withColumn("cum2", sum(col("cnt2")).over(wCum2))
+      .join(broadcast(target.select("g", "q", "n", "k", "residual")),
+        Seq("g", "q"))
+      .filter(col("cum2") >= col("residual"))
+      .withColumn("rn", row_number().over(wFirst2))
+      .filter(col("rn") <= 1)
+      .select(col("g"), col("q"), col("n"), col("k"), col("b2").as("tb2"),
+        (col("residual") - (col("cum2") - col("cnt2"))).as("residual2"),
+        col("bmin"), col("bmax"))
+    // heavy single value: every row of the target sub-bucket IS bmin
+    val const2 = target2.filter(col("bmin") === col("bmax"))
+      .select(col("g"), col("q"), col("n"), col("k"), col("bmin").as("v"))
+    val varied = big.join(broadcast(target2.filter(col("bmin") =!= col("bmax"))
+        .select(col("g"), col("q"), col("tb2"), col("residual2"))), Seq("g", "q"))
+      .filter(col("b2") === col("tb2"))
+      .withColumn("rn", row_number().over(wSmall))
+      .filter(col("rn") === col("residual2"))
+      .select("g", "q", "n", "k", "v")
+    small.unionByName(varied).unionByName(const2)
+  }
+
   /** EXACT median at scale — the answer to "exact percentile needs a
     * global sort" (q18/q57's `percentile` is exact but sorts; q47/q59's
     * GK sketch is scalable but approximate; this is both exact AND
-    * shuffle-light): classic two-level rank selection. Pass 1 histograms
-    * the integer-cents values into `MedianBuckets` equi-width buckets
-    * (one map-side-combined aggregate, ≤1024 result rows); the running
-    * sum over those METADATA rows locates the bucket holding global rank
-    * k and the residual rank within it. Pass 2 filters the corpus to
-    * that ONE bucket (scan-local predicate — reads n/1024 of the rows)
-    * and row_numbers the survivors to the residual rank. No global sort
-    * ever touches corpus rows; recursing on the bucket would cut the
-    * residual another 1024× if a single bucket were still too big
-    * (skew-pathological inputs — all mass on one value — degrade to the
-    * bucket being one value, where rank selection is O(1) anyway).
-    *
-    * The oracle is ALGORITHM-INDEPENDENT: a flat `row_number() = k` over
-    * the sorted values — affordable at gate scale, which is exactly what
-    * proves the bucketed path exact (the q84/q87 pattern). */
-  def exactMedianScalable(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = lineitem.select(
+    * shuffle-light): [[bucketedQuantileSelect]] over the whole table as
+    * one group. */
+  def exactMedianScalable(lineitem: org.apache.spark.sql.DataFrame,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame = {
+    val cents = lineitem.select(lit(0L).as("g"),
       floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("v"))
-    val stats = cents.agg(count(lit(1)).as("n"),
-      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-      .withColumn("k", ceil(col("n").cast("double") / 2).cast("long"))
-      .withColumn("w",
-        greatest(lit(1L), ((col("vmax") - col("vmin")) / MedianBuckets + 1)
-          .cast("long")))
-    val bucketed = cents.crossJoin(broadcast(stats))
-      .withColumn("b", ((col("v") - col("vmin")) / col("w")).cast("long"))
-    val hist = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy("b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val target = hist
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .crossJoin(broadcast(stats.select("k")))
-      .filter(col("cum") >= col("k"))
-      .orderBy("b").limit(1)
-      .select(col("b").as("tb"), (col("k") - (col("cum") - col("cnt"))).as("residual"))
-    val wInBucket = Window.partitionBy("b").orderBy("v")
-    bucketed.join(broadcast(target), col("b") === col("tb"))
-      .withColumn("rn", row_number().over(wInBucket))
-      .filter(col("rn") === col("residual"))
+    bucketedQuantileSelect(cents, Seq(("p50", 1L, 2L)), MedianBuckets, bigBucket)
       .select(col("n"), col("k"), col("v").as("median_cents"),
         (col("v").cast("double") / 100).as("median"))
   }
@@ -608,6 +676,10 @@ object Profiling {
 
   final val GroupMedianBuckets = 256
 
+  private def eventMicroVals(events: org.apache.spark.sql.DataFrame) =
+    events.select(col("event_type").as("g"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v"))
+
   /** Per-GROUP exact median by the q134 two-level rank selection — the
     * scale form of q57's `percentile(value, 0.5)`: the built-in exact
     * percentile aggregate buffers EVERY value of a group in executor
@@ -619,40 +691,36 @@ object Profiling {
     * only each group's target bucket. Values are micro-quantized
     * (events.value is 2dp — micro is lossless), so ranks are integer and
     * the flat per-group sorted-rank oracle pins the result. */
-  def groupedExactMedian(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vals = events.select(col("event_type").as("g"),
-      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v"))
-    val stats = vals.groupBy("g").agg(
-        count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-      .withColumn("k", ceil(col("n").cast("double") / 2).cast("long"))
-      .withColumn("w",
-        greatest(lit(1L), ((col("vmax") - col("vmin")) / GroupMedianBuckets + 1)
-          .cast("long")))
-    val bucketed = vals.join(broadcast(stats), "g")
-      .withColumn("b", ((col("v") - col("vmin")) / col("w")).cast("long"))
-    val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy("g").orderBy("b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
-      .join(broadcast(stats.select("g", "k")), "g")
-      .filter(col("cum") >= col("k"))
-    val wFirst = Window.partitionBy("g").orderBy("b")
-    val target = cum
-      .withColumn("rn", row_number().over(wFirst))
-      .filter(col("rn") <= 1)
-      .select(col("g"), col("b").as("tb"),
-        (col("k") - (col("cum") - col("cnt"))).as("residual"))
-    val wInBucket = Window.partitionBy("g", "b").orderBy("v")
-    bucketed
-      .join(broadcast(target), bucketed("g") === target("g") && col("b") === col("tb"))
-      .drop(target("g"))
-      .withColumn("rn", row_number().over(wInBucket))
-      .filter(col("rn") === col("residual"))
+  def groupedExactMedian(events: org.apache.spark.sql.DataFrame,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame =
+    bucketedQuantileSelect(eventMicroVals(events), Seq(("p50", 1L, 2L)),
+        GroupMedianBuckets, bigBucket)
       .select(col("g").as("event_type"), col("n"), col("k"),
         (col("v").cast("double") / 1e6).as("median"))
       .orderBy("event_type")
-  }
+
+  /** The quantile set q136 publishes — exact order statistics at rank
+    * ceil(num·n/den), integer arithmetic end to end (0.9·n in doubles
+    * rounds the wrong way on multiples of 10). */
+  final val QuantileSpecs: Seq[(String, Long, Long)] =
+    Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+
+  /** Per-group EXACT p50/p90/p99 — the arbitrary-rank generalization of
+    * [[groupedExactMedian]] and the scale twin of q57 (whose built-in
+    * `percentile` buffers every group value): one shared histogram pass
+    * serves all three ranks, pass 2 reads only each (group, quantile)'s
+    * target bucket. Quantile semantics are the exact lower order
+    * statistic at rank ceil(p·n) — not q57's interpolating
+    * `percentile`, which averages the two middle values; the flat
+    * sorted-rank oracle pins exactly this. */
+  def groupedExactQuantiles(events: org.apache.spark.sql.DataFrame,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame =
+    bucketedQuantileSelect(eventMicroVals(events), QuantileSpecs,
+        GroupMedianBuckets, bigBucket)
+      .select(col("g").as("event_type"), col("q").as("quantile"),
+        col("n"), col("k"),
+        (col("v").cast("double") / 1e6).as("value"))
+      .orderBy("event_type", "quantile")
 
   /** q135: grouped exact medians vs the flat per-group sorted-rank oracle. */
   val q135GroupedMedian: QuerySpec = QuerySpec(
@@ -674,9 +742,76 @@ object Profiling {
     groupedExactMedian(graft.Tables.events(s, dir))
   }
 
+  /** The (group, quantized value) count state behind a LIVE exact-median
+    * monitor — one map-side-combined aggregate that runs identically on a
+    * batch frame and as a COMPLETE-mode streaming aggregation (the
+    * cmsSketch / corpusBins state-is-the-result pattern: no watermark, no
+    * join, mergeable by sum). State cardinality = groups × DISTINCT
+    * quantized values — bounded by the value DOMAIN (2dp money values
+    * over a fixed range ⇒ ≤ range×100 counters per group), not by corpus
+    * size. That domain bound is the price of exactness: a fixed 256-
+    * equi-width-bucket histogram is smaller but can only bracket the
+    * median to a bucket, never resolve the exact order statistic from
+    * bins alone. [[medianFromBins]] derives q135's exact values from this
+    * state with metadata-only arithmetic. */
+  def medianBins(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    eventMicroVals(events).groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+
+  /** Bins-only exact median: a per-group running sum over the
+    * [[medianBins]] state rows picks the value whose cumulative count
+    * first reaches rank ceil(n/2) — no corpus pass at all, so a
+    * monitoring stream can publish exact per-group medians every
+    * micro-batch. Output schema ≡ q135 ([[groupedExactMedian]]);
+    * StreamingSpec pins stream ≡ batch. */
+  def medianFromBins(bins: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group totals as a second window over the SAME frame (not a
+    // self-join — a memory-sink view joined to itself trips conflicting
+    // attribute references, and the bins are metadata rows anyway)
+    val wTot = Window.partitionBy("g")
+    bins.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .withColumn("k", expr("(n + 1L) div 2L"))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("g").as("event_type"), col("n"), col("k"),
+        (col("v").cast("double") / 1e6).as("median"))
+      .orderBy("event_type")
+  }
+
+  /** q136: grouped exact p50/p90/p99 vs the flat per-group sorted-rank
+    * oracle (rank k = ceil(num·n/den) in integer arithmetic in BOTH
+    * engines — `//` is DuckDB's integer division). */
+  val q136GroupedQuantiles: QuerySpec = QuerySpec(
+    "q136_grouped_exact_quantiles", {
+      val qvals = QuantileSpecs
+        .map { case (l, num, den) => s"('$l', $num, $den)" }.mkString(", ")
+      s"""WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY event_type),
+        |q AS (SELECT * FROM (VALUES $qvals) AS t(quantile, num, den)),
+        |ks AS (
+        |  SELECT event_type, quantile, n,
+        |    CAST((num * n + den - 1) // den AS BIGINT) AS k
+        |  FROM s CROSS JOIN q),
+        |r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        |  FROM c)
+        |SELECT ks.event_type, quantile, n, k, CAST(v AS DOUBLE) / 1e6 AS value
+        |FROM r JOIN ks ON r.event_type = ks.event_type AND r.rn = ks.k
+        |ORDER BY ks.event_type, quantile""".stripMargin
+    }) { (s, dir) =>
+    groupedExactQuantiles(graft.Tables.events(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
     q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
-    q134ExactMedian, q135GroupedMedian)
+    q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles)
 }

@@ -426,8 +426,19 @@ object Relational {
     * are scan-local string surgery, the block predicates prune the
     * broadcast probe to a handful of lev() calls per row, and the
     * per-probe argmin is a WindowGroupLimit over ≤block rows. The corpus
-    * never shuffles. */
-  def resolveEntities(parts: DataFrame, probeMod: Int = ResolveProbeMod): DataFrame = {
+    * never shuffles.
+    *
+    * `broadcastDict = false` is the LARGE-dictionary path: when the
+    * canonical dictionary outgrows the broadcast threshold (an entity
+    * dictionary harvested from the corpus itself rather than master
+    * data), the same block equi-key carries a shuffle join instead —
+    * both sides hash-partition on the block word, the length band and
+    * lev() still run inside the join, and the per-probe argmin is
+    * unchanged. Cost = one shuffle of probes + dictionary on a key with
+    * dictionary-bounded fan-in; semantics are identical (RelationalSpec
+    * pins the differential). */
+  def resolveEntities(parts: DataFrame, probeMod: Int = ResolveProbeMod,
+      broadcastDict: Boolean = true): DataFrame = {
     require(probeMod >= 1, s"probeMod must be >= 1, got $probeMod")
     import org.apache.spark.sql.expressions.Window
     val dict = parts.groupBy(col("p_name"))
@@ -445,8 +456,9 @@ object Relational {
           |    + pmod(p_partkey, length(split(p_name, ' ')[1])))
           |) AS variant""".stripMargin)
       .withColumn("probe_block", element_at(split(col("variant"), " "), 1))
+    val dictSide = if (broadcastDict) broadcast(dict) else dict.hint("shuffle_hash")
     val candidates = probes
-      .join(broadcast(dict),
+      .join(dictSide,
         col("probe_block") === col("dict_block") &&
           abs(length(col("variant")) - length(col("dict_name"))) <= 2)
       .withColumn("lev", levenshtein(col("variant"), col("dict_name")))

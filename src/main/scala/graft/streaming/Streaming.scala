@@ -257,11 +257,16 @@ object Streaming {
     * at — are quarantined to `late/`, on-time rows pass to `ontime/`,
     * and a 1-row ledger entry (batch, input/late counts, the threshold
     * used) lands in `ledger/` — the number to alert on and reconcile
-    * against source counts in an end-of-day audit. All three outputs are
-    * written to `batch=N` directories with overwrite, so an at-least-once
-    * replay is idempotent; the high-water state is a 1-row parquet and
-    * max() re-applied on replay is a no-op. Driver-side traffic is two
-    * 1-row aggregates per batch — index metadata, never data. */
+    * against source counts in an end-of-day audit. All four outputs
+    * (late/ontime/ledger AND the high-water state) are written to
+    * `batch=N` directories with overwrite, and the threshold for batch N
+    * is derived ONLY from state entries with `batch < N` — so an
+    * at-least-once replay of batch N recomputes the identical threshold
+    * even though the first attempt already persisted batch N's own max
+    * event time (a single max-over-all-state would include it and
+    * reclassify rows the first attempt wrote as on-time). Driver-side
+    * traffic is two 1-row aggregates per batch — index metadata, never
+    * data. */
   def lateAuditStream(events: DataFrame, outDir: String, checkpoint: String,
       horizon: String = "2 hours", eventTimeCol: String = "ts"): StreamingQuery =
     events.writeStream
@@ -269,12 +274,17 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val statePath = s"$outDir/state"
+        val stateHadoopPath = new org.apache.hadoop.fs.Path(statePath)
+        // Resolve the filesystem FROM the path (not FileSystem.get's
+        // default) so a non-default scheme on outDir checks the same
+        // filesystem the reads/writes hit.
+        val fs = stateHadoopPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         val saved: Option[java.sql.Timestamp] =
-          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+          if (fs.exists(stateHadoopPath))
             Option(spark.read.parquet(statePath)
+              .filter(col("batch") < batchId)
               .agg(max(col("max_ts"))).head().getTimestamp(0))
           else None
         // let the engine parse the horizon: threshold = saved − INTERVAL
@@ -299,11 +309,13 @@ object Streaming {
               counts.getAs[Long]("n_late"), threshold.orNull))
             .toDF("batch", "n_input", "n_late", "threshold_used")
             .write.mode("overwrite").parquet(s"$outDir/ledger/batch=$batchId")
-          val maxes = saved.toSeq ++
-            Option(counts.getAs[java.sql.Timestamp]("batch_max")).toSeq
-          if (maxes.nonEmpty)
-            Seq(maxes.maxBy(_.getTime)).toDF("max_ts")
-              .write.mode("overwrite").parquet(statePath)
+          // State keyed by batch id: `batch=N` holds ONLY batch N's own
+          // max event time, so overwrite-on-replay is a true no-op and
+          // the `batch < N` threshold read above stays stable.
+          Option(counts.getAs[java.sql.Timestamp]("batch_max")).foreach { bm =>
+            Seq(bm).toDF("max_ts")
+              .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          }
         } finally { b.unpersist(); () }
       }
       .start()

@@ -871,6 +871,35 @@ class ExtSpec extends SparkSpec {
       s"probe read all $total index files; pruning is the point of the layout")
   }
 
+  test("ivf index drift audit: fresh build is clean; a concentrated append trips the rebuild trigger") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Similarity.buildIvfIndex(e, dir)
+    val fresh = Similarity.ivfIndexDriftAudit(spark, dir).collect()
+    assert(fresh.nonEmpty && fresh.length <= Similarity.IvfCells)
+    assert(fresh.forall(!_.getAs[Boolean]("needs_rebuild")),
+      s"fresh index must not need a rebuild:\n${fresh.mkString("\n")}")
+    // drifted append: clone ONE vector total/2 times under fresh ids —
+    // all land in a single cell, exploding its occupancy far past
+    // IvfOccSkewMax × balance and dragging its mean onto the clone
+    val nTotal = e.count()
+    val seed = e.orderBy("vec_id").limit(1)
+    val clones = seed.crossJoin(
+        spark.range(nTotal / 2).select(col("id")))
+      .select((col("id") + 500000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, dir, clones)
+    val drifted = Similarity.ivfIndexDriftAudit(spark, dir).collect()
+    val flagged = drifted.filter(_.getAs[Boolean]("needs_rebuild"))
+    assert(flagged.nonEmpty,
+      s"concentrated append must trip the trigger:\n${drifted.mkString("\n")}")
+    // the flagged cell is the one that swallowed the clones: it holds the
+    // max occupancy, above the skew threshold
+    val hot = drifted.maxBy(_.getAs[Long]("n_vecs"))
+    assert(hot.getAs[Boolean]("needs_rebuild") &&
+      hot.getAs[Double]("occ_ratio") > Similarity.IvfOccSkewMax,
+      s"hot cell not flagged for occupancy skew: $hot")
+  }
+
   test("ivf index append: new vectors are probe-visible; untouched cells unchanged") {
     val e = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString

@@ -534,6 +534,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed rank selection: recursion bounds the pass-2 task; selected ranks unchanged") {
+    import graft.queries.Profiling
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // mid-skew group: ~800 rows of many DISTINCT values crammed into
+    // [0, 0.02] — outliers stretch the range to ~1000, so the cluster
+    // lands in ONE first-level bucket that an equi-width cut can only
+    // split by recursing (the straggler shape VERDICT r6 flagged)
+    val heavyMulti = (1 to 800).map(_ => rnd.nextInt(2000) / 100000.0) ++
+      (1 to 50).map(_ => rnd.nextDouble() * 1000)
+    // heavy-single-value group: no equi-width cut can ever split the run;
+    // the constant-sub-bucket branch must answer without a ranking task
+    val heavyOne = (1 to 900).map(_ => 123.45) ++
+      (1 to 60).map(_ => rnd.nextDouble() * 5000)
+    val rows = heavyMulti.map(("multi", _)) ++ heavyOne.map(("one", _))
+    val df = rows.map { case (g, v) =>
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), g, v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    // bigBucket = 0: EVERY target bucket exceeds the bound (bcnt ≥ 1 > 0),
+    // so the direct path is provably empty — every answer below came
+    // through the recursive sub-histogram or the constant-value branch
+    val rec = Profiling.groupedExactQuantiles(df, bigBucket = 0L).collect()
+    val plain = Profiling.groupedExactQuantiles(df).collect()
+    assert(rec.map(_.toSeq).toSet == plain.map(_.toSeq).toSet,
+      "recursive path disagrees with the direct path")
+    assert(rec.length == 2 * Profiling.QuantileSpecs.length)
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val micro = grp.map(r => math.floor(r._2 * 1e6 + 0.5).toLong).sorted
+      val n = micro.length
+      Profiling.QuantileSpecs.foreach { case (q, num, den) =>
+        val k = ((num * n + den - 1) / den).toInt
+        val want = micro(k - 1) / 1e6
+        val got = rec.find(r => r.getAs[String]("event_type") == g &&
+          r.getAs[String]("quantile") == q).get
+        assert(got.getAs[Double]("value") == want &&
+          got.getAs[Long]("k") == k && got.getAs[Long]("n") == n,
+          s"$g/$q: got $got want $want (k=$k n=$n)")
+      }
+    }
+    // the global (q134) form takes the same bound
+    val li = heavyMulti.toDF("l_extendedprice")
+    val gGot = Profiling.exactMedianScalable(li, bigBucket = 0L).head()
+    val cents = heavyMulti.map(v => math.floor(v * 100 + 0.5).toLong).sorted
+    assert(gGot.getAs[Long]("median_cents") == cents((cents.length + 1) / 2 - 1),
+      s"global recursive median wrong: $gGot")
+  }
+
   test("cms index merge is order-independent over random splits (property)") {
     // Count-Min state is a commutative monoid: any batch arrival order
     // must converge to the one-shot sketch

@@ -70,4 +70,21 @@ class RelationalSpec extends SparkSpec {
     assert(cube.length == 1)
     assert(cube.head.getAs[Long]("n_orders") == Tables.orders(spark, sf).count())
   }
+
+  test("entity resolution: large-dictionary shuffle path ≡ broadcast path, and never broadcasts") {
+    import graft.queries.Relational
+    val parts = Tables.part(spark, sf)
+    val viaBroadcast = Relational.resolveEntities(parts).collect()
+    val shuffled = Relational.resolveEntities(parts, broadcastDict = false)
+    val viaShuffle = shuffled.collect()
+    assert(viaBroadcast.map(_.toSeq).toSeq == viaShuffle.map(_.toSeq).toSeq,
+      "shuffle-join dictionary path diverges from the broadcast path")
+    // the point of the variant: the dictionary side must NOT broadcast
+    // (inspect the AQE FINAL plan — materialized by the collect above)
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"large-dict path still broadcasts:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffle join on the block key:\n$plan")
+  }
 }

@@ -510,6 +510,28 @@ class StoreSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 4096)
   }
 
+  test("z-order export: integer normalization survives key spans past 2^47 (no long overflow)") {
+    // keys spaced 2^50 apart: the naive (c − lo) * 2^16 intermediate
+    // overflows long (span ≈ 2^60) and scrambles z; the div-based
+    // normalization must keep the layout exact. With b constant, z is
+    // monotone in a, so per-file a-intervals must be DISJOINT.
+    val df = spark.range(0, 1024).selectExpr(
+      "id", s"id * ${1L << 50}L AS a", "CAST(7 AS BIGINT) AS b")
+    val dir = tmp("zwide") + "/t"
+    Store.exportZOrdered(df, dir, "a", "b", numFiles = 8)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 1024)
+    val boxes = got.groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1")).collect()
+      .map(r => (r.getAs[Long]("a0"), r.getAs[Long]("a1"))).sortBy(_._1).toList
+    assert(boxes.length >= 2)
+    boxes.sliding(2).foreach {
+      case List(x, y) =>
+        assert(x._2 < y._1, s"overlapping file a-ranges (z scrambled): $x $y")
+      case _ => ()
+    }
+  }
+
   test("file-size audit: histogram accounts for every data file; compaction shifts it") {
     val dir = tmp("fsaudit") + "/t"
     spark.range(0, 2048).selectExpr("id", "id * 2 AS v")

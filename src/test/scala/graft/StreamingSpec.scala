@@ -291,11 +291,65 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out + "/late").count() == 2)
     assert(spark.read.parquet(out + "/ontime").count() == 3)
     // at-least-once replay (fresh checkpoint, same output) is idempotent:
-    // batch=N directories overwrite, max() state re-applies as a no-op
+    // batch=N directories overwrite, and the per-batch state keying means
+    // each replayed batch derives its threshold from batches < N only
     run(tmpDir("late_ckpt2"))
     assert(spark.read.parquet(out + "/late").count() == 2)
     assert(spark.read.parquet(out + "/ontime").count() == 3)
     assert(spark.read.parquet(out + "/ledger").count() == 2)
+  }
+
+  test("late-data ledger: replay of a batch that advanced the high-water mark recomputes the identical threshold") {
+    // The sharp replay case: batch 1 contains both the new max event time
+    // (23:00) and a row (09:00) that is on-time against the PRIOR mark
+    // (10:00 − 2h = 08:00) but late against a mark that includes batch 1's
+    // own max (23:00 − 2h = 21:00). A threshold derived from all persisted
+    // state would reclassify the 09:00 row on replay; deriving it from
+    // state entries with batch < N must keep both attempts identical.
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("late_adv_events")
+    def eventsAt(times: Seq[String], startId: Long) = {
+      import spark.implicits._
+      times.zipWithIndex.map { case (t, i) =>
+        (startId + i, java.sql.Timestamp.valueOf(t), 1L, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = tmpDir("late_adv_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    writeOne(eventsAt(Seq("2024-06-01 10:00:00"), 1L), "a.parquet", 1000000L)
+    writeOne(eventsAt(Seq("2024-06-01 23:00:00", "2024-06-01 09:00:00"), 10L),
+      "b.parquet", 2000000L)
+    val out = tmpDir("late_adv_out")
+    val schema = spark.read.parquet(dir).schema
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      Streaming.lateAuditStream(stream, out, ckpt).awaitTermination()
+    }
+    def snapshot(): (Long, Long, java.sql.Timestamp) = {
+      val ledger1 = spark.read.parquet(out + "/ledger")
+        .filter(col("batch") === 1L).head()
+      (spark.read.parquet(out + "/late").count(),
+        ledger1.getAs[Long]("n_late"),
+        ledger1.getAs[java.sql.Timestamp]("threshold_used"))
+    }
+    run(tmpDir("late_adv_ckpt"))
+    val first = snapshot()
+    assert(first == ((0L, 0L, java.sql.Timestamp.valueOf("2024-06-01 08:00:00"))),
+      s"first attempt misclassified: $first")
+    // replay after the state already holds batch 1's 23:00 max
+    run(tmpDir("late_adv_ckpt2"))
+    val second = snapshot()
+    assert(second == first,
+      s"replay changed classification: first=$first second=$second")
+    assert(spark.read.parquet(out + "/ontime").count() == 3)
   }
 
   test("native session_window runs on the stream: emitted sessions ⊆ the batch sessions") {
@@ -346,6 +400,40 @@ class StreamingSpec extends SparkSpec {
     assert(joined.nonEmpty)
     joined.foreach(r => assert(
       r.getAs[Long]("cms_est") >= r.getAs[Long]("count"), s"$r"))
+    // every query token yields a row — including tokens ABSENT from the
+    // corpus (the decontamination probe): a one-token corpus leaves all
+    // but one bucket per depth row empty, so an unseen token must come
+    // back with the correct Count-Min estimate 0, not be dropped
+    import spark.implicits._
+    val tiny = TextAnalysis.cmsSketch(
+      Seq((1L, "solitarytoken")).toDF("doc_id", "text"))
+    val probe = TextAnalysis.cmsEstimate(
+      tiny, Seq("zzz_never_in_corpus").toDF("token")).collect()
+    assert(probe.length == 1, "unseen token dropped from cmsEstimate output")
+    assert(probe.head.getAs[Long]("cms_est") == 0L,
+      s"unseen token should estimate 0: ${probe.head}")
+  }
+
+  test("streaming median bins: live (group, value) state derives q135's exact medians") {
+    // exact-median monitor: medianBins is a complete-mode aggregation
+    // whose state is bounded by the value DOMAIN; deriving the median
+    // from the live bins must equal the batch two-level rank selection
+    import graft.queries.Profiling
+    val events = Tables.events(spark, sf)
+    val evDir = tmpDir("median_bins_stream")
+    events.orderBy("event_id").coalesce(1)
+      .write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    val stream = Streaming.parquetFileSource(spark, evDir, schema)
+    Streaming.drainToMemory(
+      Profiling.medianBins(stream), "median_bins", outputMode = "complete")
+    val streamedBins = spark.sql("SELECT g, v, cnt FROM median_bins")
+    val live = Profiling.medianFromBins(streamedBins)
+    val batch = Profiling.groupedExactMedian(events)
+    assert(live.count() > 0, "no medians derived from streamed bins")
+    assert(live.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(live).count() == 0,
+      "bins-derived medians disagree with the batch rank selection")
   }
 
   test("tier sample and epoch shuffle assignment are streaming-safe projections") {
