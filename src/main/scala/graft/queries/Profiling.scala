@@ -780,6 +780,31 @@ object Profiling {
       .orderBy("event_type")
   }
 
+  /** Bins-only exact quantiles — [[medianFromBins]] generalized to the
+    * [[QuantileSpecs]] ranks: the same running sum over the live
+    * [[medianBins]] state picks, per (group, quantile), the value whose
+    * cumulative count first reaches rank ceil(num·n/den). Output schema ≡
+    * q136 ([[groupedExactQuantiles]]); the monitor publishes all three
+    * quantiles from one state pass per micro-batch. */
+  def quantilesFromBins(bins: org.apache.spark.sql.DataFrame,
+      quantiles: Seq[(String, Long, Long)] = QuantileSpecs): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val qdf = quantiles.toDF("q", "num", "den")
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    bins.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .crossJoin(broadcast(qdf))
+      .withColumn("k", expr("(num * n + den - 1L) div den"))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("g").as("event_type"), col("q").as("quantile"),
+        col("n"), col("k"), (col("v").cast("double") / 1e6).as("value"))
+      .orderBy("event_type", "quantile")
+  }
+
   /** q136: grouped exact p50/p90/p99 vs the flat per-group sorted-rank
     * oracle (rank k = ceil(num·n/den) in integer arithmetic in BOTH
     * engines — `//` is DuckDB's integer division). */

@@ -434,6 +434,13 @@ class StreamingSpec extends SparkSpec {
     assert(live.exceptAll(batch).count() == 0 &&
       batch.exceptAll(live).count() == 0,
       "bins-derived medians disagree with the batch rank selection")
+    // the generalized deriver tracks all of q136's quantiles from the
+    // same live state
+    val liveQ = Profiling.quantilesFromBins(streamedBins)
+    val batchQ = Profiling.groupedExactQuantiles(events)
+    assert(liveQ.exceptAll(batchQ).count() == 0 &&
+      batchQ.exceptAll(liveQ).count() == 0,
+      "bins-derived quantiles disagree with the batch rank selection")
   }
 
   test("tier sample and epoch shuffle assignment are streaming-safe projections") {
