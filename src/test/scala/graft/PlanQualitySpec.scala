@@ -564,6 +564,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q136: grouped quantiles inherit the sort-free rank selection; one histogram serves all ranks") {
+    val p = planOf("q136_grouped_exact_quantiles")
+    // the output orderBy is allowed to range-partition its ≤ groups×ranks
+    // result rows; corpus-side the selection must stay sort-free, which
+    // shows up as: no rangepartitioning on the quantized value column
+    assert(!p.contains("rangepartitioning(v#"),
+      s"rank selection range-partitioned corpus values:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
