@@ -344,8 +344,11 @@ object Profiling {
     * by type) — one grouped aggregate, interpolated identically by Spark's
     * `percentile` and DuckDB's `quantile_cont`. The ungrouped q18 profile
     * and the sketch q47 are the single-pass and scale variants. */
-  val q57GroupedPercentiles: QuerySpec = QuerySpec(
-    "q57_grouped_percentiles",
+  /** ONE spelling of the interpolating grouped-percentile oracle — shared
+    * by q57 (built-in `percentile`) and q137 (the scalable rank-selection
+    * twin): both engines must land on the same `quantile_cont` values,
+    * which is exactly the drop-in-replacement claim q137 makes. */
+  private val GroupedPercentilesOracleSql: String =
     """SELECT event_type,
       |  count(*) AS n,
       |  floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
@@ -353,7 +356,11 @@ object Profiling {
       |  floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
       |FROM events
       |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      |ORDER BY event_type""".stripMargin
+
+  val q57GroupedPercentiles: QuerySpec = QuerySpec(
+    "q57_grouped_percentiles",
+    GroupedPercentilesOracleSql) { (s, dir) =>
     graft.Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
@@ -583,26 +590,52 @@ object Profiling {
     * bounded by groups×quantiles. Oracles are ALGORITHM-INDEPENDENT flat
     * `row_number() = k` sorts — affordable at gate scale, which is
     * exactly what proves the bucketed path exact (the q84/q87 pattern). */
+  private def frameOf(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private def literalize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    frameOf(df.sparkSession, df.collect(), df.schema)
+
+  /** Per-group count/min/max/bucket-width, collected and re-emitted as a
+    * literal frame (≤ groups rows of metadata) so later passes broadcast
+    * values instead of recomputing the aggregate subtree. */
+  private def groupStats(vals: org.apache.spark.sql.DataFrame,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    literalize(
+      vals.groupBy("g").agg(count(lit(1)).as("n"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .withColumn("w", expr(s"greatest(1L, (vmax - vmin) div ${buckets}L + 1L)")))
+
   private[graft] def bucketedQuantileSelect(
       vals: org.apache.spark.sql.DataFrame,
       quantiles: Seq[(String, Long, Long)], buckets: Int,
+      bigBucket: Long): org.apache.spark.sql.DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val qdf = quantiles.toDF("q", "num", "den")
+    val stats = groupStats(vals, buckets)
+    val ranks = stats.crossJoin(qdf)
+      .select(col("g"), col("q"), col("n"),
+        expr("(num * n + den - 1L) div den").as("k"))
+    selectAtRanks(vals, stats, ranks, buckets, bigBucket)
+  }
+
+  /** The selection engine behind [[bucketedQuantileSelect]] (and the
+    * interpolating [[groupedPercentilesScalable]], which needs TWO
+    * explicit ranks per quantile): resolves each (g, q, k) row of `ranks`
+    * to the exact k-th order statistic of its group. `stats` must be the
+    * [[groupStats]] literal frame for the same `vals`/`buckets`. */
+  private def selectAtRanks(
+      vals: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      ranks: org.apache.spark.sql.DataFrame, buckets: Int,
       bigBucket: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.{DataFrame, Row}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = vals.sparkSession
-    import spark.implicits._
-    def frameOf(rows: Seq[Row], schema: StructType): DataFrame =
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    def literalize(df: DataFrame): DataFrame = frameOf(df.collect(), df.schema)
-    val qdf = quantiles.toDF("q", "num", "den")
-    val stats = literalize(
-      vals.groupBy("g").agg(count(lit(1)).as("n"),
-          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-        .withColumn("w", expr(s"greatest(1L, (vmax - vmin) div ${buckets}L + 1L)")))
-    val ranks = stats.crossJoin(qdf)
-      .select(col("g"), col("q"), col("n"),
-        expr("(num * n + den - 1L) div den").as("k"))
     val bucketed = vals.join(broadcast(stats), "g")
       .withColumn("b", expr("(v - vmin) div w"))
     val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
@@ -637,10 +670,10 @@ object Profiling {
     }
     // bounded buckets: rank directly (one task holds ≤ bigBucket rows)
     val small = if (smallRows.isEmpty) None
-      else Some(rankWithin(probe(frameOf(smallRows, target.schema)), "residual"))
+      else Some(rankWithin(probe(frameOf(spark, smallRows, target.schema)), "residual"))
     // oversize buckets: recurse — sub-histogram each bucket's value range
     val big = if (bigRows.isEmpty) None else {
-      val bigF = frameOf(bigRows, target.schema)
+      val bigF = frameOf(spark, bigRows, target.schema)
       val probedBig = probe(bigF)
         .withColumn("w2", expr(s"greatest(1L, (w - 1L) div ${buckets}L + 1L)"))
         .withColumn("b2", expr("(v - vmin - tb * w) div w2"))
@@ -665,19 +698,19 @@ object Profiling {
       // heavy single value: the target sub-bucket IS bmin — the answer is
       // already on the driver as metadata, no ranking task at all
       val const2 = if (constRows.isEmpty) None
-        else Some(frameOf(constRows.map(r => Row(
+        else Some(frameOf(spark, constRows.map(r => Row(
           r.get(r.fieldIndex("g")), r.getAs[String]("q"),
           r.getAs[Long]("n"), r.getAs[Long]("k"),
           r.getAs[Long]("bmin"))), outSchema))
       val varied = if (variedRows.isEmpty) None
         else Some(rankWithin(
-          probedBig.join(broadcast(frameOf(variedRows, target2.schema)
+          probedBig.join(broadcast(frameOf(spark, variedRows, target2.schema)
               .select("g", "q", "tb2", "residual2")), Seq("g", "q"))
             .filter(col("b2") === col("tb2")), "residual2"))
       (const2.toSeq ++ varied.toSeq).reduceOption(_ unionByName _)
     }
     (small.toSeq ++ big.toSeq).reduceOption(_ unionByName _)
-      .getOrElse(frameOf(Nil, outSchema))
+      .getOrElse(frameOf(spark, Nil, outSchema))
   }
 
   /** EXACT median at scale — the answer to "exact percentile needs a
@@ -868,9 +901,71 @@ object Profiling {
     groupedExactQuantiles(graft.Tables.events(s, dir))
   }
 
+  /** Per-group INTERPOLATING exact percentiles at scale — the true
+    * drop-in replacement for q57's built-in `percentile` (which buffers
+    * every group value in executor memory; the q70 cliff in aggregate
+    * form). `percentile`/`quantile_cont` interpolate between the two
+    * order statistics bracketing continuous rank 1 + p·(n−1); this
+    * fetches BOTH through [[selectAtRanks]] (two rank rows per quantile,
+    * ONE shared histogram pass) and interpolates in exact integer
+    * micro-units: rank arithmetic is `num·(n−1) div/mod den` — never
+    * `0.9*(n-1)` in doubles, which rounds the wrong side of an integer —
+    * and the blend `(vLo·(den−m) + vHi·m) / den` divides once at the
+    * end. Output schema ≡ q57, and the ORACLE IS q57's `quantile_cont`
+    * SQL — the strongest form of the drop-in claim. */
+  def groupedPercentilesScalable(events: org.apache.spark.sql.DataFrame,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Functions.round4
+    val spark = events.sparkSession
+    import spark.implicits._
+    val vals = eventMicroVals(events)
+    val stats = groupStats(vals, GroupMedianBuckets)
+    val qdf = QuantileSpecs.toDF("q", "num", "den")
+    // continuous rank r = 1 + num·(n−1)/den; bracket = (kLo, kLo + (m>0))
+    val fracs = stats.crossJoin(qdf)
+      .select(col("g"), col("q"), col("n"), col("den"),
+        expr("1L + (num * (n - 1L)) div den").as("kLo"),
+        expr("(num * (n - 1L)) % den").as("m"))
+    val ranks = fracs.select(col("g"), concat(col("q"), lit("#lo")).as("q"),
+        col("n"), col("kLo").as("k"))
+      .unionByName(fracs.select(col("g"), concat(col("q"), lit("#hi")).as("q"),
+        col("n"),
+        (col("kLo") + when(col("m") > 0, 1L).otherwise(0L)).as("k")))
+    val sel = selectAtRanks(vals, stats, ranks, GroupMedianBuckets, bigBucket)
+    val wide = sel
+      .withColumn("label", expr("split(q, '#')[0]"))
+      .withColumn("role", expr("split(q, '#')[1]"))
+      .groupBy("g", "label")
+      .agg(max(col("n")).as("n"),
+        max(when(col("role") === "lo", col("v"))).as("vlo"),
+        max(when(col("role") === "hi", col("v"))).as("vhi"))
+    val interp = wide
+      .join(broadcast(fracs.select(col("g"), col("q").as("label"),
+        col("m"), col("den"))), Seq("g", "label"))
+      .withColumn("p",
+        (col("vlo") * (col("den") - col("m")) + col("vhi") * col("m"))
+          .cast("double") / col("den") / 1e6)
+    interp.groupBy(col("g").as("event_type"))
+      .agg(max(col("n")).as("n"),
+        round4(max(when(col("label") === "p50", col("p")))).as("p50"),
+        round4(max(when(col("label") === "p90", col("p")))).as("p90"),
+        round4(max(when(col("label") === "p99", col("p")))).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** q137: the scalable interpolating percentiles against q57's OWN
+    * `quantile_cont` oracle — identical SQL string, so the two queries
+    * are value-level interchangeable by construction. */
+  val q137PercentilesScalable: QuerySpec = QuerySpec(
+    "q137_percentiles_scalable",
+    GroupedPercentilesOracleSql) { (s, dir) =>
+    groupedPercentilesScalable(graft.Tables.events(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
     q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
-    q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles)
+    q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
+    q137PercentilesScalable)
 }

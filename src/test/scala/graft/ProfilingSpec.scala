@@ -89,4 +89,36 @@ class ProfilingSpec extends SparkSpec {
     assert(xCells.map(_.getAs[Long]("chi2_micro")).sum > 10 * 1000000L,
       "planted dependence must produce a large statistic")
   }
+
+  test("scalable interpolating percentiles ≡ built-in percentile (the q57 drop-in differential)") {
+    import graft.queries.Profiling
+    val events = Tables.events(spark, sf)
+    val builtin = SparkEntry.queries("q57_grouped_percentiles")(spark, sf)
+      .collect().map(_.toSeq)
+    val scalable = Profiling.groupedPercentilesScalable(events)
+      .collect().map(_.toSeq)
+    assert(builtin.nonEmpty)
+    assert(scalable.toSeq == builtin.toSeq,
+      s"rank-selection percentiles diverge from the built-in:\n" +
+        s"builtin=${builtin.toSeq}\nscalable=${scalable.toSeq}")
+    // and on a frame whose interpolation fractions exercise every branch
+    // (n per group chosen so 0.9·(n−1) lands on AND off integers)
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 11).map(i => ("a", rnd.nextInt(10000) / 100.0)) ++
+      (1 to 40).map(i => ("b", rnd.nextInt(10000) / 100.0)) ++
+      (1 to 101).map(i => ("c", rnd.nextInt(500) / 100.0))
+    val df = rows.map { case (g, v) =>
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), g, v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val builtin2 = df.groupBy("event_type").agg(count(lit(1)).as("n"),
+        graft.functions.Functions.round4(expr("percentile(value, 0.5)")).as("p50"),
+        graft.functions.Functions.round4(expr("percentile(value, 0.9)")).as("p90"),
+        graft.functions.Functions.round4(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    val scalable2 = Profiling.groupedPercentilesScalable(df)
+      .collect().map(_.toSeq)
+    assert(scalable2.toSeq == builtin2.toSeq,
+      s"divergence on fraction-stress frame:\n$builtin2\n$scalable2")
+  }
 }
