@@ -574,6 +574,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q137: interpolating percentiles stay sort-free and cartesian-free") {
+    val p = planOf("q137_percentiles_scalable")
+    assert(!p.contains("rangepartitioning(v#"),
+      s"rank selection range-partitioned corpus values:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
