@@ -240,13 +240,7 @@ object Similarity {
     * one thing in this module that genuinely belongs on the driver; at
     * any corpus scale the collect is k rows, never data. */
   def ivfCentroids(corpus: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
-    def literalize(df: DataFrame): DataFrame = {
-      val rows = df.collect().map(r =>
-        (r.getAs[Long]("cell_id"), r.getSeq[Double](r.fieldIndex("centroid"))))
-      import spark.implicits._
-      rows.toSeq.toDF("cell_id", "centroid")
-    }
+    import graft.functions.Frames.literalize
     var cents = literalize(corpus.orderBy("vec_id").limit(IvfCells)
       .select(col("vec_id").as("cell_id"),
         transform(col("embedding"), _.cast("double")).as("centroid")))
@@ -483,10 +477,15 @@ object Similarity {
     * Scale shape: ONE pass over the index (posexplode + per-dim avg,
     * map-side combined, the lloydRecompute aggregate) plus a count — all
     * outputs ≤ [[IvfCells]] metadata rows; the fileSizeAudit pattern for
-    * index health. */
+    * index health. The CENTROID table drives the join and the balance
+    * denominator, so a cell that lost every member still appears (n_vecs
+    * 0, centroid_cos null) and occupied cells are judged against perfect
+    * balance over ALL centroided cells — emptiness concentrated elsewhere
+    * IS the shrink erosion the audit exists to catch. */
   def ivfIndexDriftAudit(spark: SparkSession, dir: String): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells")
+    val nCells = cents.count() // ≤ IvfCells rows of index metadata
     val means = cells
       .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
       .groupBy("cell_id", "dim_idx")
@@ -496,19 +495,20 @@ object Similarity {
         array_sort(collect_list(struct(col("dim_idx"), col("mv")))),
         s => s.getField("mv")).as("mean_vec"))
     val occ = cells.groupBy("cell_id").agg(count(lit(1)).as("n_vecs"))
-    val total = occ.agg(sum(col("n_vecs")).as("total"),
-      count(lit(1)).as("n_cells"))
-    occ.join(means, "cell_id")
-      .join(broadcast(cents), "cell_id")
+    val total = occ.agg(sum(col("n_vecs")).as("total"))
+    broadcast(cents)
+      .join(occ, Seq("cell_id"), "left")
+      .join(means, Seq("cell_id"), "left")
       .crossJoin(broadcast(total))
+      .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
       .withColumn("occ_ratio",
-        round(col("n_vecs") * col("n_cells") / col("total"), 4))
-      .withColumn("centroid_cos",
+        round(col("n_vecs") * lit(nCells) / col("total"), 4))
+      .withColumn("centroid_cos", when(col("mean_vec").isNotNull,
         round(dot(col("centroid"), col("mean_vec")) /
-          (l2Norm(col("centroid")) * l2Norm(col("mean_vec"))), 6))
+          (l2Norm(col("centroid")) * l2Norm(col("mean_vec"))), 6)))
       .withColumn("needs_rebuild",
         col("occ_ratio") > IvfOccSkewMax ||
-          col("centroid_cos") < IvfCentroidCosMin)
+          coalesce(col("centroid_cos") < IvfCentroidCosMin, lit(false)))
       .select("cell_id", "n_vecs", "occ_ratio", "centroid_cos",
         "needs_rebuild")
       .orderBy("cell_id")

@@ -511,12 +511,13 @@ object Store {
     * on one dimension and none on the other; StoreSpec measures the box
     * areas). Columns are min/max-normalized to `bits` via exact INTEGER
     * arithmetic from a 1-row stats broadcast (index metadata, like the
-    * IVF centroids): bucket width = `(hi − lo) div 2^bits + 1`, norm =
-    * `(c − lo) div width` — a divide-before-multiply form (SQL `div`,
-    * never float `/`) whose intermediates stay within long for any key
-    * span below 2^63, where the naive `(c − lo) * 2^bits` overflows past
-    * a ~2^47 span and scrambles the layout. The z value is dropped
-    * before writing. */
+    * IVF centroids): norm = `(c − lo) · 2^bits div (span + 1)` computed
+    * in DECIMAL(38,0) — exact integer multiply-then-floor-divide (never
+    * float `/`) that uses the FULL per-dimension code range at any key
+    * span up to 2^63 (a long intermediate overflows past a ~2^47 span
+    * and scrambles the layout; a divide-first width form wastes up to
+    * half the code range just above 2^bits spans). The z value is
+    * dropped before writing. */
   def exportZOrdered(df: DataFrame, path: String, colA: String,
       colB: String, numFiles: Int, bits: Int = 16): Unit = {
     require(numFiles >= 1 && bits >= 1 && bits <= 31,
@@ -527,17 +528,16 @@ object Store {
       min(col(colB).cast("long")).as("min_b"),
       max(col(colB).cast("long")).as("max_b"))
     val scale = 1L << bits
-    val z = interleaveBits(expr("__na div __wa"), expr("__nb div __wb"), bits)
+    def norm(c: String, lo: String, hi: String): Column = expr(
+      s"CAST((CAST(CAST($c AS BIGINT) - $lo AS DECIMAL(38,0)) * ${scale}L) div " +
+        s"(CAST($hi AS DECIMAL(38,0)) - $lo + 1L) AS BIGINT)")
+    val z = interleaveBits(
+      norm(colA, "min_a", "max_a"), norm(colB, "min_b", "max_b"), bits)
     df.crossJoin(broadcast(stats))
-      .withColumn("__na", col(colA).cast("long") - col("min_a"))
-      .withColumn("__nb", col(colB).cast("long") - col("min_b"))
-      .withColumn("__wa", expr(s"(max_a - min_a) div ${scale}L + 1L"))
-      .withColumn("__wb", expr(s"(max_b - min_b) div ${scale}L + 1L"))
       .withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "__na", "__nb", "__wa", "__wb",
-        "min_a", "max_a", "min_b", "max_b")
+      .drop("__z", "min_a", "max_a", "min_b", "max_b")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

@@ -590,13 +590,7 @@ object Profiling {
     * bounded by groups×quantiles. Oracles are ALGORITHM-INDEPENDENT flat
     * `row_number() = k` sorts — affordable at gate scale, which is
     * exactly what proves the bucketed path exact (the q84/q87 pattern). */
-  private def frameOf(spark: org.apache.spark.sql.SparkSession,
-      rows: Seq[org.apache.spark.sql.Row],
-      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-
-  private def literalize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    frameOf(df.sparkSession, df.collect(), df.schema)
+  import graft.functions.Frames.{frameOf, literalize}
 
   /** Per-group count/min/max/bucket-width, collected and re-emitted as a
     * literal frame (≤ groups rows of metadata) so later passes broadcast

@@ -259,12 +259,17 @@ object Streaming {
     * used) lands in `ledger/` — the number to alert on and reconcile
     * against source counts in an end-of-day audit. All four outputs
     * (late/ontime/ledger AND the high-water state) are written to
-    * `batch=N` directories with overwrite, and the threshold for batch N
-    * is derived ONLY from state entries with `batch < N` — so an
+    * `batch=N` directories with overwrite, and batch N's threshold is
+    * derived ONLY from the newest state entry with `batch < N` — so an
     * at-least-once replay of batch N recomputes the identical threshold
-    * even though the first attempt already persisted batch N's own max
-    * event time (a single max-over-all-state would include it and
-    * reclassify rows the first attempt wrote as on-time). Driver-side
+    * even though the first attempt already persisted a batch-N entry (a
+    * max over ALL state would include it and reclassify rows the first
+    * attempt wrote as on-time). Each `state/batch=N` holds the CUMULATIVE
+    * high-water mark as of the end of batch N, so the read is one dir
+    * listing plus ONE 1-row parquet regardless of stream age, and every
+    * prior entry except the newest is dead state and pruned — the state
+    * dir never exceeds two entries. A legacy flat (pre-batch-keyed)
+    * state file migrates to `batch=-1` on first touch. Driver-side
     * traffic is two 1-row aggregates per batch — index metadata, never
     * data. */
   def lateAuditStream(events: DataFrame, outDir: String, checkpoint: String,
@@ -281,12 +286,32 @@ object Streaming {
         // filesystem the reads/writes hit.
         val fs = stateHadoopPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val saved: Option[java.sql.Timestamp] =
-          if (fs.exists(stateHadoopPath))
-            Option(spark.read.parquet(statePath)
-              .filter(col("batch") < batchId)
-              .agg(max(col("max_ts"))).head().getTimestamp(0))
-          else None
+        if (fs.exists(stateHadoopPath)) {
+          // legacy single-file layout: flat part files under state/ would
+          // break partition discovery once batch=N dirs appear — move
+          // them under batch=-1 (always a prior batch)
+          val flat = fs.listStatus(stateHadoopPath).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          if (flat.nonEmpty) {
+            val legacy = new org.apache.hadoop.fs.Path(stateHadoopPath, "batch=-1")
+            fs.mkdirs(legacy)
+            flat.foreach(s => fs.rename(s.getPath,
+              new org.apache.hadoop.fs.Path(legacy, s.getPath.getName)))
+          }
+        }
+        val priorBatches: Seq[Long] =
+          if (!fs.exists(stateHadoopPath)) Nil
+          else fs.listStatus(stateHadoopPath).toSeq
+            .filter(_.isDirectory).map(_.getPath.getName)
+            .filter(_.startsWith("batch="))
+            .map(_.stripPrefix("batch=").toLong)
+            .filter(_ < batchId)
+        val newestPrior = priorBatches.sorted.lastOption
+        val saved: Option[java.sql.Timestamp] = newestPrior.flatMap { b =>
+          Option(spark.read.parquet(s"$statePath/batch=$b")
+            .agg(max(col("max_ts"))).head().getTimestamp(0))
+        }
         // let the engine parse the horizon: threshold = saved − INTERVAL
         val threshold = saved.map { t =>
           spark.range(1)
@@ -309,12 +334,21 @@ object Streaming {
               counts.getAs[Long]("n_late"), threshold.orNull))
             .toDF("batch", "n_input", "n_late", "threshold_used")
             .write.mode("overwrite").parquet(s"$outDir/ledger/batch=$batchId")
-          // State keyed by batch id: `batch=N` holds ONLY batch N's own
-          // max event time, so overwrite-on-replay is a true no-op and
-          // the `batch < N` threshold read above stays stable.
-          Option(counts.getAs[java.sql.Timestamp]("batch_max")).foreach { bm =>
-            Seq(bm).toDF("max_ts")
+          // `batch=N` holds the CUMULATIVE mark through batch N —
+          // overwrite-on-replay is a true no-op and the newest-prior read
+          // above stays stable; then prune everything older than the
+          // newest prior entry (a replay of the CURRENT batch is the only
+          // reader that can still need it)
+          val cum = (saved.toSeq ++
+            Option(counts.getAs[java.sql.Timestamp]("batch_max")).toSeq)
+            .sortBy(_.getTime).lastOption
+          cum.foreach { m =>
+            Seq(m).toDF("max_ts")
               .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          }
+          priorBatches.filter(b => !newestPrior.contains(b)).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/batch=$b"), true)
+            ()
           }
         } finally { b.unpersist(); () }
       }

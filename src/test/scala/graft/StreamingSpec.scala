@@ -299,6 +299,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out + "/ledger").count() == 2)
   }
 
+  test("late-data ledger: legacy flat high-water state migrates to batch=-1 and still gates batch 0") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val out = tmpDir("late_legacy_out")
+    // fabricate the pre-batch-keyed layout: a FLAT 1-row max_ts parquet
+    // directly under state/ (what the previous version wrote)
+    val stage = tmpDir("late_legacy_stage")
+    Seq(java.sql.Timestamp.valueOf("2024-06-01 12:45:00")).toDF("max_ts")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val stateDir = new java.io.File(out, "state"); stateDir.mkdirs()
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(stateDir, part.getName).toPath)
+    // input: midnight rows — late against the LEGACY mark − 2h
+    val dir = tmpDir("late_legacy_events")
+    (Seq("2024-06-01 00:10:00", "2024-06-01 00:20:00").zipWithIndex.map {
+      case (t, i) => (i.toLong, java.sql.Timestamp.valueOf(t), 1L, "view", 1.0, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    Streaming.lateAuditStream(stream, out, tmpDir("late_legacy_ckpt"))
+      .awaitTermination()
+    val ledger = spark.read.parquet(out + "/ledger").head()
+    assert(ledger.getAs[Long]("n_late") == 2 &&
+      ledger.getAs[java.sql.Timestamp]("threshold_used") ==
+        java.sql.Timestamp.valueOf("2024-06-01 10:45:00"),
+      s"legacy mark not honored: $ledger")
+    // the flat file moved under batch=-1; batch=0 wrote the new cumulative
+    val entries = stateDir.listFiles().map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(entries.contains("batch=-1") && entries.contains("batch=0"),
+      s"state layout after migration: ${stateDir.listFiles().map(_.getName).toSeq}")
+    assert(!stateDir.listFiles().exists(_.isFile),
+      "flat legacy file left behind breaks partition discovery")
+  }
+
   test("late-data ledger: replay of a batch that advanced the high-water mark recomputes the identical threshold") {
     // The sharp replay case: batch 1 contains both the new max event time
     // (23:00) and a row (09:00) that is on-time against the PRIOR mark
