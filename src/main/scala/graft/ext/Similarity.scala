@@ -496,9 +496,12 @@ object Similarity {
         s => s.getField("mv")).as("mean_vec"))
     val occ = cells.groupBy("cell_id").agg(count(lit(1)).as("n_vecs"))
     val total = occ.agg(sum(col("n_vecs")).as("total"))
-    broadcast(cents)
-      .join(occ, Seq("cell_id"), "left")
-      .join(means, Seq("cell_id"), "left")
+    // broadcast the RIGHT sides: a hint on the preserved side of a left
+    // outer join cannot be honored (only the build side broadcasts) and
+    // would silently fall back to a shuffle of the metadata frames
+    cents
+      .join(broadcast(occ), Seq("cell_id"), "left")
+      .join(broadcast(means), Seq("cell_id"), "left")
       .crossJoin(broadcast(total))
       .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
       .withColumn("occ_ratio",

@@ -529,7 +529,9 @@ object Store {
       max(col(colB).cast("long")).as("max_b"))
     val scale = 1L << bits
     def norm(c: String, lo: String, hi: String): Column = expr(
-      s"CAST((CAST(CAST($c AS BIGINT) - $lo AS DECIMAL(38,0)) * ${scale}L) div " +
+      // subtraction in DECIMAL too: a BIGINT (c − lo) overflows on keys
+      // spanning more than 2^63 (full-range 64-bit ids)
+      s"CAST(((CAST(CAST($c AS BIGINT) AS DECIMAL(38,0)) - $lo) * ${scale}L) div " +
         s"(CAST($hi AS DECIMAL(38,0)) - $lo + 1L) AS BIGINT)")
     val z = interleaveBits(
       norm(colA, "min_a", "max_a"), norm(colB, "min_b", "max_b"), bits)

@@ -260,7 +260,7 @@ object Streaming {
     * against source counts in an end-of-day audit. All four outputs
     * (late/ontime/ledger AND the high-water state) are written to
     * `batch=N` directories with overwrite, and batch N's threshold is
-    * derived ONLY from the newest state entry with `batch < N` — so an
+    * derived ONLY from state entries with `batch < N` — so an
     * at-least-once replay of batch N recomputes the identical threshold
     * even though the first attempt already persisted a batch-N entry (a
     * max over ALL state would include it and reclassify rows the first
@@ -308,10 +308,15 @@ object Streaming {
             .map(_.stripPrefix("batch=").toLong)
             .filter(_ < batchId)
         val newestPrior = priorBatches.sorted.lastOption
-        val saved: Option[java.sql.Timestamp] = newestPrior.flatMap { b =>
-          Option(spark.read.parquet(s"$statePath/batch=$b")
+        // max over ALL prior entries, not just the newest: pruning bounds
+        // the dir to ≤3 entries so this stays O(1), and it is robust to a
+        // history whose older entries are not cumulative (partition
+        // pruning on `batch` skips the current batch's own entry)
+        val saved: Option[java.sql.Timestamp] =
+          if (priorBatches.isEmpty) None
+          else Option(spark.read.parquet(statePath)
+            .filter(col("batch") < batchId)
             .agg(max(col("max_ts"))).head().getTimestamp(0))
-        }
         // let the engine parse the horizon: threshold = saved − INTERVAL
         val threshold = saved.map { t =>
           spark.range(1)
@@ -339,9 +344,11 @@ object Streaming {
           // above stays stable; then prune everything older than the
           // newest prior entry (a replay of the CURRENT batch is the only
           // reader that can still need it)
+          // compareTo, not getTime: Timestamp carries nanoseconds and a
+          // millisecond-precision max could regress the cumulative mark
           val cum = (saved.toSeq ++
             Option(counts.getAs[java.sql.Timestamp]("batch_max")).toSeq)
-            .sortBy(_.getTime).lastOption
+            .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b)
           cum.foreach { m =>
             Seq(m).toDF("max_ts")
               .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")

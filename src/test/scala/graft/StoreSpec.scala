@@ -530,6 +530,25 @@ class StoreSpec extends SparkSpec {
         assert(x._2 < y._1, s"overlapping file a-ranges (z scrambled): $x $y")
       case _ => ()
     }
+    // and a key span past 2^63 (full-range 64-bit ids): even the
+    // SUBTRACTION c − lo overflows BIGINT here — the whole norm must run
+    // in DECIMAL(38,0) or ANSI mode aborts the export
+    val wide = spark.range(0, 1024).selectExpr(
+      "id",
+      s"CAST(CAST(-9223372036854775808 AS DECIMAL(38,0)) + " +
+        s"CAST(id AS DECIMAL(38,0)) * ${1L << 54}L AS BIGINT) AS a",
+      "CAST(3 AS BIGINT) AS b")
+    val dir2 = tmp("zfull") + "/t"
+    Store.exportZOrdered(wide, dir2, "a", "b", numFiles = 4)
+    assert(spark.read.parquet(dir2).count() == 1024)
+    val boxes2 = spark.read.parquet(dir2).groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1")).collect()
+      .map(r => (r.getAs[Long]("a0"), r.getAs[Long]("a1"))).sortBy(_._1).toList
+    boxes2.sliding(2).foreach {
+      case List(x, y) =>
+        assert(x._2 < y._1, s"overlapping ranges at full span: $x $y")
+      case _ => ()
+    }
   }
 
   test("file-size audit: histogram accounts for every data file; compaction shifts it") {
