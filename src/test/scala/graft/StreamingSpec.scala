@@ -299,6 +299,52 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out + "/ledger").count() == 2)
   }
 
+  test("late-data ledger: state stays bounded over many batches and the mark is cumulative") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmpDir("late_many_events")
+    def writeOne(times: Seq[String], startId: Long, name: String, mtime: Long): Unit = {
+      val stage = tmpDir("late_many_stage")
+      times.zipWithIndex.map { case (t, i) =>
+        (startId + i, java.sql.Timestamp.valueOf(t), 1L, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    // 4 batches; batch 2 is entirely LATE (its max must still not move
+    // the mark backwards — cumulative state), batch 3 is gated by the
+    // batch-1 mark carried THROUGH batch 2's entry
+    writeOne(Seq("2024-06-01 08:00:00"), 1L, "a.parquet", 1000000L)
+    writeOne(Seq("2024-06-01 12:00:00"), 2L, "b.parquet", 2000000L)
+    writeOne(Seq("2024-06-01 01:00:00"), 3L, "c.parquet", 3000000L)
+    writeOne(Seq("2024-06-01 09:30:00"), 4L, "d.parquet", 4000000L)
+    val out = tmpDir("late_many_out")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    Streaming.lateAuditStream(stream, out, tmpDir("late_many_ckpt"))
+      .awaitTermination()
+    val ledger = spark.read.parquet(out + "/ledger").orderBy("batch").collect()
+    assert(ledger.length == 4)
+    // batch 2 (01:00) late vs 12:00 − 2h; batch 3 (09:30) late vs the SAME
+    // 12:00 mark — batch 2's all-late content must not regress it
+    assert(ledger(2).getAs[Long]("n_late") == 1, s"${ledger(2)}")
+    assert(ledger(3).getAs[Long]("n_late") == 1 &&
+      ledger(3).getAs[java.sql.Timestamp]("threshold_used") ==
+        java.sql.Timestamp.valueOf("2024-06-01 10:00:00"),
+      s"batch 3 must be gated by the carried 12:00 mark: ${ledger(3)}")
+    // pruning invariant: dead entries deleted, ≤2 state dirs remain
+    val stateDirs = new java.io.File(out, "state").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(stateDirs.length <= 2,
+      s"state must stay bounded, got ${stateDirs.toSeq}")
+    assert(stateDirs.contains("batch=3"), s"newest entry missing: ${stateDirs.toSeq}")
+  }
+
   test("late-data ledger: legacy flat high-water state migrates to batch=-1 and still gates batch 0") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
