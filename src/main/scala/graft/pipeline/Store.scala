@@ -492,14 +492,24 @@ object Store {
       .format("parquet").saveAsTable(table)
   }
 
-  /** Interleave the low `bits` of two non-negative longs into a Z-order
-    * (Morton) value — bit i of `a` lands at position 2i, bit i of `b` at
-    * 2i+1. Pure bitwise Column arithmetic, whole-stage-codegen friendly. */
-  def interleaveBits(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i + 1))
+  /** Interleave the low `bits` of N non-negative longs into a Z-order
+    * (Morton) value — bit i of column j lands at position N·i + j. Pure
+    * bitwise Column arithmetic, whole-stage-codegen friendly. Requires
+    * N·bits ≤ 63 so the code fits a signed long. */
+  def interleaveBitsN(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.length
+    require(d >= 2 && d * bits <= 63,
+      s"z-order code must fit a long: dims=$d bits=$bits")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(1L), d * i + j)
+      }
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** Two-column form of [[interleaveBitsN]]. */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    interleaveBitsN(Seq(a, b), bits)
 
   /** Z-ordered parquet export — the multi-dimensional file layout: rows
     * are range-partitioned and sorted by the Morton interleave of two
@@ -519,27 +529,37 @@ object Store {
     * half the code range just above 2^bits spans). The z value is
     * dropped before writing. */
   def exportZOrdered(df: DataFrame, path: String, colA: String,
-      colB: String, numFiles: Int, bits: Int = 16): Unit = {
-    require(numFiles >= 1 && bits >= 1 && bits <= 31,
+      colB: String, numFiles: Int, bits: Int = 16): Unit =
+    exportZOrderedN(df, path, Seq(colA, colB), numFiles, bits)
+
+  /** N-dimensional form of [[exportZOrdered]] — a 100 TB table queried
+    * on three independent dimensions (time, tenant, key) wants all three
+    * prunable from one layout. Per-dimension resolution is `bits` codes
+    * (N·bits ≤ 63); more dimensions trade per-dimension resolution for
+    * breadth, which is the standard Z-order bargain. */
+  def exportZOrderedN(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles >= 1 && bits >= 1,
       s"bad z-order params: numFiles=$numFiles bits=$bits")
-    val stats = df.agg(
-      min(col(colA).cast("long")).as("min_a"),
-      max(col(colA).cast("long")).as("max_a"),
-      min(col(colB).cast("long")).as("min_b"),
-      max(col(colB).cast("long")).as("max_b"))
+    val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("long")).as(s"min_$i"),
+        max(col(c).cast("long")).as(s"max_$i"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
     val scale = 1L << bits
-    def norm(c: String, lo: String, hi: String): Column = expr(
+    def norm(c: String, i: Int): Column = expr(
       // subtraction in DECIMAL too: a BIGINT (c − lo) overflows on keys
       // spanning more than 2^63 (full-range 64-bit ids)
-      s"CAST(((CAST(CAST($c AS BIGINT) AS DECIMAL(38,0)) - $lo) * ${scale}L) div " +
-        s"(CAST($hi AS DECIMAL(38,0)) - $lo + 1L) AS BIGINT)")
-    val z = interleaveBits(
-      norm(colA, "min_a", "max_a"), norm(colB, "min_b", "max_b"), bits)
+      s"CAST(((CAST(CAST($c AS BIGINT) AS DECIMAL(38,0)) - min_$i) * ${scale}L) div " +
+        s"(CAST(max_$i AS DECIMAL(38,0)) - min_$i + 1L) AS BIGINT)")
+    val z = interleaveBitsN(
+      zCols.zipWithIndex.map { case (c, i) => norm(c, i) }, bits)
+    val statCols = zCols.indices.flatMap(i => Seq(s"min_$i", s"max_$i"))
     df.crossJoin(broadcast(stats))
       .withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "min_a", "max_a", "min_b", "max_b")
+      .drop("__z" +: statCols: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

@@ -510,6 +510,34 @@ class StoreSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 4096)
   }
 
+  test("z-order export: three dimensions each stay prunable from one layout") {
+    // three INDEPENDENT uniform dims; single-column sort would leave two
+    // of them full-width per file
+    val df = spark.range(0, 8192).selectExpr(
+      "id",
+      "CAST((id * 2654435761) % 4096 AS BIGINT) AS a",
+      "CAST((id * 40503) % 4096 AS BIGINT) AS b",
+      "CAST((id * 2246822519) % 4096 AS BIGINT) AS c")
+    val dir = tmp("zorder3") + "/t"
+    Store.exportZOrderedN(df, dir, Seq("a", "b", "c"), numFiles = 16, bits = 12)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"),
+        min("c").as("c0"), max("c").as("c1"))
+      .collect()
+    assert(boxes.length == 16)
+    def hit(lo: String, hi: String, v: Long) =
+      boxes.count(r => r.getAs[Long](lo) <= v && v <= r.getAs[Long](hi))
+    val probes = Seq(100L, 1500L, 2048L, 3000L, 4000L)
+    Seq(("a0", "a1"), ("b0", "b1"), ("c0", "c1")).foreach { case (lo, hi) =>
+      val hits = probes.map(hit(lo, hi, _)).sum
+      assert(hits <= 12 * probes.length,
+        s"dim $lo not prunable: $hits of ${16 * probes.length} file-probe hits")
+    }
+    assert(spark.read.parquet(dir).count() == 8192)
+  }
+
   test("z-order export: integer normalization survives key spans past 2^47 (no long overflow)") {
     // keys spaced 2^50 apart: the naive (c − lo) * 2^16 intermediate
     // overflows long (span ≈ 2^60) and scrambles z; the div-based
