@@ -31,6 +31,7 @@ object SparkEntry {
       graft.pipeline.Ingest.all ++
       graft.ext.Multimodal.all ++
       graft.ext.Integrity.all ++
+      graft.ext.Rollup.all ++
       graft.queries.Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,234 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus-statistics rollup — materialized-aggregate
+  * maintenance for the documents table (the `get_database_stats` /
+  * summary-report family of ref `storage.py:485-553`, kept INCREMENTALLY
+  * instead of recomputed by scan).
+  *
+  * The state is a per-group row of MERGEABLE partials over `n_chars`:
+  * (count, sum, sum-of-squares, min, max). Merge is a group-wise
+  * (sum, sum, sum, min, max) — so folding a new batch in costs one
+  * aggregate over (existing partials ∪ batch partials), group-cardinality
+  * rows, never a rescan of the corpus the rollup already covers. The
+  * same property makes the rollup STREAMING-CAPABLE: the identical
+  * expression tree runs complete-mode over a document stream with
+  * groups-bounded state (StreamingSpec pins stream ≡ batch).
+  *
+  * Exactness: sums are integers; sum-of-squares is accumulated in
+  * DECIMAL(38,0) so there is no float addition order anywhere, and the
+  * derived mean/variance are integer micro-unit rationals — the q132
+  * discipline — so the DuckDB oracle matches value-level. 38 digits
+  * bound the reach: sum(n_chars²) stays exact past 10^25 docs of 10^6
+  * chars, but the variance NUMERATOR n·Σx² − (Σx)² squares the corpus
+  * sum — exact to ~10^12 docs of ~10^6 chars ((Σx)² ≈ 10^36), beyond
+  * which the finalizer must downscale units before squaring (document
+  * sums in kilo-chars) rather than switch to floats.
+  */
+object Rollup {
+
+  /** One micro-unit = 1e-6 of a char; derived stats are exact integers
+    * in this unit so both engines round identically. */
+  final val Micro = 1000000L
+
+  /** Drift threshold in sigmas for [[driftVsRollup]] (z > 3). */
+  final val DriftSigmas = 3L
+
+  /** Per-group mergeable partials over `n_chars`. One hash aggregate,
+    * map-side combined; output cardinality = |groups|. */
+  def statsRollup(docs: DataFrame,
+      keys: Seq[String] = Seq("source", "lang")): DataFrame = {
+    require(keys.nonEmpty, "rollup needs at least one key")
+    docs.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sumsq_chars"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+  }
+
+  /** Merge two partial rollups — the maintenance step's algebra. */
+  def mergeRollups(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(
+      sum(col("n_docs")).cast("long").as("n_docs"),
+      sum(col("sum_chars")).cast("long").as("sum_chars"),
+      sum(col("sumsq_chars")).cast("decimal(38,0)").as("sumsq_chars"),
+      min(col("min_chars")).as("min_chars"),
+      max(col("max_chars")).as("max_chars"))
+
+  /** Persist the rollup: build pays the corpus scan once. */
+  def buildStatsRollup(docs: DataFrame, dir: String,
+      keys: Seq[String] = Seq("source", "lang")): Unit =
+    statsRollup(docs, keys).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/rollup")
+
+  /** Fold a batch into the persisted rollup WITHOUT rescanning the
+    * covered corpus: batch partials ∪ stored partials → one group-
+    * cardinality aggregate, published with the staging + backup rename
+    * discipline (crashed append leaves the previous rollup
+    * recoverable; readers never see a half-written merge). */
+  def appendToStatsRollup(spark: SparkSession, dir: String, batch: DataFrame,
+      keys: Seq[String] = Seq("source", "lang")): Unit = {
+    val merged =
+      mergeRollups(readStatsRollup(spark, dir), statsRollup(batch, keys), keys)
+    val path = s"$dir/rollup"
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"rollup append: could not move $target aside")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(backup)) fs.rename(backup, target)
+      sys.error(s"rollup append: could not publish $staging over $target")
+    }
+    fs.delete(backup, true)
+  }
+
+  /** Read the persisted rollup, recovering from a crashed append swap. */
+  def readStatsRollup(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/rollup"
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      sys.error(s"rollup read: could not recover $backup")
+    spark.read.parquet(path)
+  }
+
+  /** Derive the consumer-facing stats from partials: exact integer
+    * micro-unit mean and sample variance (round-half-up via the
+    * (2·num + den) div (2·den) identity — positive operands, identical
+    * floor semantics in Spark `div` and DuckDB `//`). Variance is NULL
+    * for single-doc groups. */
+  def finalizeRollup(rollup: DataFrame,
+      keys: Seq[String] = Seq("source", "lang")): DataFrame =
+    rollup.select(
+      keys.map(col) ++ Seq(
+        col("n_docs"), col("sum_chars"), col("min_chars"), col("max_chars"),
+        expr(s"""CAST((CAST(sum_chars AS DECIMAL(38,0)) * $Micro * 2
+          | + n_docs) div (2 * n_docs) AS BIGINT)""".stripMargin)
+          .as("mean_chars_micro"),
+        when(col("n_docs") > 1, expr(
+          s"""CAST((2 * $Micro * (n_docs * sumsq_chars
+            | - CAST(sum_chars AS DECIMAL(38,0)) * sum_chars)
+            | + n_docs * (n_docs - 1L))
+            | div (2 * n_docs * (n_docs - 1L)) AS BIGINT)""".stripMargin))
+          .otherwise(lit(null).cast("long")).as("var_chars_micro")): _*)
+      .orderBy(keys.map(col): _*)
+
+  /** Batch-vs-index drift probe — the monitoring op a persisted rollup
+    * exists for: for each shared group, is the batch mean further from
+    * the index mean than `sigmas` standard errors? The test is the
+    * z-test (mean_b − mean_i)² > T²·var_i/n_b evaluated ENTIRELY in
+    * cross-multiplied integer arithmetic (no division, no sqrt, no
+    * floats), so the flag itself is oracle-exact:
+    * Δ²·(n_i−1) > T²·(n_i·Σx²_i − (Σx_i)²)·n_i·n_b with
+    * Δ = Σx_b·n_i − Σx_i·n_b. Joins are group-cardinality — index
+    * metadata, broadcast-sized. Δ² squares corpus-scale sums (the
+    * finalizer's 38-digit bound applies at ~10^12-doc groups — past
+    * that, downscale units before squaring). */
+  def driftVsRollup(indexRollup: DataFrame, batchRollup: DataFrame,
+      keys: Seq[String] = Seq("source"),
+      sigmas: Long = DriftSigmas): DataFrame = {
+    val i = indexRollup.select(
+      keys.map(col) ++ Seq(col("n_docs").as("n_idx"),
+        col("sum_chars").as("sum_idx"),
+        col("sumsq_chars").as("sumsq_idx")): _*)
+    val b = batchRollup.select(
+      keys.map(col) ++ Seq(col("n_docs").as("n_bat"),
+        col("sum_chars").as("sum_bat")): _*)
+    i.join(b, keys)
+      .withColumn("__delta", expr(
+        "CAST(sum_bat AS DECIMAL(38,0)) * n_idx - CAST(sum_idx AS DECIMAL(38,0)) * n_bat"))
+      .withColumn("__varnum", expr(
+        "n_idx * sumsq_idx - CAST(sum_idx AS DECIMAL(38,0)) * sum_idx"))
+      .select(
+        keys.map(col) ++ Seq(
+          col("n_idx"), col("n_bat"),
+          expr(s"CAST((CAST(sum_idx AS DECIMAL(38,0)) * $Micro * 2 + n_idx) div (2 * n_idx) AS BIGINT)")
+            .as("mean_idx_micro"),
+          expr(s"CAST((CAST(sum_bat AS DECIMAL(38,0)) * $Micro * 2 + n_bat) div (2 * n_bat) AS BIGINT)")
+            .as("mean_bat_micro"),
+          (col("__delta") * col("__delta") * (col("n_idx") - 1) >
+            lit(sigmas * sigmas) * col("__varnum") * col("n_idx") * col("n_bat"))
+            .as("drifted")): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  private def rollupOracleCte(keys: Seq[String], table: String,
+      pred: String = "TRUE"): String = {
+    val ks = keys.mkString(", ")
+    s"""SELECT $ks, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sumsq_chars,
+      |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |  FROM $table WHERE $pred GROUP BY $ks""".stripMargin
+  }
+
+  /** q139: the finalized (source, lang) rollup — the inline form of the
+    * maintained aggregate; RollupSpec proves build + append ≡ this. */
+  val q139StatsRollup: QuerySpec = QuerySpec(
+    "q139_stats_rollup",
+    s"""WITH r AS (
+      |  ${rollupOracleCte(Seq("source", "lang"), "documents")})
+      |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(sum_chars AS BIGINT) AS sum_chars,
+      |  CAST(min_chars AS BIGINT) AS min_chars,
+      |  CAST(max_chars AS BIGINT) AS max_chars,
+      |  CAST((sum_chars * $Micro * 2 + n_docs) // (2 * n_docs) AS BIGINT)
+      |    AS mean_chars_micro,
+      |  CASE WHEN n_docs > 1 THEN
+      |    CAST((2 * $Micro * (n_docs * sumsq_chars - sum_chars * CAST(sum_chars AS HUGEINT))
+      |      + n_docs * (n_docs - 1)) // (2 * n_docs * (n_docs - 1)) AS BIGINT)
+      |  ELSE NULL END AS var_chars_micro
+      |FROM r ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    finalizeRollup(statsRollup(Tables.documents(s, dir)))
+  }
+
+  /** Snapshot split for q140: alternate STRIDES of 20 doc_ids, not raw
+    * parity — the generator assigns source = doc_id mod |sources|, so a
+    * parity split would put every source entirely on one side; the
+    * stride split interleaves every source's doc_id progression across
+    * both halves. */
+  final val DriftSplitDiv = 20L
+
+  /** q140: drift card — the even-stride half is the persisted index, the
+    * odd-stride half the incoming batch; per-source z-test flag in exact
+    * integer arithmetic. */
+  val q140RollupDrift: QuerySpec = QuerySpec(
+    "q140_rollup_drift",
+    s"""WITH i AS (
+      |  ${rollupOracleCte(Seq("source"), "documents",
+           s"(doc_id // $DriftSplitDiv) % 2 = 0")}),
+      |b AS (
+      |  ${rollupOracleCte(Seq("source"), "documents",
+           s"(doc_id // $DriftSplitDiv) % 2 = 1")})
+      |SELECT i.source, CAST(i.n_docs AS BIGINT) AS n_idx,
+      |  CAST(b.n_docs AS BIGINT) AS n_bat,
+      |  CAST((i.sum_chars * $Micro * 2 + i.n_docs) // (2 * i.n_docs) AS BIGINT)
+      |    AS mean_idx_micro,
+      |  CAST((b.sum_chars * $Micro * 2 + b.n_docs) // (2 * b.n_docs) AS BIGINT)
+      |    AS mean_bat_micro,
+      |  ((b.sum_chars * CAST(i.n_docs AS HUGEINT) - i.sum_chars * b.n_docs)
+      |      * (b.sum_chars * CAST(i.n_docs AS HUGEINT) - i.sum_chars * b.n_docs)
+      |      * (i.n_docs - 1)
+      |    > ${DriftSigmas * DriftSigmas}
+      |      * (i.n_docs * i.sumsq_chars - i.sum_chars * CAST(i.sum_chars AS HUGEINT))
+      |      * i.n_docs * b.n_docs) AS drifted
+      |FROM i JOIN b ON i.source = b.source
+      |ORDER BY i.source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val half = expr(s"(doc_id div $DriftSplitDiv) % 2")
+    driftVsRollup(
+      statsRollup(docs.filter(half === 0), Seq("source")),
+      statsRollup(docs.filter(half === 1), Seq("source")))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q139StatsRollup, q140RollupDrift)
+}

@@ -594,6 +594,124 @@ object Store {
       .orderBy("log2_bytes")
   }
 
+  /** Zone map — per-block min/max/count statistics over `statCols`, the
+    * data-skipping structure behind [[buildSkipManifest]]: one hash
+    * aggregate whose cardinality is the number of BLOCKS (files,
+    * granules), never rows. `blockKey` names the block: the file basename
+    * for a physical manifest, a key-range expression for a logical zone
+    * map. Output is index metadata — bounded by block count — which is
+    * what makes driver-side pruning decisions on it legitimate. */
+  def zoneMap(df: DataFrame, blockKey: Column,
+      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "zoneMap needs at least one stat column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(blockKey.as("block")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build a per-FILE skip manifest for a parquet table directory — the
+    * Delta/Iceberg data-skipping stats on plain parquet: one scan of the
+    * table, one [[zoneMap]] row per data file (block = file basename;
+    * part-file names are unique within a table directory). At 100 TB /
+    * 1 GB files the manifest is ~10^5 rows — file-level index metadata,
+    * the same class as a partition listing. Readers then prune files
+    * against a predicate BEFORE any footer is opened
+    * ([[skipPrunedScan]]), which beats parquet's own row-group stats by
+    * never scheduling a task for a pruned file at all. */
+  def buildSkipManifest(spark: SparkSession, tableDir: String,
+      manifestDir: String, statCols: Seq[String]): Unit =
+    zoneMap(
+      spark.read.parquet(tableDir)
+        .withColumn("__f", regexp_extract(input_file_name(), "[^/]+$", 0)),
+      col("__f"), statCols)
+      .write.mode(SaveMode.Overwrite).parquet(s"$manifestDir/manifest")
+
+  /** Fold files that appeared in `tableDir` SINCE the manifest was last
+    * published into it — the incremental maintenance op: only the NEW
+    * files are scanned (an appending writer — streaming sink, delta
+    * apply — adds files without touching old ones, so their manifest
+    * rows stay valid), and the merged manifest is published with the
+    * staging + backup rename discipline so a crashed append leaves the
+    * previous manifest recoverable. Returns the number of new files
+    * scanned. */
+  def appendToSkipManifest(spark: SparkSession, tableDir: String,
+      manifestDir: String, statCols: Seq[String]): Long = {
+    val existing = readSkipManifest(spark, manifestDir)
+    val known = existing.select("block").collect().map(_.getString(0)).toSet
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = scala.collection.mutable.ListBuffer[String]()
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          !known.contains(name))
+        fresh += f.getPath.toString
+    }
+    if (fresh.nonEmpty) {
+      val newRows = zoneMap(
+        spark.read.parquet(fresh.toSeq: _*)
+          .withColumn("__f", regexp_extract(input_file_name(), "[^/]+$", 0)),
+        col("__f"), statCols)
+      val minMax = statCols.flatMap(c =>
+        Seq(min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c")))
+      val aggs = sum(col("n_rows")).as("n_rows") +: minMax
+      val merged = existing.unionByName(newRows)
+        .groupBy("block").agg(aggs.head, aggs.tail: _*)
+      val path = s"$manifestDir/manifest"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val target = new org.apache.hadoop.fs.Path(path)
+      val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+      val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+      val mfs = target.getFileSystem(conf)
+      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      if (mfs.exists(backup)) mfs.delete(backup, true)
+      if (mfs.exists(target) && !mfs.rename(target, backup))
+        sys.error(s"manifest append: could not move $target aside")
+      if (!mfs.rename(staging, target)) {
+        if (mfs.exists(backup)) mfs.rename(backup, target)
+        sys.error(s"manifest append: could not publish $staging over $target")
+      }
+      mfs.delete(backup, true)
+    }
+    fresh.size.toLong
+  }
+
+  /** Read a published skip manifest, recovering from a crashed append
+    * swap (target absent, `__backup` present → re-publish the backup). */
+  def readSkipManifest(spark: SparkSession, manifestDir: String): DataFrame = {
+    val path = s"$manifestDir/manifest"
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      sys.error(s"manifest read: could not recover $backup")
+    spark.read.parquet(path)
+  }
+
+  /** Manifest-pruned range scan: keep only the files whose [min, max]
+    * box on `colName` overlaps [lo, hi], read THOSE paths, and apply the
+    * row-level filter on top (the manifest prunes files, the pushed
+    * predicate prunes row groups and rows within survivors — both layers
+    * stay on). The kept-file list is a driver-side collect of manifest
+    * rows — bounded by file count, the partition-pruning class of
+    * metadata. An empty kept list returns an empty frame with the
+    * table's schema. StoreSpec asserts the result ≡ the unpruned filter
+    * and that `inputFiles` shrinks to exactly the overlapping files. */
+  def skipPrunedScan(spark: SparkSession, tableDir: String,
+      manifestDir: String, colName: String, lo: Long, hi: Long): DataFrame = {
+    val kept = readSkipManifest(spark, manifestDir)
+      .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
+      .select("block").collect().map(_.getString(0))
+    val pred = col(colName) >= lo && col(colName) <= hi
+    if (kept.isEmpty) spark.read.parquet(tableDir).filter(lit(false))
+    else spark.read.parquet(kept.map(f => s"$tableDir/$f").toSeq: _*)
+      .filter(pred)
+  }
+
   /** File exports S11-S13 (`storage.py:392-442`). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -956,10 +956,44 @@ object Profiling {
     groupedPercentilesScalable(graft.Tables.events(s, dir))
   }
 
+  /** q138 zone-map parameters: logical block width and the pinned probe
+    * range the `kept` flag evaluates. */
+  final val ZoneBlockSize = 100L
+  final val ZoneLo = 42L
+  final val ZoneHi = 137L
+
+  /** q138: logical zone map over documents — the data-skipping decision
+    * structure, oracle-pinned: per doc_id-range block, row count and
+    * min/max boxes on (doc_id, n_chars), plus the `kept` flag a range
+    * probe on [ZoneLo, ZoneHi] would evaluate. Shares
+    * [[graft.pipeline.Store.zoneMap]] with the physical per-FILE skip
+    * manifest ([[graft.pipeline.Store.buildSkipManifest]]) — same
+    * aggregation, block = file basename there; StoreSpec pins that the
+    * pruned scan reads exactly the kept files and returns exactly the
+    * unpruned filter's rows. The aggregate's cardinality is the block
+    * count, never rows — index metadata at any corpus size. */
+  val q138ZoneMap: QuerySpec = QuerySpec(
+    "q138_zone_map",
+    s"""SELECT doc_id // $ZoneBlockSize AS block,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+      |  CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+      |  (max(doc_id) >= $ZoneLo AND min(doc_id) <= $ZoneHi) AS kept
+      |FROM documents GROUP BY 1 ORDER BY block""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.pipeline.Store.zoneMap(docs,
+        expr(s"doc_id div $ZoneBlockSize"), Seq("doc_id", "n_chars"))
+      .withColumn("kept",
+        col("max_doc_id") >= ZoneLo && col("min_doc_id") <= ZoneHi)
+      .orderBy("block")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
     q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
     q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
-    q137PercentilesScalable)
+    q137PercentilesScalable, q138ZoneMap)
 }

@@ -581,6 +581,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q138: zone map is one scan, one block-cardinality aggregate — no joins") {
+    val p = planOf("q138_zone_map")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"zone map must scan documents once, got $scans:\n$p")
+    assert(!p.contains("Join"), s"zone map must be join-free:\n$p")
+  }
+
+  test("q139: stats rollup is one scan, one grouped aggregate — no joins, no global sort of rows") {
+    val p = planOf("q139_stats_rollup")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"rollup must scan documents once, got $scans:\n$p")
+    assert(!p.contains("Join"), s"rollup must be join-free:\n$p")
+    // partial_count/sum/min/max before the exchange = map-side combine
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"rollup lost its map-side partial aggregation:\n$p")
+  }
+
+  test("q140: drift probe joins group-cardinality partials only — no cartesian") {
+    val p = planOf("q140_rollup_drift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"drift probe plan degenerated:\n$p")
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,

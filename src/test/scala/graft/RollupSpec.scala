@@ -1,0 +1,88 @@
+package graft
+
+import graft.ext.Rollup
+import org.apache.spark.sql.functions._
+
+class RollupSpec extends SparkSpec {
+
+  test("stats rollup: build + append ≡ one-shot over the full corpus") {
+    val docs = Tables.documents(spark, sf)
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("stats_rollup").toString
+    Rollup.buildStatsRollup(first, dir)
+    Rollup.appendToStatsRollup(spark, dir, second)
+    val merged = Rollup.readStatsRollup(spark, dir)
+    val full = Rollup.statsRollup(docs)
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0,
+      "incremental rollup must equal the one-shot build")
+    // crash window: rollup moved aside, publish not done — reader recovers
+    val p = new java.io.File(dir + "/rollup")
+    assert(p.renameTo(new java.io.File(dir + "/rollup__backup")))
+    val recovered = Rollup.readStatsRollup(spark, dir)
+    assert(recovered.exceptAll(full).count() == 0, "backup recovery lost state")
+  }
+
+  test("stats rollup: a group appearing ONLY in the appended batch merges in") {
+    import spark.implicits._
+    val a = Seq((0L, "x", "en", "srcA", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = Seq((1L, "y", "en", "srcB", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("stats_rollup_new").toString
+    Rollup.buildStatsRollup(a, dir)
+    Rollup.appendToStatsRollup(spark, dir, b)
+    val rows = Rollup.readStatsRollup(spark, dir).orderBy("source").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("source")).toSeq == Seq("srcA", "srcB"))
+    assert(rows.map(_.getAs[Long]("sum_chars")).toSeq == Seq(10L, 30L))
+  }
+
+  test("finalize: micro-unit mean and sample variance are exact on a fixture") {
+    import spark.implicits._
+    // chars 10 and 20: mean 15, sample var = ((10-15)^2+(20-15)^2)/1 = 50
+    val docs = Seq(
+      (0L, "a", "en", "s", 10L), (1L, "b", "en", "s", 20L),
+      (2L, "c", "en", "solo", 7L) // single doc → variance NULL
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Rollup.finalizeRollup(Rollup.statsRollup(docs))
+      .orderBy("source").collect()
+    val s = rows.find(_.getAs[String]("source") == "s").get
+    assert(s.getAs[Long]("n_docs") == 2L)
+    assert(s.getAs[Long]("mean_chars_micro") == 15L * Rollup.Micro)
+    assert(s.getAs[Long]("var_chars_micro") == 50L * Rollup.Micro)
+    val solo = rows.find(_.getAs[String]("source") == "solo").get
+    assert(solo.isNullAt(solo.fieldIndex("var_chars_micro")),
+      "single-doc group must have NULL variance")
+    // round-half-up: chars 10, 11 → mean 10.5 → 10_500_000 micro
+    val odd = Seq((0L, "a", "en", "s", 10L), (1L, "b", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Rollup.finalizeRollup(Rollup.statsRollup(odd)).head()
+    assert(m.getAs[Long]("mean_chars_micro") == 10500000L)
+  }
+
+  test("drift probe: shifted batch mean trips the z-flag, matched batch does not") {
+    import spark.implicits._
+    def corpus(source: String, base: Long, n: Int, shift: Long) =
+      (0 until n).map(i =>
+        (i.toLong, "t", "en", source,
+          base + (i % 5) + shift)) // spread 0..4 around base
+    // index: tight distribution around 100; matched batch same; shifted +50
+    val idx = corpus("stable", 100L, 200, 0L) ++ corpus("moved", 100L, 200, 0L)
+    val bat = corpus("stable", 100L, 200, 0L) ++ corpus("moved", 100L, 200, 50L)
+    val iDf = idx.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bDf = bat.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Rollup.driftVsRollup(
+      Rollup.statsRollup(iDf, Seq("source")),
+      Rollup.statsRollup(bDf, Seq("source")))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(!rows("stable").getAs[Boolean]("drifted"),
+      "identical distribution must not drift")
+    assert(rows("moved").getAs[Boolean]("drifted"),
+      "a +50-char mean shift at spread ~1.4 must trip the 3-sigma flag")
+    // means are exact micro-units: base 100 + mean of (0..4 cycle) = 102
+    assert(rows("stable").getAs[Long]("mean_idx_micro") == 102L * Rollup.Micro)
+    assert(rows("moved").getAs[Long]("mean_bat_micro") == 152L * Rollup.Micro)
+  }
+}

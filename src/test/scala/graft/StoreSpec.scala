@@ -597,6 +597,72 @@ class StoreSpec extends SparkSpec {
       "compacted files should not be smaller than the originals")
   }
 
+  test("skip manifest: pruned scan reads exactly the overlapping files and matches the unpruned filter") {
+    val docs = Tables.documents(spark, sf)
+    val table = tmp("skip_tbl") + "/docs"
+    // range-layout: each of 5 files covers a narrow doc_id stripe
+    docs.repartitionByRange(5, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(table)
+    val manifest = tmp("skip_man")
+    Store.buildSkipManifest(spark, table, manifest, Seq("doc_id", "n_chars"))
+    val m = Store.readSkipManifest(spark, manifest).collect()
+    assert(m.length == 5, s"one manifest row per data file: ${m.length}")
+    assert(m.map(_.getAs[Long]("n_rows")).sum == docs.count())
+    // a mid-range probe: result ≡ the full-scan filter…
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ids(ids.length / 3), ids(ids.length / 2))
+    val pruned = Store.skipPrunedScan(spark, table, manifest, "doc_id", lo, hi)
+    val full = spark.read.parquet(table)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+    assert(pruned.exceptAll(full).count() == 0 &&
+      full.exceptAll(pruned).count() == 0,
+      "pruned scan changed the query result")
+    // …and the scan plans over exactly the manifest-kept files
+    val keptFiles = m.filter(r =>
+      r.getAs[Long]("max_doc_id") >= lo && r.getAs[Long]("min_doc_id") <= hi)
+      .map(_.getAs[String]("block")).toSet
+    val readFiles = pruned.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(readFiles == keptFiles, s"read $readFiles vs kept $keptFiles")
+    assert(keptFiles.size < 5, "probe should prune at least one file")
+    // empty overlap → empty frame, schema preserved
+    val none = Store.skipPrunedScan(spark, table, manifest, "doc_id",
+      ids.last + 1000, ids.last + 2000)
+    assert(none.count() == 0 && none.columns.sameElements(full.columns))
+  }
+
+  test("skip manifest: append scans only the new files; crash window recovers") {
+    val docs = Tables.documents(spark, sf)
+    val table = tmp("skip_app") + "/docs"
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    old.repartitionByRange(3, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(table)
+    val manifest = tmp("skip_app_man")
+    Store.buildSkipManifest(spark, table, manifest, Seq("doc_id"))
+    // an appending writer adds 2 files without touching the old ones
+    docs.filter(col("doc_id") % 2 === 1)
+      .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(table)
+    val scanned = Store.appendToSkipManifest(spark, table, manifest, Seq("doc_id"))
+    assert(scanned == 2, s"append must scan ONLY the 2 new files, scanned $scanned")
+    val merged = Store.readSkipManifest(spark, manifest)
+    // merged manifest ≡ a from-scratch rebuild of the grown table
+    val rebuilt = tmp("skip_app_man2")
+    Store.buildSkipManifest(spark, table, rebuilt, Seq("doc_id"))
+    val fromScratch = Store.readSkipManifest(spark, rebuilt)
+    assert(merged.exceptAll(fromScratch).count() == 0 &&
+      fromScratch.exceptAll(merged).count() == 0,
+      "append-merged manifest must equal a rebuild")
+    // no new files → no-op, nothing scanned
+    assert(Store.appendToSkipManifest(spark, table, manifest, Seq("doc_id")) == 0)
+    // crash window: manifest moved aside, publish not done — reader recovers
+    val p = new java.io.File(manifest + "/manifest")
+    assert(p.renameTo(new java.io.File(manifest + "/manifest__backup")))
+    val recovered = Store.readSkipManifest(spark, manifest)
+    assert(recovered.exceptAll(fromScratch).count() == 0,
+      "backup recovery lost manifest state")
+  }
+
   test("health check rolls up component status (pipeline.py:398-460)") {
     val h = Pipeline.healthCheck(spark, sf, tmp("health_out"))
     assert(h.overall == "healthy", h.toString)

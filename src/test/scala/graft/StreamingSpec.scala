@@ -526,6 +526,27 @@ class StreamingSpec extends SparkSpec {
       "bins-derived quantiles disagree with the batch rank selection")
   }
 
+  test("streaming stats rollup: complete-mode partials equal the batch rollup") {
+    // the maintained aggregate IS streaming-capable: same expression
+    // tree, groups-bounded state, no watermark needed (complete mode)
+    import graft.ext.Rollup
+    val docs = Tables.documents(spark, sf)
+    val docDir = tmpDir("rollup_stream")
+    docs.orderBy("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+    val stream = Streaming.parquetFileSource(spark, docDir, schema)
+    Streaming.drainToMemory(
+      Rollup.statsRollup(stream), "stats_rollup", outputMode = "complete")
+    val streamed = spark.sql(
+      "SELECT source, lang, n_docs, sum_chars, sumsq_chars, min_chars, max_chars FROM stats_rollup")
+    val batch = Rollup.statsRollup(docs)
+    assert(streamed.count() > 0, "no rollup state streamed")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed rollup partials disagree with the batch rollup")
+  }
+
   test("tier sample and epoch shuffle assignment are streaming-safe projections") {
     // the new sampling family decides membership per-record (hash of the
     // record's own key) — stateless projections, so the SAME column
