@@ -72,24 +72,10 @@ object Rollup {
     * discipline (crashed append leaves the previous rollup
     * recoverable; readers never see a half-written merge). */
   def appendToStatsRollup(spark: SparkSession, dir: String, batch: DataFrame,
-      keys: Seq[String] = Seq("source", "lang")): Unit = {
-    val merged =
-      mergeRollups(readStatsRollup(spark, dir), statsRollup(batch, keys), keys)
-    val path = s"$dir/rollup"
-    val target = new org.apache.hadoop.fs.Path(path)
-    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(target) && !fs.rename(target, backup))
-      sys.error(s"rollup append: could not move $target aside")
-    if (!fs.rename(staging, target)) {
-      if (fs.exists(backup)) fs.rename(backup, target)
-      sys.error(s"rollup append: could not publish $staging over $target")
-    }
-    fs.delete(backup, true)
-  }
+      keys: Seq[String] = Seq("source", "lang")): Unit =
+    graft.pipeline.Store.publishAtomic(spark,
+      mergeRollups(readStatsRollup(spark, dir), statsRollup(batch, keys), keys),
+      s"$dir/rollup", "rollup append")
 
   /** Read the persisted rollup, recovering from a crashed append swap. */
   def readStatsRollup(spark: SparkSession, dir: String): DataFrame = {
@@ -230,5 +216,91 @@ object Rollup {
       statsRollup(docs.filter(half === 1), Seq("source")))
   }
 
-  val all: Seq[QuerySpec] = Seq(q139StatsRollup, q140RollupDrift)
+  // ---- vocabulary-cardinality index (persisted HLL sketch per group) ----
+
+  /** lgK for the Datasketches HLL sketches: 2^12 buckets ≈ ±1.6% rsd,
+    * 4 KB max per group — index metadata at any corpus size. */
+  final val VocabLgK = 12
+
+  /** Per-group HLL sketch of the token vocabulary — the DISTINCT-count
+    * face of the maintained-aggregate family ([[statsRollup]] keeps
+    * moments, `TextAnalysis.buildCmsIndex` keeps frequencies, this keeps
+    * cardinality): one explode + one sketch aggregate; state is ONE
+    * fixed-size binary per group regardless of corpus size, and sketches
+    * MERGE by union, so the persisted index folds a batch in at
+    * group-cardinality cost, never a rescan ([[appendToVocabIndex]]).
+    * The monitor it feeds: vocabulary growth/saturation per source — a
+    * flat distinct curve under growing token volume is boilerplate; a
+    * runaway curve is noise/mojibake. Exactness is NOT claimed (that is
+    * q56's exact vocab aggregate, the gate anchor); q141 pins the
+    * estimate inside its published ±5% envelope against the exact count. */
+  def vocabSketch(docs: DataFrame, keys: Seq[String] = Seq("source"),
+      lgK: Int = VocabLgK): DataFrame =
+    docs.select((keys.map(col) :+
+        explode(TextAnalysis.tokens(col("text"))).as("token")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col("token"), lgK).as("sketch"))
+
+  def buildVocabIndex(docs: DataFrame, dir: String,
+      keys: Seq[String] = Seq("source")): Unit =
+    vocabSketch(docs, keys).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/vocab")
+
+  /** Union a batch's sketches into the persisted index — the same
+    * merge-by-union algebra the distributed aggregate already runs
+    * across partitions, so append ≡ rebuild on the estimates. */
+  def appendToVocabIndex(spark: SparkSession, dir: String, batch: DataFrame,
+      keys: Seq[String] = Seq("source")): Unit =
+    graft.pipeline.Store.publishAtomic(spark,
+      readVocabIndex(spark, dir).unionByName(vocabSketch(batch, keys))
+        .groupBy(keys.map(col): _*)
+        .agg(hll_union_agg(col("sketch")).as("sketch")),
+      s"$dir/vocab", "vocab append")
+
+  def readVocabIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/vocab"
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      sys.error(s"vocab read: could not recover $backup")
+    spark.read.parquet(path)
+  }
+
+  /** Cardinality estimates from a (possibly just-read) sketch frame. */
+  def vocabEstimate(index: DataFrame): DataFrame =
+    index.withColumn("est_distinct_tokens",
+      hll_sketch_estimate(col("sketch"))).drop("sketch")
+
+  /** q141: per-source vocabulary cardinality — exact anchor + HLL bound
+    * check, the q47 validation-harness contract (sketch bytes are
+    * engine-specific, so the gate emits what IS cross-engine
+    * deterministic: the exact counts and a boolean that the estimate
+    * sits within max(5%, 2) of exact — HLL is deterministic for fixed
+    * data, so the bound either always holds or never does, no flake). */
+  val q141VocabCardinality: QuerySpec = QuerySpec(
+    "q141_vocab_cardinality",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT token) AS BIGINT) AS distinct_tokens,
+      |  TRUE AS nd_ok
+      |FROM tok GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir).select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    toks.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("distinct_tokens"),
+        hll_sketch_agg(col("token"), VocabLgK).as("__sk"))
+      .select(col("source"), col("n_tokens"), col("distinct_tokens"),
+        (abs(hll_sketch_estimate(col("__sk")) - col("distinct_tokens"))
+          .cast("double") <=
+          greatest(col("distinct_tokens").cast("double") * 0.05, lit(2.0)))
+          .as("nd_ok"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q139StatsRollup, q140RollupDrift, q141VocabCardinality)
 }

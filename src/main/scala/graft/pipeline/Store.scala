@@ -661,23 +661,71 @@ object Store {
       val aggs = sum(col("n_rows")).as("n_rows") +: minMax
       val merged = existing.unionByName(newRows)
         .groupBy("block").agg(aggs.head, aggs.tail: _*)
-      val path = s"$manifestDir/manifest"
-      val conf = spark.sparkContext.hadoopConfiguration
-      val target = new org.apache.hadoop.fs.Path(path)
-      val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-      val backup = new org.apache.hadoop.fs.Path(path + "__backup")
-      val mfs = target.getFileSystem(conf)
-      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      if (mfs.exists(backup)) mfs.delete(backup, true)
-      if (mfs.exists(target) && !mfs.rename(target, backup))
-        sys.error(s"manifest append: could not move $target aside")
-      if (!mfs.rename(staging, target)) {
-        if (mfs.exists(backup)) mfs.rename(backup, target)
-        sys.error(s"manifest append: could not publish $staging over $target")
-      }
-      mfs.delete(backup, true)
+      publishAtomic(spark, merged, s"$manifestDir/manifest", "manifest append")
     }
     fresh.size.toLong
+  }
+
+  /** Reconcile the manifest with the directory's CURRENT file set — the
+    * maintenance op for COMPACTION and delta-apply rewrites, which
+    * replace files rather than only adding them (appendToSkipManifest's
+    * contract): rows for vanished files are dropped, new files are
+    * scanned and added, untouched rows are untouched. Returns
+    * (filesAdded, rowsDropped). Same staging + backup publish as the
+    * append path. */
+  def syncSkipManifest(spark: SparkSession, tableDir: String,
+      manifestDir: String, statCols: Seq[String]): (Long, Long) = {
+    val existing = readSkipManifest(spark, manifestDir)
+    val known = existing.select("block").collect().map(_.getString(0)).toSet
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = scala.collection.mutable.Set[String]()
+    val freshPaths = scala.collection.mutable.ListBuffer[String]()
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        current += name
+        if (!known.contains(name)) freshPaths += f.getPath.toString
+      }
+    }
+    val vanished = known.diff(current)
+    if (freshPaths.nonEmpty || vanished.nonEmpty) {
+      val keptRows =
+        if (vanished.isEmpty) existing
+        else existing.filter(!col("block").isin(vanished.toSeq: _*))
+      val merged =
+        if (freshPaths.isEmpty) keptRows
+        else keptRows.unionByName(zoneMap(
+          spark.read.parquet(freshPaths.toSeq: _*)
+            .withColumn("__f", regexp_extract(input_file_name(), "[^/]+$", 0)),
+          col("__f"), statCols))
+      publishAtomic(spark, merged, s"$manifestDir/manifest", "manifest sync")
+    }
+    (freshPaths.size.toLong, vanished.size.toLong)
+  }
+
+  /** Staging + backup atomic publish of a small parquet artifact (the
+    * index-metadata discipline shared by the manifest/rollup/sketch
+    * maintenance ops): write to `__staging`, move the live table to
+    * `__backup`, rename staging in, drop the backup. A crash between
+    * the renames leaves `__backup` for the reader-side recovery. */
+  private[graft] def publishAtomic(spark: SparkSession, df: DataFrame,
+      path: String, what: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"$what: could not move $target aside")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(backup)) fs.rename(backup, target)
+      sys.error(s"$what: could not publish $staging over $target")
+    }
+    fs.delete(backup, true)
   }
 
   /** Read a published skip manifest, recovering from a crashed append

@@ -62,6 +62,38 @@ class RollupSpec extends SparkSpec {
     assert(m.getAs[Long]("mean_chars_micro") == 10500000L)
   }
 
+  test("vocab index: union-append ≡ one-shot estimates; estimate tracks exact; crash recovers") {
+    val docs = Tables.documents(spark, sf)
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("vocab_idx").toString
+    Rollup.buildVocabIndex(first, dir)
+    Rollup.appendToVocabIndex(spark, dir, second)
+    def ests(df: org.apache.spark.sql.DataFrame) =
+      Rollup.vocabEstimate(df).orderBy("source").collect()
+        .map(r => r.getAs[String]("source") ->
+          r.getAs[Long]("est_distinct_tokens")).toMap
+    val merged = ests(Rollup.readVocabIndex(spark, dir))
+    val oneShot = ests(Rollup.vocabSketch(docs))
+    assert(merged == oneShot,
+      s"union-append estimates diverge from the one-shot build:\n$merged\n$oneShot")
+    // estimates track the exact distinct counts within the HLL envelope
+    val exact = docs.select(col("source"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("source").agg(countDistinct(col("token")).as("nd"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("nd")).toMap
+    exact.foreach { case (src, nd) =>
+      val est = merged(src)
+      assert(math.abs(est.toDouble - nd) <= math.max(0.05 * nd, 2.0),
+        s"$src: est $est vs exact $nd outside the 5% envelope")
+    }
+    // crash window: index moved aside, publish not done — reader recovers
+    val p = new java.io.File(dir + "/vocab")
+    assert(p.renameTo(new java.io.File(dir + "/vocab__backup")))
+    assert(ests(Rollup.readVocabIndex(spark, dir)) == oneShot,
+      "backup recovery lost sketch state")
+  }
+
   test("drift probe: shifted batch mean trips the z-flag, matched batch does not") {
     import spark.implicits._
     def corpus(source: String, base: Long, n: Int, shift: Long) =

@@ -663,6 +663,43 @@ class StoreSpec extends SparkSpec {
       "backup recovery lost manifest state")
   }
 
+  test("skip manifest: sync reconciles a compaction rewrite (drops vanished rows, scans only new files)") {
+    val docs = Tables.documents(spark, sf)
+    val table = tmp("skip_sync") + "/docs"
+    docs.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(table)
+    val manifest = tmp("skip_sync_man")
+    Store.buildSkipManifest(spark, table, manifest, Seq("doc_id"))
+    // compaction: the table is REWRITTEN into 2 files (names all change)
+    val compacted = spark.read.parquet(table).cache()
+    compacted.count()
+    compacted.repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(table)
+    compacted.unpersist()
+    val (added, dropped) = Store.syncSkipManifest(
+      spark, table, manifest, Seq("doc_id"))
+    assert(added == 2 && dropped == 4,
+      s"sync should scan 2 new files and drop 4 stale rows, got ($added, $dropped)")
+    val synced = Store.readSkipManifest(spark, manifest)
+    val rebuilt = tmp("skip_sync_man2")
+    Store.buildSkipManifest(spark, table, rebuilt, Seq("doc_id"))
+    val fromScratch = Store.readSkipManifest(spark, rebuilt)
+    assert(synced.exceptAll(fromScratch).count() == 0 &&
+      fromScratch.exceptAll(synced).count() == 0,
+      "synced manifest must equal a rebuild of the compacted table")
+    // idempotent: nothing changed → nothing scanned, nothing dropped
+    assert(Store.syncSkipManifest(spark, table, manifest, Seq("doc_id")) == ((0L, 0L)))
+    // and the pruned scan over the new layout still answers correctly
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ids(ids.length / 4), ids(ids.length / 3))
+    val pruned = Store.skipPrunedScan(spark, table, manifest, "doc_id", lo, hi)
+    val full = spark.read.parquet(table)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+    assert(pruned.exceptAll(full).count() == 0 &&
+      full.exceptAll(pruned).count() == 0)
+  }
+
   test("health check rolls up component status (pipeline.py:398-460)") {
     val h = Pipeline.healthCheck(spark, sf, tmp("health_out"))
     assert(h.overall == "healthy", h.toString)
