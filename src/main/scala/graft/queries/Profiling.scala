@@ -990,10 +990,74 @@ object Profiling {
       .orderBy("block")
   }
 
+  /** Buckets for the q142 join-size histograms. */
+  final val JoinProbeBuckets = 256
+
+  /** q142: join-cardinality probe — the pre-join planning numbers that
+    * decide broadcast vs shuffle vs salting BEFORE paying for the join:
+    *   - `exact_pairs`: |orders ⋈ lineitem| from the per-key count
+    *     co-group (key-cardinality shuffle — the exact answer when keys
+    *     fit a shuffle, which is the q127 class of cost);
+    *   - `max_key_pairs`: the hottest key's contribution — the skew apex
+    *     that decides salting / AQE skew-join;
+    *   - `est_pairs`: the O(buckets)-state upper bound from hashed
+    *     per-bucket histograms (each side aggregates to ≤ buckets rows —
+    *     broadcastable index metadata at ANY corpus size; collisions
+    *     only ever inflate, never undercount, so `bound_ok` pins
+    *     est ≥ exact). At 100 TB the bucketed form is the probe you can
+    *     afford per candidate join; the exact form is the audit.
+    * All counts integer, both engines compute identical values. */
+  val q142JoinSizeProbe: QuerySpec = QuerySpec(
+    "q142_join_size_probe", {
+      def bucket(k: String) =
+        graft.ext.Sampling.hashBucketSql(k, JoinProbeBuckets, "jsz:")
+      s"""WITH ka AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+        |kb AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+        |ex AS (SELECT sum(ca * cb) AS exact_pairs, max(ca * cb) AS max_key_pairs
+        |  FROM ka JOIN kb USING (k)),
+        |ba AS (SELECT ${bucket("o_orderkey")} AS bk, count(*) AS ca
+        |  FROM orders GROUP BY 1),
+        |bb AS (SELECT ${bucket("l_orderkey")} AS bk, count(*) AS cb
+        |  FROM lineitem GROUP BY 1),
+        |es AS (SELECT sum(ca * cb) AS est_pairs FROM ba JOIN bb USING (bk))
+        |SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+        |  CAST(max_key_pairs AS BIGINT) AS max_key_pairs,
+        |  CAST(est_pairs AS BIGINT) AS est_pairs,
+        |  (est_pairs >= exact_pairs) AS bound_ok
+        |FROM ex, es""".stripMargin
+    }) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val ka = o.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val kb = l.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    // ONE linear DAG serves all three numbers (one scan per side): the
+    // full-outer per-key co-group keeps unmatched keys (they contribute
+    // 0 to exact but DO fill buckets, which is where the collision
+    // inflation the estimate measures comes from), then the bucket-level
+    // partials roll exact/max/est up together. The production probe
+    // skips the co-group and aggregates rows straight to buckets.
+    val j = ka.join(kb, Seq("k"), "full_outer").select(col("k"),
+      coalesce(col("ca"), lit(0L)).as("ca"),
+      coalesce(col("cb"), lit(0L)).as("cb"))
+    val g = j.groupBy(graft.ext.Sampling.hashBucket(col("k"),
+        JoinProbeBuckets, "jsz:").as("bk"))
+      .agg(sum(col("ca") * col("cb")).as("exact_b"),
+        max(col("ca") * col("cb")).as("max_b"),
+        sum(col("ca")).as("ca_b"), sum(col("cb")).as("cb_b"))
+    g.agg(sum(col("exact_b")).as("exact_pairs"),
+        max(col("max_b")).as("max_key_pairs"),
+        sum(col("ca_b") * col("cb_b")).as("est_pairs"))
+      .select(
+        col("exact_pairs").cast("long").as("exact_pairs"),
+        col("max_key_pairs").cast("long").as("max_key_pairs"),
+        col("est_pairs").cast("long").as("est_pairs"),
+        (col("est_pairs") >= col("exact_pairs")).as("bound_ok"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
     q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
     q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
-    q137PercentilesScalable, q138ZoneMap)
+    q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe)
 }

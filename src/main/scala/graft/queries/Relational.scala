@@ -502,9 +502,44 @@ object Relational {
     resolveEntities(Tables.part(s, dir))
   }
 
+  /** q143: the rank-family window surface in one pass — rank,
+    * dense_rank, ntile quartiles, percent_rank, cume_dist per priority
+    * group, all over ONE window spec (one hash-partition exchange + one
+    * per-group sort serves all five functions; ties broken by the key so
+    * both engines see a total order). percent_rank/cume_dist are integer
+    * ratios evaluated in IEEE double by both engines — identical
+    * bit-for-bit — rounded to 6 dp by the shared floor spelling anyway.
+    * The `% 37` probe slice keeps gate output bounded; the plan is the
+    * same at any scale (window state = one group's rows, the q57-class
+    * cost the scaladoc on groupedPercentilesScalable discusses). */
+  val q143RankWindows: QuerySpec = QuerySpec(
+    "q143_rank_windows",
+    """SELECT o_orderkey, o_orderpriority,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile,
+      |  floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
+      |  floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cdist
+      |FROM orders WHERE o_orderkey % 37 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    import graft.functions.Functions.round6
+    val o = Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(37)) === 0)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round6(percent_rank().over(w)).as("pct_rank"),
+        round6(cume_dist().over(w)).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02TopkOrders, q03RevenueByCustomer, q04RegionRevenue,
     q05RunningRevenue, q06PriorityCounts, q07DedupFull, q08DedupKeyKeepFirst,
     q09UnionByName, q49GroupedTopk, q50Rollup, q51Pivot, q52SemiAnti,
-    q129Cube, q130EntityResolution)
+    q129Cube, q130EntityResolution, q143RankWindows)
 }

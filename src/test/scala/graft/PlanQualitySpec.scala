@@ -605,6 +605,22 @@ class PlanQualitySpec extends SparkSpec {
       s"drift probe plan degenerated:\n$p")
   }
 
+  test("q142: join-size probe scans each side once; bucket histograms fold the per-key counts") {
+    val p = planOf("q142_join_size_probe")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2,
+      s"probe should reuse per-key aggregates, not rescan (got $scans scans):\n$p")
+    assert(!p.contains("CartesianProduct"), s"probe degenerated:\n$p")
+  }
+
+  test("q143: one window spec serves all five rank functions — single sort, single exchange") {
+    val p = planOf("q143_rank_windows")
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 1,
+      s"rank family must share ONE window operator, got $windows:\n$p")
+    assert(p.contains("PushedFilters"), s"probe-slice filter not pushed:\n$p")
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,

@@ -547,6 +547,28 @@ class StreamingSpec extends SparkSpec {
       "streamed rollup partials disagree with the batch rollup")
   }
 
+  test("streaming vocab sketch: complete-mode HLL state matches the batch estimates") {
+    // the cardinality monitor runs live: hll_sketch_agg is a mergeable
+    // TypedImperativeAggregate, so complete mode keeps one fixed-size
+    // sketch per group — the vocabulary-growth monitor per source
+    import graft.ext.Rollup
+    val docs = Tables.documents(spark, sf)
+    val docDir = tmpDir("vocab_stream")
+    docs.orderBy("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+    val stream = Streaming.parquetFileSource(spark, docDir, schema)
+    Streaming.drainToMemory(
+      Rollup.vocabSketch(stream), "vocab_sketch", outputMode = "complete")
+    val streamed = Rollup.vocabEstimate(
+      spark.sql("SELECT source, sketch FROM vocab_sketch"))
+    val batch = Rollup.vocabEstimate(Rollup.vocabSketch(docs))
+    assert(streamed.count() > 0, "no vocab state streamed")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed vocab estimates disagree with the batch sketch")
+  }
+
   test("tier sample and epoch shuffle assignment are streaming-safe projections") {
     // the new sampling family decides membership per-record (hash of the
     // record's own key) — stateless projections, so the SAME column
