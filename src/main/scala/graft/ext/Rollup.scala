@@ -45,7 +45,9 @@ object Rollup {
     docs.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("sum_chars"),
-      sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+      // cast BEFORE the multiply: a long×long square overflows past
+      // ~3e9-char documents; decimal×long promotes and stays exact
+      sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
         .cast("decimal(38,0)").as("sumsq_chars"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"))
@@ -78,15 +80,8 @@ object Rollup {
       s"$dir/rollup", "rollup append")
 
   /** Read the persisted rollup, recovering from a crashed append swap. */
-  def readStatsRollup(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/rollup"
-    val target = new org.apache.hadoop.fs.Path(path)
-    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
-      sys.error(s"rollup read: could not recover $backup")
-    spark.read.parquet(path)
-  }
+  def readStatsRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Store.readRecoverable(spark, s"$dir/rollup", "rollup read")
 
   /** Derive the consumer-facing stats from partials: exact integer
     * micro-unit mean and sample variance (round-half-up via the
@@ -98,14 +93,17 @@ object Rollup {
     rollup.select(
       keys.map(col) ++ Seq(
         col("n_docs"), col("sum_chars"), col("min_chars"), col("max_chars"),
+        // denominators promoted to DECIMAL too: 2·n and n·(n−1) overflow
+        // LONG at ~4.6e18 / ~2.1e9 rows per group, far below the
+        // numerator's documented 38-digit reach
         expr(s"""CAST((CAST(sum_chars AS DECIMAL(38,0)) * $Micro * 2
-          | + n_docs) div (2 * n_docs) AS BIGINT)""".stripMargin)
+          | + n_docs) div (2 * CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
           .as("mean_chars_micro"),
         when(col("n_docs") > 1, expr(
           s"""CAST((2 * $Micro * (n_docs * sumsq_chars
             | - CAST(sum_chars AS DECIMAL(38,0)) * sum_chars)
-            | + n_docs * (n_docs - 1L))
-            | div (2 * n_docs * (n_docs - 1L)) AS BIGINT)""".stripMargin))
+            | + CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1L))
+            | div (2 * CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1L)) AS BIGINT)""".stripMargin))
           .otherwise(lit(null).cast("long")).as("var_chars_micro")): _*)
       .orderBy(keys.map(col): _*)
 
@@ -138,9 +136,9 @@ object Rollup {
       .select(
         keys.map(col) ++ Seq(
           col("n_idx"), col("n_bat"),
-          expr(s"CAST((CAST(sum_idx AS DECIMAL(38,0)) * $Micro * 2 + n_idx) div (2 * n_idx) AS BIGINT)")
+          expr(s"CAST((CAST(sum_idx AS DECIMAL(38,0)) * $Micro * 2 + n_idx) div (2 * CAST(n_idx AS DECIMAL(38,0))) AS BIGINT)")
             .as("mean_idx_micro"),
-          expr(s"CAST((CAST(sum_bat AS DECIMAL(38,0)) * $Micro * 2 + n_bat) div (2 * n_bat) AS BIGINT)")
+          expr(s"CAST((CAST(sum_bat AS DECIMAL(38,0)) * $Micro * 2 + n_bat) div (2 * CAST(n_bat AS DECIMAL(38,0))) AS BIGINT)")
             .as("mean_bat_micro"),
           (col("__delta") * col("__delta") * (col("n_idx") - 1) >
             lit(sigmas * sigmas) * col("__varnum") * col("n_idx") * col("n_bat"))
@@ -257,15 +255,8 @@ object Rollup {
         .agg(hll_union_agg(col("sketch")).as("sketch")),
       s"$dir/vocab", "vocab append")
 
-  def readVocabIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/vocab"
-    val target = new org.apache.hadoop.fs.Path(path)
-    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
-      sys.error(s"vocab read: could not recover $backup")
-    spark.read.parquet(path)
-  }
+  def readVocabIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Store.readRecoverable(spark, s"$dir/vocab", "vocab read")
 
   /** Cardinality estimates from a (possibly just-read) sketch frame. */
   def vocabEstimate(index: DataFrame): DataFrame =

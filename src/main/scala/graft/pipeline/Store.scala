@@ -610,22 +610,44 @@ object Store {
     df.groupBy(blockKey.as("block")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The table directory's absolute PATH component (trailing slash,
+    * scheme/authority stripped) — the one spelling both
+    * `input_file_name()` (a URI, `file:///…`) and the namenode listing
+    * (a qualified Path, `file:/…`) reduce to, so stripping it yields
+    * the same TABLE-RELATIVE file path on both sides and the manifest's
+    * `block` key works for partitioned layouts (`lang=en/part-*.parquet`),
+    * not just flat directories. */
+  private def qualifiedPrefix(spark: SparkSession, tableDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toUri.getPath + "/"
+  }
+
+  /** `input_file_name()` reduced to the table-relative path: drop the
+    * URI scheme + authority (`file://`, `hdfs://nn:8020`), then the
+    * table-directory prefix. */
+  private def relFileCol(prefix: String): Column =
+    replace(regexp_replace(input_file_name(),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""), lit(prefix), lit(""))
+
   /** Build a per-FILE skip manifest for a parquet table directory — the
     * Delta/Iceberg data-skipping stats on plain parquet: one scan of the
-    * table, one [[zoneMap]] row per data file (block = file basename;
-    * part-file names are unique within a table directory). At 100 TB /
-    * 1 GB files the manifest is ~10^5 rows — file-level index metadata,
-    * the same class as a partition listing. Readers then prune files
-    * against a predicate BEFORE any footer is opened
-    * ([[skipPrunedScan]]), which beats parquet's own row-group stats by
-    * never scheduling a task for a pruned file at all. */
+    * table, one [[zoneMap]] row per data file (block = the file's
+    * table-relative path, so partitioned layouts work and names stay
+    * unique). At 100 TB / 1 GB files the manifest is ~10^5 rows —
+    * file-level index metadata, the same class as a partition listing.
+    * Readers then prune files against a predicate BEFORE any footer is
+    * opened ([[skipPrunedScan]]), which beats parquet's own row-group
+    * stats by never scheduling a task for a pruned file at all. */
   def buildSkipManifest(spark: SparkSession, tableDir: String,
-      manifestDir: String, statCols: Seq[String]): Unit =
+      manifestDir: String, statCols: Seq[String]): Unit = {
+    val prefix = qualifiedPrefix(spark, tableDir)
     zoneMap(
       spark.read.parquet(tableDir)
-        .withColumn("__f", regexp_extract(input_file_name(), "[^/]+$", 0)),
+        .withColumn("__f", relFileCol(prefix)),
       col("__f"), statCols)
       .write.mode(SaveMode.Overwrite).parquet(s"$manifestDir/manifest")
+  }
 
   /** Fold files that appeared in `tableDir` SINCE the manifest was last
     * published into it — the incremental maintenance op: only the NEW
@@ -639,31 +661,51 @@ object Store {
       manifestDir: String, statCols: Seq[String]): Long = {
     val existing = readSkipManifest(spark, manifestDir)
     val known = existing.select("block").collect().map(_.getString(0)).toSet
+    val fresh = listDataFiles(spark, tableDir)
+      .filterNot { case (rel, _) => known.contains(rel) }
+    if (fresh.nonEmpty) {
+      // fresh blocks are disjoint from known by construction, so the
+      // merge is a pure union — no re-aggregation (which would both add
+      // a shuffle and silently sum a rewritten-in-place file's old and
+      // new stats instead of surfacing the contract violation as a
+      // duplicate manifest row)
+      val merged = existing.unionByName(
+        manifestRows(spark, tableDir, fresh.map(_._2), statCols))
+      publishAtomic(spark, merged, s"$manifestDir/manifest", "manifest append")
+    }
+    fresh.size.toLong
+  }
+
+  /** (tableRelativePath, absolutePath) of every data file under the
+    * table directory — one namenode listing, the partition-discovery
+    * class of driver-side metadata. */
+  private def listDataFiles(spark: SparkSession,
+      tableDir: String): Seq[(String, String)] = {
+    val prefix = qualifiedPrefix(spark, tableDir)
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = scala.collection.mutable.ListBuffer[String]()
+    val out = scala.collection.mutable.ListBuffer[(String, String)]()
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          !known.contains(name))
-        fresh += f.getPath.toString
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += ((f.getPath.toUri.getPath.stripPrefix(prefix),
+          f.getPath.toString))
     }
-    if (fresh.nonEmpty) {
-      val newRows = zoneMap(
-        spark.read.parquet(fresh.toSeq: _*)
-          .withColumn("__f", regexp_extract(input_file_name(), "[^/]+$", 0)),
-        col("__f"), statCols)
-      val minMax = statCols.flatMap(c =>
-        Seq(min(col(s"min_$c")).as(s"min_$c"),
-          max(col(s"max_$c")).as(s"max_$c")))
-      val aggs = sum(col("n_rows")).as("n_rows") +: minMax
-      val merged = existing.unionByName(newRows)
-        .groupBy("block").agg(aggs.head, aggs.tail: _*)
-      publishAtomic(spark, merged, s"$manifestDir/manifest", "manifest append")
-    }
-    fresh.size.toLong
+    out.toSeq
+  }
+
+  /** Zone-map rows for specific files, keyed by table-relative path.
+    * `basePath` keeps partition-directory columns visible even though
+    * the scan lists leaf files. */
+  private def manifestRows(spark: SparkSession, tableDir: String,
+      absPaths: Seq[String], statCols: Seq[String]): DataFrame = {
+    val prefix = qualifiedPrefix(spark, tableDir)
+    zoneMap(
+      spark.read.option("basePath", tableDir).parquet(absPaths: _*)
+        .withColumn("__f", relFileCol(prefix)),
+      col("__f"), statCols)
   }
 
   /** Reconcile the manifest with the directory's CURRENT file set — the
@@ -677,19 +719,10 @@ object Store {
       manifestDir: String, statCols: Seq[String]): (Long, Long) = {
     val existing = readSkipManifest(spark, manifestDir)
     val known = existing.select("block").collect().map(_.getString(0)).toSet
-    val dir = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = scala.collection.mutable.Set[String]()
-    val freshPaths = scala.collection.mutable.ListBuffer[String]()
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        current += name
-        if (!known.contains(name)) freshPaths += f.getPath.toString
-      }
-    }
+    val files = listDataFiles(spark, tableDir)
+    val current = files.map(_._1).toSet
+    val freshPaths = files.collect {
+      case (rel, abs) if !known.contains(rel) => abs }
     val vanished = known.diff(current)
     if (freshPaths.nonEmpty || vanished.nonEmpty) {
       val keptRows =
@@ -697,10 +730,8 @@ object Store {
         else existing.filter(!col("block").isin(vanished.toSeq: _*))
       val merged =
         if (freshPaths.isEmpty) keptRows
-        else keptRows.unionByName(zoneMap(
-          spark.read.parquet(freshPaths.toSeq: _*)
-            .withColumn("__f", regexp_extract(input_file_name(), "[^/]+$", 0)),
-          col("__f"), statCols))
+        else keptRows.unionByName(
+          manifestRows(spark, tableDir, freshPaths, statCols))
       publishAtomic(spark, merged, s"$manifestDir/manifest", "manifest sync")
     }
     (freshPaths.size.toLong, vanished.size.toLong)
@@ -728,17 +759,26 @@ object Store {
     fs.delete(backup, true)
   }
 
-  /** Read a published skip manifest, recovering from a crashed append
-    * swap (target absent, `__backup` present → re-publish the backup). */
-  def readSkipManifest(spark: SparkSession, manifestDir: String): DataFrame = {
-    val path = s"$manifestDir/manifest"
+  /** Reader half of [[publishAtomic]]'s protocol: if the target is
+    * absent but a `__backup` exists, a crash interrupted the swap
+    * between its two renames — re-publish the backup so readers and the
+    * next maintenance op see the last committed version. One
+    * implementation for every artifact that publishes through
+    * [[publishAtomic]]. */
+  private[graft] def readRecoverable(spark: SparkSession, path: String,
+      what: String): DataFrame = {
     val target = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(path + "__backup")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
-      sys.error(s"manifest read: could not recover $backup")
+      sys.error(s"$what: could not recover $backup")
     spark.read.parquet(path)
   }
+
+  /** Read a published skip manifest, recovering from a crashed append
+    * swap (target absent, `__backup` present → re-publish the backup). */
+  def readSkipManifest(spark: SparkSession, manifestDir: String): DataFrame =
+    readRecoverable(spark, s"$manifestDir/manifest", "manifest read")
 
   /** Manifest-pruned range scan: keep only the files whose [min, max]
     * box on `colName` overlaps [lo, hi], read THOSE paths, and apply the
@@ -755,8 +795,11 @@ object Store {
       .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
       .select("block").collect().map(_.getString(0))
     val pred = col(colName) >= lo && col(colName) <= hi
+    // blocks are table-relative paths; basePath keeps partition-directory
+    // columns visible when reading the kept leaf files directly
     if (kept.isEmpty) spark.read.parquet(tableDir).filter(lit(false))
-    else spark.read.parquet(kept.map(f => s"$tableDir/$f").toSeq: _*)
+    else spark.read.option("basePath", tableDir)
+      .parquet(kept.map(f => s"$tableDir/$f").toSeq: _*)
       .filter(pred)
   }
 

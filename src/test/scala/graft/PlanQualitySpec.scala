@@ -618,7 +618,11 @@ class PlanQualitySpec extends SparkSpec {
     val windows = "Window ".r.findAllIn(p).length
     assert(windows == 1,
       s"rank family must share ONE window operator, got $windows:\n$p")
-    assert(p.contains("PushedFilters"), s"probe-slice filter not pushed:\n$p")
+    // exactly ONE hash exchange (the priority partition) — a second
+    // would mean the five functions stopped sharing the window spec
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"rank family should shuffle once, got $exchanges:\n$p")
   }
 
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {

@@ -700,6 +700,32 @@ class StoreSpec extends SparkSpec {
       full.exceptAll(pruned).count() == 0)
   }
 
+  test("skip manifest: partitioned layout indexes by relative path; pruned scan keeps partition columns") {
+    val docs = Tables.documents(spark, sf)
+    val table = tmp("skip_part") + "/docs"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(table)
+    val manifest = tmp("skip_part_man")
+    Store.buildSkipManifest(spark, table, manifest, Seq("doc_id"))
+    val m = Store.readSkipManifest(spark, manifest).collect()
+    // blocks are table-relative (lang=xx/part-...), one per data file
+    assert(m.nonEmpty && m.forall(_.getAs[String]("block").startsWith("lang=")),
+      s"blocks must be table-relative paths: ${m.map(_.getAs[String]("block")).mkString(",")}")
+    assert(m.map(_.getAs[Long]("n_rows")).sum == docs.count())
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val pruned = Store.skipPrunedScan(spark, table, manifest, "doc_id", lo, hi)
+    // the partition column survives the leaf-file read (basePath)
+    assert(pruned.columns.contains("lang"),
+      s"partition column lost: ${pruned.columns.mkString(",")}")
+    val full = spark.read.parquet(table)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+    assert(pruned.select(full.columns.map(col): _*).exceptAll(full).count() == 0 &&
+      full.exceptAll(pruned.select(full.columns.map(col): _*)).count() == 0,
+      "partitioned pruned scan changed the query result")
+    // sync also speaks relative paths: a no-op reconcile sees no churn
+    assert(Store.syncSkipManifest(spark, table, manifest, Seq("doc_id")) == ((0L, 0L)))
+  }
+
   test("health check rolls up component status (pipeline.py:398-460)") {
     val h = Pipeline.healthCheck(spark, sf, tmp("health_out"))
     assert(h.overall == "healthy", h.toString)
