@@ -968,7 +968,7 @@ object Profiling {
     * probe on [ZoneLo, ZoneHi] would evaluate. Shares
     * [[graft.pipeline.Store.zoneMap]] with the physical per-FILE skip
     * manifest ([[graft.pipeline.Store.buildSkipManifest]]) — same
-    * aggregation, block = file basename there; StoreSpec pins that the
+    * aggregation, block = table-relative file path there; StoreSpec pins that the
     * pruned scan reads exactly the kept files and returns exactly the
     * unpruned filter's rows. The aggregate's cardinality is the block
     * count, never rows — index metadata at any corpus size. */

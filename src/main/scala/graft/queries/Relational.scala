@@ -537,9 +537,52 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q144: window FRAME surface — trailing ROWS-frame moving aggregates
+    * and the value-position family (first_value, nth_value) over event
+    * streams, the per-entity trend shape (3-event moving spend, session
+    * anchor value). Everything runs in exact integer CENTS (the q132
+    * discipline: floor(value·100 + 0.5) in both engines) so frame sums
+    * have no float-order term, and the `frame_n` ramp (1,2,3,3,…) pins
+    * the frame boundary semantics themselves. Both window specs share
+    * (partition, order), so Spark plans ONE Window operator and ONE
+    * exchange for all four expressions (plan-guarded). The `% 23` slice
+    * bounds gate output; the plan is identical at any scale. */
+  val q144FrameWindows: QuerySpec = QuerySpec(
+    "q144_frame_windows",
+    """WITH e AS (
+      |  SELECT event_id, ts, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 23 = 0)
+      |SELECT event_id, event_type, cents,
+      |  CAST(sum(cents) OVER w3 AS BIGINT) AS mov_sum3,
+      |  count(*) OVER w3 AS frame_n,
+      |  first_value(cents) OVER wrun AS first_cents,
+      |  nth_value(cents, 2) OVER wrun AS second_cents
+      |FROM e
+      |WINDOW
+      |  w3 AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |  wrun AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .filter(pmod(col("event_id"), lit(23)) === 0)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val ord = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val w3 = ord.rowsBetween(-2, Window.currentRow)
+    val wrun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("event_id"), col("event_type"), col("cents"),
+        sum(col("cents")).over(w3).as("mov_sum3"),
+        count(lit(1)).over(w3).as("frame_n"),
+        first(col("cents")).over(wrun).as("first_cents"),
+        nth_value(col("cents"), 2).over(wrun).as("second_cents"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02TopkOrders, q03RevenueByCustomer, q04RegionRevenue,
     q05RunningRevenue, q06PriorityCounts, q07DedupFull, q08DedupKeyKeepFirst,
     q09UnionByName, q49GroupedTopk, q50Rollup, q51Pivot, q52SemiAnti,
-    q129Cube, q130EntityResolution, q143RankWindows)
+    q129Cube, q130EntityResolution, q143RankWindows, q144FrameWindows)
 }

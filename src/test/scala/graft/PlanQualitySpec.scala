@@ -625,6 +625,16 @@ class PlanQualitySpec extends SparkSpec {
       s"rank family should shuffle once, got $exchanges:\n$p")
   }
 
+  test("q144: both frame specs ride one window operator and one exchange") {
+    val p = planOf("q144_frame_windows")
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 1,
+      s"frame family must share ONE window operator, got $windows:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"frame family should shuffle once, got $exchanges:\n$p")
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,

@@ -569,6 +569,35 @@ class StreamingSpec extends SparkSpec {
       "streamed vocab estimates disagree with the batch sketch")
   }
 
+  test("streaming drift monitor: z-flags derived from live rollup state equal batch q140") {
+    // the drift probe composes with the streamed rollup: feed the batch
+    // half through complete-mode statsRollup, then run driftVsRollup
+    // against the (persisted-index-shaped) other half — the LIVE form of
+    // q140, so a monitoring stream flags mean shifts without any rescan
+    import graft.ext.Rollup
+    import org.apache.spark.sql.functions.expr
+    val docs = Tables.documents(spark, sf)
+    val half = expr(s"(doc_id div ${Rollup.DriftSplitDiv}) % 2")
+    val idx = docs.filter(half === 0)
+    val bat = docs.filter(half === 1)
+    val batDir = tmpDir("drift_stream")
+    bat.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(batDir)
+    val schema = spark.read.parquet(batDir).schema
+    val stream = Streaming.parquetFileSource(spark, batDir, schema)
+    Streaming.drainToMemory(
+      Rollup.statsRollup(stream, Seq("source")), "drift_rollup",
+      outputMode = "complete")
+    val streamedBat = spark.sql(
+      "SELECT source, n_docs, sum_chars, sumsq_chars, min_chars, max_chars FROM drift_rollup")
+    val live = Rollup.driftVsRollup(
+      Rollup.statsRollup(idx, Seq("source")), streamedBat)
+    val batch = SparkEntry.queries("q140_rollup_drift")(spark, sf)
+    assert(live.count() > 0)
+    assert(live.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(live).count() == 0,
+      "live drift card disagrees with the batch q140")
+  }
+
   test("tier sample and epoch shuffle assignment are streaming-safe projections") {
     // the new sampling family decides membership per-record (hash of the
     // record's own key) — stateless projections, so the SAME column

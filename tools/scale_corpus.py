@@ -18,6 +18,14 @@ parity — only determinism. Other tables are copied from the source SF
 so tools/check.py can register its full table set.
 
 Usage: python3 tools/scale_corpus.py /root/testdata/sf0.1 /root/repo/target/testdata/sf0.3x
+
+An optional third argument sets the clone id offset (default 1000000).
+Chaining the transform with a larger offset builds a 9x corpus whose
+tier-2 clones include clones OF tier-1 clones (clone chains — the pair
+volume grows superlinearly again, which is the stress):
+
+  python3 tools/scale_corpus.py /root/testdata/sf0.1 target/testdata/sf0.3x
+  python3 tools/scale_corpus.py target/testdata/sf0.3x target/testdata/sf0.9x 10000000
 """
 import os
 import shutil
@@ -29,19 +37,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def main(src: str, dst: str) -> int:
+def main(src: str, dst: str, offset: int = 1000000) -> int:
+    o = offset
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.sql(f"""
         COPY (
           SELECT * FROM '{src}/documents.parquet'
           UNION ALL
-          SELECT doc_id + 1000000,
+          SELECT doc_id + {o},
                  text || ' pad' || CAST(doc_id % 7 AS VARCHAR),
                  lang, source, n_chars + 5 AS n_chars
           FROM '{src}/documents.parquet'
           UNION ALL
-          SELECT doc_id + 2000000,
+          SELECT doc_id + 2 * {o},
                  array_to_string(string_split(text, ' ')[2:], ' '),
                  (['en','de','fr'])[CAST(doc_id % 3 AS INT) + 1],
                  source,
@@ -54,12 +63,12 @@ def main(src: str, dst: str) -> int:
         COPY (
           SELECT * FROM '{src}/embeddings.parquet'
           UNION ALL
-          SELECT vec_id + 1000000,
+          SELECT vec_id + {o},
                  list_transform(embedding, x -> CAST(x * 0.99609375 AS FLOAT)),
                  label
           FROM '{src}/embeddings.parquet'
           UNION ALL
-          SELECT vec_id + 2000000,
+          SELECT vec_id + 2 * {o},
                  list_transform(embedding, x -> CAST(-x AS FLOAT)),
                  label
           FROM '{src}/embeddings.parquet'
@@ -77,4 +86,5 @@ def main(src: str, dst: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+              int(sys.argv[3]) if len(sys.argv) > 3 else 1000000))
