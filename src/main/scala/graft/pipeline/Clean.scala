@@ -29,17 +29,31 @@ object Clean {
     * (`src/transformation.py:64-73`): earliest `orderCol`, ties broken by
     * every remaining column, so the pick is a total order.
     *
-    * Implemented as `min(struct(tiebreak…, rest…))` per key rather than a
-    * `row_number` window: Spark's struct ordering is field-by-field
-    * ascending with nulls first — exactly the window's
-    * `asc_nulls_first` ORDER BY — but the aggregate gets a map-side
-    * partial combine (duplicates collapse before the shuffle) and sorts
-    * only by the key instead of key + 12 tiebreak columns. At sf0.1 this
-    * is ~2.3× the window form; at cluster scale the shrunken shuffle is
-    * the difference between moving the dup factor and not. Equivalence to
-    * the window pick is pinned by the q08/q11/q13 oracles and
-    * PropertySpec's laws. */
+    * Runs through the native [[graft.plans.KeepFirstExec]] operator: one
+    * hash exchange on the key, ONE sort by (key, tiebreak…, rest…), and a
+    * streaming first-of-run pass — versus the two full-width sorts both
+    * the window form and the min-struct aggregate form pay (row_number
+    * needs a partial+final sorted WindowGroupLimit; min over a struct has
+    * no fixed-width buffer so both aggregate phases plan as
+    * SortAggregate). Pick equivalence to `min(struct(tiebreak…, rest…))`
+    * is pinned by PlansSpec's differential and the q08/q11/q13 oracles. */
   def dedupKeepFirst(df: DataFrame, key: String = "order_id",
+      orderCols: Seq[String] = KeepFirstTiebreak): DataFrame = {
+    if (!has(df, key)) df
+    else {
+      val tiebreak = orderCols.filter(has(df, _))
+      val rest = df.columns.filterNot(c => c == key || tiebreak.contains(c))
+      graft.operators.KeepFirst.native(df, Seq(key), tiebreak ++ rest)
+    }
+  }
+
+  /** The aggregate form of [[dedupKeepFirst]] — `min(struct(tiebreak…,
+    * rest…))` per key. Kept as the map-side-combining variant for inputs
+    * with a LARGE duplication factor (the partial aggregate collapses
+    * duplicates before the exchange, shuffling 1/d of the rows at the
+    * price of a pre-shuffle SortAggregate pass) and as the differential
+    * anchor for the native operator's semantics. */
+  def dedupKeepFirstAgg(df: DataFrame, key: String = "order_id",
       orderCols: Seq[String] = KeepFirstTiebreak): DataFrame = {
     if (!has(df, key)) df
     else {
