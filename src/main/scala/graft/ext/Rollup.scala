@@ -140,9 +140,20 @@ object Rollup {
             .as("mean_idx_micro"),
           expr(s"CAST((CAST(sum_bat AS DECIMAL(38,0)) * $Micro * 2 + n_bat) div (2 * CAST(n_bat AS DECIMAL(38,0))) AS BIGINT)")
             .as("mean_bat_micro"),
-          (col("__delta") * col("__delta") * (col("n_idx") - 1) >
-            lit(sigmas * sigmas) * col("__varnum") * col("n_idx") * col("n_bat"))
-            .as("drifted")): _*)
+          {
+            // past the ~10^12-doc bound the DECIMAL(38,0) products
+            // saturate and return NULL under non-ANSI mode — and a NULL
+            // `drifted` reads as "not drifted" to most consumers. Surface
+            // overflow as a loud per-row failure instead of silence.
+            val lhs = col("__delta") * col("__delta") * (col("n_idx") - 1)
+            val rhs = lit(sigmas * sigmas) * col("__varnum") *
+              col("n_idx") * col("n_bat")
+            when(lhs.isNotNull && rhs.isNotNull, lhs > rhs)
+              .otherwise(raise_error(lit("driftVsRollup: DECIMAL(38,0) " +
+                "overflow in the z-test products — downscale units " +
+                "before squaring (see Scaladoc bound)")))
+              .as("drifted")
+          }): _*)
       .orderBy(keys.map(col): _*)
   }
 
@@ -292,6 +303,180 @@ object Rollup {
       .orderBy("source")
   }
 
+  /** q145: skip-manifest-pruned range stats — the per-file manifest
+    * ([[graft.pipeline.Store.buildSkipManifest]]) made load-bearing in a
+    * registered query: the documents table is laid out range-partitioned
+    * on doc_id, indexed, and a mid-range probe goes through
+    * [[graft.pipeline.Store.skipPrunedScan]] so files whose [min,max]
+    * box misses the range are never scheduled (PlanQualitySpec asserts
+    * the scan's numFiles). Oracle = the plain filtered aggregate — the
+    * pruning must be invisible to results. The only driver-side reads
+    * are the 1-row max(doc_id) bound and the file-count-bounded manifest. */
+  val q145ManifestPrunedStats: QuerySpec = QuerySpec(
+    "q145_manifest_pruned_stats",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents
+      |WHERE doc_id >= (SELECT max(doc_id) // 3 FROM documents)
+      |  AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    prunedRangeStats(s, dir)._1
+  }
+
+  /** The q145 body, returning (result, prunedScanDf) so tests can assert
+    * on the scan's file metrics without re-running the layout build. */
+  def prunedRangeStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.pipeline.Store
+    val docs = Tables.documents(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("q145_skip").toString
+    val table = s"$base/docs"
+    docs.repartitionByRange(5, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(table)
+    Store.buildSkipManifest(s, table, base, Seq("doc_id"))
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0) // 1-row bound
+    val pruned = Store.skipPrunedScan(s, table, base, "doc_id",
+      maxId / 3, maxId / 2)
+    val stats = pruned.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source")
+    (stats, pruned)
+  }
+
+  // ---- streaming maintenance loop ---------------------------------------
+
+  /** Merge algebra for vocab sketches (the [[appendToVocabIndex]] body,
+    * shared with the streaming path): union + HLL-union per group. */
+  def mergeVocab(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+
+  /** At-least-once-safe application of ONE micro-batch's partials to a
+    * maintained artifact. The discipline is [[graft.streaming.Streaming
+    * .lateAuditStream]]'s, adapted to mergeable aggregates:
+    *
+    *  - the batch's partial aggregate lands in `<dir>/parts/batch=N` with
+    *    OVERWRITE — a replay of batch N rewrites byte-identical content
+    *    instead of double-counting (an in-place `appendTo*` fold would
+    *    re-add the rows);
+    *  - reads merge `base` (if any) with every partial whose batch id is
+    *    ABOVE the base's `__upto` watermark — so a crashed compaction
+    *    that published the base but not yet deleted the folded partials
+    *    cannot double-count either: those partials are filtered out by
+    *    the watermark, their deletion is pure garbage collection;
+    *  - when live partials exceed `compactEvery`, all partials with
+    *    batch ≤ N fold into a new base stamped `__upto = N` via the
+    *    staging + backup atomic publish. Replaying batch N after its
+    *    fold merges an empty partial set into the same base — a no-op
+    *    publish of identical content.
+    *
+    * Partial count stays ≤ compactEvery, base is group-cardinality —
+    * both index metadata; per batch the work is one partial aggregate
+    * over the batch plus (amortized) one group-cardinality merge. */
+  private[graft] def applyMaintenanceBatch(spark: SparkSession, dir: String,
+      partial: DataFrame, batchId: Long, keys: Seq[String],
+      merge: (DataFrame, DataFrame) => DataFrame,
+      compactEvery: Int = 8): Unit = {
+    partial.write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/parts/batch=$batchId")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partBatches: Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/parts")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+    }
+    val upto: Long = readUpto(spark, dir, fs)
+    val live = partBatches.filter(b => b > upto && b <= batchId)
+    if (live.size > compactEvery) {
+      graft.pipeline.Store.publishAtomic(spark,
+        readMaintained(spark, dir, keys, merge, upTo = Some(batchId))
+          .withColumn("__upto", lit(batchId)),
+        s"$dir/base", "maintenance fold")
+      // GC: readers already ignore batches ≤ the new watermark
+      partBatches.filter(_ <= batchId).foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/parts/batch=$b"), true))
+    }
+  }
+
+  private def readUpto(spark: SparkSession, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Long = {
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val backup = new org.apache.hadoop.fs.Path(s"$dir/base__backup")
+    if (!fs.exists(basePath) && !fs.exists(backup)) -1L
+    else graft.pipeline.Store.readRecoverable(spark, s"$dir/base", "maintenance base")
+      .select(max(col("__upto"))).head().getLong(0)
+  }
+
+  /** Consumer read of a stream-maintained artifact: base ∪ live partials,
+    * merged. `upTo` caps which partials participate (the compaction path
+    * uses it to fold a PREFIX while later batches keep arriving). */
+  def readMaintained(spark: SparkSession, dir: String, keys: Seq[String],
+      merge: (DataFrame, DataFrame) => DataFrame,
+      upTo: Option[Long] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val upto = readUpto(spark, dir, fs)
+    val hasBase = upto >= 0
+    val partsPath = new org.apache.hadoop.fs.Path(s"$dir/parts")
+    val hasParts = fs.exists(partsPath) && fs.listStatus(partsPath).nonEmpty
+    require(hasBase || hasParts, s"readMaintained: nothing published under $dir")
+    val base =
+      if (!hasBase) None
+      else Some(graft.pipeline.Store
+        .readRecoverable(spark, s"$dir/base", "maintenance base")
+        .drop("__upto"))
+    val parts =
+      if (!hasParts) None
+      else {
+        val live = spark.read.parquet(s"$dir/parts")
+          .filter(col("batch") > upto &&
+            upTo.map(col("batch") <= _).getOrElse(lit(true)))
+          .drop("batch")
+        Some(live)
+      }
+    (base, parts) match {
+      case (Some(b), Some(p)) => merge(b, p)
+      case (Some(b), None) => b
+      case (None, Some(p)) => merge(p, p.limit(0))
+      case _ => sys.error("unreachable")
+    }
+  }
+
+  /** The registered pair, pre-wired: stats rollup + vocab index maintained
+    * from one stream of document batches. `foreachBatch` is at-least-once;
+    * [[applyMaintenanceBatch]] makes each artifact's state exactly-once. */
+  def maintainStream(docs: DataFrame, dir: String, checkpoint: String,
+      rollupKeys: Seq[String] = Seq("source", "lang"),
+      vocabKeys: Seq[String] = Seq("source"),
+      compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          applyMaintenanceBatch(s, s"$dir/rollup", statsRollup(b, rollupKeys),
+            batchId, rollupKeys, mergeRollups(_, _, rollupKeys), compactEvery)
+          applyMaintenanceBatch(s, s"$dir/vocab", vocabSketch(b, vocabKeys),
+            batchId, vocabKeys, mergeVocab(_, _, vocabKeys), compactEvery)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** Reads of the two maintained artifacts under a [[maintainStream]] dir. */
+  def readMaintainedRollup(spark: SparkSession, dir: String,
+      keys: Seq[String] = Seq("source", "lang")): DataFrame =
+    readMaintained(spark, s"$dir/rollup", keys, mergeRollups(_, _, keys))
+  def readMaintainedVocab(spark: SparkSession, dir: String,
+      keys: Seq[String] = Seq("source")): DataFrame =
+    readMaintained(spark, s"$dir/vocab", keys, mergeVocab(_, _, keys))
+
   val all: Seq[QuerySpec] =
-    Seq(q139StatsRollup, q140RollupDrift, q141VocabCardinality)
+    Seq(q139StatsRollup, q140RollupDrift, q141VocabCardinality,
+      q145ManifestPrunedStats)
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 /** Public wrapper for the native keep-first dedup
   * ([[graft.plans.KeepFirstExec]]): resolves the key/tiebreak columns on
@@ -13,7 +15,36 @@ import org.apache.spark.sql.graftbridge.Bridge
   * be deterministic — callers pass every non-key column
   * ([[graft.pipeline.Clean.KeepFirstTiebreak]] ++ rest). */
 object KeepFirst {
-  def native(df: DataFrame, keys: Seq[String], tiebreak: Seq[String]): DataFrame = {
+
+  private def containsFloat(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsFloat(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsFloat(a.elementType)
+    case m: org.apache.spark.sql.types.MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+    case _ => false
+  }
+
+  def native(df0: DataFrame, keys: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    // Catalyst's NormalizeFloatingNumbers rule canonicalizes -0.0 → 0.0
+    // for Aggregate/Window/Join keys but not for custom nodes, so a
+    // float-typed key with both zero signs would form TWO runs here while
+    // the aggregate form merges them. Canonicalize top-level float/double
+    // keys before the sort (so grouping, run order, AND the kept row all
+    // match the aggregate pick); reject floats nested inside a key type.
+    val df = keys.foldLeft(df0) { (d, k) =>
+      d.schema.find(_.name == k).map(_.dataType) match {
+        case Some(FloatType) =>
+          d.withColumn(k, when(col(k) === lit(0.0f), lit(0.0f)).otherwise(col(k)))
+        case Some(DoubleType) =>
+          d.withColumn(k, when(col(k) === lit(0.0d), lit(0.0d)).otherwise(col(k)))
+        case Some(t) if containsFloat(t) =>
+          throw new IllegalArgumentException(
+            s"keepFirst: key $k has float-typed nested fields ($t); " +
+              "-0.0/0.0 grouping would diverge from the aggregate form — " +
+              "normalize or cast the key first")
+        case _ => d
+      }
+    }
     val spark = df.sparkSession
     Bridge.registerStrategy(spark, graft.plans.KeepFirstStrategy)
     val plan = Bridge.analyzed(df)

@@ -96,6 +96,87 @@ object Ingest {
       .withColumn("source_file", input_file_name())
   }
 
+  /** Batch-path mirror of the reference's processed/errors file moves
+    * (`src/ingestion.py:243-252`): classify every data file at the top of
+    * `dir` by whether parsing it produces any corrupt record, then rename
+    * clean files into `processedDir` and corrupt ones into `errorsDir`.
+    *
+    * The classification is ONE distributed read with a per-file
+    * any-corrupt aggregate — output is file-count-bounded driver metadata
+    * (the partition-listing class) — and the moves are pure namenode
+    * renames, no data copy, so the op costs one scan regardless of file
+    * sizes. Files that parse to zero rows (empty) count as processed,
+    * matching the reference's "no exception → processed" rule. Returns
+    * (processedCount, errorCount). The streaming path gets the same
+    * behavior from `cleanSource=archive` ([[graft.streaming.Streaming]]).
+    */
+  def quarantineBatch(spark: SparkSession, dir: String, format: String,
+      processedDir: String = null, errorsDir: String = null,
+      contract: org.apache.spark.sql.types.StructType = null): (Long, Long) = {
+    require(format == "csv" || format == "json",
+      s"quarantineBatch: unsupported format $format")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val procDir = new org.apache.hadoop.fs.Path(
+      Option(processedDir).getOrElse(s"$dir/processed"))
+    val errDir = new org.apache.hadoop.fs.Path(
+      Option(errorsDir).getOrElse(s"$dir/errors"))
+    // top-level data files only — already-archived subdirectories stay put
+    val files = fs.listStatus(base).filter(_.isFile).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    if (files.isEmpty) return (0L, 0L)
+    val paths = files.map(_.toString).toSeq
+    val parsed = format match {
+      case "json" =>
+        spark.read.option("multiLine", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "__corrupt")
+          .json(paths: _*)
+      case "csv" =>
+        // corrupt-record capture needs a schema the bad rows VIOLATE: the
+        // caller's contract schema when given (the reliable gate — pure
+        // self-inference widens types to accommodate the very rows it
+        // should reject), else one inferred from the batch (still catches
+        // token-count breakage)
+        val expected = Option(contract).getOrElse(
+          spark.read.option("header", "true")
+            .option("inferSchema", "true").csv(paths: _*).schema)
+        spark.read.option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "__corrupt")
+          .schema(expected.add("__corrupt", "string"))
+          .csv(paths: _*)
+    }
+    val verdictCol =
+      if (parsed.columns.contains("__corrupt")) col("__corrupt").isNotNull
+      else lit(false) // schema merge saw no corrupt rows anywhere
+    // anchor the aggregate on EVERY data column: the readers refuse plans
+    // whose only referenced column is the corrupt-record marker, and CSV
+    // column pruning would skip parsing — and therefore corrupt-flagging —
+    // any column the plan doesn't touch
+    // (hash, not count(struct(…)): a count of a never-null struct is
+    // constant-folded to count(1), which un-references the columns again)
+    val dataCols = parsed.columns.filterNot(_ == "__corrupt")
+    val anchor =
+      if (dataCols.isEmpty) count(lit(1))
+      else max(hash(dataCols.toIndexedSeq.map(col): _*))
+    val bad = parsed
+      .groupBy(input_file_name().as("__file"))
+      .agg(max(verdictCol.cast("int")).as("__bad"), anchor.as("__n"))
+      .filter(col("__bad") === 1)
+      .collect() // one row per FILE — bounded metadata, not data
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    fs.mkdirs(procDir); fs.mkdirs(errDir)
+    var (nProc, nErr) = (0L, 0L)
+    files.foreach { f =>
+      val target = if (bad.contains(f.toUri.getPath)) errDir else procDir
+      if (!fs.rename(f, new org.apache.hadoop.fs.Path(target, f.getName)))
+        sys.error(s"quarantineBatch: could not move $f to $target")
+      if (target == errDir) nErr += 1 else nProc += 1
+    }
+    (nProc, nErr)
+  }
+
   /** Multi-source combine (`src/ingestion.py:356-420`): name-aligned
     * null-filling union + deterministic keep-first dedup on order_id.
     * The reference's `keep='first'` after `pd.concat([api, csv, json])`

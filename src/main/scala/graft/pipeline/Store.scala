@@ -624,11 +624,19 @@ object Store {
   }
 
   /** `input_file_name()` reduced to the table-relative path: drop the
-    * URI scheme + authority (`file://`, `hdfs://nn:8020`), then the
-    * table-directory prefix. */
-  private def relFileCol(prefix: String): Column =
-    replace(regexp_replace(input_file_name(),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""), lit(prefix), lit(""))
+    * URI scheme + authority (`file://`, `hdfs://nn:8020`), decode the
+    * %-escapes (`input_file_name` is URI-ENCODED while the namenode
+    * listing side uses the decoded `Path.toUri.getPath` — a directory
+    * with spaces/%-chars would otherwise mismatch every key), then strip
+    * exactly ONE leading table-directory prefix. `url_decode` is
+    * form-decoding ('+' → space), so literal '+' is protected first. */
+  private def relFileCol(prefix: String): Column = {
+    val rawPath = regexp_replace(input_file_name(),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+    val decoded = url_decode(regexp_replace(rawPath, "\\+", "%2B"))
+    regexp_replace(decoded,
+      lit("^" + java.util.regex.Pattern.quote(prefix)), lit(""))
+  }
 
   /** Build a per-FILE skip manifest for a parquet table directory — the
     * Delta/Iceberg data-skipping stats on plain parquet: one scan of the

@@ -40,11 +40,23 @@ import org.apache.spark.sql.types.IntegerType
   * [[graft.pipeline.Clean.KeepFirstTiebreak]], the order totally orders the
   * row). The row_number output itself is constant-folded to literal 1.
   *
-  * Registered by [[graft.GraftExtensions]] via `injectOptimizerRule`; the
-  * hand-written operators in `Clean`/`Store` already emit the aggregate
-  * form directly — this rule extends the same plan improvement to ad-hoc
-  * user queries (including SQL `QUALIFY ROW_NUMBER() ... = 1`-style
-  * patterns spelled with a subquery).
+  * Registered by [[graft.GraftExtensions]] via `injectOptimizerRule`; this
+  * rule extends the plan improvement to ad-hoc user queries (including SQL
+  * `QUALIFY ROW_NUMBER() ... = 1`-style patterns spelled with a subquery).
+  *
+  * Interplay with the native [[KeepFirstExec]] — which form wins where:
+  * the duplication factor d is the dial. The aggregate form pays a
+  * pre-shuffle SortAggregate but shuffles 1/d of the rows (map-side
+  * combine); the native node shuffles every row but then pays exactly ONE
+  * sort and an O(1)-state streaming pass. For the dedup norm (d ≲ 2) the
+  * native node wins; for heavily-duplicated corpora the aggregate wins.
+  * Hence the split: the library entry point `Clean.dedupKeepFirst` emits
+  * the NATIVE node (its callers are keyed-upsert dedups where d is small),
+  * `Clean.dedupKeepFirstAgg` is the explicit large-d variant, and THIS
+  * rule rewrites ad-hoc window idioms — where d is unknown — to the
+  * aggregate form, which is safe at any d and strictly better than the
+  * window it replaces. The rule never touches `KeepFirstNode` plans.
+  * PlansSpec's regime-dial case pins the 1/d shuffle collapse at d=50.
   */
 object KeepFirstToAggregate extends Rule[LogicalPlan] {
 

@@ -57,6 +57,34 @@ class IngestSpec extends SparkSpec {
       s"rows dropped from a mixed-envelope directory: got $ids")
   }
 
+  test("quarantineBatch: clean files move to processed/, corrupt ones to errors/ (ingestion.py:243-252)") {
+    // JSON route: one good file, one malformed file
+    val jd = Files.createTempDirectory("q_json").toString
+    Files.writeString(Paths.get(jd, "good.json"),
+      """[{"order_id": "A", "price": 1.0}]""")
+    Files.writeString(Paths.get(jd, "broken.json"),
+      """{"order_id": "B", "price": """) // truncated mid-document
+    assert(Ingest.quarantineBatch(spark, jd, "json") == ((1L, 1L)))
+    assert(Files.exists(Paths.get(jd, "processed", "good.json")))
+    assert(Files.exists(Paths.get(jd, "errors", "broken.json")))
+    // the source directory is drained; a re-run is a no-op
+    assert(Ingest.quarantineBatch(spark, jd, "json") == ((0L, 0L)))
+
+    // CSV route: contract schema as the gate — self-inference would widen
+    // price to string to accommodate the very row the gate should reject
+    val cd = Files.createTempDirectory("q_csv").toString
+    Files.writeString(Paths.get(cd, "good.csv"),
+      "order_id,price\nA,1.5\nB,2.5\n")
+    Files.writeString(Paths.get(cd, "bad.csv"),
+      "order_id,price\nC,not_a_number\n")
+    val contract = StructType(Seq(
+      StructField("order_id", StringType), StructField("price", DoubleType)))
+    val (p, e) = Ingest.quarantineBatch(spark, cd, "csv", contract = contract)
+    assert((p, e) == ((1L, 1L)), s"csv classify got ($p, $e)")
+    assert(Files.exists(Paths.get(cd, "processed", "good.csv")))
+    assert(Files.exists(Paths.get(cd, "errors", "bad.csv")))
+  }
+
   test("readCsvDir infers header and types, adds provenance (S3/S5)") {
     val dir = Files.createTempDirectory("csv_in").toString
     Files.writeString(Paths.get(dir, "a.csv"),

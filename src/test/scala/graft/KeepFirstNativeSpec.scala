@@ -44,7 +44,10 @@ class KeepFirstNativeSpec extends SparkSpec {
       .withColumn("ingested_at", col("ingested_at") + expr("INTERVAL 1 DAY")))
     val nat = Clean.dedupKeepFirst(withDups)
     val agg = Clean.dedupKeepFirstAgg(withDups)
-    assert(nat.count() == dirty.count())
+    // the dirty domain itself carries duplicate order_ids (duplicate
+    // (l_orderkey, l_linenumber) pairs in the generator), so the ground
+    // truth is the distinct-key count, NOT dirty.count()
+    assert(nat.count() == withDups.select("order_id").distinct().count())
     assert(nat.exceptAll(agg).count() == 0 && agg.exceptAll(nat).count() == 0)
   }
 
@@ -59,25 +62,60 @@ class KeepFirstNativeSpec extends SparkSpec {
 
   test("physical plan: one exchange, one sort, no SortAggregate, no window") {
     val dirty = pipeline.OrdersDomain.dirtyFromTpch(spark, sf)
-    val plan = Clean.dedupKeepFirst(dirty).queryExecution.executedPlan
-    // materialize AQE's final plan before counting
-    Clean.dedupKeepFirst(dirty).write.format("noop").mode("overwrite").save()
-    val s = plan.toString
+    // build ONE DataFrame, materialize IT, then inspect the AQE final plan
+    // of that same queryExecution (a fresh instance would still carry an
+    // unresolved AdaptiveSparkPlanExec with isFinalPlan=false)
+    val df = Clean.dedupKeepFirst(dirty)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    // AQE hides operators inside materialized query stages (leaves to
+    // TreeNode.collect), so flatten the whole tree through them
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case o => o.children.flatMap(nodes)
+    })
+    val all = nodes(df.queryExecution.executedPlan)
+    val s = df.queryExecution.executedPlan.toString
     assert(s.contains("KeepFirst"), s)
     assert(!s.contains("SortAggregate"), "dedup regressed to SortAggregate")
     assert(!s.contains("WindowGroupLimit"), "dedup regressed to the window form")
-    // above the base scans: exactly the dedup's hash exchange and its sort
-    // (the 4-table build contributes one more exchange pair at most — count
-    // the operators ABOVE the KeepFirst node's child sort instead)
-    val keepFirst = plan.collect {
-      case e if e.getClass.getSimpleName == "KeepFirstExec" => e
+    val keepFirst = all.filter(_.getClass.getSimpleName == "KeepFirstExec")
+    assert(keepFirst.size == 1, s"expected one KeepFirstExec in:\n$s")
+    // the sort fuses into a WholeStageCodegen span — strip wrappers
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => strip(w.child)
+      case o => o
     }
-    assert(keepFirst.size == 1)
     val below = keepFirst.head.children.head
-    assert(below.isInstanceOf[SortExec], s"child of KeepFirstExec is $below")
-    val exchanges = below.collect { case x: ShuffleExchangeExec => x }
+    assert(strip(below).isInstanceOf[SortExec], s"child of KeepFirstExec is $below")
+    // below the dedup's sort: exactly the dedup's hash exchange (the
+    // 4-table dirty-domain build is all broadcast joins, so any second
+    // shuffle here is a plan regression)
+    val exchanges = nodes(below).filter(_.isInstanceOf[ShuffleExchangeExec])
     assert(exchanges.size == 1,
-      s"expected exactly the dedup exchange below the sort, got $exchanges")
+      s"expected exactly the dedup exchange below the sort, got:\n$below")
+  }
+
+  test("float keys: -0.0 and 0.0 form ONE group and the pick matches the aggregate form") {
+    // without normalization the sort puts -0.0's rows before 0.0's, so the
+    // native pick would be min-tiebreak of the -0.0 SUBgroup, not of the
+    // merged group like the aggregate form — both grouping and pick matter
+    val df = Seq((-0.0, 5, "neg"), (0.0, 1, "pos"), (1.5, 2, "other"))
+      .toDF("k", "o", "v")
+    val nat = KeepFirst.native(df, Seq("k"), Seq("o", "v"))
+    val agg = Clean.dedupKeepFirstAgg(df, key = "k", orderCols = Seq("o", "v"))
+    val n = nat.collect().map(_.toSeq).toSet
+    assert(n == agg.collect().map(_.toSeq).toSet, s"native $n diverges from aggregate")
+    assert(n.size == 2 && n.exists(_ == Seq(0.0, 1, "pos")))
+  }
+
+  test("float-typed nested key fields are rejected loudly") {
+    val df = Seq((1.0, 2)).toDF("x", "o").select(struct(col("x")).as("k"), col("o"))
+    val e = intercept[IllegalArgumentException](
+      KeepFirst.native(df, Seq("k"), Seq("o")))
+    assert(e.getMessage.contains("float-typed"))
   }
 
   test("unknown column fails loudly") {

@@ -46,6 +46,21 @@ class PlanQualitySpec extends SparkSpec {
       s"partition pruning read all $total files for a 2-bucket slice")
   }
 
+  test("q145: skip-manifest pruning schedules strictly fewer files than the table holds") {
+    val (stats, pruned) = graft.ext.Rollup.prunedRangeStats(spark, sf)
+    assert(stats.count() > 0)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the pruned plan"))
+    val scanned = scan.metrics("numFiles").value
+    // the layout is 5 range-partitioned files and the probe covers
+    // [max/3, max/2] — at most 2 stripes overlap; 5 would mean the
+    // manifest did no work
+    assert(scanned > 0 && scanned < 5,
+      s"manifest pruned nothing: scheduled $scanned of 5 files")
+  }
+
   test("q62/q63: corpus ops stay single-scan — no self-joins or repeat reads") {
     // q62 packing: one documents scan, one exchange (on shard), one window
     val p62 = planOf("q62_sequence_packing")

@@ -117,4 +117,30 @@ class RollupSpec extends SparkSpec {
     assert(rows("stable").getAs[Long]("mean_idx_micro") == 102L * Rollup.Micro)
     assert(rows("moved").getAs[Long]("mean_bat_micro") == 152L * Rollup.Micro)
   }
+
+  test("drift probe: DECIMAL(38,0) overflow fails loudly instead of reading as not-drifted") {
+    import spark.implicits._
+    // sums/counts past the documented ~10^12-doc bound: delta ~ 2.8e37
+    // fits DECIMAL(38,0) but delta^2 saturates → NULL under non-ANSI mode
+    val idx = Seq(("a", 4000000000000000000L, 8000000000000000000L,
+      9000000000000000000L)).toDF("source", "n_docs", "sum_chars", "sumsq_chars")
+    val bat = Seq(("a", 1000000000000000000L, 9000000000000000000L))
+      .toDF("source", "n_docs", "sum_chars")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // ANSI mode (the session default) already throws on the saturating
+    // product — loud, good. The guard exists for non-ANSI deployments
+    // where the product silently NULLs: prove BOTH paths fail loudly.
+    val eAnsi = intercept[Exception](Rollup.driftVsRollup(idx, bat).collect())
+    assert(messages(eAnsi).exists(m =>
+      m.contains("overflow") || m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected a loud overflow error under ANSI, got: $eAnsi")
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val eNull = intercept[Exception](Rollup.driftVsRollup(idx, bat).collect())
+      assert(messages(eNull).exists(_.contains("overflow")),
+        s"expected the raise_error guard under non-ANSI NULL products, got: $eNull")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
 }

@@ -663,6 +663,35 @@ class StoreSpec extends SparkSpec {
       "backup recovery lost manifest state")
   }
 
+  test("skip manifest: table dir with spaces/%/+ keys consistently — append is a no-op, pruned scan resolves") {
+    // input_file_name() is URI-encoded, the listing side is decoded; a
+    // mismatch here silently rescans every file on append (duplicating
+    // manifest rows) and makes skipPrunedScan build non-existent paths
+    val docs = Tables.documents(spark, sf)
+    val table = tmp("skip enc%2F +dir") + "/docs table"
+    docs.repartitionByRange(3, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(table)
+    val manifest = tmp("skip_enc_man")
+    Store.buildSkipManifest(spark, table, manifest, Seq("doc_id"))
+    val m = Store.readSkipManifest(spark, manifest).collect()
+    assert(m.length == 3, s"one row per file, got ${m.length}")
+    // blocks are DECODED table-relative names: flat layout → bare basenames
+    assert(m.forall(r => !r.getAs[String]("block").contains("/")),
+      s"block keys leaked the encoded table prefix: ${m.map(_.getAs[String]("block")).toSeq}")
+    // nothing new → append must scan 0 files and add 0 rows
+    assert(Store.appendToSkipManifest(spark, table, manifest, Seq("doc_id")) == 0,
+      "append rescanned files — encoded/decoded key mismatch")
+    assert(Store.readSkipManifest(spark, manifest).count() == 3)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ids(ids.length / 3), ids(ids.length / 2))
+    val pruned = Store.skipPrunedScan(spark, table, manifest, "doc_id", lo, hi)
+    val full = spark.read.parquet(table)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+    assert(pruned.exceptAll(full).count() == 0 &&
+      full.exceptAll(pruned).count() == 0,
+      "pruned scan over the hostile-named table changed the result")
+  }
+
   test("skip manifest: sync reconciles a compaction rewrite (drops vanished rows, scans only new files)") {
     val docs = Tables.documents(spark, sf)
     val table = tmp("skip_sync") + "/docs"

@@ -623,4 +623,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0,
       "streamed tier/shard decisions disagree with batch")
   }
+
+  test("maintenance stream: rollup + vocab track the stream exactly; at-least-once replay (incl. post-fold) cannot double-count") {
+    import graft.ext.Rollup
+    val docs = Tables.documents(spark, sf)
+    def rollupRows(df: org.apache.spark.sql.DataFrame) =
+      Rollup.finalizeRollup(df).collect().map(_.toSeq).toSet
+    def vocabRows(df: org.apache.spark.sql.DataFrame) =
+      Rollup.vocabEstimate(df).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Double]("est_distinct_tokens")))
+        .toSet
+    val wantRollup = rollupRows(Rollup.statsRollup(docs))
+    val wantVocab = vocabRows(Rollup.vocabSketch(docs))
+
+    // end-to-end: 4 files → 4 micro-batches; compactEvery=2 forces a fold
+    val docDir = tmpDir("maint_docs")
+    docs.repartitionByRange(4, col("doc_id")).write.mode("overwrite").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+    val dir = tmpDir("maint_art")
+    Rollup.maintainStream(Streaming.parquetFileSource(spark, docDir, schema),
+      dir, tmpDir("maint_ck"), compactEvery = 2).awaitTermination()
+    assert(rollupRows(Rollup.readMaintainedRollup(spark, dir)) == wantRollup,
+      "streamed rollup diverges from the one-shot build")
+    assert(vocabRows(Rollup.readMaintainedVocab(spark, dir)) == wantVocab,
+      "streamed vocab estimates diverge from the one-shot build")
+
+    // deterministic replay: drive the same loop by hand, then re-deliver
+    // batches — one still-live, one already FOLDED into the base
+    val dir2 = tmpDir("maint_replay")
+    val keysR = Seq("source", "lang")
+    val keysV = Seq("source")
+    def slice(i: Int) = docs.filter(col("doc_id") % 4 === i)
+    def apply(i: Int): Unit = {
+      Rollup.applyMaintenanceBatch(spark, s"$dir2/rollup",
+        Rollup.statsRollup(slice(i), keysR), i.toLong, keysR,
+        Rollup.mergeRollups(_, _, keysR), compactEvery = 2)
+      Rollup.applyMaintenanceBatch(spark, s"$dir2/vocab",
+        Rollup.vocabSketch(slice(i), keysV), i.toLong, keysV,
+        Rollup.mergeVocab(_, _, keysV), compactEvery = 2)
+    }
+    (0 to 3).foreach(apply) // fold happens after batch 2 (3 live > 2)
+    val r1 = rollupRows(Rollup.readMaintainedRollup(spark, dir2))
+    val v1 = vocabRows(Rollup.readMaintainedVocab(spark, dir2))
+    assert(r1 == wantRollup, "hand-driven loop diverges from one-shot build")
+    assert(v1 == wantVocab)
+    apply(2) // replay a batch the fold already consumed
+    apply(3) // replay the still-live tail batch
+    assert(rollupRows(Rollup.readMaintainedRollup(spark, dir2)) == r1,
+      "replay double-counted a batch")
+    assert(vocabRows(Rollup.readMaintainedVocab(spark, dir2)) == v1,
+      "replay double-counted vocab tokens")
+  }
 }
