@@ -147,9 +147,6 @@ object Ingest {
           .schema(expected.add("__corrupt", "string"))
           .csv(paths: _*)
     }
-    val verdictCol =
-      if (parsed.columns.contains("__corrupt")) col("__corrupt").isNotNull
-      else lit(false) // schema merge saw no corrupt rows anywhere
     // anchor the aggregate on EVERY data column: the readers refuse plans
     // whose only referenced column is the corrupt-record marker, and CSV
     // column pruning would skip parsing — and therefore corrupt-flagging —
@@ -157,10 +154,30 @@ object Ingest {
     // (hash, not count(struct(…)): a count of a never-null struct is
     // constant-folded to count(1), which un-references the columns again)
     val dataCols = parsed.columns.filterNot(_ == "__corrupt")
-    val anchor =
-      if (dataCols.isEmpty) count(lit(1))
-      else max(hash(dataCols.toIndexedSeq.map(col): _*))
-    val bad = parsed
+    // an EVERY-file-corrupt batch infers a corrupt-only schema, and the
+    // raw file readers refuse corrupt-column-only plans outright —
+    // re-read under an explicit schema with a never-present probe column
+    // so the plan always references a real data column
+    val (classified, anchor) =
+      if (dataCols.nonEmpty)
+        (parsed, max(hash(dataCols.toIndexedSeq.map(col): _*)))
+      else {
+        val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__probe",
+            org.apache.spark.sql.types.StringType)))
+        val reader = spark.read.option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "__corrupt")
+          .schema(probeSchema.add("__corrupt", "string"))
+        val re = format match {
+          case "json" => reader.option("multiLine", "true").json(paths: _*)
+          case "csv" => reader.option("header", "true").csv(paths: _*)
+        }
+        (re, count(col("__probe")))
+      }
+    val verdictCol =
+      if (classified.columns.contains("__corrupt")) col("__corrupt").isNotNull
+      else lit(false) // schema merge saw no corrupt rows anywhere
+    val bad = classified
       .groupBy(input_file_name().as("__file"))
       .agg(max(verdictCol.cast("int")).as("__bad"), anchor.as("__n"))
       .filter(col("__bad") === 1)

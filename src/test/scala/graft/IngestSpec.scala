@@ -85,6 +85,21 @@ class IngestSpec extends SparkSpec {
     assert(Files.exists(Paths.get(cd, "errors", "bad.csv")))
   }
 
+  test("quarantineBatch edges: every-file-corrupt batch routes all to errors/; archived subdirs stay put") {
+    val jd = Files.createTempDirectory("q_allbad").toString
+    Files.writeString(Paths.get(jd, "b1.json"), """{"x": [""")
+    Files.writeString(Paths.get(jd, "b2.json"), """not json at all"""")
+    assert(Ingest.quarantineBatch(spark, jd, "json") == ((0L, 2L)))
+    assert(Files.exists(Paths.get(jd, "errors", "b1.json")) &&
+      Files.exists(Paths.get(jd, "errors", "b2.json")))
+    // a new arrival is classified alone; the archived files are untouched
+    Files.writeString(Paths.get(jd, "late.json"), """[{"x": 1}]""")
+    assert(Ingest.quarantineBatch(spark, jd, "json") == ((1L, 0L)))
+    assert(Files.exists(Paths.get(jd, "processed", "late.json")))
+    assert(Files.exists(Paths.get(jd, "errors", "b1.json")),
+      "re-run disturbed already-quarantined files")
+  }
+
   test("readCsvDir infers header and types, adds provenance (S3/S5)") {
     val dir = Files.createTempDirectory("csv_in").toString
     Files.writeString(Paths.get(dir, "a.csv"),

@@ -673,5 +673,18 @@ class StreamingSpec extends SparkSpec {
       "replay double-counted a batch")
     assert(vocabRows(Rollup.readMaintainedVocab(spark, dir2)) == v1,
       "replay double-counted vocab tokens")
+
+    // crashed-fold window: base published but the folded partials were
+    // NOT deleted (crash between publish and GC). The __upto watermark
+    // must filter them — readers cannot double-count, and the next
+    // fold's GC clears them without a re-fold.
+    val uptoNow = spark.read.parquet(s"$dir2/rollup/base")
+      .agg(max(col("__upto"))).head().getLong(0)
+    // resurrect a folded partial exactly as a crashed GC would leave it
+    Rollup.statsRollup(slice(1), keysR).write.mode("overwrite")
+      .parquet(s"$dir2/rollup/parts/batch=1")
+    assert(1L <= uptoNow, "fixture: batch 1 must be below the fold watermark")
+    assert(rollupRows(Rollup.readMaintainedRollup(spark, dir2)) == r1,
+      "a surviving folded partial was double-counted after a crashed fold GC")
   }
 }
