@@ -37,7 +37,11 @@ final case class GraftConfig(
   */
 object Pipeline {
 
-  final val SupportedExportFormats: Set[String] = Set("csv", "json", "parquet")
+  /** `json` = JSONL parts (the corpus-scale path); `json-records` = the
+    * reference's one-file records-ARRAY artifact (`storage.py:429-432`,
+    * report-class — see [[Store.exportJsonRecords]]'s scale note). */
+  final val SupportedExportFormats: Set[String] =
+    Set("csv", "json", "json-records", "parquet")
 
   final case class StageResult(stage: String, success: Boolean,
       seconds: Double, error: Option[String])
@@ -184,6 +188,8 @@ object Pipeline {
           config.exportFormats.foreach { // pre-validated above
             case "csv" => Store.exportCsv(current, s"$outDir/exports/orders_csv")
             case "json" => Store.exportJson(current, s"$outDir/exports/orders_json")
+            case "json-records" => Store.exportJsonRecords(current,
+              s"$outDir/exports/orders_records.json")
             case "parquet" => Store.exportParquet(current, s"$outDir/exports/orders_parquet")
           }
           if (config.summaryReport)

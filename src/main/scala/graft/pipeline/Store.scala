@@ -819,6 +819,62 @@ object Store {
   def exportParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Records-ARRAY JSON export (`storage.py:429-432`,
+    * `to_json(orient='records', indent=2)`): one valid-JSON-array file —
+    * the report/interchange shape downstream non-Spark consumers parse
+    * with a plain `json.load` — where [[exportJson]] writes JSONL parts.
+    *
+    * Scale shape: serialization stays DISTRIBUTED (the rows render to
+    * JSON in executor tasks via the normal JSONL writer); the driver then
+    * only STREAMS the part bytes line-at-a-time into the single artifact
+    * — O(1) driver memory, never a `collect()`. A single output file is
+    * inherent to the format (it is one JSON document), so this is for
+    * report-class artifacts; corpus-scale exports stay on
+    * [[exportJson]]/[[exportParquet]]. Part files are concatenated in
+    * sorted name order, so a sorted single-partition input yields a
+    * deterministic artifact. Publish is atomic: bytes go to a
+    * `.inprogress` sibling, renamed over the target only when complete. */
+  def exportJsonRecords(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import java.nio.charset.StandardCharsets.UTF_8
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val tmpDir = new Path(path + ".parts")
+    df.write.mode(SaveMode.Overwrite).json(tmpDir.toString)
+    val parts = fs.listStatus(tmpDir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val staging = new Path(path + ".inprogress")
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(staging, true), UTF_8))
+    try {
+      w.write("[")
+      var first = true
+      parts.foreach { p =>
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(p), UTF_8))
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              if (!first) w.write(",")
+              w.write("\n  ")
+              w.write(line)
+              first = false
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+      }
+      w.write("\n]\n")
+    } finally w.close()
+    fs.delete(tmpDir, true)
+    if (fs.exists(target) && !fs.delete(target, false))
+      throw new java.io.IOException(s"cannot replace existing export at $target")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"publish rename failed for $target")
+  }
+
   /** Summary-report artifact (`create_summary_report`,
     * `storage.py:471-553`): one JSON file combining record/field totals,
     * per-column dtypes and missing counts, numeric summary statistics

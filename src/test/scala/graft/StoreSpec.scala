@@ -326,6 +326,53 @@ class StoreSpec extends SparkSpec {
     assert(stats.getAs[Long]("distinct_orders") == 3)
   }
 
+  test("exportJsonRecords: one valid JSON array artifact, ordered, atomic (S12 records form)") {
+    val base = tmp("recjson")
+    val df = ordersDf(
+      ("C-1", 1.0, "2024-01-01 00:00:00"),
+      ("C-2", 2.0, "2024-01-02 00:00:00"),
+      ("C-3", 3.0, "2024-01-03 00:00:00"))
+      .orderBy("order_id").coalesce(1)
+    val out = s"$base/orders.json"
+    Store.exportJsonRecords(df, out)
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(text.startsWith("[") && text.trim.endsWith("]"),
+      "artifact must be ONE JSON array document")
+    // a plain non-Spark JSON parser accepts it, rows and order intact
+    val back = spark.read.option("multiLine", "true").json(out)
+    assert(back.count() == 3)
+    assert(back.orderBy("order_id").collect().map(_.getAs[String]("order_id")).toSeq
+      == Seq("C-1", "C-2", "C-3"))
+    assert(text.indexOf("C-1") < text.indexOf("C-2")
+      && text.indexOf("C-2") < text.indexOf("C-3"), "row order not preserved")
+    // no leftovers; re-export atomically replaces
+    val dir = java.nio.file.Paths.get(base)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".parts"))
+      && !java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".inprogress")))
+    Store.exportJsonRecords(df.limit(2), out)
+    assert(spark.read.option("multiLine", "true").json(out).count() == 2)
+    // an EMPTY frame publishes an empty-array document, not garbage
+    Store.exportJsonRecords(df.filter("order_id = 'NOPE'"), out)
+    val empty = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(spark.read.option("multiLine", "true").json(out).isEmpty
+      || empty.trim == "[\n]" || empty.trim == "[]")
+    // MULTI-part input: range-partitioned + sorted-within means part-file
+    // name order IS global order, and the concatenation must keep it
+    val many = spark.range(0, 100)
+      .selectExpr("format_string('K-%03d', id) AS order_id",
+        "CAST(id AS DOUBLE) AS price")
+      .repartitionByRange(4, col("order_id"))
+      .sortWithinPartitions("order_id")
+    Store.exportJsonRecords(many, out)
+    val ids = spark.read.option("multiLine", "true").json(out)
+      .collect().map(_.getAs[String]("order_id")).toSeq
+    assert(ids.size == 100)
+    val textMany = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    val positions = (0 until 100).map(i => textMany.indexOf(f"K-$i%03d"))
+    assert(positions.forall(_ >= 0) && positions == positions.sorted,
+      "multi-part artifact lost global order")
+  }
+
   test("metric sink + avgMetric (S10, A15)") {
     val path = tmp("metrics") + "/metrics"
     Store.appendQualityMetrics(spark, path, "RUN-1",
@@ -352,10 +399,15 @@ class StoreSpec extends SparkSpec {
       StructType(Seq(StructField("id", LongType), StructField("userId", LongType),
         StructField("title", StringType))))
     val report = Pipeline.run(spark,
-      Seq(Ingest.postsToOrders(posts)), out, GraftConfig(asOf = "2024-06-01"),
+      Seq(Ingest.postsToOrders(posts)), out,
+      GraftConfig(asOf = "2024-06-01",
+        exportFormats = Seq("json-records")),
       runId = "RUN-TEST-1")
     assert(report.success, report.toString)
     assert(report.recordsStored == 2)
+    // the reference-shaped records-array artifact rode along (S12)
+    assert(spark.read.option("multiLine", "true")
+      .json(s"$out/exports/orders_records.json").count() == 2)
     assert(report.stages.map(_.stage) ==
       Seq("ingestion", "validation", "cleaning", "enrichment", "standardization", "storage"))
     assert(report.qualityScore.exists(_ > 0))
