@@ -62,7 +62,12 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
+    // Optional focus list for settled single-query adjudication
+    // (comma-separated full names); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // iteration-major order (all queries, then repeat): consecutive runs of
     // the same query would share page-cache/JIT state unrealistically
     val samples = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)

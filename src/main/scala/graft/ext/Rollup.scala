@@ -144,11 +144,18 @@ object Rollup {
             // past the ~10^12-doc bound the DECIMAL(38,0) products
             // saturate and return NULL under non-ANSI mode — and a NULL
             // `drifted` reads as "not drifted" to most consumers. Surface
-            // overflow as a loud per-row failure instead of silence.
+            // overflow as a loud per-row failure instead of silence —
+            // but ONLY overflow: stats that are NULL on the way IN
+            // (a group with no measurable rows) stay an honest NULL
+            // verdict; a product that is null from NON-null inputs can
+            // only be saturation.
+            val inputs = col("__delta").isNotNull && col("__varnum").isNotNull &&
+              col("n_idx").isNotNull && col("n_bat").isNotNull
             val lhs = col("__delta") * col("__delta") * (col("n_idx") - 1)
             val rhs = lit(sigmas * sigmas) * col("__varnum") *
               col("n_idx") * col("n_bat")
-            when(lhs.isNotNull && rhs.isNotNull, lhs > rhs)
+            when(!inputs, lit(null).cast("boolean"))
+              .when(lhs.isNotNull && rhs.isNotNull, lhs > rhs)
               .otherwise(raise_error(lit("driftVsRollup: DECIMAL(38,0) " +
                 "overflow in the z-test products — downscale units " +
                 "before squaring (see Scaladoc bound)")))
@@ -261,9 +268,7 @@ object Rollup {
   def appendToVocabIndex(spark: SparkSession, dir: String, batch: DataFrame,
       keys: Seq[String] = Seq("source")): Unit =
     graft.pipeline.Store.publishAtomic(spark,
-      readVocabIndex(spark, dir).unionByName(vocabSketch(batch, keys))
-        .groupBy(keys.map(col): _*)
-        .agg(hll_union_agg(col("sketch")).as("sketch")),
+      mergeVocab(readVocabIndex(spark, dir), vocabSketch(batch, keys), keys),
       s"$dir/vocab", "vocab append")
 
   def readVocabIndex(spark: SparkSession, dir: String): DataFrame =
@@ -325,16 +330,41 @@ object Rollup {
   }
 
   /** The q145 body, returning (result, prunedScanDf) so tests can assert
-    * on the scan's file metrics without re-running the layout build. */
+    * on the scan's file metrics without re-running the layout build.
+    *
+    * The indexed layout is CACHED per source table (one deterministic
+    * directory keyed by the table path, built once per process under a
+    * ready-marker + rename protocol): the realistic shape is "the layout
+    * exists, queries probe it", and the uncached form leaked a full
+    * corpus copy into a fresh temp dir on every invocation — a bench or
+    * plan sweep calls this many times per session. */
+  private val q145BuildLock = new Object
   def prunedRangeStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.pipeline.Store
     val docs = Tables.documents(s, dir)
-    val base = java.nio.file.Files.createTempDirectory("q145_skip").toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q145_$key"
     val table = s"$base/docs"
-    docs.repartitionByRange(5, col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(table)
-    Store.buildSkipManifest(s, table, base, Seq("doc_id"))
-    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0) // 1-row bound
+    q145BuildLock.synchronized {
+      if (!new java.io.File(s"$base/_READY").exists()) {
+        val stage = s"${base}__build"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+        docs.repartitionByRange(5, col("doc_id")).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$stage/docs")
+        Store.buildSkipManifest(s, s"$stage/docs", stage, Seq("doc_id"))
+        val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0) // 1-row bound
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(stage, "_MAXID"), maxId.toString)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(stage, "_READY"), "ready")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        if (!new java.io.File(stage).renameTo(new java.io.File(base)))
+          sys.error(s"q145 layout publish failed for $base")
+      }
+    }
+    val maxId = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(base, "_MAXID")).trim.toLong
     val pruned = Store.skipPrunedScan(s, table, base, "doc_id",
       maxId / 3, maxId / 2)
     val stats = pruned.groupBy("source")
@@ -378,10 +408,24 @@ object Rollup {
       partial: DataFrame, batchId: Long, keys: Seq[String],
       merge: (DataFrame, DataFrame) => DataFrame,
       compactEvery: Int = 8): Unit = {
-    partial.write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/parts/batch=$batchId")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // WRITER-side crash repair (single writer by contract): finish a swap
+    // the previous writer crashed inside. Consumers never do this — a
+    // reader cannot tell a crashed swap from one in flight, and a repair
+    // rename fired mid-publish would steal the writer's backup.
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val baseBackup = new org.apache.hadoop.fs.Path(s"$dir/base__backup")
+    if (!fs.exists(basePath) && fs.exists(baseBackup)
+        && !fs.rename(baseBackup, basePath))
+      sys.error(s"maintenance writer: could not recover $baseBackup")
+    // repartition(1): an all-rows-filtered micro-batch can reach the
+    // writer as a ZERO-partition plan, which would write a file-less
+    // directory that breaks parquet schema inference on read; one
+    // (possibly empty) file always carries the schema. Partials are
+    // group-cardinality metadata — one file is also the right size.
+    partial.repartition(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/parts/batch=$batchId")
     def partBatches: Seq[Long] = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/parts")
       if (!fs.exists(p)) Nil
@@ -394,7 +438,7 @@ object Rollup {
     if (live.size > compactEvery) {
       graft.pipeline.Store.publishAtomic(spark,
         readMaintained(spark, dir, keys, merge, upTo = Some(batchId))
-          .withColumn("__upto", lit(batchId)),
+          .withColumn("__upto", lit(batchId)).repartition(1),
         s"$dir/base", "maintenance fold")
       // GC: readers already ignore batches ≤ the new watermark
       partBatches.filter(_ <= batchId).foreach(b =>
@@ -407,27 +451,45 @@ object Rollup {
     val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
     val backup = new org.apache.hadoop.fs.Path(s"$dir/base__backup")
     if (!fs.exists(basePath) && !fs.exists(backup)) -1L
-    else graft.pipeline.Store.readRecoverable(spark, s"$dir/base", "maintenance base")
-      .select(max(col("__upto"))).head().getLong(0)
+    else {
+      val r = graft.pipeline.Store
+        .readRecoverableReadOnly(spark, s"$dir/base", "maintenance base")
+        .select(max(col("__upto"))).head()
+      // a base folded ONLY from empty partials has rows=0 → NULL max.
+      // Treating it as "no watermark" is safe: every partial at or below
+      // the lost watermark was empty (that is WHY the base is empty), so
+      // re-including a replayed one merges nothing and cannot double-count.
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
   }
 
   /** Consumer read of a stream-maintained artifact: base ∪ live partials,
     * merged. `upTo` caps which partials participate (the compaction path
-    * uses it to fold a PREFIX while later batches keep arriving). */
+    * uses it to fold a PREFIX while later batches keep arriving).
+    *
+    * Concurrency contract: this path is READ-ONLY — crashed-swap repair
+    * belongs to the writer ([[applyMaintenanceBatch]]), because a reader
+    * cannot distinguish a crashed publish from one in flight. Plain
+    * parquet has no snapshot isolation, so a read that materializes
+    * WHILE a fold is publishing/GC-ing can observe vanished files and
+    * should be retried; what is guaranteed is that a consumer never
+    * mutates the writer's state and never double-counts a partial. */
   def readMaintained(spark: SparkSession, dir: String, keys: Seq[String],
       merge: (DataFrame, DataFrame) => DataFrame,
       upTo: Option[Long] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val upto = readUpto(spark, dir, fs)
-    val hasBase = upto >= 0
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val hasBase = fs.exists(basePath) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base__backup"))
     val partsPath = new org.apache.hadoop.fs.Path(s"$dir/parts")
     val hasParts = fs.exists(partsPath) && fs.listStatus(partsPath).nonEmpty
     require(hasBase || hasParts, s"readMaintained: nothing published under $dir")
     val base =
       if (!hasBase) None
       else Some(graft.pipeline.Store
-        .readRecoverable(spark, s"$dir/base", "maintenance base")
+        .readRecoverableReadOnly(spark, s"$dir/base", "maintenance base")
         .drop("__upto"))
     val parts =
       if (!hasParts) None

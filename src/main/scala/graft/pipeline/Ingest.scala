@@ -109,6 +109,19 @@ object Ingest {
     * matching the reference's "no exception → processed" rule. Returns
     * (processedCount, errorCount). The streaming path gets the same
     * behavior from `cleanSource=archive` ([[graft.streaming.Streaming]]).
+    *
+    * Hostile names: files are first STAGED under glob-safe numbered
+    * names (renames, no copies) because Spark path resolution treats
+    * read paths as globs and comma-splits lists — and multiLine-json
+    * schema inference re-globs even resolved paths. A `_names` manifest
+    * in the staging dir maps staged → original; a crash mid-quarantine
+    * is recovered on the next call by restoring originals (collision-
+    * disambiguated) and reclassifying. Archive collisions with a
+    * recurring drop name get a numbered suffix instead of wedging the
+    * batch. Residual limitation: a glob-metacharacter in the DIRECTORY
+    * path (not the file name) still breaks multiLine-json inference
+    * inside Spark itself — csv, and json under a `contract` schema,
+    * are immune.
     */
   def quarantineBatch(spark: SparkSession, dir: String, format: String,
       processedDir: String = null, errorsDir: String = null,
@@ -121,16 +134,77 @@ object Ingest {
       Option(processedDir).getOrElse(s"$dir/processed"))
     val errDir = new org.apache.hadoop.fs.Path(
       Option(errorsDir).getOrElse(s"$dir/errors"))
+    // Spark treats read paths as GLOBS (and comma-splits path lists): a
+    // file literally named `data[1].json` would match the wrong files or
+    // abort the whole batch — and multiLine-json schema inference
+    // re-globs RESOLVED paths internally, so escaping alone cannot save
+    // it. A quarantine is a rename pipeline anyway, so normalize FIRST:
+    // stage every file under a glob-safe numbered name, classify the
+    // staged names, then archive under the original names. A `_names`
+    // manifest inside the staging dir makes a crash recoverable: the
+    // next run restores originals and reclassifies from scratch.
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/.quarantine_stage")
+    val namesFile = new org.apache.hadoop.fs.Path(staging, "_names")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    if (fs.exists(staging)) { // a previous run crashed mid-quarantine
+      if (fs.exists(namesFile)) {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(namesFile), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          Iterator.continually(in.readLine()).takeWhile(_ != null).foreach { l =>
+            val Array(stagedName, orig) = l.split("\t", 2)
+            val sp = new org.apache.hadoop.fs.Path(staging, stagedName)
+            if (fs.exists(sp)) {
+              // never lose a staged file to a name collision with a
+              // file that arrived after the crash
+              val back = Iterator.single(
+                new org.apache.hadoop.fs.Path(base, dec(orig)))
+                .concat(Iterator.from(1).map(i =>
+                  new org.apache.hadoop.fs.Path(base, s"${dec(orig)}.$i")))
+                .find(!fs.exists(_)).get
+              if (!fs.rename(sp, back))
+                sys.error(s"quarantineBatch: could not restore $sp")
+            }
+          }
+        } finally in.close()
+      }
+      fs.delete(staging, true)
+    }
     // top-level data files only — already-archived subdirectories stay put
     val files = fs.listStatus(base).filter(_.isFile).map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
     if (files.isEmpty) return (0L, 0L)
-    val paths = files.map(_.toString).toSeq
+    fs.mkdirs(staging)
+    val ext = s".$format"
+    val staged = files.zipWithIndex.map { case (f, i) =>
+      (new org.apache.hadoop.fs.Path(staging, s"f_$i$ext"), f.getName)
+    }
+    val out = fs.create(namesFile, true)
+    try out.write(staged.zipWithIndex.map { case ((sp, orig), _) =>
+      s"${sp.getName}\t${enc(orig)}\n"
+    }.mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    files.zip(staged).foreach { case (f, (sp, _)) =>
+      if (!fs.rename(f, sp))
+        sys.error(s"quarantineBatch: could not stage $f")
+    }
+    // the DIRECTORY path may still carry glob metacharacters even though
+    // the staged file names cannot — escape the full path for the read
+    def escapeGlob(p: String): String =
+      p.replaceAll("([{}\\[\\]*?\\\\])", "\\\\$1")
+    val paths = staged.map { case (sp, _) => escapeGlob(sp.toString) }.toSeq
     val parsed = format match {
       case "json" =>
-        spark.read.option("multiLine", "true")
+        val r = spark.read.option("multiLine", "true")
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "__corrupt")
+        // honor the caller's contract for json exactly like csv: rows
+        // violating the declared types surface as corrupt records
+        // instead of being re-inferred into acceptance
+        Option(contract)
+          .map(c => r.schema(c.add("__corrupt", "string")))
+          .getOrElse(r)
           .json(paths: _*)
       case "csv" =>
         // corrupt-record capture needs a schema the bad rows VIOLATE: the
@@ -185,12 +259,20 @@ object Ingest {
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
     fs.mkdirs(procDir); fs.mkdirs(errDir)
     var (nProc, nErr) = (0L, 0L)
-    files.foreach { f =>
-      val target = if (bad.contains(f.toUri.getPath)) errDir else procDir
-      if (!fs.rename(f, new org.apache.hadoop.fs.Path(target, f.getName)))
-        sys.error(s"quarantineBatch: could not move $f to $target")
+    staged.foreach { case (sp, origName) =>
+      val target = if (bad.contains(sp.toUri.getPath)) errDir else procDir
+      // a recurring drop name (yesterday's orders.csv already archived)
+      // must not wedge the batch: rename refuses an existing target, so
+      // disambiguate with a numbered suffix instead of aborting mid-loop
+      val dest = Iterator.single(new org.apache.hadoop.fs.Path(target, origName))
+        .concat(Iterator.from(1).map(i =>
+          new org.apache.hadoop.fs.Path(target, s"$origName.$i")))
+        .find(!fs.exists(_)).get
+      if (!fs.rename(sp, dest))
+        sys.error(s"quarantineBatch: could not move $sp to $dest")
       if (target == errDir) nErr += 1 else nProc += 1
     }
+    fs.delete(staging, true)
     (nProc, nErr)
   }
 

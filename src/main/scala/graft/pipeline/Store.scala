@@ -783,6 +783,28 @@ object Store {
     spark.read.parquet(path)
   }
 
+  /** Read-only sibling of [[readRecoverable]] for CONSUMER paths that may
+    * run concurrently with the single writer: never renames. A reader
+    * cannot tell a crashed swap from one that is mid-flight — a
+    * "recovery" rename fired inside the writer's two-rename window steals
+    * the backup and makes the writer's publish AND its rollback both
+    * fail. So consumers read the target if present, else the backup
+    * DIRECTLY (the last committed version either way), and leave repair
+    * to the next writer operation. Plain parquet has no snapshot
+    * isolation: a read racing a live publish can still observe
+    * FileNotFound at materialization time and should be retried — what
+    * this guarantees is that readers never corrupt the writer's
+    * protocol. */
+  private[graft] def readRecoverableReadOnly(spark: SparkSession,
+      path: String, what: String): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) spark.read.parquet(path)
+    else if (fs.exists(backup)) spark.read.parquet(backup.toString)
+    else sys.error(s"$what: nothing published at $path")
+  }
+
   /** Read a published skip manifest, recovering from a crashed append
     * swap (target absent, `__backup` present → re-publish the backup). */
   def readSkipManifest(spark: SparkSession, manifestDir: String): DataFrame =
@@ -833,7 +855,9 @@ object Store {
     * [[exportJson]]/[[exportParquet]]. Part files are concatenated in
     * sorted name order, so a sorted single-partition input yields a
     * deterministic artifact. Publish is atomic: bytes go to a
-    * `.inprogress` sibling, renamed over the target only when complete. */
+    * `.inprogress` sibling, then a backup swap installs it — a crash at
+    * any point leaves either the previous artifact (possibly at
+    * `__backup`) or the new one, never neither. */
   def exportJsonRecords(df: DataFrame, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     import java.nio.charset.StandardCharsets.UTF_8
@@ -869,10 +893,17 @@ object Store {
       w.write("\n]\n")
     } finally w.close()
     fs.delete(tmpDir, true)
-    if (fs.exists(target) && !fs.delete(target, false))
-      throw new java.io.IOException(s"cannot replace existing export at $target")
-    if (!fs.rename(staging, target))
+    // backup swap, not delete-then-rename: a crash between the two steps
+    // must leave the PREVIOUS artifact recoverable, never zero artifacts
+    val backup = new Path(path + "__backup")
+    if (fs.exists(backup)) fs.delete(backup, false)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      throw new java.io.IOException(s"cannot move aside existing export at $target")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(backup)) fs.rename(backup, target)
       throw new java.io.IOException(s"publish rename failed for $target")
+    }
+    fs.delete(backup, false)
   }
 
   /** Summary-report artifact (`create_summary_report`,

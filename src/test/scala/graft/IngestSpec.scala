@@ -100,6 +100,35 @@ class IngestSpec extends SparkSpec {
       "re-run disturbed already-quarantined files")
   }
 
+  test("quarantineBatch hardening: recurring names, glob metacharacters, json contract") {
+    val jd = Files.createTempDirectory("q_hard").toString
+    // a recurring drop name: yesterday's copy is already archived
+    Files.writeString(Paths.get(jd, "orders.json"), """[{"x": 1}]""")
+    assert(Ingest.quarantineBatch(spark, jd, "json") == ((1L, 0L)))
+    Files.writeString(Paths.get(jd, "orders.json"), """[{"x": 2}]""")
+    assert(Ingest.quarantineBatch(spark, jd, "json") == ((1L, 0L)),
+      "a name collision with the archive must disambiguate, not wedge")
+    assert(Files.exists(Paths.get(jd, "processed", "orders.json")) &&
+      Files.exists(Paths.get(jd, "processed", "orders.json.1")))
+    // glob metacharacters in a data file name must not derail the batch
+    Files.writeString(Paths.get(jd, "w[1].json"), """[{"x": 3}]""")
+    Files.writeString(Paths.get(jd, "plain.json"), """not json"""")
+    assert(Ingest.quarantineBatch(spark, jd, "json") == ((1L, 1L)))
+    assert(Files.exists(Paths.get(jd, "processed", "w[1].json")))
+    assert(Files.exists(Paths.get(jd, "errors", "plain.json")))
+    // a json contract: well-formed files VIOLATING the declared types
+    // are corrupt, not silently re-inferred into acceptance
+    val contract = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    Files.writeString(Paths.get(jd, "typed_ok.json"), """[{"x": 4}]""")
+    Files.writeString(Paths.get(jd, "typed_bad.json"), """[{"x": "NaL"}]""")
+    assert(Ingest.quarantineBatch(spark, jd, "json", contract = contract)
+      == ((1L, 1L)), "type-violating json must land in errors/")
+    assert(Files.exists(Paths.get(jd, "processed", "typed_ok.json")) &&
+      Files.exists(Paths.get(jd, "errors", "typed_bad.json")))
+  }
+
   test("readCsvDir infers header and types, adds provenance (S3/S5)") {
     val dir = Files.createTempDirectory("csv_in").toString
     Files.writeString(Paths.get(dir, "a.csv"),

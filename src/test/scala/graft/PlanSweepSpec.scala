@@ -43,7 +43,19 @@ class PlanSweepSpec extends SparkSpec {
   private val rawScanNodes = Set("FileSourceScanExec", "BatchScanExec",
     "RowDataSourceScanExec")
 
-  private def offences(plan: SparkPlan): Seq[String] = {
+  /** Every plan reachable from `p`: the main tree plus, recursively, the
+    * plans hanging off scalar/IN/EXISTS subquery expressions at ANY node
+    * — `collect` alone never descends into those, so a cartesian inside
+    * a threshold subquery would otherwise escape the floor. */
+  private def withSubqueryPlans(p: SparkPlan): Seq[SparkPlan] =
+    p +: p.collect { case n => n.subqueries }.flatten
+      .collect { case sp: SparkPlan => sp }
+      .flatMap(withSubqueryPlans)
+
+  private def offences(root: SparkPlan): Seq[String] =
+    withSubqueryPlans(root).flatMap(offencesOne).distinct
+
+  private def offencesOne(plan: SparkPlan): Seq[String] = {
     val carts = plan.collect {
       case p if p.getClass.getSimpleName == "CartesianProductExec" =>
         "CartesianProduct"

@@ -143,4 +143,79 @@ class RollupSpec extends SparkSpec {
         s"expected the raise_error guard under non-ANSI NULL products, got: $eNull")
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
+
+  test("drift probe: NULL stats on the way IN stay a NULL verdict, not a fake overflow") {
+    import spark.implicits._
+    // a group whose chars were never measured: sums are NULL for data
+    // reasons — the overflow guard must not fire on it
+    val idx = Seq(
+      ("m", 5L, Option.empty[Long], Option.empty[Long]),
+      ("ok", 5L, Option(500L), Option(50010L)))
+      .toDF("source", "n_docs", "sum_chars", "sumsq_chars")
+    val bat = Seq(
+      ("m", 3L, Option.empty[Long]),
+      ("ok", 3L, Option(300L)))
+      .toDF("source", "n_docs", "sum_chars")
+    val rows = Rollup.driftVsRollup(idx, bat)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("m").isNullAt(rows("m").fieldIndex("drifted")),
+      "missing input stats must yield NULL, not an overflow abort")
+    assert(!rows("ok").getAs[Boolean]("drifted"))
+  }
+
+  test("maintenance loop: all-empty micro-batches fold without bricking the artifact") {
+    import spark.implicits._
+    val keys = Seq("source", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("maint_empty").toString
+    val docs = Seq((1L, "alpha beta", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val empty = docs.filter(lit(false))
+    // enough empty batches to force a fold → a 0-row base with NULL __upto
+    (0L to 5L).foreach { b =>
+      Rollup.applyMaintenanceBatch(spark, s"$dir/rollup",
+        Rollup.statsRollup(empty, keys), b, keys,
+        Rollup.mergeRollups(_, _, keys), compactEvery = 3)
+    }
+    assert(Rollup.readMaintainedRollup(spark, dir, keys).count() == 0,
+      "empty stream must read as an empty rollup, not crash")
+    // the artifact keeps working: a real batch lands and reads back
+    Rollup.applyMaintenanceBatch(spark, s"$dir/rollup",
+      Rollup.statsRollup(docs, keys), 6L, keys,
+      Rollup.mergeRollups(_, _, keys), compactEvery = 3)
+    val after = Rollup.readMaintainedRollup(spark, dir, keys).collect()
+    assert(after.length == 1 && after.head.getAs[Long]("n_docs") == 1L)
+  }
+
+  test("maintenance loop: consumers read through a crashed swap WITHOUT repairing; the writer repairs") {
+    import spark.implicits._
+    val keys = Seq("source", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("maint_swap").toString
+    val docs = Seq((1L, "alpha", "en", "s1", 10L), (2L, "beta", "en", "s2", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    (0L to 4L).foreach { b =>
+      Rollup.applyMaintenanceBatch(spark, s"$dir/rollup",
+        Rollup.statsRollup(docs.filter(col("doc_id") === (b % 2 + 1)), keys),
+        b, keys, Rollup.mergeRollups(_, _, keys), compactEvery = 3)
+    }
+    val before = Rollup.readMaintainedRollup(spark, dir, keys)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    // simulate a publish crashed between its two renames: base moved
+    // aside, replacement never landed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/rollup/base"),
+      new org.apache.hadoop.fs.Path(s"$dir/rollup/base__backup")))
+    val during = Rollup.readMaintainedRollup(spark, dir, keys)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(during == before, "reader must serve the backup contents")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/rollup/base")),
+      "a CONSUMER read must not rename the writer's backup")
+    // the next writer operation repairs and proceeds
+    Rollup.applyMaintenanceBatch(spark, s"$dir/rollup",
+      Rollup.statsRollup(docs, keys), 5L, keys,
+      Rollup.mergeRollups(_, _, keys), compactEvery = 3)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/rollup/base")),
+      "the writer must have completed the crashed swap")
+    assert(Rollup.readMaintainedRollup(spark, dir, keys).count() == 2)
+  }
 }
