@@ -247,6 +247,10 @@ object CorpusBuild {
     val staging = new Path(dir + "__staging")
     val backup = new Path(dir + "__backup")
     val target = new Path(dir)
+    // writer-side repair of a crashed previous publish (repair is
+    // writer-only; see Store.repairPublished)
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      sys.error(s"release publish: could not recover $backup")
     fs.delete(staging, true)
     releaseManifest(docs).write.mode("overwrite")
       .parquet(new Path(staging, "manifest").toString)
@@ -277,8 +281,11 @@ object CorpusBuild {
     fs.delete(backup, true)
   }
 
-  /** Read a published release, recovering from a crash that completed
-    * the move-aside but not the publish (same rule as Store.readTable). */
+  /** Read a published release. Read-only: a crash that completed the
+    * move-aside but not the publish is served from the `__backup`
+    * directory directly — the rename repair belongs to the next
+    * publish (a reader cannot tell a crashed swap from one in flight;
+    * its "repair" could steal a live publisher's backup). */
   def readRelease(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     import org.apache.hadoop.fs.Path
@@ -286,11 +293,12 @@ object CorpusBuild {
       spark.sparkContext.hadoopConfiguration)
     val target = new Path(dir)
     val backup = new Path(dir + "__backup")
-    if (!fs.exists(target) && fs.exists(backup)
-        && !fs.rename(backup, target))
-      sys.error(s"release read: could not recover $backup")
-    (spark.read.parquet(new Path(target, "manifest").toString),
-      spark.read.parquet(new Path(target, "ledger").toString))
+    val live =
+      if (fs.exists(target)) target
+      else if (fs.exists(backup)) backup
+      else sys.error(s"release read: nothing published at $dir")
+    (spark.read.parquet(new Path(live, "manifest").toString),
+      spark.read.parquet(new Path(live, "ledger").toString))
   }
 
   /** q118: the release ledger over the gate corpus — every stage's SQL

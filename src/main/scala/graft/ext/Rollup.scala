@@ -74,14 +74,17 @@ object Rollup {
     * discipline (crashed append leaves the previous rollup
     * recoverable; readers never see a half-written merge). */
   def appendToStatsRollup(spark: SparkSession, dir: String, batch: DataFrame,
-      keys: Seq[String] = Seq("source", "lang")): Unit =
+      keys: Seq[String] = Seq("source", "lang")): Unit = {
+    graft.pipeline.Store.repairPublished(spark, s"$dir/rollup", "rollup append")
     graft.pipeline.Store.publishAtomic(spark,
       mergeRollups(readStatsRollup(spark, dir), statsRollup(batch, keys), keys),
       s"$dir/rollup", "rollup append")
+  }
 
-  /** Read the persisted rollup, recovering from a crashed append swap. */
+  /** Read the persisted rollup. Read-only: a crashed append swap is
+    * served from the backup; repair belongs to the next writer op. */
   def readStatsRollup(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Store.readRecoverable(spark, s"$dir/rollup", "rollup read")
+    graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/rollup", "rollup read")
 
   /** Derive the consumer-facing stats from partials: exact integer
     * micro-unit mean and sample variance (round-half-up via the
@@ -266,13 +269,15 @@ object Rollup {
     * merge-by-union algebra the distributed aggregate already runs
     * across partitions, so append ≡ rebuild on the estimates. */
   def appendToVocabIndex(spark: SparkSession, dir: String, batch: DataFrame,
-      keys: Seq[String] = Seq("source")): Unit =
+      keys: Seq[String] = Seq("source")): Unit = {
+    graft.pipeline.Store.repairPublished(spark, s"$dir/vocab", "vocab append")
     graft.pipeline.Store.publishAtomic(spark,
       mergeVocab(readVocabIndex(spark, dir), vocabSketch(batch, keys), keys),
       s"$dir/vocab", "vocab append")
+  }
 
   def readVocabIndex(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Store.readRecoverable(spark, s"$dir/vocab", "vocab read")
+    graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/vocab", "vocab read")
 
   /** Cardinality estimates from a (possibly just-read) sketch frame. */
   def vocabEstimate(index: DataFrame): DataFrame =
@@ -411,14 +416,10 @@ object Rollup {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // WRITER-side crash repair (single writer by contract): finish a swap
-    // the previous writer crashed inside. Consumers never do this — a
-    // reader cannot tell a crashed swap from one in flight, and a repair
-    // rename fired mid-publish would steal the writer's backup.
-    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
-    val baseBackup = new org.apache.hadoop.fs.Path(s"$dir/base__backup")
-    if (!fs.exists(basePath) && fs.exists(baseBackup)
-        && !fs.rename(baseBackup, basePath))
-      sys.error(s"maintenance writer: could not recover $baseBackup")
+    // the previous writer crashed inside. Consumers never do this — see
+    // Store.repairPublished for why repair is writer-only.
+    graft.pipeline.Store.repairPublished(spark, s"$dir/base",
+      "maintenance writer")
     // repartition(1): an all-rows-filtered micro-batch can reach the
     // writer as a ZERO-partition plan, which would write a file-less
     // directory that breaks parquet schema inference on read; one

@@ -881,37 +881,20 @@ object TextAnalysis {
     * the corpus the index already covers. */
   def appendToCmsIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
-    val path = s"$dir/sketch"
-    val merged = readCmsIndex(spark, dir).unionByName(cmsSketch(batch))
-      .groupBy("r", "b").agg(sum(col("c")).as("c"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(path)
-    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
-    val fs = target.getFileSystem(conf)
-    merged.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(target) && !fs.rename(target, backup))
-      sys.error(s"cms append: could not move $target aside")
-    if (!fs.rename(staging, target)) {
-      if (fs.exists(backup)) fs.rename(backup, target)
-      sys.error(s"cms append: could not publish $staging over $target")
-    }
-    fs.delete(backup, true)
+    graft.pipeline.Store.repairPublished(spark, s"$dir/sketch", "cms append")
+    graft.pipeline.Store.publishAtomic(spark,
+      readCmsIndex(spark, dir).unionByName(cmsSketch(batch))
+        .groupBy("r", "b").agg(sum(col("c")).as("c")),
+      s"$dir/sketch", "cms append")
   }
 
-  /** Read a persisted sketch, recovering from a crashed append swap. */
+  /** Read a persisted sketch. Read-only: a crashed append swap is served
+    * from the backup; the rename repair belongs to the next writer op
+    * (a reader cannot tell a crashed swap from one in flight). */
   def readCmsIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val path = s"$dir/sketch"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(path)
-    val backup = new org.apache.hadoop.fs.Path(path + "__backup")
-    val fs = target.getFileSystem(conf)
-    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
-      sys.error(s"cms read: could not recover $backup")
-    spark.read.parquet(path)
-  }
+      dir: String): DataFrame =
+    graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/sketch",
+      "cms read")
 
   /** Probe a (possibly streamed) CMS sketch: estimate the count of each
     * row of `queryTokens` (a `token` column) as the min over the sketch's

@@ -667,6 +667,7 @@ object Store {
     * scanned. */
   def appendToSkipManifest(spark: SparkSession, tableDir: String,
       manifestDir: String, statCols: Seq[String]): Long = {
+    repairPublished(spark, s"$manifestDir/manifest", "manifest append")
     val existing = readSkipManifest(spark, manifestDir)
     val known = existing.select("block").collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(spark, tableDir)
@@ -725,6 +726,7 @@ object Store {
     * append path. */
   def syncSkipManifest(spark: SparkSession, tableDir: String,
       manifestDir: String, statCols: Seq[String]): (Long, Long) = {
+    repairPublished(spark, s"$manifestDir/manifest", "manifest sync")
     val existing = readSkipManifest(spark, manifestDir)
     val known = existing.select("block").collect().map(_.getString(0)).toSet
     val files = listDataFiles(spark, tableDir)
@@ -767,34 +769,29 @@ object Store {
     fs.delete(backup, true)
   }
 
-  /** Reader half of [[publishAtomic]]'s protocol: if the target is
-    * absent but a `__backup` exists, a crash interrupted the swap
-    * between its two renames — re-publish the backup so readers and the
-    * next maintenance op see the last committed version. One
-    * implementation for every artifact that publishes through
-    * [[publishAtomic]]. */
-  private[graft] def readRecoverable(spark: SparkSession, path: String,
-      what: String): DataFrame = {
+  /** WRITER half of [[publishAtomic]]'s crash protocol (single writer by
+    * contract): if the target is absent but a `__backup` exists, a crash
+    * interrupted the previous publish between its two renames — finish
+    * it before operating. ONLY writers may do this rename: a reader
+    * cannot tell a crashed swap from one that is mid-flight, and a
+    * "repair" fired inside a live publish window steals the writer's
+    * backup, failing both the publish and its rollback. */
+  private[graft] def repairPublished(spark: SparkSession, path: String,
+      what: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(path + "__backup")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
       sys.error(s"$what: could not recover $backup")
-    spark.read.parquet(path)
   }
 
-  /** Read-only sibling of [[readRecoverable]] for CONSUMER paths that may
-    * run concurrently with the single writer: never renames. A reader
-    * cannot tell a crashed swap from one that is mid-flight — a
-    * "recovery" rename fired inside the writer's two-rename window steals
-    * the backup and makes the writer's publish AND its rollback both
-    * fail. So consumers read the target if present, else the backup
-    * DIRECTLY (the last committed version either way), and leave repair
-    * to the next writer operation. Plain parquet has no snapshot
-    * isolation: a read racing a live publish can still observe
-    * FileNotFound at materialization time and should be retried — what
-    * this guarantees is that readers never corrupt the writer's
-    * protocol. */
+  /** CONSUMER read for [[publishAtomic]] artifacts — never renames (see
+    * [[repairPublished]] for why repair is writer-only): the target if
+    * present, else the `__backup` DIRECTLY — the last committed version
+    * either way. Plain parquet has no snapshot isolation: a read racing
+    * a live publish can still observe FileNotFound at materialization
+    * time and should be retried — what this guarantees is that readers
+    * never corrupt the writer's protocol. */
   private[graft] def readRecoverableReadOnly(spark: SparkSession,
       path: String, what: String): DataFrame = {
     val target = new org.apache.hadoop.fs.Path(path)
@@ -805,10 +802,11 @@ object Store {
     else sys.error(s"$what: nothing published at $path")
   }
 
-  /** Read a published skip manifest, recovering from a crashed append
-    * swap (target absent, `__backup` present → re-publish the backup). */
+  /** Read a published skip manifest. Read-only: a crashed append swap
+    * (target absent, `__backup` present) is served from the backup;
+    * the rename repair belongs to the next writer op. */
   def readSkipManifest(spark: SparkSession, manifestDir: String): DataFrame =
-    readRecoverable(spark, s"$manifestDir/manifest", "manifest read")
+    readRecoverableReadOnly(spark, s"$manifestDir/manifest", "manifest read")
 
   /** Manifest-pruned range scan: keep only the files whose [min, max]
     * box on `colName` overlaps [lo, hi], read THOSE paths, and apply the

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QuerySpec, Tables}
 import graft.operators.AsOfJoin
 import graft.pipeline.{Ingest, OrdersDomain}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -483,8 +483,58 @@ object Advanced {
     sessionPaths(Tables.events(s, dir))
   }
 
+  /** q146: range (point-in-interval) join — open orders per day. Each
+    * order opens a deterministic fulfillment window
+    * `[orderdate, orderdate + (orderkey % 28 + 3) days]`; the query
+    * counts open windows and their totalprice cents for every calendar
+    * day in the pinned probe range. The naive spelling is an inequality
+    * join Spark plans as BroadcastNestedLoopJoin
+    * (|days| x |orders| comparisons); [[graft.operators.RangeJoin]]
+    * rewrites it to a bucket-expansion EQUI-join (weekly buckets,
+    * <= 6 bucket rows per window) that hashes, broadcasts, and
+    * AQE-splits like any other join — the 100 TB shape.
+    * AdvancedSpec pins naive == bucketed and the no-nested-loop plan. */
+  val RangeProbeStart = "1995-01-01"
+  val RangeProbeEnd = "2001-12-31"
+
+  /** The order fulfillment windows (shared by the query and its spec). */
+  def orderWindows(orders: DataFrame): DataFrame =
+    orders.select(
+      to_date(col("o_orderdate")).as("lo"),
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 28 + 3).cast("int")).as("hi"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+
+  /** The calendar-day probe frame for the pinned range. */
+  def probeDays(s: SparkSession): DataFrame =
+    s.range(1).select(explode(sequence(
+      to_date(lit(RangeProbeStart)), to_date(lit(RangeProbeEnd)))).as("day"))
+
+  val q146RangeJoinOpenOrders: QuerySpec = QuerySpec(
+    "q146_range_join_open_orders",
+    s"""WITH iv AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS lo,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 28 + 3 AS INT) AS hi,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |days AS (
+      |  SELECT unnest(generate_series(DATE '$RangeProbeStart',
+      |    DATE '$RangeProbeEnd', INTERVAL 1 DAY))::DATE AS day)
+      |SELECT d.day, count(*) AS n_open,
+      |  CAST(sum(iv.cents) AS BIGINT) AS open_cents
+      |FROM days d JOIN iv ON d.day >= iv.lo AND d.day <= iv.hi
+      |GROUP BY d.day
+      |ORDER BY d.day""".stripMargin) { (s, dir) =>
+    graft.operators.RangeJoin.pointInIntervalDates(
+      probeDays(s), orderWindows(Tables.orders(s, dir)),
+      "day", "lo", "hi", bucketWidthDays = 7)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_open"), sum(col("cents")).as("open_cents"))
+      .orderBy("day")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
-    q115RetentionCohorts, q117SessionPaths)
+    q115RetentionCohorts, q117SessionPaths, q146RangeJoinOpenOrders)
 }

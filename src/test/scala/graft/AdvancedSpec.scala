@@ -195,4 +195,59 @@ class AdvancedSpec extends SparkSpec {
       lagForm.exceptAll(builtin).count() == 0,
       "native session_window sessions disagree with the gap-rule chain")
   }
+
+  test("range join: boundaries inclusive, degenerate intervals dropped, each pair matches once") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    // negative coords + spans crossing several buckets + exact-boundary
+    // points; W=10 so interval c spans buckets -1..2
+    val points = Seq(-10L, -1L, 0L, 5L, 9L, 10L, 20L, 25L).toDF("p")
+    val intervals = Seq(
+      ("a", -10L, -1L),   // negative-only span
+      ("b", 0L, 9L),      // exactly one bucket
+      ("c", -5L, 25L),    // four buckets (-1, 0, 1, 2)
+      ("d", 20L, 20L),    // single point
+      ("e", 7L, 3L)       // degenerate lo > hi: dropped
+    ).toDF("iv", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10L)
+      .select("p", "iv").as[(Long, String)].collect().toSet
+    val want = (for {
+      p <- Seq(-10L, -1L, 0L, 5L, 9L, 10L, 20L, 25L)
+      (iv, lo, hi) <- Seq(("a", -10L, -1L), ("b", 0L, 9L), ("c", -5L, 25L),
+        ("d", 20L, 20L))
+      if p >= lo && p <= hi
+    } yield (p, iv)).toSet
+    assert(got == want)
+    // once each: the DataFrame row count equals the distinct pair count
+    val n = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10L)
+      .count()
+    assert(n == want.size, s"bucket expansion duplicated pairs: $n != ${want.size}")
+    // width is a dial, not semantics: W=1 / W=3 / W=1000 all agree
+    for (w <- Seq(1L, 3L, 1000L))
+      assert(RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", w)
+        .select("p", "iv").as[(Long, String)].collect().toSet == want, s"W=$w")
+  }
+
+  test("q146 bucketed range join ≡ the naive inequality join, and plans hash-joins only") {
+    import graft.queries.Advanced
+    val days = Advanced.probeDays(spark)
+    val iv = Advanced.orderWindows(Tables.orders(spark, sf))
+    val naive = days.join(iv, col("day") >= col("lo") && col("day") <= col("hi"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_open"), sum(col("cents")).as("open_cents"))
+    val bucketed = SparkEntry.queries("q146_range_join_open_orders")(spark, sf)
+    assert(bucketed.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(bucketed).count() == 0,
+      "bucketed range join diverged from the inequality-join ground truth")
+    // the rewrite earns its keep: the naive spelling nested-loops, the
+    // bucketed one must not
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "naive inequality join no longer nested-loops — reassess the rewrite")
+    bucketed.collect()
+    val p = bucketed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed range join fell back to a nested loop:\n$p")
+  }
 }

@@ -1430,14 +1430,27 @@ class ExtSpec extends SparkSpec {
     // republish swaps atomically: no staging/backup remnants, new content
     CorpusBuild.publishRelease(spark, docs.filter(col("doc_id") < 300), dir)
     val (m2, _) = CorpusBuild.readRelease(spark, dir)
-    assert(m2.count() < v1Count, "republish kept old manifest")
+    // materialize: after the crash-window rename below, m2's lazily
+    // bound scan would re-list a path that no longer exists
+    val v2Count = m2.count()
+    assert(v2Count < v1Count, "republish kept old manifest")
     assert(!new java.io.File(dir + "__staging").exists, "staging left behind")
     assert(!new java.io.File(dir + "__backup").exists, "backup left behind")
     // crash window: target moved aside but new dir not yet published —
-    // the reader must recover from the backup
+    // the reader serves the backup WITHOUT renaming (repair is
+    // writer-only; see Store.repairPublished)
     assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__backup")))
     val (m3, _) = CorpusBuild.readRelease(spark, dir)
-    assert(m3.count() == m2.count(), "backup recovery lost the release")
+    assert(m3.count() == v2Count, "backup read lost the release")
+    assert(!new java.io.File(dir).exists,
+      "a CONSUMER read must not repair the swap")
+    // the next publish (writer op) repairs the crashed swap first,
+    // then swaps in the new content
+    CorpusBuild.publishRelease(spark, docs.filter(col("doc_id") < 100), dir)
+    assert(!new java.io.File(dir + "__backup").exists,
+      "the writer must consume the crashed backup")
+    val (m4, _) = CorpusBuild.readRelease(spark, dir)
+    assert(m4.count() < v2Count, "post-repair publish kept old manifest")
   }
 
   test("cms heavy hitters: estimate never undercounts; top hitter is the true max") {

@@ -87,11 +87,18 @@ class RollupSpec extends SparkSpec {
       assert(math.abs(est.toDouble - nd) <= math.max(0.05 * nd, 2.0),
         s"$src: est $est vs exact $nd outside the 5% envelope")
     }
-    // crash window: index moved aside, publish not done — reader recovers
+    // crash window: index moved aside, publish not done — the reader
+    // serves the backup WITHOUT renaming (repair is writer-only; a
+    // reader rename inside a live publish would steal the backup)
     val p = new java.io.File(dir + "/vocab")
     assert(p.renameTo(new java.io.File(dir + "/vocab__backup")))
     assert(ests(Rollup.readVocabIndex(spark, dir)) == oneShot,
-      "backup recovery lost sketch state")
+      "backup read lost sketch state")
+    assert(!p.exists(), "a CONSUMER read must not repair the swap")
+    // the next writer op repairs and folds normally
+    Rollup.appendToVocabIndex(spark, dir, docs.limit(0))
+    assert(p.exists(), "the writer must complete the crashed swap")
+    assert(ests(Rollup.readVocabIndex(spark, dir)) == oneShot)
   }
 
   test("drift probe: shifted batch mean trips the z-flag, matched batch does not") {

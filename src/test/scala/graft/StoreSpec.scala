@@ -707,12 +707,17 @@ class StoreSpec extends SparkSpec {
       "append-merged manifest must equal a rebuild")
     // no new files → no-op, nothing scanned
     assert(Store.appendToSkipManifest(spark, table, manifest, Seq("doc_id")) == 0)
-    // crash window: manifest moved aside, publish not done — reader recovers
+    // crash window: manifest moved aside, publish not done — the reader
+    // serves the backup WITHOUT renaming (repair is writer-only)
     val p = new java.io.File(manifest + "/manifest")
     assert(p.renameTo(new java.io.File(manifest + "/manifest__backup")))
     val recovered = Store.readSkipManifest(spark, manifest)
     assert(recovered.exceptAll(fromScratch).count() == 0,
-      "backup recovery lost manifest state")
+      "backup read lost manifest state")
+    assert(!p.exists(), "a CONSUMER read must not repair the swap")
+    // the next writer op repairs first, then sees nothing new to scan
+    assert(Store.appendToSkipManifest(spark, table, manifest, Seq("doc_id")) == 0)
+    assert(p.exists(), "the writer must complete the crashed swap")
   }
 
   test("skip manifest: table dir with spaces/%/+ keys consistently — append is a no-op, pruned scan resolves") {
