@@ -78,4 +78,49 @@ object RangeJoin {
       "__p_d", "__lo_d", "__hi_d", bucketWidthDays.toLong)
     joined.drop("__p_d", "__lo_d", "__hi_d")
   }
+
+  /** Interval-overlap join: every (left, right) pair of intervals with
+    * `leftLo <= rightHi && rightLo <= leftHi` (inclusive overlap, the
+    * SQL inequality-join semantics). Same bucket-expansion rewrite as
+    * [[pointInInterval]], but BOTH sides expand, so an overlapping pair
+    * meets in every bucket their spans share. Emitting once WITHOUT a
+    * distinct pass uses the overlap-start rule: a pair overlaps iff
+    * `max(leftLo, rightLo) <= min(leftHi, rightHi)`, and that start
+    * point lies inside both spans — so its bucket is in the shared
+    * bucket range, and we keep a candidate only in THAT one bucket.
+    * Work is `Σ (len/W + 1)` hashed rows per side feeding one
+    * equi-join — broadcastable / AQE-splittable, the 100 TB shape the
+    * raw inequality join (BroadcastNestedLoopJoin) never reaches.
+    * Degenerate intervals (null bounds or lo > hi) drop out. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      leftLo: String, leftHi: String, rightLo: String, rightHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalOverlap sides must not share column names: $overlap")
+    def expand(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .withColumn("__bucket", explode(sequence(
+        floorDiv(col(lo), bucketWidth), floorDiv(col(hi), bucketWidth))))
+    expand(left, leftLo, leftHi)
+      .join(expand(right, rightLo, rightHi), Seq("__bucket"))
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .filter(col("__bucket") ===
+        floorDiv(greatest(col(leftLo), col(rightLo)), bucketWidth))
+      .drop("__bucket")
+  }
+
+  /** Date-typed adapter for [[intervalOverlap]]. */
+  def intervalOverlapDates(left: DataFrame, right: DataFrame,
+      leftLo: String, leftHi: String, rightLo: String, rightHi: String,
+      bucketWidthDays: Int): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    def days(c: String) = datediff(col(c), epoch).cast("long")
+    intervalOverlap(
+      left.withColumn("__llo_d", days(leftLo)).withColumn("__lhi_d", days(leftHi)),
+      right.withColumn("__rlo_d", days(rightLo)).withColumn("__rhi_d", days(rightHi)),
+      "__llo_d", "__lhi_d", "__rlo_d", "__rhi_d", bucketWidthDays.toLong)
+      .drop("__llo_d", "__lhi_d", "__rlo_d", "__rhi_d")
+  }
 }

@@ -533,8 +533,57 @@ object Advanced {
       .orderBy("day")
   }
 
+  /** q147: interval-overlap join — promo attribution. A deterministic
+    * synthetic promo calendar (2100 windows: 25 "slots" x 84 months,
+    * start/length derived arithmetically from the promo id so both
+    * engines generate identical dates) is overlap-joined against the
+    * q146 order fulfillment windows: which orders were OPEN during each
+    * promo? No equi-key exists between the sides — the naive spelling
+    * is an inequality join (BroadcastNestedLoopJoin). [[graft.operators
+    * .RangeJoin.intervalOverlap]] expands BOTH sides to weekly buckets
+    * and emits each overlapping pair exactly once via the overlap-start
+    * bucket rule — no distinct pass. AdvancedSpec pins bucketed ≡ naive
+    * (incl. multiplicity) and the no-nested-loop plan. */
+  def promoWindows(s: SparkSession): DataFrame =
+    s.range(2100).select(
+      col("id").as("promo_id"),
+      date_add(
+        add_months(to_date(lit("1995-01-01")), (col("id") % 84).cast("int")),
+        ((col("id") * 13) % 17).cast("int")).as("plo"))
+      .withColumn("phi",
+        date_add(col("plo"), ((col("promo_id") * 7) % 12 + 4).cast("int")))
+
+  val q147IntervalOverlapPromos: QuerySpec = QuerySpec(
+    "q147_interval_overlap_promos",
+    """WITH iv AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS lo,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 28 + 3 AS INT) AS hi,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |pw AS (
+      |  SELECT CAST(i AS BIGINT) AS promo_id,
+      |    CAST(DATE '1995-01-01' + (i % 84) * INTERVAL 1 MONTH
+      |      + ((i * 13) % 17) * INTERVAL 1 DAY AS DATE) AS plo,
+      |    CAST(DATE '1995-01-01' + (i % 84) * INTERVAL 1 MONTH
+      |      + (((i * 13) % 17) + ((i * 7) % 12) + 4) * INTERVAL 1 DAY
+      |      AS DATE) AS phi
+      |  FROM generate_series(0, 2099) t(i))
+      |SELECT pw.promo_id, count(*) AS n_overlap,
+      |  CAST(sum(iv.cents) AS BIGINT) AS overlap_cents
+      |FROM pw JOIN iv ON pw.plo <= iv.hi AND iv.lo <= pw.phi
+      |GROUP BY pw.promo_id
+      |ORDER BY pw.promo_id""".stripMargin) { (s, dir) =>
+    graft.operators.RangeJoin.intervalOverlapDates(
+      promoWindows(s), orderWindows(Tables.orders(s, dir)),
+      "plo", "phi", "lo", "hi", bucketWidthDays = 7)
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_overlap"), sum(col("cents")).as("overlap_cents"))
+      .orderBy("promo_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
-    q115RetentionCohorts, q117SessionPaths, q146RangeJoinOpenOrders)
+    q115RetentionCohorts, q117SessionPaths, q146RangeJoinOpenOrders,
+    q147IntervalOverlapPromos)
 }

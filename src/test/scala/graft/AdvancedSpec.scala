@@ -250,4 +250,50 @@ class AdvancedSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"bucketed range join fell back to a nested loop:\n$p")
   }
+
+  test("intervalOverlap: inclusive-boundary semantics, exactly-once emission, degenerate drop, W dial") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    // spans crossing bucket lines, negative coordinates, single-point
+    // touch (hi == lo), containment, and degenerates (lo > hi, null)
+    val left = Seq(("L1", -10L, -1L), ("L2", 0L, 9L), ("L3", 9L, 30L),
+      ("L4", 15L, 15L), ("L5", 7L, 3L)).toDF("lid", "llo", "lhi")
+      .union(Seq(("L6", None: Option[Long], Some(5L)))
+        .toDF("lid", "llo", "lhi"))
+    val right = Seq(("R1", -3L, 0L), ("R2", 9L, 9L), ("R3", 10L, 14L),
+      ("R4", -100L, 100L), ("R5", 16L, 2L)).toDF("rid", "rlo", "rhi")
+    val want = (for {
+      (lid, llo, lhi) <- Seq(("L1", -10L, -1L), ("L2", 0L, 9L),
+        ("L3", 9L, 30L), ("L4", 15L, 15L))
+      (rid, rlo, rhi) <- Seq(("R1", -3L, 0L), ("R2", 9L, 9L),
+        ("R3", 10L, 14L), ("R4", -100L, 100L))
+      if llo <= rhi && rlo <= lhi
+    } yield (lid, rid)).toSet
+    for (w <- Seq(1L, 4L, 10L, 1000L)) {
+      val rows = RangeJoin.intervalOverlap(left, right,
+        "llo", "lhi", "rlo", "rhi", w)
+        .select("lid", "rid").as[(String, String)].collect()
+      assert(rows.toSet == want, s"W=$w wrong pair set")
+      assert(rows.length == want.size,
+        s"W=$w duplicated pairs: ${rows.length} != ${want.size}")
+    }
+  }
+
+  test("q147 bucketed interval-overlap join ≡ the naive inequality join, and plans hash-joins only") {
+    import graft.queries.Advanced
+    val pw = Advanced.promoWindows(spark)
+    val iv = Advanced.orderWindows(Tables.orders(spark, sf))
+    val naive = pw.join(iv, col("plo") <= col("hi") && col("lo") <= col("phi"))
+      .groupBy("promo_id")
+      .agg(count(lit(1)).as("n_overlap"), sum(col("cents")).as("overlap_cents"))
+    val bucketed = SparkEntry.queries("q147_interval_overlap_promos")(spark, sf)
+    assert(bucketed.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(bucketed).count() == 0,
+      "bucketed interval-overlap join diverged from the inequality-join ground truth")
+    bucketed.collect()
+    val p = bucketed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed interval-overlap join fell back to a nested loop:\n$p")
+  }
 }
