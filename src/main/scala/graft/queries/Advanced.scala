@@ -581,9 +581,59 @@ object Advanced {
       .orderBy("promo_id")
   }
 
+  /** q148: SCD2 dimension build — each order is a status "change" for
+    * its customer; [[graft.operators.Scd2.fromChangeLog]] turns the log
+    * into half-open validity intervals (one exchange + one sort + lead,
+    * no self-join), and the query summarizes the dimension per status:
+    * version count, open (current) versions, distinct customers, and
+    * total closed-validity days. AdvancedSpec pins the SCD2 invariants
+    * (chained intervals, exactly one current per key, no overlap). */
+  def orderStatusChanges(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_custkey"),
+      col("o_orderstatus"),
+      to_date(col("o_orderdate")).as("change_date"),
+      col("o_orderkey"))
+
+  val q148Scd2StatusDim: QuerySpec = QuerySpec(
+    "q148_scd2_status_dim",
+    """WITH ch AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |    CAST(o_orderdate AS DATE) AS change_date, o_orderkey
+      |  FROM orders),
+      |dim AS (
+      |  SELECT o_custkey, o_orderstatus, change_date AS valid_from,
+      |    lead(change_date) OVER (PARTITION BY o_custkey
+      |      ORDER BY change_date, o_orderkey) AS valid_to
+      |  FROM ch)
+      |SELECT o_orderstatus AS status,
+      |  CAST(count(*) AS BIGINT) AS n_versions,
+      |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_current,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |  CAST(sum(CASE WHEN valid_to IS NULL THEN 0
+      |    ELSE datediff('day', valid_from, valid_to) END) AS BIGINT)
+      |    AS closed_days
+      |FROM dim GROUP BY o_orderstatus
+      |ORDER BY status""".stripMargin) { (s, dir) =>
+    graft.operators.Scd2.fromChangeLog(
+      orderStatusChanges(Tables.orders(s, dir)),
+      keys = Seq("o_custkey"), orderCol = "change_date",
+      tieBreak = Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(when(col("is_current"), 0L)
+          .otherwise(datediff(col("valid_to"), col("valid_from")).cast("long")))
+          .as("closed_days"))
+      .orderBy("status")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
     q115RetentionCohorts, q117SessionPaths, q146RangeJoinOpenOrders,
-    q147IntervalOverlapPromos)
+    q147IntervalOverlapPromos, q148Scd2StatusDim)
 }

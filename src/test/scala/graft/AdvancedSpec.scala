@@ -279,6 +279,38 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("scd2: intervals chain half-open per key, exactly one current, ties deterministic") {
+    import graft.operators.Scd2
+    import spark.implicits._
+    // key A: three changes incl. a same-day tie; key B: one change
+    val log = Seq(
+      (1L, "P", "2024-01-10", 100L), (1L, "O", "2024-01-10", 101L),
+      (1L, "F", "2024-03-01", 102L), (2L, "F", "2024-02-02", 200L))
+      .toDF("k", "status", "d", "seq")
+      .withColumn("d", to_date(col("d")))
+    val dim = Scd2.fromChangeLog(log, Seq("k"), "d", Seq("seq"))
+      .select("k", "status", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, java.sql.Date, java.sql.Date, Boolean)]
+      .collect().sortBy(r => (r._1, Option(r._4).map(_.toString).getOrElse("~"), r._3.toString))
+    // exactly one open (current) version per key
+    assert(dim.filter(_._5).map(_._1).toSeq.sorted == Seq(1L, 2L))
+    // key A chains: P@01-10 -> O@01-10 (zero-length tie kept) -> F open
+    val a = dim.filter(_._1 == 1L).sortBy(r => (r._3.toString, r._2 == "O", !r._5))
+    val aChain = Seq(
+      ("P", "2024-01-10", "2024-01-10", false),
+      ("O", "2024-01-10", "2024-03-01", false),
+      ("F", "2024-03-01", null, true))
+    assert(a.map(r => (r._2, r._3.toString,
+      Option(r._4).map(_.toString).orNull, r._5)).toSeq ==
+      aChain.map(c => (c._1, c._2, c._3, c._4)))
+    // half-open chaining ⇒ closed intervals never overlap and have no gap
+    a.sliding(2).foreach {
+      case Array(prev, next) => assert(prev._4 == next._3,
+        s"validity gap/overlap: ${prev._4} != ${next._3}")
+      case _ =>
+    }
+  }
+
   test("q147 bucketed interval-overlap join ≡ the naive inequality join, and plans hash-joins only") {
     import graft.queries.Advanced
     val pw = Advanced.promoWindows(spark)
