@@ -631,9 +631,95 @@ object Advanced {
       .orderBy("status")
   }
 
+  /** q149: gap-filled monthly series — order count + revenue cents per
+    * nation per month over the pinned 1992-01..1998-12 axis, with
+    * months no order touched present as explicit zeros (sparse
+    * aggregates silently drop them, breaking moving windows and
+    * period-over-period deltas downstream). [[graft.operators.GapFill]]
+    * builds the dense frame from the key domain × a generated month
+    * sequence — no second fact-table scan — and zero-fills through one
+    * left join. */
+  val q149GapFilledMonthly: QuerySpec = QuerySpec(
+    "q149_gap_filled_monthly",
+    """WITH frame AS (
+      |  SELECT n_name, CAST(unnest(generate_series(DATE '1992-01-01',
+      |    DATE '1998-12-01', INTERVAL 1 MONTH)) AS DATE) AS month
+      |  FROM nation),
+      |sparse AS (
+      |  SELECT n_name,
+      |    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+      |      AS month,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT f.n_name, f.month,
+      |  COALESCE(s.n_orders, 0) AS n_orders,
+      |  COALESCE(s.cents, 0) AS cents
+      |FROM frame f LEFT JOIN sparse s USING (n_name, month)
+      |ORDER BY f.n_name, f.month""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir),
+        col("c_nationkey") === col("n_nationkey"))
+    val sparse = o
+      .groupBy(col("n_name"), trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val frame = graft.operators.GapFill.denseMonths(
+      Tables.nation(s, dir).select("n_name"), "month",
+      "1992-01-01", "1998-12-01")
+    graft.operators.GapFill.fillGaps(frame, sparse,
+      Seq("n_name"), "month", Seq("n_orders", "cents"))
+      .orderBy("n_name", "month")
+  }
+
+  /** q150: unpivot (melt) — the wide per-nation measure row
+    * (n_orders, cents, n_customers) becomes the long (n_name, metric,
+    * value) form training-feature and charting consumers want. Uses
+    * `Dataset.unpivot` (Spark's native melt: an Expand, no shuffle,
+    * no UDF); the oracle spells it as UNION ALL. */
+  val q150UnpivotNationMeasures: QuerySpec = QuerySpec(
+    "q150_unpivot_nation_measures",
+    """WITH wide AS (
+      |  SELECT n_name,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, metric, value FROM (
+      |  SELECT n_name, 'n_orders' AS metric, n_orders AS value FROM wide
+      |  UNION ALL
+      |  SELECT n_name, 'cents', cents FROM wide
+      |  UNION ALL
+      |  SELECT n_name, 'n_customers', n_customers FROM wide)
+      |ORDER BY n_name, metric""".stripMargin) { (s, dir) =>
+    val wide = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+    wide.unpivot(
+      Array(col("n_name")),
+      Array(col("n_orders"), col("cents"), col("n_customers")),
+      "metric", "value")
+      .orderBy("n_name", "metric")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
     q115RetentionCohorts, q117SessionPaths, q146RangeJoinOpenOrders,
-    q147IntervalOverlapPromos, q148Scd2StatusDim)
+    q147IntervalOverlapPromos, q148Scd2StatusDim, q149GapFilledMonthly,
+    q150UnpivotNationMeasures)
 }

@@ -311,6 +311,24 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("gap fill: dense frame covers every key x month, absent cells zero-filled, present cells untouched") {
+    import graft.operators.GapFill
+    import spark.implicits._
+    val keys = Seq("k1", "k1", "k2").toDF("k") // dup collapses via distinct
+    val frame = GapFill.denseMonths(keys, "month", "2024-01-01", "2024-04-01")
+    assert(frame.count() == 8, "2 keys x 4 months")
+    val sparse = Seq(("k1", "2024-02-01", 5L, 100L))
+      .toDF("k", "month", "n", "c")
+      .withColumn("month", to_date(col("month")))
+    val filled = GapFill.fillGaps(frame, sparse, Seq("k"), "month", Seq("n", "c"))
+      .select("k", "month", "n", "c")
+      .as[(String, java.sql.Date, Long, Long)].collect()
+    assert(filled.length == 8)
+    assert(filled.count(r => r._3 == 0L && r._4 == 0L) == 7)
+    val hit = filled.filter(r => r._1 == "k1" && r._2.toString == "2024-02-01")
+    assert(hit.toSeq == Seq(("k1", java.sql.Date.valueOf("2024-02-01"), 5L, 100L)))
+  }
+
   test("q147 bucketed interval-overlap join ≡ the naive inequality join, and plans hash-joins only") {
     import graft.queries.Advanced
     val pw = Advanced.promoWindows(spark)

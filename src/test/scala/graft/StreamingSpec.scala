@@ -687,4 +687,33 @@ class StreamingSpec extends SparkSpec {
     assert(rollupRows(Rollup.readMaintainedRollup(spark, dir2)) == r1,
       "a surviving folded partial was double-counted after a crashed fold GC")
   }
+
+  test("range join enriches a stream: the bucketed rewrite is stream-static safe") {
+    // the bucket column is a stateless projection and the interval side
+    // a static exploded frame, so RangeJoin.pointInInterval composes
+    // with Structured Streaming as a plain stream-static equi-join —
+    // no watermark, no state store, per-batch semantics.
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = tmpDir("rj_in")
+    val out = tmpDir("rj_out") + "/joined"
+    val ckpt = tmpDir("rj_ckpt")
+    Files.writeString(Paths.get(in, "p1.csv"), "p\n1\n5\n42\n99\n")
+    Files.writeString(Paths.get(in, "p2.csv"), "p\n7\n120\n")
+    val pts = spark.readStream
+      .schema(StructType(Seq(StructField("p", LongType))))
+      .option("header", "true").csv(in)
+    val intervals = Seq(("a", 0L, 10L), ("b", 40L, 50L), ("c", 100L, 200L))
+      .toDF("iv", "lo", "hi")
+    val q = graft.operators.RangeJoin
+      .pointInInterval(pts, intervals, "p", "lo", "hi", 8L)
+      .select("p", "iv")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (5L, "a"), (7L, "a"), (42L, "b"), (120L, "c")),
+      s"stream-static range join wrong: $got")
+  }
 }
