@@ -639,6 +639,24 @@ object Advanced {
     * builds the dense frame from the key domain × a generated month
     * sequence — no second fact-table scan — and zero-fills through one
     * left join. */
+  /** The q149 body, shared with q151's delta layer. */
+  def gapFilledMonthly(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir),
+        col("c_nationkey") === col("n_nationkey"))
+    val sparse = o
+      .groupBy(col("n_name"), trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val frame = graft.operators.GapFill.denseMonths(
+      Tables.nation(s, dir).select("n_name"), "month",
+      "1992-01-01", "1998-12-01")
+    graft.operators.GapFill.fillGaps(frame, sparse,
+      Seq("n_name"), "month", Seq("n_orders", "cents"))
+  }
+
   val q149GapFilledMonthly: QuerySpec = QuerySpec(
     "q149_gap_filled_monthly",
     """WITH frame AS (
@@ -661,21 +679,7 @@ object Advanced {
       |  COALESCE(s.cents, 0) AS cents
       |FROM frame f LEFT JOIN sparse s USING (n_name, month)
       |ORDER BY f.n_name, f.month""".stripMargin) { (s, dir) =>
-    val o = Tables.orders(s, dir)
-      .join(Tables.customer(s, dir),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.nation(s, dir),
-        col("c_nationkey") === col("n_nationkey"))
-    val sparse = o
-      .groupBy(col("n_name"), trunc(to_date(col("o_orderdate")), "month").as("month"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
-    val frame = graft.operators.GapFill.denseMonths(
-      Tables.nation(s, dir).select("n_name"), "month",
-      "1992-01-01", "1998-12-01")
-    graft.operators.GapFill.fillGaps(frame, sparse,
-      Seq("n_name"), "month", Seq("n_orders", "cents"))
-      .orderBy("n_name", "month")
+    gapFilledMonthly(s, dir).orderBy("n_name", "month")
   }
 
   /** q150: unpivot (melt) — the wide per-nation measure row
@@ -716,10 +720,100 @@ object Advanced {
       .orderBy("n_name", "metric")
   }
 
+  /** q151: month-over-month delta on the DENSE series — the consumer
+    * q149's gap fill exists for. On the zero-filled axis `lag` sees
+    * every month, so a quiet month shows the true crash-to-zero and the
+    * restart month the true jump; on the sparse series both deltas
+    * silently compare across the gap. Integer cents end to end. */
+  val q151MonthOverMonthDelta: QuerySpec = QuerySpec(
+    "q151_mom_delta",
+    """WITH frame AS (
+      |  SELECT n_name, CAST(unnest(generate_series(DATE '1992-01-01',
+      |    DATE '1998-12-01', INTERVAL 1 MONTH)) AS DATE) AS month
+      |  FROM nation),
+      |sparse AS (
+      |  SELECT n_name,
+      |    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+      |      AS month,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT f.n_name, f.month, COALESCE(s.cents, 0) AS cents
+      |  FROM frame f LEFT JOIN sparse s USING (n_name, month))
+      |SELECT n_name, month, cents,
+      |  cents - lag(cents) OVER (PARTITION BY n_name ORDER BY month)
+      |    AS delta_cents
+      |FROM dense ORDER BY n_name, month""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    gapFilledMonthly(s, dir)
+      .select(col("n_name"), col("month"), col("cents"))
+      .withColumn("delta_cents", col("cents") -
+        lag(col("cents"), 1).over(
+          Window.partitionBy("n_name").orderBy("month")))
+      .orderBy("n_name", "month")
+  }
+
+  /** q152: distinct-set overlap via sketch algebra — repeat customers
+    * across 1996/1997 per market segment. The exact per-year and
+    * intersection counts anchor the oracle; the inclusion–exclusion
+    * HLL estimate (`|A∩B| ≈ est(A) + est(B) − est(A∪B)` — sketches
+    * UNION mergeably, intersection only via IE) is pinned inside a
+    * deterministic envelope, the q141/q47 validation-harness contract.
+    * At 100 TB the exact two-level distinct is the audit twin; the
+    * sketches are one linear pass and merge across partitions/batches. */
+  val q152SegmentOverlapHll: QuerySpec = QuerySpec(
+    "q152_segment_overlap_hll",
+    """WITH oc AS (
+      |  SELECT c_mktsegment AS segment, o_custkey AS cust,
+      |    EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) IN (1996, 1997)),
+      |pc AS (
+      |  SELECT segment, cust,
+      |    max(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS h96,
+      |    max(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS h97
+      |  FROM oc GROUP BY segment, cust)
+      |SELECT segment,
+      |  CAST(sum(h96) AS BIGINT) AS n_1996,
+      |  CAST(sum(h97) AS BIGINT) AS n_1997,
+      |  CAST(sum(h96 * h97) AS BIGINT) AS n_both,
+      |  TRUE AS ie_ok
+      |FROM pc GROUP BY segment ORDER BY segment""".stripMargin) { (s, dir) =>
+    val oc = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_custkey").as("cust"),
+        year(to_date(col("o_orderdate"))).as("yr"))
+      .filter(col("yr").isin(1996, 1997))
+    val perCust = oc.groupBy("segment", "cust")
+      .agg(max(when(col("yr") === 1996, 1).otherwise(0)).as("h96"),
+        max(when(col("yr") === 1997, 1).otherwise(0)).as("h97"))
+    perCust.groupBy("segment")
+      .agg(
+        sum(col("h96")).cast("long").as("n_1996"),
+        sum(col("h97")).cast("long").as("n_1997"),
+        sum(col("h96") * col("h97")).cast("long").as("n_both"),
+        hll_sketch_estimate(
+          hll_sketch_agg(when(col("h96") === 1, col("cust")))).as("__e96"),
+        hll_sketch_estimate(
+          hll_sketch_agg(when(col("h97") === 1, col("cust")))).as("__e97"),
+        hll_sketch_estimate(hll_sketch_agg(col("cust"))).as("__eu"))
+      .select(col("segment"), col("n_1996"), col("n_1997"), col("n_both"),
+        (abs(col("__e96") + col("__e97") - col("__eu") -
+          col("n_both").cast("double")) <=
+          greatest(col("n_both").cast("double") * 0.10, lit(10.0)))
+          .as("ie_ok"))
+      .orderBy("segment")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
     q115RetentionCohorts, q117SessionPaths, q146RangeJoinOpenOrders,
     q147IntervalOverlapPromos, q148Scd2StatusDim, q149GapFilledMonthly,
-    q150UnpivotNationMeasures)
+    q150UnpivotNationMeasures, q151MonthOverMonthDelta,
+    q152SegmentOverlapHll)
 }
