@@ -117,9 +117,12 @@ object Bench {
     // line above.
     // 2-dp in the compact line only: at 120+ queries, 3-dp medians push the
     // line past the driver's ~2000-char stdout tail; per-query regression
-    // anchors come from BASELINE.md + target/bench_full.json, not this line
+    // anchors come from BASELINE.md + target/bench_full.json, not this line.
+    // Keys are the bare query NUMBER ("146" = q146_...): at 150+ queries
+    // the repeated "q" alone costs ~150 chars of the ~1900 budget.
     val compactQs = results.map { case (k, (med, _)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(med * 100) / 100)
+      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
+        (math.rint(med * 100) / 100)
     }.mkString("{", ",", "}")
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters,"min_total":${r3(minTotal)},"queries":$compactQs,"sf":"$sfDir","detail":"target/bench_full.json"$failedJson}""")

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QuerySpec, Tables}
 import graft.operators.AsOfJoin
 import graft.pipeline.{Ingest, OrdersDomain}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -809,11 +809,87 @@ object Advanced {
       .orderBy("segment")
   }
 
+  /** q153: two-proportion z-test (A/B significance audit) per market
+    * segment — variant by customer-key parity, success = fulfilled
+    * order. The flag is EXACT integer arithmetic (q140's discipline:
+    * square the z-test, cross-multiply the pooled variance away — no
+    * division, sqrt, or floats anywhere), so both engines compute the
+    * identical boolean:
+    * `D²·N·625 > 2401·n_a·n_b·S·(N−S)` with `D = x_a·n_b − x_b·n_a`,
+    * `S = x_a+x_b`, `N = n_a+n_b` (z₀ = 1.96, z₀² = 2401/625).
+    * DECIMAL(38,0) / HUGEINT keep the ~1e26 cross products exact. */
+  val q153AbTestZ: QuerySpec = QuerySpec(
+    "q153_ab_test_z",
+    """WITH base AS (
+      |  SELECT c_mktsegment AS segment, o_custkey % 2 AS variant,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS succ
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |agg AS (
+      |  SELECT segment,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 0 THEN succ ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN variant = 1 THEN succ ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM base GROUP BY segment)
+      |SELECT segment, n_a, x_a, n_b, x_b,
+      |  (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+      |    * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+      |    * (n_a + n_b) * 625
+      |  > CAST(2401 AS HUGEINT) * n_a * n_b * (x_a + x_b)
+      |    * ((n_a + n_b) - (x_a + x_b)) AS significant
+      |FROM agg ORDER BY segment""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (col("o_custkey") % 2).as("variant"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("succ"))
+    val agg = base.groupBy("segment")
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("succ")).otherwise(0L)).as("x_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("succ")).otherwise(0L)).as("x_b"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val d = d38(col("x_a")) * col("n_b") - d38(col("x_b")) * col("n_a")
+    val s38 = d38(col("x_a") + col("x_b"))
+    val n38 = d38(col("n_a") + col("n_b"))
+    agg.select(col("segment"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      (d * d * n38 * lit(625) >
+        d38(lit(2401)) * col("n_a") * col("n_b") * s38 * (n38 - s38))
+        .as("significant"))
+      .orderBy("segment")
+  }
+
+  /** q154: order-independent table fingerprint — migration/replication
+    * validation: per source, `n_rows` + the XOR of a 60-bit md5-derived
+    * row digest. md5 hex is engine-identical and XOR is commutative, so
+    * two engines (or two copies) agree iff the row multisets agree up
+    * to XOR-cancelling duplicate pairs — with the row count alongside,
+    * the practical drift detector. One linear scan, mergeable across
+    * partitions and batches. */
+  val q154TableFingerprint: QuerySpec = QuerySpec(
+    "q154_table_fingerprint",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(bit_xor(CAST(('0x' || substr(
+      |    md5(CAST(doc_id AS VARCHAR) || '|' || source || '|' || text),
+      |    1, 15)) AS BIGINT)) AS BIGINT) AS xor_fp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        conv(substring(md5(concat_ws("|",
+          col("doc_id").cast("string"), col("source"), col("text"))), 1, 15),
+          16, 10).cast("long").as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp)").as("xor_fp"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
     q115RetentionCohorts, q117SessionPaths, q146RangeJoinOpenOrders,
     q147IntervalOverlapPromos, q148Scd2StatusDim, q149GapFilledMonthly,
     q150UnpivotNationMeasures, q151MonthOverMonthDelta,
-    q152SegmentOverlapHll)
+    q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint)
 }
