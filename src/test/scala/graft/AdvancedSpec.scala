@@ -329,6 +329,47 @@ class AdvancedSpec extends SparkSpec {
     assert(hit.toSeq == Seq(("k1", java.sql.Date.valueOf("2024-02-01"), 5L, 100L)))
   }
 
+  test("scd2 incremental maintenance: apply ≡ rebuild, replay idempotent, late change splits the right interval") {
+    import graft.queries.Advanced
+    import graft.operators.Scd2
+    val log = Advanced.orderStatusChanges(Tables.orders(spark, sf))
+    val keys = Seq("o_custkey")
+    // split the real change log at a date boundary; fold the tail in
+    val head = log.filter(col("change_date") < "1996-01-01")
+    val tail = log.filter(col("change_date") >= "1996-01-01")
+    val full = Scd2.fromChangeLog(log, keys, "change_date", Seq("o_orderkey"))
+    val inc = Scd2.applyChanges(
+      Scd2.fromChangeLog(head, keys, "change_date", Seq("o_orderkey")),
+      tail, keys, "change_date", Seq("o_orderkey"))
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0,
+      "incremental SCD2 apply diverged from the full rebuild")
+    // at-least-once redelivery: folding the SAME batch again is a no-op
+    val replay = Scd2.applyChanges(inc, tail, keys, "change_date", Seq("o_orderkey"))
+    assert(replay.exceptAll(full).count() == 0 && full.exceptAll(replay).count() == 0,
+      "replaying an already-applied batch minted duplicate versions")
+    // a LATE change (older than the dim's newest version for its key)
+    // lands inside the chain: same end state as a from-scratch build
+    import spark.implicits._
+    val lateLog = Seq((7L, "O", "2024-01-01", 1L), (7L, "F", "2024-03-01", 2L))
+      .toDF("o_custkey", "o_orderstatus", "change_date", "o_orderkey")
+      .withColumn("change_date", to_date(col("change_date")))
+    val late = Seq((7L, "P", "2024-02-01", 3L))
+      .toDF("o_custkey", "o_orderstatus", "change_date", "o_orderkey")
+      .withColumn("change_date", to_date(col("change_date")))
+    val folded = Scd2.applyChanges(
+      Scd2.fromChangeLog(lateLog, keys, "change_date", Seq("o_orderkey")),
+      late, keys, "change_date", Seq("o_orderkey"))
+    val expect = Scd2.fromChangeLog(lateLog.unionByName(late),
+      keys, "change_date", Seq("o_orderkey"))
+    assert(folded.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(folded).count() == 0,
+      "late change did not split the interval it falls inside")
+    // and the O->P->F chain is what a reader sees
+    val mid = folded.filter(col("o_orderstatus") === "P").collect().head
+    assert(mid.getAs[java.sql.Date]("valid_from").toString == "2024-02-01" &&
+      mid.getAs[java.sql.Date]("valid_to").toString == "2024-03-01")
+  }
+
   test("q147 bucketed interval-overlap join ≡ the naive inequality join, and plans hash-joins only") {
     import graft.queries.Advanced
     val pw = Advanced.promoWindows(spark)

@@ -688,6 +688,47 @@ class StreamingSpec extends SparkSpec {
       "a surviving folded partial was double-counted after a crashed fold GC")
   }
 
+  test("scd2 maintenance stream: foreachBatch folds change batches into the persisted dim; replay cannot mint versions") {
+    import graft.operators.Scd2
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = tmpDir("scd2_in")
+    val dir = tmpDir("scd2_dim")
+    val ckpt = tmpDir("scd2_ckpt")
+    Files.writeString(Paths.get(in, "b1.csv"),
+      "k,status,d,seq\n1,O,2024-01-01,1\n2,O,2024-01-02,2\n")
+    // b2 redelivers b1's first change row alongside genuinely new ones
+    Files.writeString(Paths.get(in, "b2.csv"),
+      "k,status,d,seq\n1,F,2024-02-01,3\n3,O,2024-02-02,4\n1,O,2024-01-01,1\n")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("status", StringType), StructField("d", StringType),
+      StructField("seq", LongType)))
+    val q = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", 1).csv(in)
+      .withColumn("d", to_date(col("d")))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Scd2.appendToDim(spark, dir, b, Seq("k"), "d", Seq("seq"))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val allChanges = Seq(
+      (1L, "O", "2024-01-01", 1L), (2L, "O", "2024-01-02", 2L),
+      (1L, "F", "2024-02-01", 3L), (3L, "O", "2024-02-02", 4L))
+      .toDF("k", "status", "d", "seq")
+      .withColumn("d", to_date(col("d")))
+    val expected = Scd2.fromChangeLog(allChanges, Seq("k"), "d", Seq("seq"))
+    def same(a: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(expected).count() == 0 && expected.exceptAll(a).count() == 0
+    assert(same(Scd2.readDim(spark, dir)),
+      "streamed dim diverged from the from-scratch build")
+    // crash-replay the whole second batch at-least-once
+    Scd2.appendToDim(spark, dir,
+      allChanges.filter(col("seq") >= 3L), Seq("k"), "d", Seq("seq"))
+    assert(same(Scd2.readDim(spark, dir)),
+      "replaying an applied batch changed the dimension")
+  }
+
   test("range join enriches a stream: the bucketed rewrite is stream-static safe") {
     // the bucket column is a stateless projection and the interval side
     // a static exploded frame, so RangeJoin.pointInInterval composes
