@@ -650,6 +650,43 @@ class PlanQualitySpec extends SparkSpec {
       s"frame family should shuffle once, got $exchanges:\n$p")
   }
 
+  test("runtime bloom filter: a selective dim filter injects a bloom probe into the fact side") {
+    // the third 100 TB join lever next to broadcast and AQE skew-split:
+    // when a shuffle join's small side carries a selective filter, Spark's
+    // InjectRuntimeFilter builds a bloom filter over its join keys and
+    // probes it INSIDE the fact side's scan stage, dropping non-matching
+    // rows before the exchange. Thresholds here are scaled down the same
+    // way the skew test scales its partition budget; a real cluster hits
+    // the defaults (10MB creation side / 10GB application side).
+    val s = spark
+    def withConf[T](pairs: (String, String)*)(body: => T): T = {
+      val old = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+      pairs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.functions.{col, sum}
+      val fact = Tables.lineitem(s, sf)
+      val dim = Tables.orders(s, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity")).as("q"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"no bloom runtime filter injected on the fact side:\n$opt")
+      joined.collect() // and the plan still executes correctly with it
+    }
+  }
+
   test("q89: epoch shuffle is one scan, one shard-partitioned window") {
     val p = planOf("q89_epoch_shuffle")
     assert("""hashpartitioning\(shard#\d+""".r.findFirstIn(p).isDefined,
