@@ -1054,10 +1054,61 @@ object Profiling {
         (col("est_pairs") >= col("exact_pairs")).as("bound_ok"))
   }
 
+  /** q155: winsorized (robust) mean per return flag — clip extended
+    * price to the EXACT [p05, p95] order statistics, then sum in
+    * integer cents. Composes the shared bucketed rank selection
+    * ([[bucketedQuantileSelect]] — both cut points resolve through the
+    * same two-level histogram engine as q134–q137, no global sort),
+    * broadcasts the O(groups) cut frame, and finishes with one
+    * conditional aggregate pass. The robust-stats answer to outlier
+    * contamination a trimmed pipeline wants at any corpus size; exact
+    * integer output so both engines agree bit-for-bit. */
+  val q155WinsorizedMean: QuerySpec = QuerySpec(
+    "q155_winsorized_mean",
+    """WITH vals AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM lineitem),
+      |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM vals GROUP BY g),
+      |rk AS (SELECT g, v,
+      |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM vals),
+      |cuts AS (
+      |  SELECT rk.g, st.n_rows,
+      |    max(CASE WHEN rn = (n_rows + 19) // 20 THEN v END) AS lo_cents,
+      |    max(CASE WHEN rn = (19 * n_rows + 19) // 20 THEN v END)
+      |      AS hi_cents
+      |  FROM rk JOIN st USING (g) GROUP BY rk.g, st.n_rows)
+      |SELECT c.g AS returnflag, c.n_rows, c.lo_cents, c.hi_cents,
+      |  CAST(sum(CASE WHEN x.v < c.lo_cents THEN c.lo_cents
+      |    WHEN x.v > c.hi_cents THEN c.hi_cents ELSE x.v END) AS BIGINT)
+      |    AS winsor_cents
+      |FROM vals x JOIN cuts c ON x.g = c.g
+      |GROUP BY 1, 2, 3, 4 ORDER BY returnflag""".stripMargin) { (s, dir) =>
+    val vals = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("v"))
+    val cuts = bucketedQuantileSelect(vals,
+      Seq(("p05", 1L, 20L), ("p95", 19L, 20L)), GroupMedianBuckets,
+      BigBucketRows)
+      .groupBy("g").agg(
+        max(col("n")).as("n_rows"),
+        max(when(col("q") === "p05", col("v"))).as("lo_cents"),
+        max(when(col("q") === "p95", col("v"))).as("hi_cents"))
+    vals.join(broadcast(cuts), "g")
+      .groupBy(col("g").as("returnflag"), col("n_rows"),
+        col("lo_cents"), col("hi_cents"))
+      .agg(sum(when(col("v") < col("lo_cents"), col("lo_cents"))
+        .when(col("v") > col("hi_cents"), col("hi_cents"))
+        .otherwise(col("v"))).as("winsor_cents"))
+      .orderBy("returnflag")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
     q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
     q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
-    q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe)
+    q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
+    q155WinsorizedMean)
 }
