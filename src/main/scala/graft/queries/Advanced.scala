@@ -885,11 +885,73 @@ object Advanced {
       .orderBy("source")
   }
 
+  /** q157: sliding-window distinct users from MERGEABLE daily HLL
+    * partials — the 100 TB answer to "distinct over every trailing
+    * window": `count(distinct)` does not decompose over windows, so the
+    * naive form re-scans the corpus once per window (and a 28-day
+    * variant re-scans it again). The partial-merge plan aggregates the
+    * corpus ONCE into one 4 KB Datasketches HLL per day (O(days)
+    * metadata rows), then answers ANY trailing window by unioning ≤W
+    * day-sketches per window start — window span changes are a
+    * metadata-only re-merge, never a corpus re-scan. The exact
+    * countDistinct over the ×W expanded day/user pairs is the gate-scale
+    * AUDIT (the q141/q152 validation-harness contract); `est_ok` pins
+    * the estimate inside max(5%, 5 users) of exact, and the oracle pins
+    * the exact values plus the flag as literal TRUE. Window starts are
+    * the pinned 2024-01 literal axis (the q149 dense-frame discipline);
+    * trailing windows legitimately shrink — `n_days` records coverage. */
+  val q157SlidingDistinctHll: QuerySpec = QuerySpec(
+    "q157_sliding_distinct",
+    """WITH days AS (
+      |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+      |    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS window_start),
+      |du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+      |  FROM events),
+      |x AS (SELECT window_start, day, u FROM days JOIN du
+      |  ON day >= window_start AND day <= window_start + INTERVAL 6 DAY)
+      |SELECT window_start,
+      |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |  CAST(count(DISTINCT u) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM x GROUP BY window_start ORDER BY window_start""".stripMargin) {
+    (s, dir) => slidingDistinctUsers(Tables.events(s, dir))
+  }
+
+  /** The q157 operator on any (ts, user_id) frame over the pinned
+    * 2024-01 window axis. */
+  def slidingDistinctUsers(events: DataFrame): DataFrame = {
+    val winExpr = expr(
+      "explode(sequence(greatest(date_sub(day, 6), date'2024-01-01')," +
+        " day, interval 1 day))")
+    val du = events
+      .select(to_date(col("ts")).as("day"), col("user_id").as("u"))
+      .distinct()
+    val exact = du.withColumn("window_start", winExpr)
+      .groupBy("window_start")
+      .agg(countDistinct(col("day")).as("n_days"),
+        countDistinct(col("u")).as("exact_users"))
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = daily.withColumn("window_start", winExpr)
+      .groupBy("window_start")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+    exact.join(broadcast(est), "window_start")
+      .select(col("window_start"), col("n_days"), col("exact_users"),
+        (abs(col("__est").cast("double") -
+            col("exact_users").cast("double")) <=
+          greatest(col("exact_users").cast("double") * 0.05, lit(5.0)))
+          .as("est_ok"))
+      .orderBy("window_start")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
     q115RetentionCohorts, q117SessionPaths, q146RangeJoinOpenOrders,
     q147IntervalOverlapPromos, q148Scd2StatusDim, q149GapFilledMonthly,
     q150UnpivotNationMeasures, q151MonthOverMonthDelta,
-    q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint)
+    q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
+    q157SlidingDistinctHll)
 }

@@ -1104,11 +1104,255 @@ object Profiling {
       .orderBy("returnflag")
   }
 
+  /** q156: MAD (median absolute deviation) robust outlier audit per
+    * event type — the nonparametric twin of q70's mean/stddev z-score,
+    * which an outlier itself can drag (one 1e9 value shifts the mean AND
+    * inflates sigma until nothing flags); the median/MAD pair is immune
+    * to contamination below 50%. Both order statistics resolve through
+    * the SHARED bucketed rank selection ([[bucketedQuantileSelect]] —
+    * median of v, then median of |v − med| over the deviation frame), so
+    * no global sort at any corpus size; the O(groups) med/MAD frames
+    * broadcast and ONE conditional aggregate counts |v − med| > 3·MAD in
+    * exact micro-unit integers. Even-n median is the lower middle
+    * (rank ceil(n/2)) in both engines. */
+  val q156MadOutliers: QuerySpec = QuerySpec(
+    "q156_mad_outliers",
+    """WITH c AS (
+      |  SELECT event_type AS g,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(ceil(count(*) / 2.0) AS BIGINT) AS k FROM c GROUP BY g),
+      |r AS (SELECT g, v,
+      |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM c),
+      |med AS (SELECT r.g, v AS med FROM r JOIN s ON r.g = s.g AND r.rn = s.k),
+      |d AS (SELECT c.g, abs(c.v - med.med) AS dv
+      |  FROM c JOIN med ON c.g = med.g),
+      |r2 AS (SELECT g, dv,
+      |  row_number() OVER (PARTITION BY g ORDER BY dv) AS rn FROM d),
+      |mad AS (SELECT r2.g, dv AS mad
+      |  FROM r2 JOIN s ON r2.g = s.g AND r2.rn = s.k)
+      |SELECT c.g AS event_type, max(s.n) AS n,
+      |  CAST(max(med.med) AS DOUBLE) / 1e6 AS median,
+      |  CAST(max(mad.mad) AS DOUBLE) / 1e6 AS mad,
+      |  CAST(sum(CASE WHEN abs(c.v - med.med) > 3 * mad.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM c JOIN med ON c.g = med.g JOIN mad ON c.g = mad.g
+      |  JOIN s ON c.g = s.g
+      |GROUP BY c.g ORDER BY event_type""".stripMargin) { (s, dir) =>
+    madOutliers(graft.Tables.events(s, dir))
+  }
+
+  /** The q156 operator on any (event_type, value) frame. */
+  def madOutliers(events: org.apache.spark.sql.DataFrame,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame = {
+    val vals = eventMicroVals(events)
+    val med = bucketedQuantileSelect(vals, Seq(("p50", 1L, 2L)),
+        GroupMedianBuckets, bigBucket)
+      .select(col("g"), col("n"), col("v").as("med"))
+    val dev = vals.join(broadcast(med.select("g", "med")), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("v"))
+    val mad = bucketedQuantileSelect(dev, Seq(("p50", 1L, 2L)),
+        GroupMedianBuckets, bigBucket)
+      .select(col("g"), col("v").as("mad"))
+    vals.join(broadcast(med), "g").join(broadcast(mad), "g")
+      .groupBy(col("g").as("event_type"))
+      .agg(max(col("n")).as("n"),
+        (max(col("med")).cast("double") / 1e6).as("median"),
+        (max(col("mad")).cast("double") / 1e6).as("mad"),
+        sum(when(abs(col("v") - col("med")) > lit(3L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** The event-type axis of the two-sample distribution tests — 'view'
+    * is the baseline; every other type is compared against it. */
+  private val DistTestBase = "view"
+  private val DistTestOthers = Seq("click", "error", "purchase", "signup")
+
+  /** Shared frame of q158/q159 — per-quantized-value counts AND running
+    * counts for every event type: ONE map-side-combined aggregate keyed
+    * by the 2dp-lossless micro value (state bounded by the value DOMAIN,
+    * the [[medianBins]] class — ≤ range×100 rows regardless of corpus
+    * size), then one single-partition window over that METADATA frame
+    * derives every type's ECDF numerator at every distinct value of the
+    * UNION of the distributions (absent values carry the running count
+    * forward because the bin row exists whenever ANY type hit it, with
+    * zeros for the others — per-type windows would skip those steps).
+    * The no-partition WindowExec is safe for the same reason
+    * [[medianFromBins]]'s is: its input is domain-bounded bins. */
+  private def typeBinsCum(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allTypes = DistTestBase +: DistTestOthers
+    val c = events.select(col("event_type").as("t"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v"))
+    val cnts = allTypes.map(ty =>
+      sum(when(col("t") === ty, 1L).otherwise(0L)).as(s"c_$ty"))
+    val bins = c.groupBy("v").agg(cnts.head, cnts.tail: _*)
+    val w = Window.orderBy("v")
+    // the totals ride the SAME window pass with an unbounded frame (one
+    // WindowExec, two frames) — a separate totals aggregate would rescan
+    // the corpus; this way the corpus is read exactly ONCE per test
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins.select(col("v") +: allTypes.flatMap(ty => Seq(col(s"c_$ty"),
+      sum(col(s"c_$ty")).over(w).as(s"s_$ty"),
+      sum(col(s"c_$ty")).over(wAll).as(s"n_$ty"))): _*)
+  }
+
+  /** The SQL twin of [[typeBinsCum]]'s count/cum/total columns. */
+  private def typeBinsCumSql: String = {
+    val allTypes = DistTestBase +: DistTestOthers
+    val cnts = allTypes.map(ty =>
+      s"CAST(sum(CASE WHEN t = '$ty' THEN 1 ELSE 0 END) AS BIGINT) AS c_$ty")
+      .mkString(",\n      |    ")
+    val cums = allTypes.map(ty =>
+      s"c_$ty, CAST(sum(c_$ty) OVER (ORDER BY v) AS BIGINT) AS s_$ty, " +
+        s"CAST(sum(c_$ty) OVER () AS BIGINT) AS n_$ty")
+      .mkString(",\n      |    ")
+    s"""c AS (
+      |  SELECT event_type AS t,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v FROM events),
+      |bins AS (SELECT v,
+      |    $cnts
+      |  FROM c GROUP BY v),
+      |cum AS (SELECT v,
+      |    $cums
+      |  FROM bins)"""
+  }
+
+  /** q158: two-sample Kolmogorov–Smirnov drift test — the DISTRIBUTION
+    * answer to "did this slice shift?" that mean/variance probes
+    * (q140's z-drift) miss when a shift preserves moments. Statistic in
+    * exact integers: D's numerator is `max |s_base·n_x − s_x·n_base|`
+    * over the union-of-values ECDF steps of [[typeBinsCum]] (cross-
+    * multiplied — no division anywhere), and the α=0.05 decision squares
+    * the critical envelope: `D_num²·10⁴ > 18444·(n_b+n_x)·n_b·n_x`
+    * (c²(0.05) = −ln(0.025)/2 = 1.8444 at 4dp). DECIMAL(38,0)/HUGEINT
+    * keep the squared products exact, so both engines compute the
+    * identical numerator and boolean. One corpus aggregate + metadata
+    * window; every pairwise comparison reads the SAME bins frame. */
+  val q158KsDrift: QuerySpec = QuerySpec(
+    "q158_ks_drift", {
+      val branches = DistTestOthers.map { ty =>
+        s"""SELECT '$ty' AS vs_type, n_$DistTestBase AS n_base,
+          |  n_$ty AS n_other, CAST(ks_$ty AS BIGINT) AS ks_num,
+          |  ks_$ty * ks_$ty * 10000 >
+          |    CAST(18444 AS HUGEINT) * (n_$DistTestBase + n_$ty)
+          |      * n_$DistTestBase * n_$ty AS reject_05
+          |FROM ks""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $typeBinsCumSql,
+        |ks AS (SELECT
+        |    ${(DistTestOthers.map(ty =>
+            s"max(abs(CAST(s_$DistTestBase AS HUGEINT) * n_$ty" +
+              s" - CAST(s_$ty AS HUGEINT) * n_$DistTestBase)) AS ks_$ty") ++
+            (DistTestBase +: DistTestOthers).map(ty =>
+              s"max(n_$ty) AS n_$ty"))
+            .mkString(",\n        |    ")}
+        |  FROM cum)
+        |$branches
+        |ORDER BY vs_type""".stripMargin
+    }) { (s, dir) => ksDrift(graft.Tables.events(s, dir)) }
+
+  /** The q158 operator on any (event_type, value) frame. */
+  def ksDrift(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val cum = typeBinsCum(events)
+    val ksCols = DistTestOthers.map(ty =>
+      max(abs(d38(col(s"s_$DistTestBase")) * col(s"n_$ty")
+        - d38(col(s"s_$ty")) * col(s"n_$DistTestBase"))).as(s"ks_$ty")) ++
+      (DistTestBase +: DistTestOthers).map(ty =>
+        max(col(s"n_$ty")).as(s"n_$ty"))
+    val ks = cum.agg(ksCols.head, ksCols.tail: _*)
+    val triples = DistTestOthers.map { ty =>
+      s"'$ty', n_$DistTestBase, n_$ty, ks_$ty, " +
+        s"ks_$ty * ks_$ty * 10000 > cast(18444 as decimal(38,0)) * " +
+        s"(n_$DistTestBase + n_$ty) * n_$DistTestBase * n_$ty"
+    }.mkString(", ")
+    ks.select(expr(s"stack(${DistTestOthers.size}, $triples) AS " +
+        "(vs_type, n_base, n_other, ks_dec, reject_05)"))
+      .select(col("vs_type"), col("n_base"), col("n_other"),
+        col("ks_dec").cast("long").as("ks_num"), col("reject_05"))
+      .orderBy("vs_type")
+  }
+
+  /** q159: Mann–Whitney U (rank-sum) audit — the NONPARAMETRIC twin of
+    * q153's z-test: detects a location shift between two slices with no
+    * normality assumption and no moment sensitivity (one huge outlier
+    * moves q153's inputs, but only by one rank here). Doubled statistic
+    * stays integer under midrank ties: `U2_base = Σ_v c_base·(2·s_x −
+    * c_x)` over [[typeBinsCum]]'s bins (= 2·[#base-wins + ½·ties]);
+    * `identity_ok` pins the partition identity `U2_b + U2_x = 2·n_b·n_x`
+    * in both engines. The α=0.05 normal-approximation decision (no tie
+    * correction — conservative) squares to `3·(U2_b − n_b·n_x)²·10⁴ >
+    * 38416·n_b·n_x·(n_b+n_x+1)` in DECIMAL(38,0)/HUGEINT. Same
+    * one-aggregate + metadata-window shape as q158. */
+  val q159MannWhitney: QuerySpec = QuerySpec(
+    "q159_mann_whitney", {
+      val b = DistTestBase
+      val branches = DistTestOthers.map { ty =>
+        s"""SELECT '$ty' AS vs_type, n_$b AS n_base, n_$ty AS n_other,
+          |  CAST(u2_$ty AS BIGINT) AS u2_base,
+          |  CAST(2 * CAST(n_$b AS HUGEINT) * n_$ty - u2_$ty AS BIGINT)
+          |    AS u2_other,
+          |  (u2r_$ty + u2_$ty = 2 * CAST(n_$b AS HUGEINT) * n_$ty)
+          |    AS identity_ok,
+          |  3 * (u2_$ty - CAST(n_$b AS HUGEINT) * n_$ty)
+          |    * (u2_$ty - CAST(n_$b AS HUGEINT) * n_$ty) * 10000 >
+          |    CAST(38416 AS HUGEINT) * n_$b * n_$ty * (n_$b + n_$ty + 1)
+          |    AS reject_05
+          |FROM u""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $typeBinsCumSql,
+        |u AS (SELECT
+        |    ${(DistTestOthers.map(ty =>
+            s"sum(CAST(c_$b AS HUGEINT) * (2 * s_$ty - c_$ty)) AS u2_$ty, " +
+              s"sum(CAST(c_$ty AS HUGEINT) * (2 * s_$b - c_$b)) AS u2r_$ty") ++
+            (b +: DistTestOthers).map(ty => s"max(n_$ty) AS n_$ty"))
+            .mkString(",\n        |    ")}
+        |  FROM cum)
+        |$branches
+        |ORDER BY vs_type""".stripMargin
+    }) { (s, dir) => mannWhitney(graft.Tables.events(s, dir)) }
+
+  /** The q159 operator on any (event_type, value) frame. */
+  def mannWhitney(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = DistTestBase
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val cum = typeBinsCum(events)
+    val uCols = DistTestOthers.flatMap(ty => Seq(
+      sum(d38(col(s"c_$b")) * (lit(2) * col(s"s_$ty") - col(s"c_$ty")))
+        .as(s"u2_$ty"),
+      sum(d38(col(s"c_$ty")) * (lit(2) * col(s"s_$b") - col(s"c_$b")))
+        .as(s"u2r_$ty"))) ++
+      (b +: DistTestOthers).map(ty => max(col(s"n_$ty")).as(s"n_$ty"))
+    val u = cum.agg(uCols.head, uCols.tail: _*)
+    val tuples = DistTestOthers.map { ty =>
+      s"'$ty', n_$b, n_$ty, u2_$ty, " +
+        s"2 * cast(n_$b as decimal(38,0)) * n_$ty - u2_$ty, " +
+        s"u2r_$ty + u2_$ty = 2 * cast(n_$b as decimal(38,0)) * n_$ty, " +
+        s"3 * (u2_$ty - cast(n_$b as decimal(38,0)) * n_$ty) * " +
+        s"(u2_$ty - cast(n_$b as decimal(38,0)) * n_$ty) * 10000 > " +
+        s"cast(38416 as decimal(38,0)) * n_$b * n_$ty * (n_$b + n_$ty + 1)"
+    }.mkString(", ")
+    u.select(expr(s"stack(${DistTestOthers.size}, $tuples) AS " +
+        "(vs_type, n_base, n_other, u2b_dec, u2o_dec, identity_ok, reject_05)"))
+      .select(col("vs_type"), col("n_base"), col("n_other"),
+        col("u2b_dec").cast("long").as("u2_base"),
+        col("u2o_dec").cast("long").as("u2_other"),
+        col("identity_ok"), col("reject_05"))
+      .orderBy("vs_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
     q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
     q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
     q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
-    q155WinsorizedMean)
+    q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney)
 }

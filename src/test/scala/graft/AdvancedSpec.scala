@@ -387,4 +387,28 @@ class AdvancedSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"bucketed interval-overlap join fell back to a nested loop:\n$p")
   }
+
+  test("q157 sliding distinct: planted day membership, window clamping, estimate envelope") {
+    import spark.implicits._
+    // day 1 carries users {1,2}; day 8 carries {2,3}. A day-d row belongs
+    // to window starts [d−6, d] clamped at the axis origin, so day 1 feeds
+    // ONLY the Jan-1 window (its earlier windows are clamped away) and
+    // day 8 feeds Jan-2 … Jan-8; the two days never share a window
+    // (Jan-1's span ends Jan 7). Windows with no covered day emit no row.
+    val ev = Seq(
+      ("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 2L),
+      ("2024-01-08 09:00:00", 2L), ("2024-01-08 10:00:00", 3L))
+      .toDF("ts0", "user_id")
+      .select(to_timestamp(col("ts0")).as("ts"), col("user_id"))
+    val rows = queries.Advanced.slidingDistinctUsers(ev).collect()
+    assert(rows.length == 8, s"expected 8 covered windows, got ${rows.length}")
+    val byW = rows.map(r => r.getAs[java.sql.Date]("window_start").toString -> r).toMap
+    assert(byW("2024-01-01").getAs[Long]("exact_users") == 2)
+    assert(byW("2024-01-01").getAs[Long]("n_days") == 1)
+    assert(byW("2024-01-02").getAs[Long]("exact_users") == 2)
+    assert(byW("2024-01-08").getAs[Long]("exact_users") == 2)
+    assert(!byW.contains("2024-01-09"), "window past the last data day")
+    rows.foreach(r => assert(r.getAs[Boolean]("est_ok"),
+      s"HLL estimate outside envelope at ${r.getAs[java.sql.Date]("window_start")}"))
+  }
 }

@@ -650,6 +650,48 @@ class PlanQualitySpec extends SparkSpec {
       s"frame family should shuffle once, got $exchanges:\n$p")
   }
 
+  test("q156: MAD inherits the sort-free rank selection for BOTH cut passes") {
+    val p = planOf("q156_mad_outliers")
+    // median and MAD both resolve through bucketed selection: no
+    // range-partitioned exchange of corpus values anywhere (the output
+    // orderBy ranges over ≤ groups result rows, never over v)
+    assert(!p.contains("rangepartitioning(v#"),
+      s"MAD selection range-partitioned corpus values:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q157: sliding distinct merges day-level HLL partials; no nested-loop join") {
+    val p = planOf("q157_sliding_distinct")
+    // the production path must be real in the plan: day partials built by
+    // hll_sketch_agg, windows answered by hll_union_agg over partials
+    assert(p.contains("hll_sketch_agg"), s"day partials missing:\n$p")
+    assert(p.contains("hll_union_agg"), s"window partial-merge missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sliding-window expansion degenerated:\n$p")
+  }
+
+  test("q158: KS reads the corpus exactly once; everything after is domain-bounded metadata") {
+    val p = planOf("q158_ks_drift")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"KS must scan events once, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"KS plan degenerated:\n$p")
+    // the totals must ride the same window pass, not a second aggregate
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 1, s"ECDF + totals must share ONE window, got $windows:\n$p")
+  }
+
+  test("q159: Mann–Whitney shares the one-scan bins/window shape") {
+    val p = planOf("q159_mann_whitney")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"MWU must scan events once, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"MWU plan degenerated:\n$p")
+  }
+
   test("runtime bloom filter: a selective dim filter injects a bloom probe into the fact side") {
     // the third 100 TB join lever next to broadcast and AQE skew-split:
     // when a shuffle join's small side carries a selective filter, Spark's

@@ -121,4 +121,57 @@ class ProfilingSpec extends SparkSpec {
     assert(scalable2.toSeq == builtin2.toSeq,
       s"divergence on fraction-stress frame:\n$builtin2\n$scalable2")
   }
+
+  test("q156 MAD: planted outlier flags via median/MAD where the mean-based z-score degrades") {
+    import spark.implicits._
+    // {1..9, 1000}: median = 5 (n=10, rank ceil(n/2)=5), deviations sorted
+    // {0,1,1,2,2,3,3,4,4,995} → MAD = 2; only the outlier exceeds 3·MAD.
+    // The q70-style mean/stddev pair is dragged BY the outlier (mean≈104,
+    // sigma≈298 → the outlier's own z barely clears 3 and grows no further
+    // as the outlier grows); median/MAD flag it at any magnitude.
+    val ev = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("view", _))
+      .toDF("event_type", "value")
+    val r = queries.Profiling.madOutliers(ev).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == 10)
+    assert(r.head.getAs[Double]("median") == 5.0)
+    assert(r.head.getAs[Double]("mad") == 2.0)
+    assert(r.head.getAs[Long]("n_outliers") == 1)
+  }
+
+  test("q158 KS: a planted location shift rejects; an identical distribution does not") {
+    import spark.implicits._
+    // 'click' = 'view' + 500 (disjoint supports → D numerator = n_b·n_x,
+    // certain rejection); 'error'/'purchase'/'signup' ≡ 'view' (D = 0).
+    val base = (0 until 100).map(_.toDouble)
+    val ev = (base.map(("view", _)) ++ base.map(v => ("click", v + 500.0)) ++
+      Seq("error", "purchase", "signup").flatMap(t => base.map((t, _))))
+      .toDF("event_type", "value")
+    val r = queries.Profiling.ksDrift(ev).collect()
+      .map(x => x.getAs[String]("vs_type") -> x).toMap
+    assert(r("click").getAs[Boolean]("reject_05"), "complete shift must reject")
+    assert(r("click").getAs[Long]("ks_num") == 100L * 100L)
+    assert(!r("error").getAs[Boolean]("reject_05"))
+    assert(r("error").getAs[Long]("ks_num") == 0L)
+    assert(r.keys.toSet == Set("click", "error", "purchase", "signup"))
+  }
+
+  test("q159 MWU: complete separation rejects; identical distributions hold the partition identity") {
+    import spark.implicits._
+    val base = (0 until 100).map(_.toDouble)
+    val ev = (base.map(("view", _)) ++ base.map(v => ("click", v + 500.0)) ++
+      Seq("error", "purchase", "signup").flatMap(t => base.map((t, _))))
+      .toDF("event_type", "value")
+    val r = queries.Profiling.mannWhitney(ev).collect()
+      .map(x => x.getAs[String]("vs_type") -> x).toMap
+    // every 'view' value sits below every 'click' value → zero base wins
+    assert(r("click").getAs[Long]("u2_base") == 0L)
+    assert(r("click").getAs[Long]("u2_other") == 2L * 100 * 100)
+    assert(r("click").getAs[Boolean]("reject_05"), "separation must reject")
+    // identical distributions: every pair is a tie half-win → U2 = n·n
+    assert(r("error").getAs[Long]("u2_base") == 100L * 100L)
+    assert(!r("error").getAs[Boolean]("reject_05"))
+    r.values.foreach(x => assert(x.getAs[Boolean]("identity_ok"),
+      s"U2 partition identity broken for ${x.getAs[String]("vs_type")}"))
+  }
 }
