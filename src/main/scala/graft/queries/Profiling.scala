@@ -1181,15 +1181,30 @@ object Profiling {
     * zeros for the others — per-type windows would skip those steps).
     * The no-partition WindowExec is safe for the same reason
     * [[medianFromBins]]'s is: its input is domain-bounded bins. */
-  private def typeBinsCum(events: org.apache.spark.sql.DataFrame)
+  /** The per-value count state behind q158/q159 — and a LIVE drift
+    * monitor: ONE map-side-combined aggregate keyed by the 2dp-lossless
+    * micro value, which runs identically on a batch frame and as a
+    * COMPLETE-mode streaming aggregation (the [[medianBins]] /
+    * cmsSketch state-is-the-result pattern: no watermark, mergeable by
+    * sum, state bounded by the value DOMAIN — ≤ range×100 rows
+    * regardless of corpus size). [[ksFromBins]] /
+    * [[mannWhitneyFromBins]] derive both tests from this state with
+    * metadata-only arithmetic, so a stream can re-run the full KS/MWU
+    * decision after every micro-batch. */
+  def distTestBins(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val allTypes = DistTestBase +: DistTestOthers
     val c = events.select(col("event_type").as("t"),
       floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v"))
     val cnts = allTypes.map(ty =>
       sum(when(col("t") === ty, 1L).otherwise(0L)).as(s"c_$ty"))
-    val bins = c.groupBy("v").agg(cnts.head, cnts.tail: _*)
+    c.groupBy("v").agg(cnts.head, cnts.tail: _*)
+  }
+
+  private def cumFromBins(bins: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allTypes = DistTestBase +: DistTestOthers
     val w = Window.orderBy("v")
     // the totals ride the SAME window pass with an unbounded frame (one
     // WindowExec, two frames) — a separate totals aggregate would rescan
@@ -1258,9 +1273,14 @@ object Profiling {
 
   /** The q158 operator on any (event_type, value) frame. */
   def ksDrift(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ksFromBins(distTestBins(events))
+
+  /** q158's test from [[distTestBins]] state alone (live-monitor form). */
+  def ksFromBins(bins: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     def d38(c: Column): Column = c.cast("decimal(38,0)")
-    val cum = typeBinsCum(events)
+    val cum = cumFromBins(bins)
     val ksCols = DistTestOthers.map(ty =>
       max(abs(d38(col(s"s_$DistTestBase")) * col(s"n_$ty")
         - d38(col(s"s_$ty")) * col(s"n_$DistTestBase"))).as(s"ks_$ty")) ++
@@ -1320,10 +1340,15 @@ object Profiling {
 
   /** The q159 operator on any (event_type, value) frame. */
   def mannWhitney(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    mannWhitneyFromBins(distTestBins(events))
+
+  /** q159's test from [[distTestBins]] state alone (live-monitor form). */
+  def mannWhitneyFromBins(bins: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val b = DistTestBase
     def d38(c: Column): Column = c.cast("decimal(38,0)")
-    val cum = typeBinsCum(events)
+    val cum = cumFromBins(bins)
     val uCols = DistTestOthers.flatMap(ty => Seq(
       sum(d38(col(s"c_$b")) * (lit(2) * col(s"s_$ty") - col(s"c_$ty")))
         .as(s"u2_$ty"),

@@ -526,6 +526,33 @@ class StreamingSpec extends SparkSpec {
       "bins-derived quantiles disagree with the batch rank selection")
   }
 
+  test("streaming distribution tests: live bins state derives q158/q159 exactly") {
+    // the KS/MWU bins are the same state-is-the-result class as
+    // medianBins: complete-mode aggregation bounded by the value domain,
+    // with the full test decision re-derivable after every micro-batch
+    import graft.queries.Profiling
+    val events = Tables.events(spark, sf)
+    val evDir = tmpDir("dist_bins_stream")
+    events.orderBy("event_id").coalesce(1)
+      .write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    val stream = Streaming.parquetFileSource(spark, evDir, schema)
+    Streaming.drainToMemory(
+      Profiling.distTestBins(stream), "dist_bins", outputMode = "complete")
+    val streamedBins = spark.table("dist_bins")
+    val liveKs = Profiling.ksFromBins(streamedBins)
+    val batchKs = Profiling.ksDrift(events)
+    assert(liveKs.count() > 0, "no KS rows derived from streamed bins")
+    assert(liveKs.exceptAll(batchKs).count() == 0 &&
+      batchKs.exceptAll(liveKs).count() == 0,
+      "bins-derived KS disagrees with the batch test")
+    val liveU = Profiling.mannWhitneyFromBins(streamedBins)
+    val batchU = Profiling.mannWhitney(events)
+    assert(liveU.exceptAll(batchU).count() == 0 &&
+      batchU.exceptAll(liveU).count() == 0,
+      "bins-derived Mann–Whitney disagrees with the batch test")
+  }
+
   test("streaming stats rollup: complete-mode partials equal the batch rollup") {
     // the maintained aggregate IS streaming-capable: same expression
     // tree, groups-bounded state, no watermark needed (complete mode)
