@@ -1373,11 +1373,66 @@ object Profiling {
       .orderBy("vs_type")
   }
 
+  /** q160: EXACT equi-depth histogram — the selectivity statistic a
+    * cost-based optimizer wants (equal-POPULATION buckets track skewed
+    * data where q138's equal-WIDTH zone boxes go empty/overfull): all
+    * nine decile boundaries resolve through ONE shared
+    * [[bucketedQuantileSelect]] histogram pass (exact rank
+    * ceil(d·n/10), integer arithmetic), then bucket assignment is a
+    * SCAN-LOCAL fold over the nine collected cut literals (the
+    * O(quantiles) driver-metadata class — no join, no second shuffle
+    * beyond the final 10-group aggregate). Ties sit with the bucket
+    * whose upper cut they equal (`bucket = Σ 1[v > cut_d]`), so both
+    * engines assign identically; tie-heavy data legitimately shows
+    * uneven bucket populations — that unevenness IS the statistic. */
+  val q160EquiDepthHist: QuerySpec = QuerySpec(
+    "q160_equidepth_hist", {
+      val cutDefs = (1 to 9).map(d =>
+        s"max(CASE WHEN rn = ($d * n + 9) // 10 THEN v END) AS cut$d")
+        .mkString(",\n      |    ")
+      val bucketSum = (1 to 9).map(d =>
+        s"(CASE WHEN v > cut$d THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+        |cuts AS (SELECT
+        |    $cutDefs
+        |  FROM r, s),
+        |sel AS (SELECT v, $bucketSum AS bucket FROM c, cuts)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(v) AS lo_cents, max(v) AS hi_cents
+        |FROM sel GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (s, dir) =>
+    equiDepthHist(Tables.lineitem(s, dir).select(lit(0L).as("g"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("v")))
+  }
+
+  /** The q160 operator on any single-group (g, v) frame. */
+  def equiDepthHist(vals: org.apache.spark.sql.DataFrame,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame = {
+    val cuts = bucketedQuantileSelect(vals,
+        (1 to 9).map(d => (s"d$d", d.toLong, 10L)), MedianBuckets,
+        bigBucket)
+      .select("q", "v").collect()
+      .map(r => r.getAs[String]("q") -> r.getAs[Long]("v")).toMap
+    val bucket = (1 to 9).map(d =>
+        when(col("v") > lit(cuts(s"d$d")), 1).otherwise(0))
+      .reduce(_ + _)
+    vals.select(col("v"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
     q59ApproxProfileOrders, q127KeySkew, q132CorrMatrix, q133ChiSquare,
     q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
     q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
-    q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney)
+    q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
+    q160EquiDepthHist)
 }

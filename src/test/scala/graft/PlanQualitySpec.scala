@@ -692,6 +692,16 @@ class PlanQualitySpec extends SparkSpec {
       s"MWU plan degenerated:\n$p")
   }
 
+  test("q160: equi-depth boundaries come from the rank selection; assignment is scan-local") {
+    val p = planOf("q160_equidepth_hist")
+    assert(!p.contains("rangepartitioning(v#"),
+      s"decile cuts range-partitioned corpus values:\n$p")
+    // assignment folds nine literals — no join may appear in the final
+    // bucket-count pass
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"cut assignment joined instead of folding literals:\n$p")
+  }
+
   test("runtime bloom filter: a selective dim filter injects a bloom probe into the fact side") {
     // the third 100 TB join lever next to broadcast and AQE skew-split:
     // when a shuffle join's small side carries a selective filter, Spark's

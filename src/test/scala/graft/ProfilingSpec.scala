@@ -139,6 +139,31 @@ class ProfilingSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_outliers") == 1)
   }
 
+  test("q160 equi-depth: uniform data splits evenly; a heavy tie value absorbs its whole run") {
+    import spark.implicits._
+    // 1..100 → every decile holds exactly 10 values with cut d at 10·d
+    val uniform = (1 to 100).map(v => (0L, v.toLong)).toDF("g", "v")
+    val u = queries.Profiling.equiDepthHist(uniform).collect()
+    assert(u.length == 10)
+    u.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("bucket") == i)
+      assert(r.getAs[Long]("n_rows") == 10, s"bucket $i: $r")
+      assert(r.getAs[Long]("lo_cents") == i * 10 + 1)
+      assert(r.getAs[Long]("hi_cents") == (i + 1) * 10)
+    }
+    // 91 copies of one value + 1..9: every decile cut lands ON the heavy
+    // value, so all nine cuts coincide and the tie rule (v > cut) parks
+    // the entire run in ONE bucket — uneven populations are the signal
+    val ties = ((1 to 9).map(_.toLong) ++ Seq.fill(91)(50L))
+      .map((0L, _)).toDF("g", "v")
+    val t = queries.Profiling.equiDepthHist(ties).collect()
+    assert(t.map(_.getAs[Long]("n_rows")).sum == 100)
+    val heavy = t.filter(r => r.getAs[Long]("lo_cents") <= 50 &&
+      r.getAs[Long]("hi_cents") >= 50)
+    assert(heavy.length == 1 && heavy.head.getAs[Long]("n_rows") >= 91,
+      s"heavy tie value split across buckets: ${t.mkString(", ")}")
+  }
+
   test("q158 KS: a planted location shift rejects; an identical distribution does not") {
     import spark.implicits._
     // 'click' = 'view' + 500 (disjoint supports → D numerator = n_b·n_x,
