@@ -946,6 +946,66 @@ object Advanced {
       .orderBy("window_start")
   }
 
+  /** q162: per-group trend slope — "is this slice drifting up or
+    * down?" as an EXACT least-squares line over the daily series: the
+    * corpus folds once into ≤ groups×days partials (day index x =
+    * days since the 2024-01-01 axis origin, y = the day's micro-unit
+    * total), then the classic closed form stays ALL-INTEGER by
+    * emitting numerator `n·Σxy − Σx·Σy` and denominator
+    * `n·Σx² − (Σx)²` separately (slope = num/den, but the division
+    * would be float — the SIGN and any cross-group comparison
+    * `num_a·den_b vs num_b·den_a` work exactly on the pair). The
+    * monotone-direction twin of q140's level-drift z-test: a steady
+    * 1%/day decay never trips a level threshold until it's far gone,
+    * but its slope sign is negative from day 2. DECIMAL(38,0) products
+    * per the q153 discipline. */
+  val q162TrendSlope: QuerySpec = QuerySpec(
+    "q162_trend_slope",
+    """WITH d AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vy
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, x, CAST(sum(vy) AS BIGINT) AS y
+      |  FROM d GROUP BY event_type, x),
+      |agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  (n_days * sxy - sx * sy > 0) AS rising
+      |FROM agg ORDER BY event_type""".stripMargin) { (s, dir) =>
+    trendSlope(Tables.events(s, dir))
+  }
+
+  /** The q162 operator on any (event_type, ts, value) frame. */
+  def trendSlope(events: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = events.select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vy"))
+      .groupBy("event_type", "x")
+      .agg(sum(col("vy")).as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("long").as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .cast("long").as("slope_den"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy") > 0)
+          .as("rising"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -953,5 +1013,5 @@ object Advanced {
     q147IntervalOverlapPromos, q148Scd2StatusDim, q149GapFilledMonthly,
     q150UnpivotNationMeasures, q151MonthOverMonthDelta,
     q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
-    q157SlidingDistinctHll)
+    q157SlidingDistinctHll, q162TrendSlope)
 }

@@ -1427,6 +1427,75 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  /** Benford ppm constants: round(log10(1+1/d)·1e6) for d = 1..9 —
+    * they sum to exactly 1,000,000, so the expectation is a rational
+    * both engines share bit-for-bit. */
+  private val BenfordPpm = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** q161: Benford first-digit audit — the classic fabricated-data /
+    * wrong-units detector for any multi-order-of-magnitude measure.
+    * First significant digit via the DIGIT STRING of integer cents
+    * (never `floor(log10 v)`, whose float result at exact powers of ten
+    * differs between engines); per-digit z² against the 6dp-rational
+    * Benford expectation in cross-multiplied DECIMAL(38,0) integers:
+    * `(1e6·obs − n·p)²·10⁴ > 38416·n·p·(1e6−p)`. One scan, 9 metadata
+    * rows; a uniform synthetic price book legitimately FAILS Benford —
+    * the flags are the audit, not a tautology. */
+  val q161BenfordAudit: QuerySpec = QuerySpec(
+    "q161_benford_audit", {
+      val ppmCase = BenfordPpm.zipWithIndex.map { case (p, i) =>
+        s"WHEN '${i + 1}' THEN ${p}" }.mkString(" ")
+      s"""WITH c AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM c GROUP BY digit),
+        |e AS (SELECT digit, n_obs,
+        |    CAST(CASE digit $ppmCase END AS BIGINT) AS expected_ppm
+        |  FROM o)
+        |SELECT digit, n_obs, expected_ppm,
+        |  (CAST(1000000 AS HUGEINT) * n_obs - CAST(n AS HUGEINT)
+        |      * expected_ppm)
+        |    * (CAST(1000000 AS HUGEINT) * n_obs - CAST(n AS HUGEINT)
+        |      * expected_ppm) * 10000
+        |  <= CAST(38416 AS HUGEINT) * n * expected_ppm
+        |    * (1000000 - expected_ppm) AS within_95
+        |FROM e, s ORDER BY digit""".stripMargin
+    }) { (s, dir) =>
+    benfordAudit(Tables.orders(s, dir).select(col("o_totalprice").as("value")))
+  }
+
+  /** The q161 operator on any positive (value) frame. */
+  def benfordAudit(values: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val c = values.filter(col("value") > 0).select(
+      substring(floor(col("value") * 100 + lit(0.5)).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+    val ppm = BenfordPpm.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (p, i)) =>
+        when(col("digit") === lit(s"${i + 1}"), lit(p)).otherwise(acc) }
+    // n rides the digit aggregate with an unbounded window over the ≤9
+    // metadata rows — no second corpus scan for the total
+    val wAll = Window.orderBy("digit")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("n", sum(col("n_obs")).over(wAll))
+      .withColumn("expected_ppm", ppm)
+      .select(col("digit"), col("n_obs"), col("expected_ppm"),
+        ((d38(lit(1000000)) * col("n_obs") - d38(col("n"))
+            * col("expected_ppm"))
+          * (d38(lit(1000000)) * col("n_obs") - d38(col("n"))
+            * col("expected_ppm")) * 10000
+          <= d38(lit(38416)) * col("n") * col("expected_ppm")
+            * (lit(1000000) - col("expected_ppm"))).as("within_95"))
+      .orderBy("digit")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
@@ -1434,5 +1503,5 @@ object Profiling {
     q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
     q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
-    q160EquiDepthHist)
+    q160EquiDepthHist, q161BenfordAudit)
 }

@@ -411,4 +411,27 @@ class AdvancedSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Boolean]("est_ok"),
       s"HLL estimate outside envelope at ${r.getAs[java.sql.Date]("window_start")}"))
   }
+
+  test("q162 trend slope: planted rising/falling/flat series get exact integer slopes") {
+    import spark.implicits._
+    // one event per day for 10 days, y = x (rising), 9−x (falling), 5
+    // (flat): n=10, Σx=45, Σx²=285 → den = 825 for all three; rising
+    // num = (10·Σx² − 45²)·1e6 = 825e6, falling the negation, flat 0
+    val ev = (0 until 10).flatMap { x =>
+      Seq(("view", x.toDouble), ("click", (9 - x).toDouble),
+        ("error", 5.0)).map { case (t, v) =>
+        (t, f"2024-01-${x + 1}%02d 12:00:00", v) }
+    }.toDF("event_type", "ts0", "value")
+      .select(col("event_type"), to_timestamp(col("ts0")).as("ts"),
+        col("value"))
+    val r = queries.Advanced.trendSlope(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("view").getAs[Long]("slope_num") == 825000000L)
+    assert(r("view").getAs[Long]("slope_den") == 825L)
+    assert(r("view").getAs[Boolean]("rising"))
+    assert(r("click").getAs[Long]("slope_num") == -825000000L)
+    assert(!r("click").getAs[Boolean]("rising"))
+    assert(r("error").getAs[Long]("slope_num") == 0L)
+    assert(!r("error").getAs[Boolean]("rising"))
+  }
 }

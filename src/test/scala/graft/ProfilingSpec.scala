@@ -164,6 +164,28 @@ class ProfilingSpec extends SparkSpec {
       s"heavy tie value split across buckets: ${t.mkString(", ")}")
   }
 
+  test("q161 Benford: a planted Benford sample passes; a uniform-digit sample flags") {
+    import spark.implicits._
+    // counts = round(Benford·1000) per leading digit (sum exactly 1000):
+    // every per-digit z² stays inside 1.96²
+    val benfordCounts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val benford = benfordCounts.zipWithIndex
+      .flatMap { case (c, i) => Seq.fill(c)((i + 1).toDouble) }
+      .toDF("value")
+    val ok = queries.Profiling.benfordAudit(benford).collect()
+    assert(ok.length == 9)
+    ok.foreach(r => assert(r.getAs[Boolean]("within_95"),
+      s"Benford-distributed digits should pass: $r"))
+    // uniform digits: digit 1 observes 111 where Benford expects ~301 of
+    // 999 — far outside the envelope; digit 4 (expected ~97) stays inside
+    val uniform = (1 to 9).flatMap(d => Seq.fill(111)(d.toDouble)).toDF("value")
+    val u = queries.Profiling.benfordAudit(uniform).collect()
+      .map(r => r.getAs[String]("digit") -> r.getAs[Boolean]("within_95"))
+      .toMap
+    assert(!u("1"), "uniform digits must fail Benford on digit 1")
+    assert(u("4"), "digit 4 sits at the uniform/Benford crossover")
+  }
+
   test("q158 KS: a planted location shift rejects; an identical distribution does not") {
     import spark.implicits._
     // 'click' = 'view' + 500 (disjoint supports → D numerator = n_b·n_x,
