@@ -707,6 +707,159 @@ object Profiling {
       .getOrElse(frameOf(spark, Nil, outSchema))
   }
 
+  /** WEIGHTED order statistics without a global sort — the weight-aware
+    * twin of [[bucketedQuantileSelect]]: `vals` is a (g, v, wt) frame
+    * with POSITIVE integer weights (contract: wt ≥ 1 — zero/negative
+    * weights break the running-weight monotonicity the crossing rule
+    * needs), and the target is the smallest v whose cumulative weight
+    * reaches rank ceil(num·W/den) of the group's total weight W —
+    * exactly the value the wt-times-expanded multiset's unweighted
+    * order statistic would give, at the cost of the COMPACT frame. Same
+    * two-level discipline: pass 1 sums weights per equi-width bucket
+    * (≤ groups×buckets metadata rows); pass 2 resolves the crossing
+    * INSIDE the one target bucket by a running-weight window, with the
+    * same oversize-bucket sub-histogram and single-valued-bucket
+    * shortcut as the unweighted engine — the straggler bound is on
+    * bucket ROW count, identical to [[selectAtRanks]]. */
+  private[graft] def weightedQuantileSelect(
+      vals: org.apache.spark.sql.DataFrame,
+      quantiles: Seq[(String, Long, Long)], buckets: Int,
+      bigBucket: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val qdf = quantiles.toDF("q", "num", "den")
+    val stats = literalize(
+      vals.groupBy("g").agg(sum(col("wt")).as("wtot"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .withColumn("w",
+          expr(s"greatest(1L, (vmax - vmin) div ${buckets}L + 1L)")))
+    val ranks = stats.crossJoin(qdf)
+      .select(col("g"), col("q"), col("wtot"),
+        expr("(num * wtot + den - 1L) div den").as("k"))
+    val bucketed = vals.join(broadcast(stats), "g")
+      .withColumn("b", expr("(v - vmin) div w"))
+    val hist = bucketed.groupBy("g", "b")
+      .agg(sum(col("wt")).as("wsum"), count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFirst = Window.partitionBy("g", "q").orderBy("b")
+    val target = hist.withColumn("cum", sum(col("wsum")).over(wCum))
+      .join(broadcast(ranks), "g")
+      .filter(col("cum") >= col("k"))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") <= 1)
+      .select(col("g"), col("q"), col("wtot"), col("k"), col("b").as("tb"),
+        (col("k") - (col("cum") - col("wsum"))).as("residual"),
+        col("cnt").as("bcnt"))
+    val tRows = target.collect() // pass 1 (the weighted histogram) runs here
+    val (bigRows, smallRows) =
+      tRows.partition(_.getAs[Long]("bcnt") > bigBucket)
+    val outSchema = StructType(Seq(target.schema("g"),
+      StructField("q", StringType), StructField("wtot", LongType),
+      StructField("k", LongType), StructField("v", LongType)))
+    def probe(targets: DataFrame): DataFrame =
+      bucketed.as("x").join(broadcast(targets.as("t")),
+          col("x.g") === col("t.g") && col("x.b") === col("t.tb"))
+        .select(col("x.g").as("g"), col("t.q").as("q"),
+          col("t.wtot").as("wtot"), col("t.k").as("k"),
+          col("x.v").as("v"), col("x.wt").as("wt"),
+          col("x.vmin").as("vmin"), col("x.w").as("w"),
+          col("t.tb").as("tb"), col("t.residual").as("residual"))
+    // smallest v whose running weight reaches the residual rank — runw is
+    // strictly increasing in the frame order (wt ≥ 1), so the first
+    // crossing row is unique and deterministic
+    def crossWithin(probed: DataFrame, residualCol: String): DataFrame = {
+      val w = Window.partitionBy("g", "q").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probed.withColumn("runw", sum(col("wt")).over(w))
+        .filter(col("runw") >= col(residualCol))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g", "q").orderBy("runw")))
+        .filter(col("rn") === 1)
+        .select("g", "q", "wtot", "k", "v")
+    }
+    val small = if (smallRows.isEmpty) None
+      else Some(crossWithin(
+        probe(frameOf(spark, smallRows, target.schema)), "residual"))
+    val big = if (bigRows.isEmpty) None else {
+      val bigF = frameOf(spark, bigRows, target.schema)
+      val probedBig = probe(bigF)
+        .withColumn("w2", expr(s"greatest(1L, (w - 1L) div ${buckets}L + 1L)"))
+        .withColumn("b2", expr("(v - vmin - tb * w) div w2"))
+      val wCum2 = Window.partitionBy("g", "q").orderBy("b2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFirst2 = Window.partitionBy("g", "q").orderBy("b2")
+      val target2 = probedBig.groupBy("g", "q", "b2")
+        .agg(sum(col("wt")).as("wsum2"),
+          min(col("v")).as("bmin"), max(col("v")).as("bmax"))
+        .withColumn("cum2", sum(col("wsum2")).over(wCum2))
+        .join(broadcast(bigF.select("g", "q", "wtot", "k", "residual")),
+          Seq("g", "q"))
+        .filter(col("cum2") >= col("residual"))
+        .withColumn("rn", row_number().over(wFirst2))
+        .filter(col("rn") <= 1)
+        .select(col("g"), col("q"), col("wtot"), col("k"),
+          col("b2").as("tb2"),
+          (col("residual") - (col("cum2") - col("wsum2"))).as("residual2"),
+          col("bmin"), col("bmax"))
+      val t2Rows = target2.collect() // sub-histogram pass runs here
+      val (constRows, variedRows) =
+        t2Rows.partition(r => r.getAs[Long]("bmin") == r.getAs[Long]("bmax"))
+      val const2 = if (constRows.isEmpty) None
+        else Some(frameOf(spark, constRows.map(r => Row(
+          r.get(r.fieldIndex("g")), r.getAs[String]("q"),
+          r.getAs[Long]("wtot"), r.getAs[Long]("k"),
+          r.getAs[Long]("bmin"))), outSchema))
+      val varied = if (variedRows.isEmpty) None
+        else Some(crossWithin(
+          probedBig.join(broadcast(frameOf(spark, variedRows, target2.schema)
+              .select("g", "q", "tb2", "residual2")), Seq("g", "q"))
+            .filter(col("b2") === col("tb2")), "residual2"))
+      (const2.toSeq ++ varied.toSeq).reduceOption(_ unionByName _)
+    }
+    (small.toSeq ++ big.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(frameOf(spark, Nil, outSchema))
+  }
+
+  /** q163: quantity-weighted median price — "the median unit shipped"
+    * instead of "the median line item": every line counts `l_quantity`
+    * times, answered on the COMPACT frame by [[weightedQuantileSelect]]
+    * (expanding the multiset wt-fold and running q135 would multiply
+    * corpus size by the mean weight; the weighted engine pays one
+    * weighted histogram + one in-bucket running-weight window). Exact
+    * integer cents; the oracle pins the weight-expansion semantics via
+    * per-value cumulative weights. */
+  val q163WeightedMedian: QuerySpec = QuerySpec(
+    "q163_weighted_median",
+    """WITH c AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS wt
+      |  FROM lineitem),
+      |s AS (SELECT g, CAST(sum(wt) AS BIGINT) AS wtot FROM c GROUP BY g),
+      |bins AS (SELECT g, v, CAST(sum(wt) AS BIGINT) AS bw
+      |  FROM c GROUP BY g, v),
+      |r AS (SELECT g, v,
+      |  sum(bw) OVER (PARTITION BY g ORDER BY v) AS cw FROM bins)
+      |SELECT r.g AS returnflag, s.wtot AS w_total,
+      |  CAST((s.wtot + 1) // 2 AS BIGINT) AS k,
+      |  CAST(min(v) AS BIGINT) AS wmedian_cents
+      |FROM r JOIN s ON r.g = s.g WHERE cw >= (s.wtot + 1) // 2
+      |GROUP BY 1, 2, 3 ORDER BY returnflag""".stripMargin) { (s, dir) =>
+    val vals = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("v"),
+      col("l_quantity").cast("long").as("wt"))
+    weightedQuantileSelect(vals, Seq(("p50", 1L, 2L)), GroupMedianBuckets,
+        BigBucketRows)
+      .select(col("g").as("returnflag"), col("wtot").as("w_total"),
+        col("k"), col("v").as("wmedian_cents"))
+      .orderBy("returnflag")
+  }
+
   /** EXACT median at scale — the answer to "exact percentile needs a
     * global sort" (q18/q57's `percentile` is exact but sorts; q47/q59's
     * GK sketch is scalable but approximate; this is both exact AND
@@ -1503,5 +1656,5 @@ object Profiling {
     q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
     q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
-    q160EquiDepthHist, q161BenfordAudit)
+    q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian)
 }

@@ -627,4 +627,47 @@ class PropertySpec extends SparkSpec {
         (r.getAs[Long]("covered_tokens") == 0), s"$r")
     }
   }
+
+  test("weighted rank selection: expansion equivalence, wt=1 degeneracy, forced recursion (property)") {
+    import graft.queries.Profiling
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random (value, weight) multiset with heavy duplicate values so the
+    // crossing regularly lands INSIDE a run of ties
+    val rows = (1 to 400).map(_ =>
+      ("a", rnd.nextInt(50).toLong * 3, 1L + rnd.nextInt(9))) ++
+      (1 to 300).map(_ => ("b", rnd.nextInt(1000).toLong, 1L + rnd.nextInt(4)))
+    val df = rows.toDF("g", "v", "wt")
+    val quantiles = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p90", 9L, 10L))
+    val got = Profiling.weightedQuantileSelect(
+      df, quantiles, 256, 10000L).collect()
+    // ground truth: expand each row wt times, take the unweighted order
+    // statistic at rank ceil(num·W/den)
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val expanded = grp.flatMap(r => Seq.fill(r._3.toInt)(r._2)).sorted
+      val wTot = expanded.length.toLong
+      quantiles.foreach { case (q, num, den) =>
+        val k = (num * wTot + den - 1) / den
+        val want = expanded((k - 1).toInt)
+        val r = got.find(r => r.getAs[String]("g") == g &&
+          r.getAs[String]("q") == q).get
+        assert(r.getAs[Long]("v") == want && r.getAs[Long]("wtot") == wTot &&
+          r.getAs[Long]("k") == k, s"$g/$q: got $r want $want (k=$k W=$wTot)")
+      }
+    }
+    // wt = 1 everywhere degenerates to the unweighted engine exactly
+    val unit = df.select(col("g"), col("v"), lit(1L).as("wt"))
+    val wu = Profiling.weightedQuantileSelect(unit, quantiles, 256, 10000L)
+      .select("g", "q", "v").collect().map(_.toSeq).toSet
+    val plain = Profiling.bucketedQuantileSelect(
+        df.select("g", "v"), quantiles, 256, 10000L)
+      .select("g", "q", "v").collect().map(_.toSeq).toSet
+    assert(wu == plain, "wt=1 weighted selection diverged from unweighted")
+    // bigBucket = 0 forces the sub-histogram path for every target —
+    // results must not move
+    val rec = Profiling.weightedQuantileSelect(df, quantiles, 256, 0L)
+      .collect().map(_.toSeq).toSet
+    assert(rec == got.map(_.toSeq).toSet,
+      "recursive weighted path disagrees with the direct path")
+  }
 }
