@@ -1006,6 +1006,48 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** q165: out-of-order / watermark calibration probe — the number a
+    * streaming deployment needs BEFORE picking `withWatermark`: per
+    * user, in ARRIVAL order (event_id), how often does event time run
+    * backwards, and by how much? `max_late_us` is the smallest
+    * watermark that would have dropped nothing; `n_late / n_events` is
+    * the disorder rate the state-store sizing assumes. One hash
+    * exchange on user_id + one window (running max over PRIOR rows),
+    * then a per-type aggregate; all-microsecond integers
+    * (`unix_micros` / `epoch_us` agree exactly — never float seconds). */
+  val q165OutOfOrder: QuerySpec = QuerySpec(
+    "q165_out_of_order",
+    """WITH o AS (
+      |  SELECT event_type, user_id, event_id, epoch_us(ts) AS tus
+      |  FROM events),
+      |w AS (SELECT event_type, tus,
+      |  max(tus) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM o)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN pm > tus THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(max(CASE WHEN pm > tus THEN pm - tus ELSE 0 END) AS BIGINT)
+      |    AS max_late_us
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) => outOfOrderProbe(Tables.events(s, dir))
+  }
+
+  /** The q165 operator on any (event_type, user_id, event_id, ts) frame. */
+  def outOfOrderProbe(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("pm", max(col("tus")).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("pm") > col("tus"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("pm") > col("tus"), col("pm") - col("tus"))
+          .otherwise(0L)).as("max_late_us"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -1013,5 +1055,5 @@ object Advanced {
     q147IntervalOverlapPromos, q148Scd2StatusDim, q149GapFilledMonthly,
     q150UnpivotNationMeasures, q151MonthOverMonthDelta,
     q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
-    q157SlidingDistinctHll, q162TrendSlope)
+    q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder)
 }

@@ -1649,6 +1649,66 @@ object Profiling {
       .orderBy("digit")
   }
 
+  /** q164: EXACT Gini concentration index per source — "is one slice of
+    * the corpus hoarding the tokens?" (a Gini near 0 = balanced doc
+    * sizes, near 1 = a few giants carry everything; the
+    * curriculum/mixture diagnostic next to q61's share table). Computed
+    * from domain-bounded value BINS, never a per-row sort: a run of m
+    * equal values v with c₀ predecessors contributes
+    * `v·(2·m·c₀ + m² + m)` to 2·Σi·x₍ᵢ₎, so one (g, v) aggregate + one
+    * per-group metadata window + one fold yield the exact integer pair
+    * `gini_num = 2Σi·x − (n+1)Σx`, `gini_den = n·Σx` (plus the floor
+    * `gini_ppm` both engines derive identically — no float division).
+    * DECIMAL(38,0)/HUGEINT products per the q153 discipline. */
+  val q164GiniConcentration: QuerySpec = QuerySpec(
+    "q164_gini_concentration",
+    """WITH bins AS (
+      |  SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS m
+      |  FROM documents GROUP BY 1, 2),
+      |w AS (SELECT g, v, m,
+      |  CAST(sum(m) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+      |  FROM bins),
+      |t AS (SELECT g, CAST(sum(m) AS BIGINT) AS n,
+      |    sum(CAST(v AS HUGEINT) * m) AS sx,
+      |    sum(CAST(v AS HUGEINT)
+      |      * (2 * CAST(m AS HUGEINT) * (cum - m)
+      |        + CAST(m AS HUGEINT) * m + m)) AS two_sum
+      |  FROM w GROUP BY g)
+      |SELECT g AS source, n AS n_docs,
+      |  CAST(two_sum - (n + 1) * sx AS BIGINT) AS gini_num,
+      |  CAST(CAST(n AS HUGEINT) * sx AS BIGINT) AS gini_den,
+      |  CAST((two_sum - (n + 1) * sx) * 1000000
+      |    // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+      |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+    giniConcentration(Tables.documents(s, dir)
+      .select(col("source").as("g"), col("n_chars").as("v")))
+  }
+
+  /** The q164 operator on any non-negative (g, v) frame. */
+  def giniConcentration(vals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val bins = vals.groupBy("g", "v").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("m")).over(w))
+    val t = cum.groupBy("g").agg(
+      sum(col("m")).as("n"),
+      sum(d38(col("v")) * col("m")).as("sx"),
+      sum(d38(col("v")) * (lit(2) * d38(col("m")) * (col("cum") - col("m"))
+        + d38(col("m")) * col("m") + col("m"))).as("two_sum"))
+    t.select(col("g").as("source"), col("n").as("n_docs"),
+        (col("two_sum") - (d38(col("n")) + 1) * col("sx")).as("num_dec"),
+        (d38(col("n")) * col("sx")).as("den_dec"))
+      .select(col("source"), col("n_docs"),
+        col("num_dec").cast("long").as("gini_num"),
+        col("den_dec").cast("long").as("gini_den"),
+        expr("CAST((num_dec * 1000000) div den_dec AS LONG)")
+          .as("gini_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
@@ -1656,5 +1716,6 @@ object Profiling {
     q134ExactMedian, q135GroupedMedian, q136GroupedQuantiles,
     q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
-    q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian)
+    q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian,
+    q164GiniConcentration)
 }

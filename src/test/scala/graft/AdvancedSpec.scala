@@ -434,4 +434,24 @@ class AdvancedSpec extends SparkSpec {
     assert(r("error").getAs[Long]("slope_num") == 0L)
     assert(!r("error").getAs[Boolean]("rising"))
   }
+
+  test("q165 out-of-order probe: a planted regression is counted and measured exactly") {
+    import spark.implicits._
+    // arrival order 1..4 with event times 10,20,15,30 s: only the third
+    // arrival runs behind its running max (by 5 s); 'click' is monotone
+    val ev = Seq(
+      ("view", 7L, 1L, 10L), ("view", 7L, 2L, 20L),
+      ("view", 7L, 3L, 15L), ("view", 7L, 4L, 30L),
+      ("click", 8L, 5L, 1L), ("click", 8L, 6L, 2L))
+      .toDF("event_type", "user_id", "event_id", "secs")
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        timestamp_seconds(col("secs")).as("ts"))
+    val r = queries.Advanced.outOfOrderProbe(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("view").getAs[Long]("n_events") == 4)
+    assert(r("view").getAs[Long]("n_late") == 1)
+    assert(r("view").getAs[Long]("max_late_us") == 5000000L)
+    assert(r("click").getAs[Long]("n_late") == 0)
+    assert(r("click").getAs[Long]("max_late_us") == 0L)
+  }
 }

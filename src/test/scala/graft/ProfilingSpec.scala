@@ -186,6 +186,20 @@ class ProfilingSpec extends SparkSpec {
     assert(u("4"), "digit 4 sits at the uniform/Benford crossover")
   }
 
+  test("q164 Gini: perfect equality scores 0, one-holder concentration scores (n-1)/n") {
+    import spark.implicits._
+    // 'eq': four equal values → num 0; 'mx': {0,0,0,100} → G = 3/4 exactly
+    val vals = (Seq.fill(4)(100L).map(("eq", _)) ++
+      (Seq(0L, 0L, 0L, 100L).map(("mx", _)))).toDF("g", "v")
+    val r = queries.Profiling.giniConcentration(vals).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("eq").getAs[Long]("gini_num") == 0L)
+    assert(r("eq").getAs[Long]("gini_ppm") == 0L)
+    assert(r("mx").getAs[Long]("gini_num") == 300L)
+    assert(r("mx").getAs[Long]("gini_den") == 400L)
+    assert(r("mx").getAs[Long]("gini_ppm") == 750000L)
+  }
+
   test("q158 KS: a planted location shift rejects; an identical distribution does not") {
     import spark.implicits._
     // 'click' = 'view' + 500 (disjoint supports → D numerator = n_b·n_x,
