@@ -313,6 +313,73 @@ object Rollup {
       .orderBy("source")
   }
 
+  // ---- value-bins index (persisted order-statistics state) --------------
+
+  /** Merge algebra for value bins: counts sum per (g, v) — the same
+    * commutative monoid the distributed aggregate already folds across
+    * partitions, so append ≡ rebuild EXACTLY (integer counts, no
+    * estimate envelope needed). */
+  def mergeBins(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g", "v").agg(sum(col("cnt")).as("cnt"))
+
+  /** Persist the (g, v, cnt) value bins of an events frame — the
+    * MAINTAINED form of the entire exact-order-statistics family:
+    * medians/quantiles (q135/q136 via `medianFromBins` /
+    * `quantilesFromBins`), KS/Mann–Whitney (q158/q159 via their own
+    * typed bins), Gini (q164) and percentile ranks (q166) all re-derive
+    * from bins alone, and THIS index keeps those bins current at
+    * bins-cardinality cost per batch — never a corpus rescan. State is
+    * bounded by the value DOMAIN (the `medianBins` contract), the price
+    * of exactness a sketch index (q141's HLL, q119's CMS) avoids by
+    * giving up exact ranks. Crash-safe through the shared
+    * staging+backup publish. */
+  def buildBinsIndex(events: DataFrame, dir: String): Unit =
+    graft.queries.Profiling.medianBins(events)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bins")
+
+  def appendToBinsIndex(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    graft.pipeline.Store.repairPublished(spark, s"$dir/bins", "bins append")
+    graft.pipeline.Store.publishAtomic(spark,
+      mergeBins(readBinsIndex(spark, dir),
+        graft.queries.Profiling.medianBins(batch)),
+      s"$dir/bins", "bins append")
+  }
+
+  def readBinsIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/bins",
+      "bins read")
+
+  /** q167: grouped exact medians answered from the PERSISTED bins index
+    * — built from half the corpus, FOLDED forward with the other half,
+    * then derived without touching the corpus again. The oracle is
+    * q135's own flat sorted-rank SQL over the full table, so the gate
+    * itself pins append ≡ rebuild ≡ the two-level rank selection: three
+    * different routes to the same exact order statistic. */
+  val q167BinsIndexMedian: QuerySpec = QuerySpec(
+    "q167_bins_index_median",
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(ceil(count(*) / 2.0) AS BIGINT) AS k
+      |  FROM c GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      |  FROM c)
+      |SELECT r.event_type, n, k, CAST(v AS DOUBLE) / 1e6 AS median
+      |FROM r JOIN s ON r.event_type = s.event_type AND r.rn = s.k
+      |ORDER BY r.event_type""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bins_idx").toString
+    buildBinsIndex(events.filter(col("event_id") % 2 === 0), idx)
+    appendToBinsIndex(s, idx, events.filter(col("event_id") % 2 === 1))
+    graft.queries.Profiling.medianFromBins(readBinsIndex(s, idx))
+  }
+
   /** q145: skip-manifest-pruned range stats — the per-file manifest
     * ([[graft.pipeline.Store.buildSkipManifest]]) made load-bearing in a
     * registered query: the documents table is laid out range-partitioned
@@ -541,5 +608,5 @@ object Rollup {
 
   val all: Seq[QuerySpec] =
     Seq(q139StatsRollup, q140RollupDrift, q141VocabCardinality,
-      q145ManifestPrunedStats)
+      q145ManifestPrunedStats, q167BinsIndexMedian)
 }

@@ -1709,6 +1709,59 @@ object Profiling {
       .orderBy("source")
   }
 
+  /** q166: percentile-rank transform of EVERY row — the quantile
+    * normalization a feature pipeline wants (rank-based features are
+    * immune to units and outliers) WITHOUT the global sort `rank()`
+    * implies: the value histogram is domain-bounded metadata
+    * ([[medianBins]] class), so cum counts + the doubled midrank
+    * `2·cum_lt + m + 1` compute on bins alone and map back to rows by a
+    * BROADCAST join — the corpus is scanned twice (bins, map-back) and
+    * never range-partitioned. Midrank is doubled to stay integer under
+    * ties; `prank_ppm = floor(1e6·dmid / 2n)` is the floor-div both
+    * engines share. The oracle spells the same transform AS the global
+    * sort (`rank()` + tie counts) — affordable at gate scale, which is
+    * what proves the bins path exact. */
+  val q166PercentileRank: QuerySpec = QuerySpec(
+    "q166_percentile_rank",
+    """WITH c AS (
+      |  SELECT event_id,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (SELECT event_id, v,
+      |  CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rk,
+      |  CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS m,
+      |  CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM c)
+      |SELECT event_id,
+      |  CAST((CAST(2 AS HUGEINT) * (rk - 1) + m + 1) * 1000000
+      |    // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS prank_ppm
+      |FROM r ORDER BY event_id""".stripMargin) { (s, dir) =>
+    percentileRank(Tables.events(s, dir)
+      .select(col("event_id"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v")))
+  }
+
+  /** The q166 operator on any (event_id, v) frame. */
+  def percentileRank(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bins = c.groupBy("v").agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum(col("m")).over(w))
+      .withColumn("n", sum(col("m")).over(wAll))
+      .select(col("v"),
+        (lit(2L) * (col("cum") - col("m")) + col("m") + 1).as("dmid"),
+        col("n"))
+    c.join(broadcast(bins), "v")
+      .select(col("event_id"),
+        expr("CAST((CAST(dmid AS DECIMAL(38,0)) * 1000000) " +
+          "div (2 * CAST(n AS DECIMAL(38,0))) AS LONG)").as("prank_ppm"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
@@ -1717,5 +1770,5 @@ object Profiling {
     q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
     q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian,
-    q164GiniConcentration)
+    q164GiniConcentration, q166PercentileRank)
 }

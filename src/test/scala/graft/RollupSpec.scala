@@ -225,4 +225,32 @@ class RollupSpec extends SparkSpec {
       "the writer must have completed the crashed swap")
     assert(Rollup.readMaintainedRollup(spark, dir, keys).count() == 2)
   }
+
+  test("bins index: 3-way append in any order ≡ one-shot; derivers read through a crash window") {
+    import graft.queries.Profiling
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("bins_idx").toString
+    // integer counts merge exactly, so a shuffled arrival order must be
+    // byte-identical to the one-shot build (not just envelope-close)
+    Rollup.buildBinsIndex(events.filter(col("event_id") % 3 === 2), dir)
+    Rollup.appendToBinsIndex(spark, dir, events.filter(col("event_id") % 3 === 0))
+    Rollup.appendToBinsIndex(spark, dir, events.filter(col("event_id") % 3 === 1))
+    val idx = Rollup.readBinsIndex(spark, dir)
+    val oneShot = Profiling.medianBins(events)
+    assert(idx.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(idx).count() == 0,
+      "appended bins diverge from the one-shot aggregate")
+    // every bins deriver answers from the index alone
+    val fromIdx = Profiling.medianFromBins(idx)
+    val batch = Profiling.groupedExactMedian(events)
+    assert(fromIdx.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(fromIdx).count() == 0,
+      "index-derived medians disagree with the rank selection")
+    // crash window: bins moved aside, publish not done — reader recovers
+    val p = new java.io.File(dir + "/bins")
+    assert(p.renameTo(new java.io.File(dir + "/bins__backup")))
+    val recovered = Rollup.readBinsIndex(spark, dir)
+    assert(recovered.exceptAll(oneShot).count() == 0,
+      "backup recovery lost bins state")
+  }
 }
