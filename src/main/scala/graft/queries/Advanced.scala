@@ -917,26 +917,40 @@ object Advanced {
     (s, dir) => slidingDistinctUsers(Tables.events(s, dir))
   }
 
+  /** The trailing-window expansion shared by q157's exact and sketch
+    * paths (a day-d row feeds window starts [d−6, d], clamped at the
+    * pinned axis origin). */
+  private val slidingWinExpr = expr(
+    "explode(sequence(greatest(date_sub(day, 6), date'2024-01-01')," +
+      " day, interval 1 day))")
+
+  /** q157's maintained state: ONE 4 KB HLL per day — a COMPLETE-mode
+    * streamable aggregation (register-max union is order-independent,
+    * so stream arrival order cannot move the estimates; StreamingSpec
+    * pins stream ≡ batch on every window). */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+
+  /** Any trailing window answered from the day partials alone —
+    * metadata-only merge, never a corpus rescan. */
+  def slidingEstimates(daily: DataFrame): DataFrame =
+    daily.withColumn("window_start", slidingWinExpr)
+      .groupBy("window_start")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+
   /** The q157 operator on any (ts, user_id) frame over the pinned
     * 2024-01 window axis. */
   def slidingDistinctUsers(events: DataFrame): DataFrame = {
-    val winExpr = expr(
-      "explode(sequence(greatest(date_sub(day, 6), date'2024-01-01')," +
-        " day, interval 1 day))")
     val du = events
       .select(to_date(col("ts")).as("day"), col("user_id").as("u"))
       .distinct()
-    val exact = du.withColumn("window_start", winExpr)
+    val exact = du.withColumn("window_start", slidingWinExpr)
       .groupBy("window_start")
       .agg(countDistinct(col("day")).as("n_days"),
         countDistinct(col("u")).as("exact_users"))
-    val daily = events
-      .select(to_date(col("ts")).as("day"), col("user_id"))
-      .groupBy("day")
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val est = daily.withColumn("window_start", winExpr)
-      .groupBy("window_start")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+    val est = slidingEstimates(dailyUserSketches(events))
     exact.join(broadcast(est), "window_start")
       .select(col("window_start"), col("n_days"), col("exact_users"),
         (abs(col("__est").cast("double") -

@@ -1762,6 +1762,62 @@ object Profiling {
       .orderBy("event_id")
   }
 
+  /** The q168 audit for ONE candidate dependency key → dep: a key
+    * violates when its rows disagree on dep; the repair cost (rows to
+    * fix) is `Σ_k (rows_k − mode_k)` — two nested aggregates, both
+    * map-side combinable, no join. */
+  def fdAudit(df: org.apache.spark.sql.DataFrame, fdName: String,
+      keyCol: String, depCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(keyCol).as("k"), col(depCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("k")
+      .agg(sum(col("c")).as("t"), max(col("c")).as("mx"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("mx") < col("t"), 1L).otherwise(0L))
+          .as("n_violating_keys"),
+        sum(col("t") - col("mx")).as("n_violating_rows"))
+      .select(lit(fdName).as("fd"), col("n_keys"), col("n_violating_keys"),
+        col("n_violating_rows"),
+        (col("n_violating_keys") === 0).as("holds"))
+
+  /** q168: functional-dependency audit — schema archaeology for data
+    * someone else produced: does `key → dep` actually hold, and if not,
+    * how expensive is the repair? Per candidate FD, `violating_rows =
+    * Σ_k (rows_k − mode_k)` is exactly the minimum number of rows a
+    * repair must touch. Two stacked hash aggregates per FD (both
+    * map-side combinable), no joins, no sorts — the same cost as the
+    * group-by the consumer was going to run anyway. One true FD
+    * (orderkey → custkey THROUGH the orders table) anchors the audit;
+    * two plausible-but-false FDs measure their repair distance. */
+  val q168FdAudit: QuerySpec = QuerySpec(
+    "q168_fd_audit", {
+      def block(name: String, table: String, k: String, d: String) =
+        s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+          |  CAST(sum(CASE WHEN mx < t THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_violating_keys,
+          |  CAST(sum(t - mx) AS BIGINT) AS n_violating_rows,
+          |  (sum(CASE WHEN mx < t THEN 1 ELSE 0 END) = 0) AS holds
+          |FROM (
+          |  SELECT k, CAST(sum(c) AS BIGINT) AS t,
+          |    CAST(max(c) AS BIGINT) AS mx
+          |  FROM (SELECT $k AS k, $d AS d, count(*) AS c
+          |    FROM $table GROUP BY 1, 2) g GROUP BY k) a""".stripMargin
+      Seq(
+        block("orderkey->custkey", "orders", "o_orderkey", "o_custkey"),
+        block("orderkey->returnflag", "lineitem", "l_orderkey",
+          "l_returnflag"),
+        block("partkey->linestatus", "lineitem", "l_partkey", "l_linestatus"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY fd"
+    }) { (s, dir) =>
+    fdAudit(Tables.orders(s, dir), "orderkey->custkey",
+        "o_orderkey", "o_custkey")
+      .unionByName(fdAudit(Tables.lineitem(s, dir),
+        "orderkey->returnflag", "l_orderkey", "l_returnflag"))
+      .unionByName(fdAudit(Tables.lineitem(s, dir),
+        "partkey->linestatus", "l_partkey", "l_linestatus"))
+      .orderBy("fd")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
@@ -1770,5 +1826,5 @@ object Profiling {
     q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
     q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian,
-    q164GiniConcentration, q166PercentileRank)
+    q164GiniConcentration, q166PercentileRank, q168FdAudit)
 }

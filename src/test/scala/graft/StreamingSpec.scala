@@ -553,6 +553,30 @@ class StreamingSpec extends SparkSpec {
       "bins-derived Mann–Whitney disagrees with the batch test")
   }
 
+  test("streaming daily HLL partials: sliding-window estimates equal the batch path") {
+    // q157's day sketches are complete-mode streamable; HLL union takes
+    // the max per register, so arrival order cannot move a single
+    // estimate — stream-derived window answers must EQUAL batch ones
+    import graft.queries.Advanced
+    val events = Tables.events(spark, sf)
+    val evDir = tmpDir("daily_hll_stream")
+    events.orderBy("event_id").coalesce(1)
+      .write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+    val stream = Streaming.parquetFileSource(spark, evDir, schema)
+    Streaming.drainToMemory(
+      Advanced.dailyUserSketches(stream), "daily_hll", outputMode = "complete")
+    val live = Advanced.slidingEstimates(spark.table("daily_hll"))
+      .withColumnRenamed("__est", "live_est")
+    val batch = Advanced.slidingEstimates(
+      Advanced.dailyUserSketches(events))
+    val joined = live.join(batch, "window_start").collect()
+    assert(joined.length == 30, s"expected 30 windows, got ${joined.length}")
+    joined.foreach(r => assert(
+      r.getAs[Long]("live_est") == r.getAs[Long]("__est"),
+      s"stream/batch estimate split at ${r.getAs[java.sql.Date]("window_start")}"))
+  }
+
   test("streaming stats rollup: complete-mode partials equal the batch rollup") {
     // the maintained aggregate IS streaming-capable: same expression
     // tree, groups-bounded state, no watermark needed (complete mode)
