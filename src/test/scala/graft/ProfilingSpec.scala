@@ -200,6 +200,21 @@ class ProfilingSpec extends SparkSpec {
     assert(r("mx").getAs[Long]("gini_ppm") == 750000L)
   }
 
+  test("q169 bootstrap: CI brackets the full mean and is tight at gate scale") {
+    val r = SparkEntry.queries("q169_bootstrap_ci")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_resamples") == 32)
+    assert(r.getAs[Boolean]("ci_contains_full"),
+      s"bootstrap CI must bracket the full mean: $r")
+    val lo = r.getAs[Long]("ci_lo_scaled")
+    val hi = r.getAs[Long]("ci_hi_scaled")
+    val fm = r.getAs[Long]("full_mean_scaled")
+    assert(lo < hi, "degenerate CI")
+    // ~94% CI of a mean over n iid rows shrinks like 1/√n — at sf0.01's
+    // 15k orders the half-width must sit well inside ±5% of the mean
+    assert((hi - lo).toDouble / fm < 0.10,
+      s"CI implausibly wide: [$lo, $hi] around $fm")
+  }
+
   test("q158 KS: a planted location shift rejects; an identical distribution does not") {
     import spark.implicits._
     // 'click' = 'view' + 500 (disjoint supports → D numerator = n_b·n_x,
