@@ -1062,6 +1062,85 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** PageRank damping in percent and the ppm-scaled base score. */
+  private val PrIters = 5
+  private val PrBase = 150000L // 0.15 in ppm
+  private val PrDampPct = 85L
+
+  /** q170: PageRank over the part co-purchase graph — the iterative
+    * influence metric next to q60/q79's connected components (membership)
+    * and q120's power iteration (embedding spectrum): which parts anchor
+    * the basket graph? FIXED-POINT INTEGER arithmetic end to end
+    * (scores in ppm; per-node contribution `score div outdeg`, update
+    * `0.15 + 0.85·Σ` as `150000 + (85·Σ) div 100`) — floor division is
+    * deterministic in both engines where float damping would drift by
+    * iteration 3. Five unrolled iterations, each ONE broadcast join of
+    * the O(nodes) score frame against the partitioned edge list + one
+    * map-side-combined sum by dst — the edge list NEVER shuffles and
+    * the per-iteration state is node-cardinality metadata, exactly the
+    * distributed PageRank shape. Co-purchase edges are symmetric, so
+    * every edge-connected node keeps an inbound sum (no dangling-mass
+    * term). Top 20 hubs published (score desc, partkey tiebreak). */
+  val q170PageRank: QuerySpec = QuerySpec(
+    "q170_pagerank", {
+      val iters = (1 to PrIters).map { i =>
+        s"""s$i AS (
+          |  SELECT e.dst AS node,
+          |    $PrBase + ($PrDampPct * sum(s.score // d.outdeg)) // 100
+          |      AS score
+          |  FROM edges e
+          |  JOIN s${i - 1} s ON e.src = s.node
+          |  JOIN outdeg d ON e.src = d.node
+          |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+        |  FROM lineitem),
+        |edges AS (
+        |  SELECT a.part AS src, b.part AS dst
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
+        |  GROUP BY 1, 2),
+        |outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM edges GROUP BY src),
+        |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM outdeg),
+        |$iters
+        |SELECT node AS partkey, CAST(score AS BIGINT) AS score_ppm
+        |FROM s$PrIters ORDER BY score DESC, partkey LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+    pageRank(s, Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+      .distinct())
+  }
+
+  /** The q170 operator on any (ok, part) co-membership frame. */
+  def pageRank(s: SparkSession, op: DataFrame): DataFrame = {
+    // materialize the edge list ONCE — the iteration lineage would
+    // otherwise replay the self-join per round (a real deployment keeps
+    // edges as a table; 5 rounds re-deriving them is 5 wasted shuffles)
+    val edgeDir = java.nio.file.Files
+      .createTempDirectory("graft_pr_edges").toString
+    op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
+      .select(col("a.part").as("src"), col("b.part").as("dst"))
+      .distinct()
+      .write.mode("overwrite").parquet(edgeDir)
+    val edges = s.read.parquet(edgeDir)
+    val outdeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val s0 = outdeg.select(col("node"), lit(1000000L).as("score"))
+    val sFinal = (1 to PrIters).foldLeft(s0) { (sc, _) =>
+      edges
+        .join(broadcast(sc.join(outdeg, "node")
+          .select(col("node"), expr("score div outdeg").as("contrib"))),
+          col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(PrBase) +
+          expr(s"($PrDampPct * sum(contrib)) div 100")).as("score"))
+    }
+    sFinal.select(col("node").as("partkey"), col("score").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("partkey")).limit(20)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -1069,5 +1148,5 @@ object Advanced {
     q147IntervalOverlapPromos, q148Scd2StatusDim, q149GapFilledMonthly,
     q150UnpivotNationMeasures, q151MonthOverMonthDelta,
     q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
-    q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder)
+    q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder, q170PageRank)
 }

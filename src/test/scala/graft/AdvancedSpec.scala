@@ -454,4 +454,21 @@ class AdvancedSpec extends SparkSpec {
     assert(r("click").getAs[Long]("n_late") == 0)
     assert(r("click").getAs[Long]("max_late_us") == 0L)
   }
+
+  test("q170 PageRank: a planted star ranks the hub first; leaves tie; runs are bit-identical") {
+    import spark.implicits._
+    // three 2-part baskets sharing part 100 → star graph 100—{1,2,3}
+    val op = Seq((1L, 100L), (1L, 1L), (2L, 100L), (2L, 2L),
+      (3L, 100L), (3L, 3L)).toDF("ok", "part")
+    val r1 = queries.Advanced.pageRank(spark, op).collect()
+    assert(r1.length == 4)
+    assert(r1.head.getAs[Long]("partkey") == 100L, s"hub must rank first: ${r1.toSeq}")
+    val leafScores = r1.tail.map(_.getAs[Long]("score_ppm")).toSet
+    assert(leafScores.size == 1, s"symmetric leaves must tie: ${r1.toSeq}")
+    assert(r1.head.getAs[Long]("score_ppm") > leafScores.head)
+    // integer fixed-point: a second run reproduces every score exactly
+    val r2 = queries.Advanced.pageRank(spark, op).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq,
+      "PageRank scores must be bit-deterministic across runs")
+  }
 }
