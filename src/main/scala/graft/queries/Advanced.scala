@@ -1141,6 +1141,99 @@ object Advanced {
       .orderBy(col("score_ppm").desc, col("partkey")).limit(20)
   }
 
+  /** q171: time-weighted average (TWAP) per event type — the correct
+    * mean for an IRREGULARLY sampled series, where the plain average
+    * over-weights bursts (a metric polled 100× during an incident and
+    * once overnight averages to the incident): each observation is
+    * weighted by how long it was current (`lead(ts) − ts`, last
+    * observation carries zero span by the half-open convention).
+    * Exact integers end to end — micro-unit values × second spans into
+    * DECIMAL(38,0) sums, floor-div ppm finish; one exchange + one lead
+    * window + one aggregate. Ties broken by event_id so both engines
+    * order identically. */
+  val q171Twap: QuerySpec = QuerySpec(
+    "q171_twap",
+    """WITH o AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS tus,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmu
+      |  FROM events),
+      |w AS (SELECT event_type, vmu,
+      |  (lead(tus) OVER (PARTITION BY event_type
+      |    ORDER BY tus, event_id) - tus) // 1000000 AS dt
+      |  FROM o)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(dt) AS BIGINT) AS span_s,
+      |  CAST(sum(CAST(vmu AS HUGEINT) * dt) // sum(CAST(dt AS HUGEINT))
+      |    AS BIGINT) AS twap_micro
+      |FROM w WHERE dt IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    twap(Tables.events(s, dir))
+  }
+
+  /** The q171 operator on any (event_type, event_id, ts, value) frame. */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    events.select(col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
+      .withColumn("dtus", lead(col("tus"), 1).over(w) - col("tus"))
+      .withColumn("dt", expr("dtus div 1000000"))
+      .filter(col("dt").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dt")).as("span_s"),
+        expr("CAST((sum(CAST(vmu AS DECIMAL(38,0)) * dt)) div " +
+          "sum(CAST(dt AS DECIMAL(38,0))) AS LONG)").as("twap_micro"))
+      .orderBy("event_type")
+  }
+
+  /** q172: Pareto frontier (skyline) — the non-dominated tradeoff set
+    * over (price ↓ good, quantity ↑ good), i.e. every line for which no
+    * other line is both cheaper-or-equal AND larger-or-equal with one
+    * strict: the "best deals" query optimizers and procurement both
+    * ask. ONE pass over the DISTINCT pair frame with two window frames
+    * (running max quantity over STRICTLY cheaper prices via an
+    * exclusive RANGE frame, and the per-price max) — never the naive
+    * all-pairs self-join, which is quadratic and unrunnable at scale.
+    * Integer cents; both engines share the frame semantics exactly. */
+  val q172ParetoFrontier: QuerySpec = QuerySpec(
+    "q172_pareto_frontier",
+    """WITH pairs AS (
+      |  SELECT DISTINCT
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |    CAST(l_quantity AS BIGINT) AS quantity
+      |  FROM lineitem),
+      |f AS (SELECT price_cents, quantity,
+      |  max(quantity) OVER (ORDER BY price_cents
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxq_lt,
+      |  max(quantity) OVER (PARTITION BY price_cents) AS maxq_eq
+      |  FROM pairs)
+      |SELECT price_cents, quantity
+      |FROM f
+      |WHERE (maxq_lt IS NULL OR maxq_lt < quantity) AND quantity = maxq_eq
+      |ORDER BY price_cents""".stripMargin) { (s, dir) =>
+    paretoFrontier(Tables.lineitem(s, dir).select(
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+        .as("price_cents"),
+      col("l_quantity").cast("long").as("quantity")))
+  }
+
+  /** The q172 operator on any (price_cents, quantity) frame. */
+  def paretoFrontier(items: DataFrame): DataFrame = {
+    val pairs = items.distinct()
+    val wLt = Window.orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy("price_cents")
+    pairs
+      .withColumn("maxq_lt", max(col("quantity")).over(wLt))
+      .withColumn("maxq_eq", max(col("quantity")).over(wEq))
+      .filter((col("maxq_lt").isNull || col("maxq_lt") < col("quantity")) &&
+        col("quantity") === col("maxq_eq"))
+      .select("price_cents", "quantity")
+      .orderBy("price_cents")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -1148,5 +1241,6 @@ object Advanced {
     q147IntervalOverlapPromos, q148Scd2StatusDim, q149GapFilledMonthly,
     q150UnpivotNationMeasures, q151MonthOverMonthDelta,
     q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
-    q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder, q170PageRank)
+    q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder, q170PageRank,
+    q171Twap, q172ParetoFrontier)
 }

@@ -471,4 +471,31 @@ class AdvancedSpec extends SparkSpec {
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq,
       "PageRank scores must be bit-deterministic across runs")
   }
+
+  test("q171 TWAP: burst over-weighting corrected; last observation carries no span") {
+    import spark.implicits._
+    // value 2 held for 10 s, value 8 held for 30 s → TWAP 6.5, where the
+    // plain mean of observations would say 5 (and a burst of repeated
+    // 2-readings would drag it further)
+    val ev = Seq((1L, 0L, 2.0), (2L, 10L, 8.0), (3L, 40L, 99.0))
+      .map { case (id, t, v) => ("view", id, t, v) }
+      .toDF("event_type", "event_id", "secs", "value")
+      .select(col("event_type"), col("event_id"),
+        timestamp_seconds(col("secs")).as("ts"), col("value"))
+    val r = queries.Advanced.twap(ev).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_events") == 2)
+    assert(r.head.getAs[Long]("span_s") == 40)
+    assert(r.head.getAs[Long]("twap_micro") == 6500000L, s"${r.head}")
+  }
+
+  test("q172 Pareto: dominated pairs drop, frontier is monotone") {
+    import spark.implicits._
+    val items = Seq((100L, 5L), (200L, 10L), (150L, 3L), (100L, 4L),
+      (250L, 10L)).toDF("price_cents", "quantity")
+    val f = queries.Advanced.paretoFrontier(items).collect()
+      .map(r => (r.getAs[Long]("price_cents"), r.getAs[Long]("quantity")))
+    assert(f.toSeq == Seq((100L, 5L), (200L, 10L)),
+      s"wrong frontier: ${f.toSeq}")
+  }
 }
