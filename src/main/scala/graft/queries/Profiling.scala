@@ -1961,6 +1961,71 @@ object Profiling {
           .as("ci_contains_full"))
   }
 
+  /** q173: grouped boxplot — the five-number profile plus Tukey-fence
+    * outlier counts, the chart every data reviewer asks for first: p25/
+    * p50/p75 are EXACT lower order statistics through ONE shared
+    * [[bucketedQuantileSelect]] histogram pass (all three ranks from the
+    * same pass-1, the q136 property), fences are the exact integers
+    * `q1 − 1.5·IQR` / `q3 + 1.5·IQR` computed as `(5·q1 − 3·q3) div 2` /
+    * `(5·q3 − 3·q1) div 2` (no float 1.5 anywhere), and one broadcast
+    * conditional aggregate counts the outliers. The Tukey twin of
+    * q156's MAD rule — IQR fences are the convention dashboards expect,
+    * MAD is the stricter contamination-proof rule; both are exact. */
+  val q173Boxplot: QuerySpec = QuerySpec(
+    "q173_boxplot",
+    """WITH c AS (
+      |  SELECT event_type AS g,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY g),
+      |r AS (SELECT g, v,
+      |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM c),
+      |q AS (SELECT r.g, s.n,
+      |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+      |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS q2,
+      |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
+      |  FROM r JOIN s USING (g) GROUP BY r.g, s.n),
+      |f AS (SELECT g, n, q1, q2, q3,
+      |    (5 * q1 - 3 * q3) // 2 AS lo_fence,
+      |    (5 * q3 - 3 * q1) // 2 AS hi_fence
+      |  FROM q)
+      |SELECT c.g AS event_type, max(f.n) AS n,
+      |  max(q1) AS q1_micro, max(q2) AS q2_micro, max(q3) AS q3_micro,
+      |  max(lo_fence) AS lo_fence, max(hi_fence) AS hi_fence,
+      |  CAST(sum(CASE WHEN c.v < f.lo_fence OR c.v > f.hi_fence
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM c JOIN f ON c.g = f.g
+      |GROUP BY c.g ORDER BY event_type""".stripMargin) { (s, dir) =>
+    boxplot(Tables.events(s, dir))
+  }
+
+  /** The q173 operator on any (event_type, value) frame. */
+  def boxplot(events: org.apache.spark.sql.DataFrame,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame = {
+    val vals = eventMicroVals(events)
+    val qs = bucketedQuantileSelect(vals,
+        Seq(("q1", 1L, 4L), ("q2", 1L, 2L), ("q3", 3L, 4L)),
+        GroupMedianBuckets, bigBucket)
+      .groupBy("g").agg(max(col("n")).as("n"),
+        max(when(col("q") === "q1", col("v"))).as("q1"),
+        max(when(col("q") === "q2", col("v"))).as("q2"),
+        max(when(col("q") === "q3", col("v"))).as("q3"))
+      // arithmetic >> 1 = FLOOR division by 2, matching DuckDB's `//`
+      // when the low fence goes negative (`div` truncates toward zero)
+      .withColumn("lo_fence", expr("(5 * q1 - 3 * q3) >> 1"))
+      .withColumn("hi_fence", expr("(5 * q3 - 3 * q1) >> 1"))
+    vals.join(broadcast(qs), "g")
+      .groupBy(col("g").as("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("q1")).as("q1_micro"), max(col("q2")).as("q2_micro"),
+        max(col("q3")).as("q3_micro"),
+        max(col("lo_fence")).as("lo_fence"),
+        max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("v") < col("lo_fence") ||
+          col("v") > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
@@ -1970,5 +2035,5 @@ object Profiling {
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
     q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian,
     q164GiniConcentration, q166PercentileRank, q168FdAudit,
-    q169BootstrapCi)
+    q169BootstrapCi, q173Boxplot)
 }

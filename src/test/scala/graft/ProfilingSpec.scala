@@ -215,6 +215,25 @@ class ProfilingSpec extends SparkSpec {
       s"CI implausibly wide: [$lo, $hi] around $fm")
   }
 
+  test("q173 boxplot: exact quartiles, integer Tukey fences (low fence floors negative), planted outlier") {
+    import spark.implicits._
+    // 1..100 + one 1000: n=101 → q1 at rank 26, q2 at 51, q3 at 76;
+    // fences (5·26−3·76)/2 = −49 (floor!) and (5·76−3·26)/2 = 151 —
+    // only the 1000 falls outside
+    val ev = ((1 to 100).map(_.toDouble) :+ 1000.0).map(("view", _))
+      .toDF("event_type", "value")
+    val r = queries.Profiling.boxplot(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") == 101)
+    assert(row.getAs[Long]("q1_micro") == 26000000L)
+    assert(row.getAs[Long]("q2_micro") == 51000000L)
+    assert(row.getAs[Long]("q3_micro") == 76000000L)
+    assert(row.getAs[Long]("lo_fence") == -49000000L, s"$row")
+    assert(row.getAs[Long]("hi_fence") == 151000000L)
+    assert(row.getAs[Long]("n_outliers") == 1)
+  }
+
   test("q158 KS: a planted location shift rejects; an identical distribution does not") {
     import spark.implicits._
     // 'click' = 'view' + 500 (disjoint supports → D numerator = n_b·n_x,
