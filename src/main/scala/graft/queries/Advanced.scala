@@ -1234,6 +1234,119 @@ object Advanced {
       .orderBy("price_cents")
   }
 
+  /** q174: cross-table reconciliation audit — does the HEADER total
+    * equal the sum of its LINES? The invariant every order-management
+    * migration must check, as one shuffle join of the order header
+    * against the per-order line aggregate (both sides keyed on
+    * orderkey — co-partitioned, no broadcast needed at any scale) and
+    * exact integer-cents deltas. Buckets: exact match, within 1%
+    * (cross-multiplied — `100·|Δ| ≤ total`), beyond; `n_lineless`
+    * counts headers with no lines at all (LEFT join, the referential
+    * hole q52's anti-join would also surface). */
+  val q174Reconciliation: QuerySpec = QuerySpec(
+    "q174_reconciliation",
+    """WITH l AS (
+      |  SELECT l_orderkey AS ok,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS line_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      AS total_cents, l.line_cents
+      |  FROM orders o LEFT JOIN l ON o.o_orderkey = l.ok)
+      |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_lineless,
+      |  CAST(sum(CASE WHEN line_cents = total_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_exact,
+      |  CAST(sum(CASE WHEN line_cents IS NOT NULL
+      |    AND 100 * abs(line_cents - total_cents) <= total_cents
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+      |  CAST(max(abs(line_cents - total_cents)) AS BIGINT)
+      |    AS max_abs_delta_cents
+      |FROM j""".stripMargin) { (s, dir) =>
+    reconcile(Tables.orders(s, dir), Tables.lineitem(s, dir))
+  }
+
+  /** The q174 operator on any (orders, lineitem)-shaped pair. */
+  def reconcile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val l = lineitem
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .as("line_cents"))
+    orders
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("total_cents"))
+      .join(l, col("o_orderkey") === col("ok"), "left")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("line_cents").isNull, 1L).otherwise(0L))
+          .as("n_lineless"),
+        sum(when(col("line_cents") === col("total_cents"), 1L)
+          .otherwise(0L)).as("n_exact"),
+        sum(when(col("line_cents").isNotNull &&
+          lit(100) * abs(col("line_cents") - col("total_cents"))
+            <= col("total_cents"), 1L).otherwise(0L)).as("n_within_1pct"),
+        max(abs(col("line_cents") - col("total_cents")))
+          .as("max_abs_delta_cents"))
+  }
+
+  /** q175: association rules over baskets — support / confidence /
+    * lift for co-purchased part pairs, the market-basket classic, in
+    * EXACT integer arithmetic: pair support from ONE self-join on the
+    * order key (bounded by lines-per-order², never an all-parts
+    * cartesian), `confidence_ppm = floor(1e6·n_ab / n_a)`, and the
+    * lift>1 decision cross-multiplied (`n_ab·N > n_a·n_b`) so no
+    * engine ever divides. Top 20 by support with full tiebreak. */
+  val q175AssocRules: QuerySpec = QuerySpec(
+    "q175_assoc_rules",
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+      |  FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+      |pc AS (SELECT part, CAST(count(*) AS BIGINT) AS n_part
+      |  FROM op GROUP BY part),
+      |pairs AS (
+      |  SELECT a.part AS ante, b.part AS cons,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
+      |  GROUP BY 1, 2)
+      |SELECT ante, cons, n_ab,
+      |  CAST(1000000 * n_ab // pa.n_part AS BIGINT) AS confidence_ppm,
+      |  (CAST(n_ab AS HUGEINT) * n.n_orders
+      |    > CAST(pa.n_part AS HUGEINT) * pb.n_part) AS lift_positive
+      |FROM pairs
+      |JOIN pc pa ON pairs.ante = pa.part
+      |JOIN pc pb ON pairs.cons = pb.part
+      |CROSS JOIN n
+      |ORDER BY n_ab DESC, ante, cons LIMIT 20""".stripMargin) { (s, dir) =>
+    assocRules(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+      .distinct())
+  }
+
+  /** The q175 operator on any distinct (ok, part) basket frame. */
+  def assocRules(op: DataFrame): DataFrame = {
+    val nOrders = broadcast(op.agg(
+      countDistinct(col("ok")).as("n_orders")))
+    val pc = op.groupBy("part").agg(count(lit(1)).as("n_part"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
+      .groupBy(col("a.part").as("ante"), col("b.part").as("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(pc.select(col("part"), col("n_part").as("n_a")),
+        col("ante") === col("part")).drop("part")
+      .join(pc.select(col("part"), col("n_part").as("n_b")),
+        col("cons") === col("part")).drop("part")
+      .crossJoin(nOrders)
+      .select(col("ante"), col("cons"), col("n_ab"),
+        expr("CAST((1000000 * n_ab) div n_a AS LONG)").as("confidence_ppm"),
+        (col("n_ab").cast("decimal(38,0)") * col("n_orders") >
+          col("n_a").cast("decimal(38,0)") * col("n_b")).as("lift_positive"))
+      .orderBy(col("n_ab").desc, col("ante"), col("cons")).limit(20)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -1242,5 +1355,5 @@ object Advanced {
     q150UnpivotNationMeasures, q151MonthOverMonthDelta,
     q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
     q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder, q170PageRank,
-    q171Twap, q172ParetoFrontier)
+    q171Twap, q172ParetoFrontier, q174Reconciliation, q175AssocRules)
 }

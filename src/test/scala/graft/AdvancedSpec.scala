@@ -489,6 +489,35 @@ class AdvancedSpec extends SparkSpec {
     assert(r.head.getAs[Long]("twap_micro") == 6500000L, s"${r.head}")
   }
 
+  test("q174 reconciliation: exact / within-1% / beyond / lineless buckets land exactly") {
+    import spark.implicits._
+    val orders = Seq((1L, 100.0), (2L, 100.0), (3L, 100.0), (4L, 100.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val lines = Seq((1L, 100.0), (2L, 100.5), (3L, 200.0))
+      .toDF("l_orderkey", "l_extendedprice")
+    val r = queries.Advanced.reconcile(orders, lines).collect().head
+    assert(r.getAs[Long]("n_orders") == 4)
+    assert(r.getAs[Long]("n_lineless") == 1)
+    assert(r.getAs[Long]("n_exact") == 1)
+    assert(r.getAs[Long]("n_within_1pct") == 2, s"$r") // exact counts too
+    assert(r.getAs[Long]("max_abs_delta_cents") == 10000L)
+  }
+
+  test("q175 association rules: exact confidence and cross-multiplied lift") {
+    import spark.implicits._
+    // baskets {A,B}, {A,B}, {C,D}: A→B has support 2, confidence 1.0,
+    // and lift 2·3 > 2·2 → positive; C→D support 1, lift 1·3 > 1·1
+    val op = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L),
+      (3L, 4L)).toDF("ok", "part")
+    val r = queries.Advanced.assocRules(op).collect()
+      .map(x => (x.getAs[Long]("ante"), x.getAs[Long]("cons")) -> x).toMap
+    assert(r((1L, 2L)).getAs[Long]("n_ab") == 2)
+    assert(r((1L, 2L)).getAs[Long]("confidence_ppm") == 1000000L)
+    assert(r((1L, 2L)).getAs[Boolean]("lift_positive"))
+    assert(r((3L, 4L)).getAs[Boolean]("lift_positive"))
+    assert(r.size == 4)
+  }
+
   test("q172 Pareto: dominated pairs drop, frontier is monotone") {
     import spark.implicits._
     val items = Seq((100L, 5L), (200L, 10L), (150L, 3L), (100L, 4L),
