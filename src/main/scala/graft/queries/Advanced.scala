@@ -1327,8 +1327,11 @@ object Advanced {
 
   /** The q175 operator on any distinct (ok, part) basket frame. */
   def assocRules(op: DataFrame): DataFrame = {
-    val nOrders = broadcast(op.agg(
-      countDistinct(col("ok")).as("n_orders")))
+    // 1-row metadata collect (the groupStats literalize class): folding
+    // N in as a literal keeps the final pass a pure equi-join chain — a
+    // 1-row crossJoin would plan as a (benign but guard-tripping)
+    // nested-loop build
+    val nOrders = op.agg(countDistinct(col("ok"))).head().getLong(0)
     val pc = op.groupBy("part").agg(count(lit(1)).as("n_part"))
     val pairs = op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
@@ -1339,10 +1342,9 @@ object Advanced {
         col("ante") === col("part")).drop("part")
       .join(pc.select(col("part"), col("n_part").as("n_b")),
         col("cons") === col("part")).drop("part")
-      .crossJoin(nOrders)
       .select(col("ante"), col("cons"), col("n_ab"),
         expr("CAST((1000000 * n_ab) div n_a AS LONG)").as("confidence_ppm"),
-        (col("n_ab").cast("decimal(38,0)") * col("n_orders") >
+        (col("n_ab").cast("decimal(38,0)") * lit(nOrders) >
           col("n_a").cast("decimal(38,0)") * col("n_b")).as("lift_positive"))
       .orderBy(col("n_ab").desc, col("ante"), col("cons")).limit(20)
   }

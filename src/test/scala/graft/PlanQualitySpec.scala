@@ -702,6 +702,34 @@ class PlanQualitySpec extends SparkSpec {
       s"cut assignment joined instead of folding literals:\n$p")
   }
 
+  test("q170/q175: basket self-joins stay equi-joins; no cartesian, no nested loop") {
+    for (q <- Seq("q170_pagerank", "q175_assoc_rules")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs product:\n$p")
+    }
+  }
+
+  test("q171/q172: single-sort window plans — TWAP one exchange, frontier shares its sort") {
+    val p1 = planOf("q171_twap")
+    assert("Exchange hashpartitioning".r.findAllIn(p1).length == 1,
+      s"TWAP should shuffle once on event_type:\n$p1")
+    val p2 = planOf("q172_pareto_frontier")
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      s"skyline fell back to the quadratic self-join:\n$p2")
+  }
+
+  test("q174: header/lines reconciliation is one shuffle join, aggregates pushed map-side") {
+    val p = planOf("q174_reconciliation")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"reconciliation plan degenerated:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"line aggregate lost its map-side combine:\n$p")
+  }
+
   test("runtime bloom filter: a selective dim filter injects a bloom probe into the fact side") {
     // the third 100 TB join lever next to broadcast and AQE skew-split:
     // when a shuffle join's small side carries a selective filter, Spark's
