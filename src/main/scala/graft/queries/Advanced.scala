@@ -1349,6 +1349,50 @@ object Advanced {
       .orderBy(col("n_ab").desc, col("ante"), col("cons")).limit(20)
   }
 
+  /** q176: first-order Markov transition matrix of user behavior —
+    * P(next event type | current), the model behind next-action
+    * prediction, funnel leak hunting, and bot detection (a scripted
+    * client's rows concentrate where a human's spread): ONE exchange on
+    * user_id + one lead window pairs consecutive events, one aggregate
+    * counts the (from, to) matrix (≤ types² metadata rows), and the row
+    * totals ride a partition window over THAT matrix — the corpus is
+    * never re-scanned. `prob_ppm` is the floor-div both engines share;
+    * rows ordered (from, to) so the full matrix is the artifact. */
+  val q176MarkovTransitions: QuerySpec = QuerySpec(
+    "q176_markov_transitions",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id FROM events),
+      |p AS (SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS to_type
+      |  FROM o),
+      |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, to_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+      |  FROM m)
+      |SELECT from_type, to_type, n, n_from,
+      |  CAST(1000000 * n // n_from AS BIGINT) AS prob_ppm
+      |FROM t ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    markovTransitions(Tables.events(s, dir))
+  }
+
+  /** The q176 operator on any (user_id, event_type, ts, event_id) frame. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wFrom = Window.partitionBy("from_type")
+    events.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(wFrom))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("CAST((1000000 * n) div n_from AS LONG)").as("prob_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -1357,5 +1401,7 @@ object Advanced {
     q150UnpivotNationMeasures, q151MonthOverMonthDelta,
     q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
     q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder, q170PageRank,
-    q171Twap, q172ParetoFrontier, q174Reconciliation, q175AssocRules)
+    q171Twap, q172ParetoFrontier, q174Reconciliation, q175AssocRules,
+    q176MarkovTransitions)
+
 }

@@ -2026,6 +2026,49 @@ object Profiling {
       .orderBy("event_type")
   }
 
+  /** q177: WEIGHTED grouped quartiles — the full profile the weighted
+    * engine exists for: quantity-weighted p25/p50/p75 of price per
+    * return flag, i.e. "what does the 25th/50th/75th percentile UNIT
+    * (not line) cost?" All three cut points resolve through ONE
+    * [[weightedQuantileSelect]] weighted-histogram pass; the oracle
+    * spells the same crossing rule over per-value cumulative weights.
+    * Generalizes q163 (median) the way q136 generalized q135. */
+  val q177WeightedQuantiles: QuerySpec = QuerySpec(
+    "q177_weighted_quantiles",
+    """WITH c AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS wt
+      |  FROM lineitem),
+      |s AS (SELECT g, CAST(sum(wt) AS BIGINT) AS wtot FROM c GROUP BY g),
+      |ks AS (
+      |  SELECT g, 'p25' AS q, CAST((wtot + 3) // 4 AS BIGINT) AS k,
+      |    wtot FROM s
+      |  UNION ALL
+      |  SELECT g, 'p50', CAST((wtot + 1) // 2 AS BIGINT), wtot FROM s
+      |  UNION ALL
+      |  SELECT g, 'p75', CAST((3 * wtot + 3) // 4 AS BIGINT), wtot FROM s),
+      |bins AS (SELECT g, v, CAST(sum(wt) AS BIGINT) AS bw
+      |  FROM c GROUP BY g, v),
+      |r AS (SELECT g, v,
+      |  sum(bw) OVER (PARTITION BY g ORDER BY v) AS cw FROM bins)
+      |SELECT r.g AS returnflag, ks.q AS quantile, ks.wtot AS w_total,
+      |  ks.k, CAST(min(v) AS BIGINT) AS value_cents
+      |FROM r JOIN ks ON r.g = ks.g AND r.cw >= ks.k
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY returnflag, quantile""".stripMargin) { (s, dir) =>
+    val vals = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("v"),
+      col("l_quantity").cast("long").as("wt"))
+    weightedQuantileSelect(vals,
+        Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L)),
+        GroupMedianBuckets, BigBucketRows)
+      .select(col("g").as("returnflag"), col("q").as("quantile"),
+        col("wtot").as("w_total"), col("k"), col("v").as("value_cents"))
+      .orderBy("returnflag", "quantile")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
@@ -2035,5 +2078,5 @@ object Profiling {
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
     q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian,
     q164GiniConcentration, q166PercentileRank, q168FdAudit,
-    q169BootstrapCi, q173Boxplot)
+    q169BootstrapCi, q173Boxplot, q177WeightedQuantiles)
 }

@@ -518,6 +518,25 @@ class AdvancedSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("q176 Markov: planted stream yields exact transition counts and row-stochastic ppm") {
+    import spark.implicits._
+    // user 1: view→click→view→purchase — view fans out 50/50
+    val ev = Seq((1L, "view", 1L), (1L, "click", 2L), (1L, "view", 3L),
+      (1L, "purchase", 4L))
+      .toDF("user_id", "event_type", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .withColumn("event_id", col("secs"))
+    val r = queries.Advanced.markovTransitions(ev).collect()
+      .map(x => (x.getAs[String]("from_type"), x.getAs[String]("to_type")) -> x)
+      .toMap
+    assert(r.size == 3)
+    assert(r(("view", "click")).getAs[Long]("n") == 1)
+    assert(r(("view", "click")).getAs[Long]("n_from") == 2)
+    assert(r(("view", "click")).getAs[Long]("prob_ppm") == 500000L)
+    assert(r(("view", "purchase")).getAs[Long]("prob_ppm") == 500000L)
+    assert(r(("click", "view")).getAs[Long]("prob_ppm") == 1000000L)
+  }
+
   test("q172 Pareto: dominated pairs drop, frontier is monotone") {
     import spark.implicits._
     val items = Seq((100L, 5L), (200L, 10L), (150L, 3L), (100L, 4L),
