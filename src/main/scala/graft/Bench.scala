@@ -115,14 +115,15 @@ object Bench {
     // prefix (unique by construction), medians rounded to milliseconds.
     // Full names + full precision live in target/bench_full.json and the
     // line above.
-    // 2-dp in the compact line only: at 120+ queries, 3-dp medians push the
-    // line past the driver's ~2000-char stdout tail; per-query regression
-    // anchors come from BASELINE.md + target/bench_full.json, not this line.
+    // 1-dp in the compact line only: measured 1984 chars at 177 queries
+    // with 2-dp — past the driver's ~2000-char stdout tail — vs 1822 at
+    // 1-dp; per-query regression anchors come from BASELINE.md +
+    // target/bench_full.json, never this line.
     // Keys are the bare query NUMBER ("146" = q146_...): at 150+ queries
     // the repeated "q" alone costs ~150 chars of the ~1900 budget.
     val compactQs = results.map { case (k, (med, _)) =>
       "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
-        (math.rint(med * 100) / 100)
+        (math.rint(med * 10) / 10)
     }.mkString("{", ",", "}")
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters,"min_total":${r3(minTotal)},"queries":$compactQs,"sf":"$sfDir","detail":"target/bench_full.json"$failedJson}""")
