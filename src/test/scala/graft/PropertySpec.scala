@@ -670,4 +670,92 @@ class PropertySpec extends SparkSpec {
     assert(rec == got.map(_.toSeq).toSet,
       "recursive weighted path disagrees with the direct path")
   }
+
+  test("KS/MWU vs brute force on random frames (property)") {
+    import graft.queries.Profiling
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // two shifted-ish random distributions over the five known types
+    val rows = Seq("view", "click", "error", "purchase", "signup").flatMap {
+      t =>
+        val shift = if (t == "purchase") 30.0 else 0.0
+        (1 to 150).map(_ => (t, rnd.nextInt(100) + shift + rnd.nextInt(3)))
+    }
+    val df = rows.toDF("event_type", "value")
+    val ks = Profiling.ksDrift(df).collect()
+      .map(r => r.getAs[String]("vs_type") -> r).toMap
+    val mwu = Profiling.mannWhitney(df).collect()
+      .map(r => r.getAs[String]("vs_type") -> r).toMap
+    val micro = rows.groupBy(_._1).view
+      .mapValues(_.map(r => math.floor(r._2 * 1e6 + 0.5).toLong)).toMap
+    val base = micro("view")
+    for (ty <- Seq("click", "error", "purchase", "signup")) {
+      val other = micro(ty)
+      // brute-force KS numerator over the union of values
+      val values = (base ++ other).distinct.sorted
+      val d = values.map { v =>
+        math.abs(base.count(_ <= v).toLong * other.size -
+          other.count(_ <= v).toLong * base.size)
+      }.max
+      assert(ks(ty).getAs[Long]("ks_num") == d,
+        s"KS numerator mismatch for $ty: ${ks(ty)} want $d")
+      // brute-force doubled U: 2·wins + ties
+      val u2 = base.map(b =>
+        2L * other.count(_ < b) + other.count(_ == b)).sum
+      assert(mwu(ty).getAs[Long]("u2_base") == u2,
+        s"U2 mismatch for $ty: ${mwu(ty)} want $u2")
+      assert(mwu(ty).getAs[Boolean]("identity_ok"))
+    }
+    // the planted +30 shift must reject in both tests; error (same
+    // distribution family as view) must not reject KS at n=150
+    assert(ks("purchase").getAs[Boolean]("reject_05"))
+    assert(mwu("purchase").getAs[Boolean]("reject_05"))
+  }
+
+  test("Gini / percentile-rank / Pareto vs brute force on random frames (property)") {
+    import graft.queries.{Advanced, Profiling}
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // Gini on two random groups with duplicates
+    val gvals = Seq("a", "b").flatMap(g =>
+      (1 to 120).map(_ => (g, rnd.nextInt(40).toLong * 7)))
+    val gini = Profiling.giniConcentration(gvals.toDF("g", "v")).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    gvals.groupBy(_._1).foreach { case (g, grp) =>
+      val xs = grp.map(_._2).sorted
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val twoSum = xs.zipWithIndex.map { case (x, i) => 2L * (i + 1) * x }.sum
+      val num = twoSum - (n + 1) * sx
+      val den = n * sx
+      assert(gini(g).getAs[Long]("gini_num") == num, s"$g: ${gini(g)}")
+      assert(gini(g).getAs[Long]("gini_den") == den)
+      assert(gini(g).getAs[Long]("gini_ppm") ==
+        BigInt(num) * 1000000 / BigInt(den))
+    }
+    // percentile rank vs the rank()-based definition
+    val pvals = (1 to 200).map(i => (i.toLong, rnd.nextInt(30).toLong))
+    val pr = Profiling.percentileRank(pvals.toDF("event_id", "v"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("prank_ppm")).toMap
+    val all = pvals.map(_._2)
+    pvals.foreach { case (id, v) =>
+      val lt = all.count(_ < v).toLong
+      val eq = all.count(_ == v).toLong
+      val want = BigInt(2 * lt + eq + 1) * 1000000 / BigInt(2L * all.size)
+      assert(pr(id) == want, s"row $id v=$v: ${pr(id)} want $want")
+    }
+    // Pareto frontier vs the quadratic dominance filter
+    val items = (1 to 150).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val got = Advanced.paretoFrontier(items.toDF("price_cents", "quantity"))
+      .collect().map(r =>
+        (r.getAs[Long]("price_cents"), r.getAs[Long]("quantity"))).toSet
+    val distinctItems = items.distinct
+    val want = distinctItems.filter { case (p, q) =>
+      !distinctItems.exists { case (p2, q2) =>
+        p2 <= p && q2 >= q && (p2 < p || q2 > q) }
+    }.toSet
+    assert(got == want, s"frontier mismatch: got $got want $want")
+  }
 }
