@@ -2069,6 +2069,128 @@ object Profiling {
       .orderBy("returnflag", "quantile")
   }
 
+  /** q178: effective sample size of a weighted corpus — what a
+    * DSIR/importance-weighted dataset (q122's weights) is actually
+    * WORTH in unweighted examples: `ESS = (Σw)²/Σw²` collapses toward
+    * 1 as a few giant weights dominate (training on such a mix sees
+    * far fewer effective documents than its row count claims). ONE
+    * map-side-combined aggregate per group; `ess_ratio_ppm =
+    * ⌊1e6·(Σw)²/(n·Σw²)⌋` is the floor-div rational both engines share
+    * (DECIMAL(38,0)/HUGEINT — (Σw)² crosses BIGINT early). Weights
+    * here: n_chars per document (size-weighted corpus mixing). */
+  val q178EffectiveSampleSize: QuerySpec = QuerySpec(
+    "q178_effective_sample_size",
+    """WITH c AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS w FROM documents),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(w) AS BIGINT) AS sum_w,
+      |    CAST(sum(CAST(w AS HUGEINT) * w) AS BIGINT) AS sum_w2
+      |  FROM c GROUP BY source)
+      |SELECT source, n, sum_w, sum_w2,
+      |  CAST(CAST(sum_w AS HUGEINT) * sum_w // sum_w2 AS BIGINT)
+      |    AS ess_rows,
+      |  CAST(1000000 * CAST(sum_w AS HUGEINT) * sum_w
+      |    // (CAST(n AS HUGEINT) * sum_w2) AS BIGINT) AS ess_ratio_ppm
+      |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+    effectiveSampleSize(Tables.documents(s, dir)
+      .select(col("source").as("g"), col("n_chars").cast("long").as("w")))
+  }
+
+  /** The q178 operator on any positive-weight (g, w) frame. */
+  def effectiveSampleSize(vals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    vals.groupBy(col("g").as("source"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sum_w"),
+        sum(d38(col("w")) * col("w")).cast("long").as("sum_w2"))
+      .select(col("source"), col("n"), col("sum_w"), col("sum_w2"),
+        expr("CAST((CAST(sum_w AS DECIMAL(38,0)) * sum_w) div sum_w2" +
+          " AS LONG)").as("ess_rows"),
+        expr("CAST((1000000 * CAST(sum_w AS DECIMAL(38,0)) * sum_w) div" +
+          " (CAST(n AS DECIMAL(38,0)) * sum_w2) AS LONG)")
+          .as("ess_ratio_ppm"))
+      .orderBy("source")
+  }
+
+  /** q179: Wald–Wolfowitz runs test — IS THE STREAM SHUFFLED? A batch
+    * pipeline that emits value-sorted or value-batched rows breaks
+    * every "random split by position" assumption downstream; the runs
+    * test catches it nonparametrically: rows above/below the per-group
+    * EXACT median (shared rank selection; ties-to-median dropped, the
+    * standard treatment) should alternate like coin flips in arrival
+    * order — too FEW runs = serial correlation / batching, too many =
+    * oscillation. Decision in exact integers: with a=above, b=below,
+    * n=a+b, R runs, reject when `(R·n − 2ab − n)²·(n−1)·10⁴ >
+    * 38416·2ab·(2ab − n)` (the z² form cross-multiplied;
+    * DECIMAL(38,0)/HUGEINT). One exchange + one lag window + one
+    * aggregate on top of the median pass. */
+  val q179RunsTest: QuerySpec = QuerySpec(
+    "q179_runs_test",
+    """WITH c AS (
+      |  SELECT event_type AS g, event_id,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) AS nn,
+      |    CAST(ceil(count(*) / 2.0) AS BIGINT) AS k FROM c GROUP BY g),
+      |r AS (SELECT g, v,
+      |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM c),
+      |med AS (SELECT r.g, v AS med FROM r JOIN s
+      |  ON r.g = s.g AND r.rn = s.k),
+      |signs AS (
+      |  SELECT c.g, event_id,
+      |    CASE WHEN v > med THEN 1 ELSE 0 END AS up
+      |  FROM c JOIN med ON c.g = med.g WHERE v <> med),
+      |runs AS (SELECT g, up,
+      |  CASE WHEN lag(up) OVER (PARTITION BY g ORDER BY event_id)
+      |    IS DISTINCT FROM up THEN 1 ELSE 0 END AS boundary
+      |  FROM signs),
+      |t AS (SELECT g, CAST(sum(up) AS BIGINT) AS a,
+      |    CAST(sum(1 - up) AS BIGINT) AS b,
+      |    CAST(sum(boundary) AS BIGINT) AS r_runs
+      |  FROM runs GROUP BY g)
+      |SELECT g AS event_type, a, b, r_runs,
+      |  (CAST(r_runs AS HUGEINT) * (a + b) - 2 * CAST(a AS HUGEINT) * b
+      |      - (a + b))
+      |    * (CAST(r_runs AS HUGEINT) * (a + b) - 2 * CAST(a AS HUGEINT) * b
+      |      - (a + b))
+      |    * ((a + b) - 1) * 10000
+      |  > CAST(38416 AS HUGEINT) * 2 * a * b
+      |    * (2 * CAST(a AS HUGEINT) * b - (a + b)) AS reject_05
+      |FROM t ORDER BY event_type""".stripMargin) { (s, dir) =>
+    runsTest(graft.Tables.events(s, dir))
+  }
+
+  /** The q179 operator on any (event_type, event_id, value) frame. */
+  def runsTest(events: org.apache.spark.sql.DataFrame,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val vals = events.select(col("event_type").as("g"), col("event_id"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v"))
+    val med = bucketedQuantileSelect(vals.select("g", "v"),
+        Seq(("p50", 1L, 2L)), GroupMedianBuckets, bigBucket)
+      .select(col("g"), col("v").as("med"))
+    val w = Window.partitionBy("g").orderBy("event_id")
+    val signs = vals.join(broadcast(med), "g")
+      .filter(col("v") =!= col("med"))
+      .select(col("g"), col("event_id"),
+        when(col("v") > col("med"), 1L).otherwise(0L).as("up"))
+    val t = signs
+      .withColumn("boundary",
+        when(lag(col("up"), 1).over(w).isNull ||
+          lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+      .groupBy("g")
+      .agg(sum(col("up")).as("a"), sum(lit(1L) - col("up")).as("b"),
+        sum(col("boundary")).as("r_runs"))
+    val n = col("a") + col("b")
+    val num = d38(col("r_runs")) * n - lit(2) * d38(col("a")) * col("b") - n
+    t.select(col("g").as("event_type"), col("a"), col("b"), col("r_runs"),
+        (num * num * (n - 1) * 10000 >
+          d38(lit(38416)) * 2 * col("a") * col("b") *
+            (lit(2) * d38(col("a")) * col("b") - n)).as("reject_05"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q15FieldProfile, q16MissingMap, q17RevenueSummary, q18NumericSummary,
     q19TopProducts, q20DbStats, q47ApproxProfile, q57GroupedPercentiles,
@@ -2078,5 +2200,6 @@ object Profiling {
     q155WinsorizedMean, q156MadOutliers, q158KsDrift, q159MannWhitney,
     q160EquiDepthHist, q161BenfordAudit, q163WeightedMedian,
     q164GiniConcentration, q166PercentileRank, q168FdAudit,
-    q169BootstrapCi, q173Boxplot, q177WeightedQuantiles)
+    q169BootstrapCi, q173Boxplot, q177WeightedQuantiles,
+    q178EffectiveSampleSize, q179RunsTest)
 }

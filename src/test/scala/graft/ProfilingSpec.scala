@@ -234,6 +234,48 @@ class ProfilingSpec extends SparkSpec {
     assert(row.getAs[Long]("n_outliers") == 1)
   }
 
+  test("q178 ESS: equal weights are worth n; one dominant weight collapses toward 1") {
+    import spark.implicits._
+    val vals = (Seq.fill(50)(("eq", 10L)) ++
+      (Seq.fill(3)(1L) :+ 97L).map(("mx", _))).toDF("g", "w")
+    val r = queries.Profiling.effectiveSampleSize(vals).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("eq").getAs[Long]("ess_rows") == 50)
+    assert(r("eq").getAs[Long]("ess_ratio_ppm") == 1000000L)
+    // {1,1,1,97}: ESS = 100²/9412 ≈ 1.06 — the "corpus" is worth one doc
+    assert(r("mx").getAs[Long]("ess_rows") == 1)
+    assert(r("mx").getAs[Long]("ess_ratio_ppm") ==
+      BigInt(1000000) * 10000 / (4 * 9412), s"${r("mx")}")
+  }
+
+  test("q179 runs test: sorted and alternating streams reject; an interleaved one does not") {
+    import spark.implicits._
+    // 29 lows + 1 exact-median row (5.0, dropped as a tie) + 30 highs:
+    // sorted arrival → R=2 (far too few runs), strict alternation →
+    // R=59 (far too many), a fair shuffle → no rejection
+    val rnd = new scala.util.Random(41)
+    val sorted = (1 to 29).map(i => ("view", i.toLong, 1.0)) ++
+      Seq(("view", 30L, 5.0)) ++
+      (31 to 60).map(i => ("view", i.toLong, 9.0))
+    val alternating = (1 to 59).map(i =>
+      ("click", i.toLong, if (i % 2 == 0) 1.0 else 9.0)) ++
+      Seq(("click", 60L, 5.0))
+    val shuffled = rnd.shuffle((1 to 29).map(_ => 1.0) ++
+      (1 to 30).map(_ => 9.0)).zipWithIndex.map { case (v, i) =>
+      ("error", (i + 1).toLong, v) } ++ Seq(("error", 60L, 5.0))
+    val ev = (sorted ++ alternating ++ shuffled)
+      .toDF("event_type", "event_id", "value")
+    val r = queries.Profiling.runsTest(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("view").getAs[Long]("a") == 30 &&
+      r("view").getAs[Long]("b") == 29, s"${r("view")}")
+    assert(r("view").getAs[Long]("r_runs") == 2)
+    assert(r("view").getAs[Boolean]("reject_05"), s"${r("view")}")
+    assert(r("click").getAs[Long]("r_runs") == 59)
+    assert(r("click").getAs[Boolean]("reject_05"), s"${r("click")}")
+    assert(!r("error").getAs[Boolean]("reject_05"), s"${r("error")}")
+  }
+
   test("q158 KS: a planted location shift rejects; an identical distribution does not") {
     import spark.implicits._
     // 'click' = 'view' + 500 (disjoint supports → D numerator = n_b·n_x,
