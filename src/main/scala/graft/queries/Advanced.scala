@@ -1393,6 +1393,66 @@ object Advanced {
       .orderBy("from_type", "to_type")
   }
 
+  /** q180: top-k churn — which leaders ENTERED, EXITED, or STAYED
+    * between two periods? The ranking-stability audit behind every
+    * "top sellers" dashboard (a silently reshuffled top list is either
+    * real drift or an upstream bug — q69's row-level diff can't say
+    * which RANKS moved): per period, revenue ranks come from one
+    * aggregate + one window over the (period, key) METADATA frame
+    * (never a corpus sort), the two top-k lists full-outer join on the
+    * key, and each row carries both ranks plus its churn status. Ties
+    * broken by key so both engines rank identically. */
+  val q180TopkChurn: QuerySpec = QuerySpec(
+    "q180_topk_churn",
+    """WITH base AS (
+      |  SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)
+      |      AS yr, l_partkey AS part,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) IN (1996, 1997)
+      |  GROUP BY 1, 2),
+      |r AS (SELECT yr, part, cents,
+      |  CAST(row_number() OVER (PARTITION BY yr
+      |    ORDER BY cents DESC, part) AS BIGINT) AS rk FROM base),
+      |a AS (SELECT part, rk AS rank_1996, cents AS cents_1996
+      |  FROM r WHERE yr = 1996 AND rk <= 20),
+      |b AS (SELECT part, rk AS rank_1997, cents AS cents_1997
+      |  FROM r WHERE yr = 1997 AND rk <= 20)
+      |SELECT COALESCE(a.part, b.part) AS part, rank_1996, rank_1997,
+      |  CASE WHEN a.part IS NULL THEN 'entered'
+      |       WHEN b.part IS NULL THEN 'exited'
+      |       ELSE 'stayed' END AS status
+      |FROM a FULL OUTER JOIN b ON a.part = b.part
+      |ORDER BY COALESCE(rank_1997, 99), COALESCE(rank_1996, 99),
+      |  part""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(year(to_date(col("o_orderdate"))).as("yr"),
+        col("l_partkey").as("part"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("c0"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy("yr", "part").agg(sum(col("c0")).as("cents"))
+    val w = Window.partitionBy("yr")
+      .orderBy(col("cents").desc, col("part"))
+    val r = base.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+    val a = r.filter(col("yr") === 1996)
+      .select(col("part").as("pa"), col("rk").as("rank_1996"))
+    val b = r.filter(col("yr") === 1997)
+      .select(col("part").as("pb"), col("rk").as("rank_1997"))
+    a.join(b, col("pa") === col("pb"), "full_outer")
+      .select(coalesce(col("pa"), col("pb")).as("part"),
+        col("rank_1996"), col("rank_1997"),
+        when(col("pa").isNull, "entered")
+          .when(col("pb").isNull, "exited")
+          .otherwise("stayed").as("status"))
+      .orderBy(coalesce(col("rank_1997"), lit(99L)),
+        coalesce(col("rank_1996"), lit(99L)), col("part"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -1402,6 +1462,6 @@ object Advanced {
     q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
     q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder, q170PageRank,
     q171Twap, q172ParetoFrontier, q174Reconciliation, q175AssocRules,
-    q176MarkovTransitions)
+    q176MarkovTransitions, q180TopkChurn)
 
 }
