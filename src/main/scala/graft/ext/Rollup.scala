@@ -375,9 +375,19 @@ object Rollup {
     val events = Tables.events(s, dir)
     val idx = java.nio.file.Files
       .createTempDirectory("graft_bins_idx").toString
-    buildBinsIndex(events.filter(col("event_id") % 2 === 0), idx)
-    appendToBinsIndex(s, idx, events.filter(col("event_id") % 2 === 1))
-    graft.queries.Profiling.medianFromBins(readBinsIndex(s, idx))
+    try {
+      buildBinsIndex(events.filter(col("event_id") % 2 === 0), idx)
+      appendToBinsIndex(s, idx, events.filter(col("event_id") % 2 === 1))
+      val res = graft.queries.Profiling.medianFromBins(readBinsIndex(s, idx))
+      // the derived medians are group-cardinality rows (one per
+      // event_type) — localize them so the scratch index can be deleted
+      // instead of leaking a bins copy into /tmp per invocation
+      s.createDataFrame(
+        java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      ()
+    }
   }
 
   /** q145: skip-manifest-pruned range stats — the per-file manifest
@@ -401,26 +411,59 @@ object Rollup {
     prunedRangeStats(s, dir)._1
   }
 
+  /** MD5 over a source directory's recursive (relative path, length,
+    * mtime) listing — the cheap CONTENT identity for keyed caches: a
+    * regenerated table at the same path changes mtimes/sizes, so cache
+    * keys derived from this can never serve stale results the way a
+    * path-only key can. Driver-side namenode listing — file-count
+    * bounded, the partition-discovery metadata class. */
+  private[graft] def dirFingerprint(path: String): String = {
+    val root = java.nio.file.Paths.get(path)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.sorted().forEach { p =>
+        val rel = root.relativize(p).toString
+        if (!rel.isEmpty && !java.nio.file.Files.isDirectory(p)) {
+          val sz = java.nio.file.Files.size(p)
+          val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          md.update(s"$rel|$sz|$mt\n".getBytes("UTF-8"))
+        }
+      }
+    } finally stream.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** The q145 body, returning (result, prunedScanDf) so tests can assert
     * on the scan's file metrics without re-running the layout build.
     *
     * The indexed layout is CACHED per source table (one deterministic
-    * directory keyed by the table path, built once per process under a
-    * ready-marker + rename protocol): the realistic shape is "the layout
-    * exists, queries probe it", and the uncached form leaked a full
-    * corpus copy into a fresh temp dir on every invocation — a bench or
-    * plan sweep calls this many times per session. */
+    * directory, built once under a ready-marker + rename protocol): the
+    * realistic shape is "the layout exists, queries probe it", and the
+    * uncached form leaked a full corpus copy into a fresh temp dir on
+    * every invocation — a bench or plan sweep calls this many times per
+    * session. The key is path MD5 + [[dirFingerprint]] (file list, sizes,
+    * mtimes), so a REGENERATED table at the same path gets a fresh build
+    * instead of stale cache hits; stale-fingerprint siblings of the same
+    * table are deleted on publish. Cross-process safety: each builder
+    * stages under a process-unique dir and publishes with a single
+    * rename — if the rename loses to a concurrent builder, the published
+    * (identical — same fingerprint) layout is used and the loser's
+    * staging is discarded. */
   private val q145BuildLock = new Object
   def prunedRangeStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.pipeline.Store
     val docs = Tables.documents(s, dir)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q145_$key"
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pathKey = md5(dir)
+    val fp = dirFingerprint(s"$dir/documents.parquet")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val base = s"$tmp/graft_q145_${pathKey}_$fp"
     val table = s"$base/docs"
     q145BuildLock.synchronized {
       if (!new java.io.File(s"$base/_READY").exists()) {
-        val stage = s"${base}__build"
+        val stage = s"${base}__build_${ProcessHandle.current().pid()}"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
         docs.repartitionByRange(5, col("doc_id")).sortWithinPartitions("doc_id")
           .write.mode("overwrite").parquet(s"$stage/docs")
@@ -430,9 +473,22 @@ object Rollup {
           java.nio.file.Paths.get(stage, "_MAXID"), maxId.toString)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(stage, "_READY"), "ready")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-        if (!new java.io.File(stage).renameTo(new java.io.File(base)))
-          sys.error(s"q145 layout publish failed for $base")
+        if (!new java.io.File(stage).renameTo(new java.io.File(base))) {
+          // lost the publish race: accept the winner's identical layout
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+          if (!new java.io.File(s"$base/_READY").exists())
+            sys.error(s"q145 layout publish failed for $base")
+        }
+        // GC builds of SUPERSEDED fingerprints of this table (same path
+        // key, different content hash) — they can never be read again
+        new java.io.File(tmp).listFiles() match {
+          case null => ()
+          case fs => fs.filter(f =>
+              f.getName.startsWith(s"graft_q145_${pathKey}_") &&
+                f.getName != s"graft_q145_${pathKey}_$fp")
+            .foreach(f =>
+              org.apache.commons.io.FileUtils.deleteQuietly(f))
+        }
       }
     }
     val maxId = java.nio.file.Files
@@ -547,18 +603,32 @@ object Rollup {
       upTo: Option[Long] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val upto = readUpto(spark, dir, fs)
     val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
     val hasBase = fs.exists(basePath) ||
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base__backup"))
     val partsPath = new org.apache.hadoop.fs.Path(s"$dir/parts")
     val hasParts = fs.exists(partsPath) && fs.listStatus(partsPath).nonEmpty
     require(hasBase || hasParts, s"readMaintained: nothing published under $dir")
+    // Base is materialized EAGERLY (localCheckpoint — group-cardinality
+    // metadata) and its watermark is taken from THAT snapshot, never from
+    // a separate scan: with two scans a compaction completing in between
+    // could serve the NEW base content against the OLD watermark and
+    // double-count not-yet-GC'd partials. Snapshot order matters too —
+    // base FIRST, partials after: a fold racing this read can only make
+    // partials vanish (ABOVE the snapshot's watermark → an undercount the
+    // scaladoc's retry caveat covers), never reappear below it.
     val base =
       if (!hasBase) None
       else Some(graft.pipeline.Store
         .readRecoverableReadOnly(spark, s"$dir/base", "maintenance base")
-        .drop("__upto"))
+        .localCheckpoint(true))
+    val upto: Long = base match {
+      case None => -1L
+      case Some(b) =>
+        val r = b.select(max(col("__upto"))).head()
+        // all-empty-partials base → rows=0 → NULL max; see readUpto
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
     val parts =
       if (!hasParts) None
       else {
@@ -568,7 +638,7 @@ object Rollup {
           .drop("batch")
         Some(live)
       }
-    (base, parts) match {
+    (base.map(_.drop("__upto")), parts) match {
       case (Some(b), Some(p)) => merge(b, p)
       case (Some(b), None) => b
       case (None, Some(p)) => merge(p, p.limit(0))

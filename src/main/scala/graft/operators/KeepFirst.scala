@@ -25,13 +25,29 @@ object KeepFirst {
   }
 
   def native(df0: DataFrame, keys: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    // Column names resolve with the SESSION's resolver (case-insensitive
+    // unless spark.sql.caseSensitive) — an exact-case schema lookup would
+    // silently skip the float normalization (and the nested-float
+    // rejection) for a key passed in a different case, reintroducing the
+    // -0.0/0.0 run-split divergence the normalization exists to prevent.
+    val resolver = df0.sparkSession.sessionState.analyzer.resolver
+    def resolved(d: DataFrame, n: String): String =
+      d.schema.collect { case f if resolver(f.name, n) => f.name } match {
+        case Seq(one) => one
+        case Seq() =>
+          throw new IllegalArgumentException(s"keepFirst: column $n not found")
+        case many => throw new IllegalArgumentException(
+          s"keepFirst: column $n is ambiguous (${many.mkString(", ")})")
+      }
+    val keyNames = keys.map(resolved(df0, _))
+    val tiebreakNames = tiebreak.map(resolved(df0, _))
     // Catalyst's NormalizeFloatingNumbers rule canonicalizes -0.0 → 0.0
     // for Aggregate/Window/Join keys but not for custom nodes, so a
     // float-typed key with both zero signs would form TWO runs here while
     // the aggregate form merges them. Canonicalize top-level float/double
     // keys before the sort (so grouping, run order, AND the kept row all
     // match the aggregate pick); reject floats nested inside a key type.
-    val df = keys.foldLeft(df0) { (d, k) =>
+    val df = keyNames.foldLeft(df0) { (d, k) =>
       d.schema.find(_.name == k).map(_.dataType) match {
         case Some(FloatType) =>
           d.withColumn(k, when(col(k) === lit(0.0f), lit(0.0f)).otherwise(col(k)))
@@ -51,6 +67,6 @@ object KeepFirst {
     def attr(n: String) = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"keepFirst: column $n not found"))
     Bridge.ofRows(spark,
-      graft.plans.KeepFirstNode(plan, keys.map(attr), tiebreak.map(attr)))
+      graft.plans.KeepFirstNode(plan, keyNames.map(attr), tiebreakNames.map(attr)))
   }
 }

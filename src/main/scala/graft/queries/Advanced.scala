@@ -854,9 +854,13 @@ object Advanced {
     val s38 = d38(col("x_a") + col("x_b"))
     val n38 = d38(col("n_a") + col("n_b"))
     agg.select(col("segment"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-      (d * d * n38 * lit(625) >
-        d38(lit(2401)) * col("n_a") * col("n_b") * s38 * (n38 - s38))
-        .as("significant"))
+      // counts are non-null by construction (sum of when/otherwise(0)),
+      // so a NULL flag can only be DECIMAL(38,0) saturation (~1e26 cross
+      // products at gate scale; the 38-digit reach ends near 1e12-row
+      // arms) — raise instead of serving NULL-as-false
+      orOverflowError(d * d * n38 * lit(625) >
+        d38(lit(2401)) * col("n_a") * col("n_b") * s38 * (n38 - s38),
+        "q153 significant").as("significant"))
       .orderBy("segment")
   }
 
@@ -960,6 +964,17 @@ object Advanced {
       .orderBy("window_start")
   }
 
+  /** The driftVsRollup overflow discipline for the exact-integer test
+    * family (q153/q162): these expressions are built from NON-NULL
+    * aggregates, so a NULL can only mean a saturated DECIMAL(38,0)
+    * product or an overflowed LONG cast under non-ANSI mode — and a NULL
+    * verdict silently reads as "not significant"/"not rising" downstream.
+    * Surface it as a loud per-row failure instead. */
+  private def orOverflowError(value: Column, what: String): Column =
+    when(value.isNotNull, value).otherwise(raise_error(lit(
+      s"$what: DECIMAL(38,0)/LONG overflow in exact integer arithmetic — " +
+        "downscale units before multiplying (see Scaladoc bound)")))
+
   /** q162: per-group trend slope — "is this slice drifting up or
     * down?" as an EXACT least-squares line over the daily series: the
     * corpus folds once into ≤ groups×days partials (day index x =
@@ -1011,12 +1026,12 @@ object Advanced {
         sum(d38(col("x")) * col("y")).as("sxy"),
         sum(d38(col("x")) * col("x")).as("sxx"))
       .select(col("event_type"), col("n_days"),
-        (col("n_days") * col("sxy") - col("sx") * col("sy"))
-          .cast("long").as("slope_num"),
-        (col("n_days") * col("sxx") - col("sx") * col("sx"))
-          .cast("long").as("slope_den"),
-        (col("n_days") * col("sxy") - col("sx") * col("sy") > 0)
-          .as("rising"))
+        orOverflowError((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("long"), "q162 slope_num").as("slope_num"),
+        orOverflowError((col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .cast("long"), "q162 slope_den").as("slope_den"),
+        orOverflowError(col("n_days") * col("sxy") - col("sx") * col("sy") > 0,
+          "q162 rising").as("rising"))
       .orderBy("event_type")
   }
 
@@ -1074,13 +1089,24 @@ object Advanced {
     * (scores in ppm; per-node contribution `score div outdeg`, update
     * `0.15 + 0.85·Σ` as `150000 + (85·Σ) div 100`) — floor division is
     * deterministic in both engines where float damping would drift by
-    * iteration 3. Five unrolled iterations, each ONE broadcast join of
-    * the O(nodes) score frame against the partitioned edge list + one
-    * map-side-combined sum by dst — the edge list NEVER shuffles and
-    * the per-iteration state is node-cardinality metadata, exactly the
-    * distributed PageRank shape. Co-purchase edges are symmetric, so
-    * every edge-connected node keeps an inbound sum (no dangling-mass
-    * term). Top 20 hubs published (score desc, partkey tiebreak). */
+    * iteration 3.
+    *
+    * Scale shape (the co-partitioned iteration, not the broadcast one):
+    * the edge list is derived ONCE with its out-degree folded in,
+    * hash-partitioned on `src` and persisted (MEMORY_AND_DISK — the
+    * GraphX iteration discipline; a persistent deployment keeps it as a
+    * bucketed table instead). Each of the five iterations is then a
+    * SHUFFLE-HASH join of the O(nodes) score frame INTO that cached
+    * partitioning + one map-side-combined sum by dst: the edges never
+    * re-shuffle, the out-degree is never re-derived, and — critically —
+    * the score frame is never broadcast or collected, so no single
+    * JVM ever has to hold O(nodes) state (node cardinality is
+    * corpus-proportional; a broadcast dies at a billion-node graph).
+    * Scores flow shuffle-to-shuffle: the groupBy(dst) output is already
+    * hash-partitioned on the next round's join key.
+    * Co-purchase edges are symmetric, so every edge-connected node keeps
+    * an inbound sum (no dangling-mass term). Top 20 hubs published
+    * (score desc, partkey tiebreak). */
   val q170PageRank: QuerySpec = QuerySpec(
     "q170_pagerank", {
       val iters = (1 to PrIters).map { i =>
@@ -1112,33 +1138,60 @@ object Advanced {
       .distinct())
   }
 
-  /** The q170 operator on any (ok, part) co-membership frame. */
+  /** The q170 operator on any (ok, part) co-membership frame: runs the
+    * iteration plan eagerly (the result is ≤ 20 rows — driver metadata),
+    * releases the cached edge frame, and returns the rows as a local
+    * frame. Nothing is left behind: no temp directory, no pinned cache. */
   def pageRank(s: SparkSession, op: DataFrame): DataFrame = {
-    // materialize the edge list ONCE — the iteration lineage would
-    // otherwise replay the self-join per round (a real deployment keeps
-    // edges as a table; 5 rounds re-deriving them is 5 wasted shuffles)
-    val edgeDir = java.nio.file.Files
-      .createTempDirectory("graft_pr_edges").toString
-    op.as("a").join(op.as("b"),
+    val (result, edges) = pageRankPlan(s, op)
+    try {
+      val rows = result.collect() // limit(20) — bounded driver metadata
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+    } finally { edges.unpersist(); () }
+  }
+
+  /** The q170 iteration plan, returned LAZY together with the cached edge
+    * frame so PlanQualitySpec can assert its physical shape (no broadcast
+    * of the score side, edges served from the cache). Callers other than
+    * the test go through [[pageRank]], which materializes and cleans up.
+    *
+    * Per-iteration join strategy: `hint("shuffle_hash")` on the score
+    * side — the build side is one partition's worth of scores, never the
+    * whole frame, so the iteration survives node cardinalities where a
+    * broadcast (whole score frame on every executor AND the driver) would
+    * OOM. The cached edge side already satisfies the join's clustering
+    * requirement (hash-partitioned on `src` at persist time), so only the
+    * metadata-light score side ever moves. */
+  private[graft] def pageRankPlan(s: SparkSession,
+      op: DataFrame): (DataFrame, DataFrame) = {
+    // edge list + out-degree derived ONCE, partitioned on the iteration
+    // join key, persisted: the iteration lineage would otherwise replay
+    // the self-join and the degree aggregate every round
+    val rawEdges = op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
       .select(col("a.part").as("src"), col("b.part").as("dst"))
       .distinct()
-      .write.mode("overwrite").parquet(edgeDir)
-    val edges = s.read.parquet(edgeDir)
-    val outdeg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
-    val s0 = outdeg.select(col("node"), lit(1000000L).as("score"))
+    // out-degree as a window over the SAME src partitioning the
+    // repartition just created — no degree join, no second derivation
+    // of the self-join, one shuffle for the whole build
+    val edges = rawEdges
+      .repartition(col("src"))
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy("src")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize once, before the iterations fan out
+    val s0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("score"))
     val sFinal = (1 to PrIters).foldLeft(s0) { (sc, _) =>
       edges
-        .join(broadcast(sc.join(outdeg, "node")
-          .select(col("node"), expr("score div outdeg").as("contrib"))),
-          col("src") === col("node"))
+        .join(sc.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg((lit(PrBase) +
-          expr(s"($PrDampPct * sum(contrib)) div 100")).as("score"))
+          expr(s"($PrDampPct * sum(score div outdeg)) div 100")).as("score"))
     }
-    sFinal.select(col("node").as("partkey"), col("score").as("score_ppm"))
-      .orderBy(col("score_ppm").desc, col("partkey")).limit(20)
+    (sFinal.select(col("node").as("partkey"), col("score").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("partkey")).limit(20), edges)
   }
 
   /** q171: time-weighted average (TWAP) per event type — the correct

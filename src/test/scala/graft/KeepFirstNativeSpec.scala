@@ -124,4 +124,24 @@ class KeepFirstNativeSpec extends SparkSpec {
       KeepFirst.native(df, Seq("missing"), Seq("b")))
     assert(e.getMessage.contains("missing"))
   }
+
+  test("keys resolve with the session resolver: a differently-cased float key still normalizes -0.0") {
+    // Spark resolves column names case-insensitively by default; an
+    // exact-case schema lookup would skip the -0.0 normalization for "K"
+    // and split the zero group into two runs
+    val df = Seq((-0.0, 5, "neg"), (0.0, 1, "pos"), (1.5, 2, "other"))
+      .toDF("k", "o", "v")
+    val nat = KeepFirst.native(df, Seq("K"), Seq("O", "v"))
+    val agg = Clean.dedupKeepFirstAgg(df, key = "k", orderCols = Seq("o", "v"))
+    val n = nat.collect().map(_.toSeq).toSet
+    assert(n == agg.collect().map(_.toSeq).toSet,
+      s"case-insensitive key skipped normalization: $n")
+    assert(n.size == 2 && n.exists(_ == Seq(0.0, 1, "pos")))
+    // and the nested-float rejection fires regardless of case too
+    val nested = Seq((1.0, 2)).toDF("x", "o")
+      .select(struct(col("x")).as("k"), col("o"))
+    val e = intercept[IllegalArgumentException](
+      KeepFirst.native(nested, Seq("K"), Seq("o")))
+    assert(e.getMessage.contains("float-typed"))
+  }
 }

@@ -702,13 +702,44 @@ class PlanQualitySpec extends SparkSpec {
       s"cut assignment joined instead of folding literals:\n$p")
   }
 
-  test("q170/q175: basket self-joins stay equi-joins; no cartesian, no nested loop") {
-    for (q <- Seq("q170_pagerank", "q175_assoc_rules")) {
-      val p = planOf(q)
-      assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"),
-        s"$q degenerated to an all-pairs product:\n$p")
-    }
+  test("q175: basket self-join stays an equi-join; no cartesian, no nested loop") {
+    val p = planOf("q175_assoc_rules")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q175 degenerated to an all-pairs product:\n$p")
+  }
+
+  test("q170: iteration never broadcasts the O(nodes) score frame; edges served from cache") {
+    import org.apache.spark.sql.functions.col
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+      .distinct()
+    val (result, edges) = graft.queries.Advanced.pageRankPlan(spark, op)
+    try {
+      result.collect() // finalize AQE
+      // walk the FINAL operator tree (through AQE stages). The edge-BUILD
+      // subplan hides behind the InMemoryTableScan leaf — its one-time
+      // broadcast is scale-adaptive and not part of the iterations.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def ops(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => ops(a.executedPlan)
+        case q: QueryStageExec => q +: ops(q.plan)
+        case other => other +: other.children.flatMap(ops)
+      }
+      val nodes = ops(result.queryExecution.executedPlan)
+      val names = nodes.map(_.getClass.getSimpleName)
+      // node cardinality is corpus-proportional — a broadcast of the score
+      // frame is the one plan shape that cannot survive a 100x scale-up
+      assert(!names.exists(_.startsWith("Broadcast")),
+        s"q170 iterations broadcast per-iteration state: $names")
+      assert(!names.contains("CartesianProductExec"),
+        s"q170 degenerated to an all-pairs product: $names")
+      assert(names.contains("ShuffledHashJoinExec"),
+        s"q170 iterations lost the shuffle-hash score join: $names")
+      assert(names.contains("InMemoryTableScanExec"),
+        s"q170 re-derives the edge list instead of reading the cache: $names")
+    } finally { edges.unpersist(); () }
   }
 
   test("q171/q172: single-sort window plans — TWAP one exchange, frontier shares its sort") {
