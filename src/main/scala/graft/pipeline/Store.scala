@@ -657,6 +657,28 @@ object Store {
       .write.mode(SaveMode.Overwrite).parquet(s"$manifestDir/manifest")
   }
 
+  /** Documented bound on the skip-manifest rows the maintenance/prune
+    * ops pull to the DRIVER: the manifest is per-FILE metadata (~10^5
+    * rows at 100 TB / 1 GB files — comfortably under this), but file
+    * count is a dial, not a constant: a small-file explosion (10^8
+    * 1 MB files) would quietly turn these collects into driver OOMs.
+    * Past the bound the ops fail LOUDLY ([[manifestDriverGuard]])
+    * instead — the outs are compaction (the small-file problem is the
+    * real bug) or a partitioned manifest keyed so maintenance touches
+    * one partition's rows at a time. */
+  final val MaxManifestDriverRows: Long = 5000000L
+
+  /** The driver-collect guard shared by the manifest maintenance ops:
+    * one 1-row count before any `collect()` of manifest/block rows. */
+  private def manifestDriverGuard(df: DataFrame, what: String,
+      bound: Long): Unit = {
+    val n = df.agg(count(org.apache.spark.sql.functions.lit(1))).head().getLong(0)
+    if (n > bound)
+      sys.error(s"$what: manifest holds $n file rows > bound $bound — " +
+        "file count is a dial, not a constant; compact the table's " +
+        "small files or partition the manifest (see MaxManifestDriverRows)")
+  }
+
   /** Fold files that appeared in `tableDir` SINCE the manifest was last
     * published into it — the incremental maintenance op: only the NEW
     * files are scanned (an appending writer — streaming sink, delta
@@ -666,9 +688,11 @@ object Store {
     * previous manifest recoverable. Returns the number of new files
     * scanned. */
   def appendToSkipManifest(spark: SparkSession, tableDir: String,
-      manifestDir: String, statCols: Seq[String]): Long = {
+      manifestDir: String, statCols: Seq[String],
+      maxDriverRows: Long = MaxManifestDriverRows): Long = {
     repairPublished(spark, s"$manifestDir/manifest", "manifest append")
     val existing = readSkipManifest(spark, manifestDir)
+    manifestDriverGuard(existing, "manifest append", maxDriverRows)
     val known = existing.select("block").collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(spark, tableDir)
       .filterNot { case (rel, _) => known.contains(rel) }
@@ -725,9 +749,11 @@ object Store {
     * (filesAdded, rowsDropped). Same staging + backup publish as the
     * append path. */
   def syncSkipManifest(spark: SparkSession, tableDir: String,
-      manifestDir: String, statCols: Seq[String]): (Long, Long) = {
+      manifestDir: String, statCols: Seq[String],
+      maxDriverRows: Long = MaxManifestDriverRows): (Long, Long) = {
     repairPublished(spark, s"$manifestDir/manifest", "manifest sync")
     val existing = readSkipManifest(spark, manifestDir)
+    manifestDriverGuard(existing, "manifest sync", maxDriverRows)
     val known = existing.select("block").collect().map(_.getString(0)).toSet
     val files = listDataFiles(spark, tableDir)
     val current = files.map(_._1).toSet
@@ -818,9 +844,15 @@ object Store {
     * table's schema. StoreSpec asserts the result ≡ the unpruned filter
     * and that `inputFiles` shrinks to exactly the overlapping files. */
   def skipPrunedScan(spark: SparkSession, tableDir: String,
-      manifestDir: String, colName: String, lo: Long, hi: Long): DataFrame = {
-    val kept = readSkipManifest(spark, manifestDir)
+      manifestDir: String, colName: String, lo: Long, hi: Long,
+      maxDriverRows: Long = MaxManifestDriverRows): DataFrame = {
+    // the guard counts SURVIVORS, not the whole manifest: the filter on
+    // the [min,max] boxes runs distributed; only the kept-path list
+    // must fit the driver (it becomes the scan's file list either way)
+    val survivors = readSkipManifest(spark, manifestDir)
       .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
+    manifestDriverGuard(survivors, "skipPrunedScan", maxDriverRows)
+    val kept = survivors
       .select("block").collect().map(_.getString(0))
     val pred = col(colName) >= lo && col(colName) <= hi
     // blocks are table-relative paths; basePath keeps partition-directory

@@ -1272,15 +1272,54 @@ object Advanced {
       col("l_quantity").cast("long").as("quantity")))
   }
 
-  /** The q172 operator on any (price_cents, quantity) frame. */
-  def paretoFrontier(items: DataFrame): DataFrame = {
+  /** Width of the q172 price stripes (in cents): the DISTRIBUTION knob —
+    * the distinct pair frame partitions into price stripes so the
+    * dominance windows run per-stripe instead of single-task, and the
+    * only single-partition work left is the stripe-level prefix maximum
+    * over O(domain / width) metadata rows. $100 stripes put a
+    * $0–$100k price domain at ~1000 stripes. Assumes non-negative
+    * prices (integer `div` striping). */
+  final val SkylineBucketCents = 10000L
+
+  /** The q172 operator on any non-negative (price_cents, quantity)
+    * frame — TWO-PHASE skyline: the naive form runs one unpartitioned
+    * RANGE window over the distinct pair frame, which approaches corpus
+    * cardinality for near-continuous prices and lands every pair in a
+    * single task. Here:
+    *
+    *  - phase 1 (distributed): within each [[SkylineBucketCents]] price
+    *    stripe, one sort serves two RANGE frames — the running max
+    *    quantity over STRICTLY cheaper in-stripe prices
+    *    (unbounded..−1) and the same-price peer max (0..0, replacing a
+    *    separate partitionBy(price) pass);
+    *  - phase 2 (metadata): per-stripe max quantities → a prefix max
+    *    over the O(#stripes) stripe rows (every earlier stripe holds
+    *    only strictly cheaper prices), broadcast back.
+    *
+    * `maxq_lt = greatest(in-stripe, earlier-stripe)` (greatest skips
+    * NULLs; NULL iff globally cheapest) reproduces the unpartitioned
+    * window's semantics exactly — AdvancedSpec differential-pins the
+    * two forms and the oracle replays the one-window spelling. */
+  def paretoFrontier(items: DataFrame,
+      bucketWidth: Long = SkylineBucketCents): DataFrame = {
     val pairs = items.distinct()
-    val wLt = Window.orderBy("price_cents")
+      .withColumn("__bucket", expr(s"price_cents div $bucketWidth"))
+    val wLt = Window.partitionBy("__bucket").orderBy("price_cents")
       .rangeBetween(Window.unboundedPreceding, -1)
-    val wEq = Window.partitionBy("price_cents")
-    pairs
-      .withColumn("maxq_lt", max(col("quantity")).over(wLt))
+    val wEq = Window.partitionBy("__bucket").orderBy("price_cents")
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val local = pairs
+      .withColumn("maxq_lt_local", max(col("quantity")).over(wLt))
       .withColumn("maxq_eq", max(col("quantity")).over(wEq))
+    val wStripe = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = pairs.groupBy("__bucket")
+      .agg(max(col("quantity")).as("__bq"))
+      .withColumn("maxq_prev", max(col("__bq")).over(wStripe))
+      .select(col("__bucket"), col("maxq_prev"))
+    local.join(broadcast(prefix), "__bucket")
+      .withColumn("maxq_lt",
+        greatest(col("maxq_lt_local"), col("maxq_prev")))
       .filter((col("maxq_lt").isNull || col("maxq_lt") < col("quantity")) &&
         col("quantity") === col("maxq_eq"))
       .select("price_cents", "quantity")

@@ -968,8 +968,43 @@ object Profiling {
     * median to a bucket, never resolve the exact order statistic from
     * bins alone. [[medianFromBins]] derives q135's exact values from this
     * state with metadata-only arithmetic. */
-  def medianBins(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    eventMicroVals(events).groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+  def medianBins(events: org.apache.spark.sql.DataFrame,
+      quantUnit: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(quantUnit >= 1L, s"quantUnit must be >= 1, got $quantUnit")
+    val vals = eventMicroVals(events)
+    // the COARSE-QUANTIZATION fallback knob for wide-domain metrics:
+    // quantUnit > 1 snaps micro values to multiples of quantUnit, cutting
+    // state cardinality by ~quantUnit at the price of a bounded error
+    // (|median_coarse − median_exact| ≤ quantUnit micro-units). This is
+    // the dial to turn when [[binsGuard]] trips.
+    val q = if (quantUnit == 1L) vals
+      else vals.withColumn("v", expr(s"(v div $quantUnit) * $quantUnit"))
+    q.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Documented bound on the value-bins exactness family's state
+    * (q135/q136-from-bins, q158/q159, q164, q166, q167): bins cardinality
+    * is bounded by the quantized value DOMAIN — a dial, not a constant.
+    * 2dp money in [0, $10k] is 10^6 bins (comfortably metadata); micro-
+    * unit quantization of a wide-domain metric is not. Past this bound
+    * the "metadata window" claim is false (the single-task or per-group
+    * window becomes the corpus), so the derivers fail LOUDLY via
+    * [[binsGuard]] instead of silently degrading — the caller's outs are
+    * the [[medianBins]] `quantUnit` coarsening knob or the sketch twins
+    * (q47 GK / q141 HLL / q119 CMS). */
+  final val MaxBinsStateRows: Long = 2000000L
+
+  /** The driftVsRollup raise_error discipline applied to bins-state
+    * cardinality: `nbins` rides an existing window pass (no extra
+    * shuffle), and the guarded output column makes the check
+    * non-prunable. */
+  private def binsGuard(nbins: Column, value: Column, what: String,
+      bound: Long): Column =
+    when(nbins <= bound, value).otherwise(raise_error(lit(
+      s"$what: value-bins state exceeded $bound rows — the quantized " +
+        "value DOMAIN is a dial, not a constant: coarsen the " +
+        "quantization (medianBins quantUnit) or switch to the sketch " +
+        "twin (see MaxBinsStateRows scaladoc)")))
 
   /** Bins-only exact median: a per-group running sum over the
     * [[medianBins]] state rows picks the value whose cumulative count
@@ -977,7 +1012,8 @@ object Profiling {
     * monitoring stream can publish exact per-group medians every
     * micro-batch. Output schema ≡ q135 ([[groupedExactMedian]]);
     * StreamingSpec pins stream ≡ batch. */
-  def medianFromBins(bins: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def medianFromBins(bins: org.apache.spark.sql.DataFrame,
+      maxBins: Long = MaxBinsStateRows): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -987,10 +1023,12 @@ object Profiling {
     val wTot = Window.partitionBy("g")
     bins.withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wTot))
+      .withColumn("__nb", count(lit(1)).over(wTot))
       .withColumn("k", expr("(n + 1L) div 2L"))
       .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("g").as("event_type"), col("n"), col("k"),
-        (col("v").cast("double") / 1e6).as("median"))
+        binsGuard(col("__nb"), col("v").cast("double") / 1e6,
+          "medianFromBins", maxBins).as("median"))
       .orderBy("event_type")
   }
 
@@ -1001,7 +1039,8 @@ object Profiling {
     * q136 ([[groupedExactQuantiles]]); the monitor publishes all three
     * quantiles from one state pass per micro-batch. */
   def quantilesFromBins(bins: org.apache.spark.sql.DataFrame,
-      quantiles: Seq[(String, Long, Long)] = QuantileSpecs): org.apache.spark.sql.DataFrame = {
+      quantiles: Seq[(String, Long, Long)] = QuantileSpecs,
+      maxBins: Long = MaxBinsStateRows): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = bins.sparkSession
     import spark.implicits._
@@ -1011,11 +1050,14 @@ object Profiling {
     val wTot = Window.partitionBy("g")
     bins.withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wTot))
+      .withColumn("__nb", count(lit(1)).over(wTot))
       .crossJoin(broadcast(qdf))
       .withColumn("k", expr("(num * n + den - 1L) div den"))
       .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("g").as("event_type"), col("q").as("quantile"),
-        col("n"), col("k"), (col("v").cast("double") / 1e6).as("value"))
+        col("n"), col("k"),
+        binsGuard(col("__nb"), col("v").cast("double") / 1e6,
+          "quantilesFromBins", maxBins).as("value"))
       .orderBy("event_type", "quantile")
   }
 
@@ -1364,9 +1406,12 @@ object Profiling {
     // the corpus; this way the corpus is read exactly ONCE per test
     val wAll = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    bins.select(col("v") +: allTypes.flatMap(ty => Seq(col(s"c_$ty"),
+    bins.select(col("v") +: (allTypes.flatMap(ty => Seq(col(s"c_$ty"),
       sum(col(s"c_$ty")).over(w).as(s"s_$ty"),
-      sum(col(s"c_$ty")).over(wAll).as(s"n_$ty"))): _*)
+      sum(col(s"c_$ty")).over(wAll).as(s"n_$ty"))) :+
+      // bins cardinality rides the SAME unbounded frame — the derivers
+      // guard on it ([[binsGuard]]); no extra pass
+      count(lit(1)).over(wAll).as("__nb")): _*)
   }
 
   /** The SQL twin of [[typeBinsCum]]'s count/cum/total columns. */
@@ -1430,25 +1475,27 @@ object Profiling {
     ksFromBins(distTestBins(events))
 
   /** q158's test from [[distTestBins]] state alone (live-monitor form). */
-  def ksFromBins(bins: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  def ksFromBins(bins: org.apache.spark.sql.DataFrame,
+      maxBins: Long = MaxBinsStateRows): org.apache.spark.sql.DataFrame = {
     def d38(c: Column): Column = c.cast("decimal(38,0)")
     val cum = cumFromBins(bins)
     val ksCols = DistTestOthers.map(ty =>
       max(abs(d38(col(s"s_$DistTestBase")) * col(s"n_$ty")
         - d38(col(s"s_$ty")) * col(s"n_$DistTestBase"))).as(s"ks_$ty")) ++
       (DistTestBase +: DistTestOthers).map(ty =>
-        max(col(s"n_$ty")).as(s"n_$ty"))
+        max(col(s"n_$ty")).as(s"n_$ty")) :+ max(col("__nb")).as("__nb")
     val ks = cum.agg(ksCols.head, ksCols.tail: _*)
     val triples = DistTestOthers.map { ty =>
       s"'$ty', n_$DistTestBase, n_$ty, ks_$ty, " +
         s"ks_$ty * ks_$ty * 10000 > cast(18444 as decimal(38,0)) * " +
         s"(n_$DistTestBase + n_$ty) * n_$DistTestBase * n_$ty"
     }.mkString(", ")
-    ks.select(expr(s"stack(${DistTestOthers.size}, $triples) AS " +
+    ks.select(col("__nb"), expr(s"stack(${DistTestOthers.size}, $triples) AS " +
         "(vs_type, n_base, n_other, ks_dec, reject_05)"))
       .select(col("vs_type"), col("n_base"), col("n_other"),
-        col("ks_dec").cast("long").as("ks_num"), col("reject_05"))
+        col("ks_dec").cast("long").as("ks_num"),
+        binsGuard(col("__nb"), col("reject_05"), "ksFromBins", maxBins)
+          .as("reject_05"))
       .orderBy("vs_type")
   }
 
@@ -1497,8 +1544,8 @@ object Profiling {
     mannWhitneyFromBins(distTestBins(events))
 
   /** q159's test from [[distTestBins]] state alone (live-monitor form). */
-  def mannWhitneyFromBins(bins: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  def mannWhitneyFromBins(bins: org.apache.spark.sql.DataFrame,
+      maxBins: Long = MaxBinsStateRows): org.apache.spark.sql.DataFrame = {
     val b = DistTestBase
     def d38(c: Column): Column = c.cast("decimal(38,0)")
     val cum = cumFromBins(bins)
@@ -1507,7 +1554,8 @@ object Profiling {
         .as(s"u2_$ty"),
       sum(d38(col(s"c_$ty")) * (lit(2) * col(s"s_$b") - col(s"c_$b")))
         .as(s"u2r_$ty"))) ++
-      (b +: DistTestOthers).map(ty => max(col(s"n_$ty")).as(s"n_$ty"))
+      (b +: DistTestOthers).map(ty => max(col(s"n_$ty")).as(s"n_$ty")) :+
+      max(col("__nb")).as("__nb")
     val u = cum.agg(uCols.head, uCols.tail: _*)
     val tuples = DistTestOthers.map { ty =>
       s"'$ty', n_$b, n_$ty, u2_$ty, " +
@@ -1517,12 +1565,14 @@ object Profiling {
         s"(u2_$ty - cast(n_$b as decimal(38,0)) * n_$ty) * 10000 > " +
         s"cast(38416 as decimal(38,0)) * n_$b * n_$ty * (n_$b + n_$ty + 1)"
     }.mkString(", ")
-    u.select(expr(s"stack(${DistTestOthers.size}, $tuples) AS " +
+    u.select(col("__nb"), expr(s"stack(${DistTestOthers.size}, $tuples) AS " +
         "(vs_type, n_base, n_other, u2b_dec, u2o_dec, identity_ok, reject_05)"))
       .select(col("vs_type"), col("n_base"), col("n_other"),
         col("u2b_dec").cast("long").as("u2_base"),
         col("u2o_dec").cast("long").as("u2_other"),
-        col("identity_ok"), col("reject_05"))
+        col("identity_ok"),
+        binsGuard(col("__nb"), col("reject_05"), "mannWhitneyFromBins",
+          maxBins).as("reject_05"))
       .orderBy("vs_type")
   }
 
@@ -1685,27 +1735,31 @@ object Profiling {
   }
 
   /** The q164 operator on any non-negative (g, v) frame. */
-  def giniConcentration(vals: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  def giniConcentration(vals: org.apache.spark.sql.DataFrame,
+      maxBins: Long = MaxBinsStateRows): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def d38(c: Column): Column = c.cast("decimal(38,0)")
     val bins = vals.groupBy("g", "v").agg(count(lit(1)).as("m"))
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
     val cum = bins.withColumn("cum", sum(col("m")).over(w))
+      .withColumn("__nb", count(lit(1)).over(wTot))
     val t = cum.groupBy("g").agg(
       sum(col("m")).as("n"),
       sum(d38(col("v")) * col("m")).as("sx"),
       sum(d38(col("v")) * (lit(2) * d38(col("m")) * (col("cum") - col("m"))
-        + d38(col("m")) * col("m") + col("m"))).as("two_sum"))
+        + d38(col("m")) * col("m") + col("m"))).as("two_sum"),
+      max(col("__nb")).as("__nb"))
     t.select(col("g").as("source"), col("n").as("n_docs"),
         (col("two_sum") - (d38(col("n")) + 1) * col("sx")).as("num_dec"),
-        (d38(col("n")) * col("sx")).as("den_dec"))
+        (d38(col("n")) * col("sx")).as("den_dec"), col("__nb"))
       .select(col("source"), col("n_docs"),
         col("num_dec").cast("long").as("gini_num"),
         col("den_dec").cast("long").as("gini_den"),
-        expr("CAST((num_dec * 1000000) div den_dec AS LONG)")
-          .as("gini_ppm"))
+        binsGuard(col("__nb"),
+          expr("CAST((num_dec * 1000000) div den_dec AS LONG)"),
+          "giniConcentration", maxBins).as("gini_ppm"))
       .orderBy("source")
   }
 
@@ -1742,8 +1796,8 @@ object Profiling {
   }
 
   /** The q166 operator on any (event_id, v) frame. */
-  def percentileRank(c: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  def percentileRank(c: org.apache.spark.sql.DataFrame,
+      maxBins: Long = MaxBinsStateRows): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1752,13 +1806,16 @@ object Profiling {
     val bins = c.groupBy("v").agg(count(lit(1)).as("m"))
       .withColumn("cum", sum(col("m")).over(w))
       .withColumn("n", sum(col("m")).over(wAll))
+      .withColumn("__nb", count(lit(1)).over(wAll))
       .select(col("v"),
         (lit(2L) * (col("cum") - col("m")) + col("m") + 1).as("dmid"),
-        col("n"))
+        col("n"), col("__nb"))
     c.join(broadcast(bins), "v")
       .select(col("event_id"),
-        expr("CAST((CAST(dmid AS DECIMAL(38,0)) * 1000000) " +
-          "div (2 * CAST(n AS DECIMAL(38,0))) AS LONG)").as("prank_ppm"))
+        binsGuard(col("__nb"),
+          expr("CAST((CAST(dmid AS DECIMAL(38,0)) * 1000000) " +
+            "div (2 * CAST(n AS DECIMAL(38,0))) AS LONG)"),
+          "percentileRank", maxBins).as("prank_ppm"))
       .orderBy("event_id")
   }
 

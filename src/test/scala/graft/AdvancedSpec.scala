@@ -546,4 +546,25 @@ class AdvancedSpec extends SparkSpec {
     assert(f.toSeq == Seq((100L, 5L), (200L, 10L)),
       s"wrong frontier: ${f.toSeq}")
   }
+
+  test("q172 Pareto two-phase: multi-stripe differential vs brute force, boundaries included") {
+    import spark.implicits._
+    // a tiny stripe width forces CROSS-stripe domination, stripe-boundary
+    // prices (p = k·width exactly), a globally-cheapest null path, and
+    // same-price ties — every branch of the two-phase rewrite
+    val rnd = new scala.util.Random(172)
+    val raw = (1 to 400).map(_ =>
+      (rnd.nextInt(100).toLong, rnd.nextInt(30).toLong)) ++
+      Seq((0L, 7L), (10L, 7L), (20L, 7L), (20L, 29L)) // boundary pins
+    val df = raw.toDF("price_cents", "quantity")
+    val got = queries.Advanced.paretoFrontier(df, bucketWidth = 10L)
+      .collect().map(r =>
+        (r.getAs[Long]("price_cents"), r.getAs[Long]("quantity"))).toSeq
+    val distinct = raw.distinct
+    val want = distinct.filter { case (p, q) =>
+      !distinct.exists { case (p2, q2) =>
+        p2 <= p && q2 >= q && (p2 < p || q2 > q) }
+    }.sortBy(_._1)
+    assert(got == want, s"two-phase frontier diverged: got $got want $want")
+  }
 }

@@ -225,6 +225,18 @@ class ExtSpec extends SparkSpec {
       "per-doc BPE token count must lie between word count and char count")
   }
 
+  test("bpe merge cache: cached table equals a fresh induction, and repeat calls hit the cache") {
+    val fresh = TextAnalysis.bpeMerges(Tables.documents(spark, sf))
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt"))).toSeq
+    val cached = TextAnalysis.bpeMergesCached(spark, sf)
+    assert(cached == fresh, s"cached $cached != fresh $fresh")
+    // second call must return the SAME memoized instance (no re-induction)
+    assert(TextAnalysis.bpeMergesCached(spark, sf) eq cached,
+      "repeat call re-induced instead of hitting the cache")
+  }
+
   test("ann recall audit: hit counts replay the set intersection, zero-hit queries present") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 10)

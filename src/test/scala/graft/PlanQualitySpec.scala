@@ -750,6 +750,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct") &&
       !p2.contains("BroadcastNestedLoopJoin"),
       s"skyline fell back to the quadratic self-join:\n$p2")
+    // the PAIR-frame dominance windows must partition by the price
+    // stripe — an unpartitioned window there is a single task holding
+    // (potentially) corpus-cardinality distinct pairs
+    assert(p2.contains("windowspecdefinition(__bucket"),
+      s"skyline pair windows lost their stripe partitioning:\n$p2")
   }
 
   test("q174: header/lines reconciliation is one shuffle join, aggregates pushed map-side") {

@@ -311,4 +311,61 @@ class ProfilingSpec extends SparkSpec {
     r.values.foreach(x => assert(x.getAs[Boolean]("identity_ok"),
       s"U2 partition identity broken for ${x.getAs[String]("vs_type")}"))
   }
+
+  test("bins guards: derivers fail LOUDLY past the documented bins bound; healthy data unchanged") {
+    import spark.implicits._
+    // 5 distinct values per group → __nb = 5; a bound of 4 must raise,
+    // the default bound must serve the same values as before the guard
+    val ev = (for (g <- Seq("view", "click"); v <- 1 to 5; _ <- 1 to 2)
+      yield (g, v.toDouble)).toDF("event_type", "value")
+    val bins = queries.Profiling.medianBins(ev)
+    val ok = queries.Profiling.medianFromBins(bins).collect()
+    assert(ok.length == 2 && ok.forall(_.getAs[Double]("median") == 3.0))
+    val e = intercept[Exception](
+      queries.Profiling.medianFromBins(bins, maxBins = 4L).collect())
+    assert(e.getMessage.contains("value-bins state exceeded"),
+      s"wrong failure: ${e.getMessage}")
+    val e2 = intercept[Exception](
+      queries.Profiling.quantilesFromBins(bins, maxBins = 4L).collect())
+    assert(e2.getMessage.contains("value-bins state exceeded"))
+    // distribution tests share the guard through their own bins
+    val dist = (Seq("view", "click", "error", "purchase", "signup")
+      .flatMap(t => (1 to 6).map(v => (t, v.toDouble)))).toDF("event_type", "value")
+    val e3 = intercept[Exception](
+      queries.Profiling.ksFromBins(
+        queries.Profiling.distTestBins(dist), maxBins = 5L).collect())
+    assert(e3.getMessage.contains("value-bins state exceeded"))
+    val e4 = intercept[Exception](
+      queries.Profiling.mannWhitneyFromBins(
+        queries.Profiling.distTestBins(dist), maxBins = 5L).collect())
+    assert(e4.getMessage.contains("value-bins state exceeded"))
+    val e5 = intercept[Exception](
+      queries.Profiling.giniConcentration(
+        dist.select(col("event_type").as("g"),
+          (col("value") * 100).cast("long").as("v")), maxBins = 5L).collect())
+    assert(e5.getMessage.contains("value-bins state exceeded"))
+    val e6 = intercept[Exception](
+      queries.Profiling.percentileRank(
+        dist.select(monotonically_increasing_id().as("event_id"),
+          (col("value") * 100).cast("long").as("v")), maxBins = 5L).collect())
+    assert(e6.getMessage.contains("value-bins state exceeded"))
+  }
+
+  test("bins coarse-quantization knob: state shrinks by ~quantUnit, median error bounded by it") {
+    import spark.implicits._
+    // values 0.000001..0.001000 in micro steps: 1000 exact bins; at
+    // quantUnit=100 the state is 10x smaller and the median lands within
+    // 100 micro-units of the exact one
+    val ev = (1 to 1000).map(i => ("view", i / 1e6)).toDF("event_type", "value")
+    val exactBins = queries.Profiling.medianBins(ev)
+    val coarseBins = queries.Profiling.medianBins(ev, quantUnit = 100L)
+    assert(exactBins.count() == 1000L)
+    assert(coarseBins.count() == 11L) // 0, 100, ..., 1000 micro
+    val exact = queries.Profiling.medianFromBins(exactBins)
+      .collect().head.getAs[Double]("median")
+    val coarse = queries.Profiling.medianFromBins(coarseBins)
+      .collect().head.getAs[Double]("median")
+    assert(math.abs(coarse - exact) <= 100 / 1e6 + 1e-12,
+      s"coarse median $coarse drifted past the quantUnit bound from $exact")
+  }
 }

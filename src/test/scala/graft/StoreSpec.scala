@@ -681,6 +681,22 @@ class StoreSpec extends SparkSpec {
     val none = Store.skipPrunedScan(spark, table, manifest, "doc_id",
       ids.last + 1000, ids.last + 2000)
     assert(none.count() == 0 && none.columns.sameElements(full.columns))
+    // driver-rows guard: past the documented file-count bound every
+    // manifest-collecting op fails LOUDLY instead of OOM-ing the driver
+    val e1 = intercept[RuntimeException](Store.skipPrunedScan(
+      spark, table, manifest, "doc_id", lo, hi, maxDriverRows = 1L))
+    assert(e1.getMessage.contains("file rows > bound"), e1.getMessage)
+    val e2 = intercept[RuntimeException](Store.appendToSkipManifest(
+      spark, table, manifest, Seq("doc_id"), maxDriverRows = 1L))
+    assert(e2.getMessage.contains("file rows > bound"), e2.getMessage)
+    val e3 = intercept[RuntimeException](Store.syncSkipManifest(
+      spark, table, manifest, Seq("doc_id"), maxDriverRows = 1L))
+    assert(e3.getMessage.contains("file rows > bound"), e3.getMessage)
+    // a probe that prunes to UNDER the bound passes even when the whole
+    // manifest would not: the guard counts survivors, not the table
+    val nar = Store.skipPrunedScan(spark, table, manifest, "doc_id",
+      ids.head, ids.head, maxDriverRows = 2L)
+    assert(nar.count() >= 1L)
   }
 
   test("skip manifest: append scans only the new files; crash window recovers") {
