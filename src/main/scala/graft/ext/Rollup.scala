@@ -646,6 +646,19 @@ object Rollup {
     }
   }
 
+  /** Per-batch value-bins partial over documents (g = source,
+    * v = n_chars) — the document-corpus face of the [[mergeBins]]
+    * monoid, so the maintained bins index can ride the same
+    * [[applyMaintenanceBatch]] loop as the rollup and vocab artifacts
+    * (the StreamingSpec capstone drives all three from one stream). */
+  def docBins(docs: DataFrame): DataFrame =
+    docs.select(col("source").as("g"), col("n_chars").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+
+  /** Read of a stream-maintained bins artifact under `dir`. */
+  def readMaintainedBins(spark: SparkSession, dir: String): DataFrame =
+    readMaintained(spark, s"$dir/bins", Seq("g", "v"), mergeBins)
+
   /** The registered pair, pre-wired: stats rollup + vocab index maintained
     * from one stream of document batches. `foreachBatch` is at-least-once;
     * [[applyMaintenanceBatch]] makes each artifact's state exactly-once. */

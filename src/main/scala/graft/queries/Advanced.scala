@@ -1519,27 +1519,38 @@ object Advanced {
       |ORDER BY COALESCE(rank_1997, 99), COALESCE(rank_1996, 99),
       |  part""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // the two-year cut as a RAW timestamp range on orders BEFORE the
+    // join: pushable to the parquet scan (row-group min/max pruning) and
+    // it shrinks the join input — `year(...) IN (...)` post-join is
+    // derived-column arithmetic no scan can use
+    val ordersYr = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), year(to_date(col("o_orderdate"))).as("yr"))
     val base = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(year(to_date(col("o_orderdate"))).as("yr"),
-        col("l_partkey").as("part"),
+      .join(ordersYr, col("l_orderkey") === col("o_orderkey"))
+      .select(col("yr"), col("l_partkey").as("part"),
         floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
           .as("c0"))
-      .filter(col("yr").isin(1996, 1997))
       .groupBy("yr", "part").agg(sum(col("c0")).as("cents"))
     val w = Window.partitionBy("yr")
       .orderBy(col("cents").desc, col("part"))
-    val r = base.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 20)
-    val a = r.filter(col("yr") === 1996)
-      .select(col("part").as("pa"), col("rk").as("rank_1996"))
-    val b = r.filter(col("yr") === 1997)
-      .select(col("part").as("pb"), col("rk").as("rank_1997"))
-    a.join(b, col("pa") === col("pb"), "full_outer")
-      .select(coalesce(col("pa"), col("pb")).as("part"),
-        col("rank_1996"), col("rank_1997"),
-        when(col("pa").isNull, "entered")
-          .when(col("pb").isNull, "exited")
+    // filter on the RAW row_number, cast after: a predicate on the cast
+    // rank does not match InferWindowGroupLimit, so the per-partition
+    // top-k early-stop would silently not plan
+    val r = base.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 20)
+      .withColumn("rk", col("__rk").cast("long"))
+    // the two top-k lists align as a PIVOT over the ≤ 2k surviving rows
+    // (max(when(yr=…))) instead of a full-outer self-join: a referenced-
+    // twice frame re-derives the whole scan+join+agg+window pipeline per
+    // branch — the oracle keeps the join spelling, results are identical
+    r.groupBy("part")
+      .agg(max(when(col("yr") === 1996, col("rk"))).as("rank_1996"),
+        max(when(col("yr") === 1997, col("rk"))).as("rank_1997"))
+      .select(col("part"), col("rank_1996"), col("rank_1997"),
+        when(col("rank_1996").isNull, "entered")
+          .when(col("rank_1997").isNull, "exited")
           .otherwise("stayed").as("status"))
       .orderBy(coalesce(col("rank_1997"), lit(99L)),
         coalesce(col("rank_1996"), lit(99L)), col("part"))

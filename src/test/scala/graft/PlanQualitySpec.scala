@@ -742,6 +742,17 @@ class PlanQualitySpec extends SparkSpec {
     } finally { edges.unpersist(); () }
   }
 
+  test("q180: date cut pushed to the orders scan, top-k early-stops, no twice-derived pipeline") {
+    val p = planOf("q180_topk_churn")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter lost the per-partition top-k early-stop:\n$p")
+    assert(!p.contains("FullOuter"),
+      s"q180 re-grew the twice-derived full-outer branch plan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"two-year cut not pushed to the orders scan:\n$p")
+  }
+
   test("q171/q172: single-sort window plans — TWAP one exchange, frontier shares its sort") {
     val p1 = planOf("q171_twap")
     assert("Exchange hashpartitioning".r.findAllIn(p1).length == 1,

@@ -808,4 +808,96 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (5L, "a"), (7L, "a"), (42L, "b"), (120L, "c")),
       s"stream-static range join wrong: $got")
   }
+
+  test("capstone: admit → rollup+vocab+bins maintenance → release publish; mid-fold crash + checkpoint replay converge to the one-shot builds") {
+    import graft.ext.{CorpusBuild, Rollup}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+
+    // ---- stage 0: a feed with planted cross-batch duplicates ----------
+    val docs = Tables.documents(spark, sf)
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)) // same text, new id
+    val feed = docs.unionByName(dups)
+    val inDir = tmpDir("cap_in")
+    feed.repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+
+    // ---- stage 1: streaming admission (dedup state in the table) ------
+    val corpus = tmpDir("cap_corpus") + "/docs"
+    Streaming.corpusAdmitStream(
+      Streaming.parquetFileSource(spark, inDir, schema),
+      corpus, tmpDir("cap_ck1")).awaitTermination()
+    val admitted = spark.read.parquet(corpus)
+    assert(admitted.count() < feed.count(),
+      "planted duplicates should be rejected at admission")
+    assert(admitted.select("doc_id").distinct().count() == admitted.count())
+
+    // ---- one-shot batch builds over the ADMITTED corpus ---------------
+    val keysR = Seq("source", "lang")
+    val keysV = Seq("source")
+    def rollupRows(df: DataFrame) =
+      Rollup.finalizeRollup(df).collect().map(_.toSeq).toSet
+    def vocabRows(df: DataFrame) =
+      Rollup.vocabEstimate(df).collect()
+        .map(r => (r.getAs[String]("source"),
+          r.getAs[Double]("est_distinct_tokens"))).toSet
+    val wantRollup = rollupRows(Rollup.statsRollup(admitted))
+    val wantVocab = vocabRows(Rollup.vocabSketch(admitted))
+    val wantBins = Rollup.docBins(admitted).collect().map(_.toSeq).toSet
+
+    // ---- stage 2: three-artifact maintenance stream with an injected
+    // crash AFTER the rollup's fold but BEFORE vocab/bins apply ---------
+    val art = tmpDir("cap_art")
+    val ck2 = tmpDir("cap_ck2")
+    val poison = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startMaint() = Streaming.parquetFileSource(spark, corpus, schema)
+      .writeStream.option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          // compactEvery = 1 → the rollup FOLDS on batch 1 (2 live > 1);
+          // the poison then kills the run mid-batch: rollup folded,
+          // vocab/bins not yet applied — the worst crash window
+          Rollup.applyMaintenanceBatch(s, s"$art/rollup",
+            Rollup.statsRollup(b, keysR), id, keysR,
+            Rollup.mergeRollups(_, _, keysR), compactEvery = 1)
+          if (id >= 1 && poison.getAndSet(false))
+            sys.error("injected mid-fold crash")
+          Rollup.applyMaintenanceBatch(s, s"$art/vocab",
+            Rollup.vocabSketch(b, keysV), id, keysV,
+            Rollup.mergeVocab(_, _, keysV), compactEvery = 1)
+          Rollup.applyMaintenanceBatch(s, s"$art/bins",
+            Rollup.docBins(b), id, Seq("g", "v"),
+            Rollup.mergeBins, compactEvery = 1)
+        } finally { b.unpersist(); () }
+      }.start()
+    val crashed = intercept[Exception](startMaint().awaitTermination())
+    assert(crashed.getMessage != null)
+    // restart from the SAME checkpoint: the failed batch replays (same id,
+    // same file) — the rollup re-apply is an idempotent overwrite below
+    // its own fold watermark; vocab/bins catch up
+    startMaint().awaitTermination()
+
+    assert(rollupRows(Rollup.readMaintainedRollup(spark, art)) == wantRollup,
+      "maintained rollup diverges from the one-shot build after crash+replay")
+    assert(vocabRows(Rollup.readMaintainedVocab(spark, art)) == wantVocab,
+      "maintained vocab diverges from the one-shot build after crash+replay")
+    assert(Rollup.readMaintainedBins(spark, art).collect()
+        .map(_.toSeq).toSet == wantBins,
+      "maintained bins diverge from the one-shot build after crash+replay")
+
+    // ---- stage 3: release publish from the admitted corpus ------------
+    val rel = tmpDir("cap_rel") + "/release"
+    CorpusBuild.publishRelease(spark, admitted, rel)
+    val (manifest, ledger) = CorpusBuild.readRelease(spark, rel)
+    val direct = CorpusBuild.releaseManifest(admitted)
+    assert(manifest.exceptAll(direct).isEmpty &&
+      direct.exceptAll(manifest).isEmpty,
+      "published release manifest diverges from the direct build")
+    assert(ledger.count() > 0)
+  }
 }
