@@ -1138,11 +1138,77 @@ object TextAnalysis {
     sourceNoveltyCard(Tables.documents(s, dir))
   }
 
+  /** Pairwise source VOCABULARY overlap — the mixture-design diagnostic
+    * next to q124's per-source novelty card: novelty says how much of a
+    * source's vocabulary is exclusive, this says WHICH pairs share it
+    * (two mirrors of the same feed show near-1 Jaccard; a genuinely
+    * complementary source pair shows a low one), the evidence for
+    * dropping one of a redundant pair before paying its dedup cost.
+    * Exact integer Jaccard in ppm (floor-div), ordered (s1, s2).
+    *
+    * Scale shape: ONE token explode into the (source, token) presence
+    * frame (the q124 aggregate, map-side combined), then a vocab-keyed
+    * self-equi-join whose per-token fanout is bounded by #sources² —
+    * never an all-pairs document comparison — and a #source-pairs
+    * aggregate; per-source vocab sizes ride a broadcast join. */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame = {
+    val pres = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .select("source", "token").distinct()
+    val sizes = pres.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = pres.as("a").join(pres.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_inter"))
+    // every pair appears, including ZERO-overlap ones (the most
+    // informative rows — fully complementary sources): the pair axis is
+    // the #sources² crossJoin of the size frame (metadata), the inter
+    // counts left-join onto it
+    sizes.select(col("source").as("s1"), col("nv").as("nv1"))
+      .crossJoin(sizes.select(col("source").as("s2"), col("nv").as("nv2")))
+      .filter(col("s1") < col("s2"))
+      .join(inter, Seq("s1", "s2"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("s1"), col("s2"), col("nv1"), col("nv2"), col("n_inter"),
+        expr("n_inter * 1000000L div (nv1 + nv2 - n_inter)")
+          .as("jaccard_ppm"))
+      .orderBy("s1", "s2")
+  }
+
+  /** q184: the pairwise source vocabulary-overlap card. */
+  val q184SourceVocabOverlap: QuerySpec = QuerySpec(
+    "q184_source_vocab_overlap",
+    """WITH pres AS (
+      |  SELECT DISTINCT source, token FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> ''),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+      |  FROM pres GROUP BY source),
+      |iv AS (
+      |  SELECT a.source AS s1, b.source AS s2,
+      |    CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM pres a JOIN pres b
+      |    ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT z1.source AS s1, z2.source AS s2, z1.nv AS nv1, z2.nv AS nv2,
+      |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+      |  CAST(coalesce(n_inter, 0) * 1000000
+      |    // (z1.nv + z2.nv - coalesce(n_inter, 0)) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM sz z1 JOIN sz z2 ON z1.source < z2.source
+      |LEFT JOIN iv ON iv.s1 = z1.source AND iv.s2 = z2.source
+      |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    sourceVocabOverlap(Tables.documents(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
     q95BpeMerges, q96BpeEncode, q108TokenizerFertility,
     q116SourceQualityQuantiles, q119CmsHeavyHitters, q121Bm25Search,
-    q124SourceNovelty)
+    q124SourceNovelty, q184SourceVocabOverlap)
 }

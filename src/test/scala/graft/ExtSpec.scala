@@ -225,6 +225,19 @@ class ExtSpec extends SparkSpec {
       "per-doc BPE token count must lie between word count and char count")
   }
 
+  test("source vocab overlap: hand-computed Jaccard, zero-overlap pairs present") {
+    val docs = docsDf(1L -> "a b c", 2L -> "b c d", 3L -> "x")
+      .withColumn("source", concat(lit("s"), col("doc_id")))
+      .withColumn("lang", lit("en"))
+    val r = TextAnalysis.sourceVocabOverlap(docs).collect()
+      .map(x => (x.getAs[String]("s1"), x.getAs[String]("s2")) ->
+        (x.getAs[Long]("n_inter"), x.getAs[Long]("jaccard_ppm"))).toMap
+    assert(r.size == 3, s"3 pairs expected, got ${r.keySet}")
+    assert(r(("s1", "s2")) == (2L, 500000L)) // {b,c} of {a,b,c,d}
+    assert(r(("s1", "s3")) == (0L, 0L), "zero-overlap pair must be present")
+    assert(r(("s2", "s3")) == (0L, 0L))
+  }
+
   test("bpe merge cache: cached table equals a fresh induction, and repeat calls hit the cache") {
     val fresh = TextAnalysis.bpeMerges(Tables.documents(spark, sf))
       .orderBy("round").collect()
