@@ -1304,6 +1304,11 @@ object Advanced {
       bucketWidth: Long = SkylineBucketCents): DataFrame = {
     val pairs = items.distinct()
       .withColumn("__bucket", expr(s"price_cents div $bucketWidth"))
+    // ONE sort serves both in-stripe frames (strictly-cheaper running
+    // max + same-price peer max); the stripe maxima come from a
+    // map-side-combined groupBy branch (partials collapse to stripe
+    // cardinality before the shuffle — cheaper than a third window
+    // frame, which would re-sort the pair frame)
     val wLt = Window.partitionBy("__bucket").orderBy("price_cents")
       .rangeBetween(Window.unboundedPreceding, -1)
     val wEq = Window.partitionBy("__bucket").orderBy("price_cents")
@@ -1316,8 +1321,8 @@ object Advanced {
     val prefix = pairs.groupBy("__bucket")
       .agg(max(col("quantity")).as("__bq"))
       .withColumn("maxq_prev", max(col("__bq")).over(wStripe))
-      .select(col("__bucket"), col("maxq_prev"))
-    local.join(broadcast(prefix), "__bucket")
+      .select(col("__bucket").as("__pb"), col("maxq_prev"))
+    local.join(broadcast(prefix), col("__bucket") === col("__pb"))
       .withColumn("maxq_lt",
         greatest(col("maxq_lt_local"), col("maxq_prev")))
       .filter((col("maxq_lt").isNull || col("maxq_lt") < col("quantity")) &&

@@ -1803,19 +1803,22 @@ object Profiling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the guard evaluates at BINS cardinality (once per distinct value,
+    // pre-join), not once per corpus row — on healthy data it's noise,
+    // and an unhealthy bins frame fails before it fans out
     val bins = c.groupBy("v").agg(count(lit(1)).as("m"))
       .withColumn("cum", sum(col("m")).over(w))
       .withColumn("n", sum(col("m")).over(wAll))
       .withColumn("__nb", count(lit(1)).over(wAll))
       .select(col("v"),
-        (lit(2L) * (col("cum") - col("m")) + col("m") + 1).as("dmid"),
-        col("n"), col("__nb"))
+        binsGuard(col("__nb"),
+          lit(2L) * (col("cum") - col("m")) + col("m") + 1,
+          "percentileRank", maxBins).as("dmid"),
+        col("n"))
     c.join(broadcast(bins), "v")
       .select(col("event_id"),
-        binsGuard(col("__nb"),
-          expr("CAST((CAST(dmid AS DECIMAL(38,0)) * 1000000) " +
-            "div (2 * CAST(n AS DECIMAL(38,0))) AS LONG)"),
-          "percentileRank", maxBins).as("prank_ppm"))
+        expr("CAST((CAST(dmid AS DECIMAL(38,0)) * 1000000) " +
+          "div (2 * CAST(n AS DECIMAL(38,0))) AS LONG)").as("prank_ppm"))
       .orderBy("event_id")
   }
 
