@@ -745,17 +745,23 @@ class PropertySpec extends SparkSpec {
       val want = BigInt(2 * lt + eq + 1) * 1000000 / BigInt(2L * all.size)
       assert(pr(id) == want, s"row $id v=$v: ${pr(id)} want $want")
     }
-    // Pareto frontier vs the quadratic dominance filter
+    // Pareto frontier vs the quadratic dominance filter — swept across
+    // stripe widths (1 = every price its own stripe, 1000 = one stripe)
+    // so the two-phase decomposition is pinned at every boundary regime
     val items = (1 to 150).map(_ =>
       (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
-    val got = Advanced.paretoFrontier(items.toDF("price_cents", "quantity"))
-      .collect().map(r =>
-        (r.getAs[Long]("price_cents"), r.getAs[Long]("quantity"))).toSet
     val distinctItems = items.distinct
     val want = distinctItems.filter { case (p, q) =>
       !distinctItems.exists { case (p2, q2) =>
         p2 <= p && q2 >= q && (p2 < p || q2 > q) }
     }.toSet
-    assert(got == want, s"frontier mismatch: got $got want $want")
+    for (width <- Seq(1L, 3L, 17L, 1000L)) {
+      val got = Advanced.paretoFrontier(
+          items.toDF("price_cents", "quantity"), bucketWidth = width)
+        .collect().map(r =>
+          (r.getAs[Long]("price_cents"), r.getAs[Long]("quantity"))).toSet
+      assert(got == want,
+        s"frontier mismatch at width=$width: got $got want $want")
+    }
   }
 }
