@@ -632,10 +632,15 @@ object Rollup {
     val parts =
       if (!hasParts) None
       else {
+        // partials are metadata too (≤ compactEvery group-cardinality
+        // frames) — snapshot them eagerly as well, so the window in
+        // which a racing fold's GC can yank files out from under a lazy
+        // consumer plan closes at return time, not at some later action
         val live = spark.read.parquet(s"$dir/parts")
           .filter(col("batch") > upto &&
             upTo.map(col("batch") <= _).getOrElse(lit(true)))
           .drop("batch")
+          .localCheckpoint(true)
         Some(live)
       }
     (base.map(_.drop("__upto")), parts) match {
