@@ -479,12 +479,16 @@ object Rollup {
           if (!new java.io.File(s"$base/_READY").exists())
             sys.error(s"q145 layout publish failed for $base")
         }
-        // GC builds of SUPERSEDED fingerprints of this table (same path
-        // key, different content hash) — they can never be read again
+        // GC PUBLISHED builds of superseded fingerprints of this table
+        // (same path key, different content hash) — they can never be
+        // read again. In-flight `__build_<pid>` staging dirs are left
+        // alone: they belong to a concurrent process, which will either
+        // publish (and be GC'd by the next builder) or clean up itself.
         new java.io.File(tmp).listFiles() match {
           case null => ()
           case fs => fs.filter(f =>
               f.getName.startsWith(s"graft_q145_${pathKey}_") &&
+                !f.getName.contains("__build_") &&
                 f.getName != s"graft_q145_${pathKey}_$fp")
             .foreach(f =>
               org.apache.commons.io.FileUtils.deleteQuietly(f))

@@ -1561,6 +1561,133 @@ object Advanced {
         coalesce(col("rank_1996"), lit(99L)), col("part"))
   }
 
+  /** q185: day-of-week seasonality index per event type — the
+    * multiplicative profile ("Sundays run at 0.7× the weekly mean")
+    * behind capacity planning and the de-seasonalizing step every
+    * day-over-day drift monitor needs (q140/q158 compare DISTRIBUTIONS;
+    * a pure weekday/weekend rhythm would trip them forever). Index is
+    * the exact integer rational `mean(dow) / mean(all)` in ppm —
+    * `sum_dow·cnt_all·10⁶ div (cnt_dow·sum_all)`, DECIMAL(38,0)
+    * products with the loud overflow guard.
+    *
+    * Scale shape: ONE map-side-combined aggregate folds the corpus to
+    * ≤ types×7 rows; the per-type totals re-aggregate THAT metadata and
+    * broadcast back. Day-of-week alignment: Spark's `dayofweek` is
+    * 1=Sunday, DuckDB's is 0=Sunday — the Spark side subtracts 1. */
+  val q185DowSeasonality: QuerySpec = QuerySpec(
+    "q185_dow_seasonality",
+    """WITH c AS (
+      |  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmu
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(vmu) AS BIGINT) AS sum_mu
+      |  FROM c GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS cnt_all,
+      |    CAST(sum(sum_mu) AS BIGINT) AS sum_all
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type AS event_type, dow, n_events,
+      |  CAST(sum_mu * CAST(cnt_all AS HUGEINT) * 1000000
+      |    // (CAST(n_events AS HUGEINT) * sum_all) AS BIGINT) AS idx_ppm
+      |FROM d JOIN t ON d.event_type = t.event_type
+      |ORDER BY d.event_type, dow""".stripMargin) { (s, dir) =>
+    dowSeasonality(Tables.events(s, dir))
+  }
+
+  /** The q185 operator on any (event_type, ts, value) frame. */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    val c = events.select(col("event_type"),
+      (dayofweek(to_date(col("ts"))) - 1).as("dow"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
+    val d = c.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_events"), sum(col("vmu")).as("sum_mu"))
+    val t = d.groupBy("event_type")
+      .agg(sum(col("n_events")).as("cnt_all"),
+        sum(col("sum_mu")).as("sum_all"))
+    d.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("dow"), col("n_events"),
+        orOverflowError(expr(
+          "CAST(CAST(sum_mu AS DECIMAL(38,0)) * cnt_all * 1000000 div " +
+            "(CAST(n_events AS DECIMAL(38,0)) * sum_all) AS LONG)"),
+          "q185 idx_ppm").as("idx_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** q186: CUSUM change-point card per event type — WHERE did the level
+    * break? q140's z-drift and q158's KS say "these two slices differ";
+    * the mean-free cumulative sum localizes the break inside one
+    * series: `C_k = n·cumsum_k − k·S` (the cross-multiplied form of
+    * `Σ_{i≤k}(y_i − ȳ)`, so the classic statistic stays in exact
+    * integers — no mean division), and the peak of |C_k| marks the most
+    * likely change day. Published per type: the peak day, the peak
+    * statistic, and the series-relative position in ppm; earliest-day
+    * tiebreak so both engines pick identically.
+    *
+    * Scale shape: the corpus folds to ≤ types×days daily partials in
+    * ONE map-side-combined aggregate; the windows (running sum, totals,
+    * argmax rank) all ride that metadata frame. */
+  val q186CusumChangepoint: QuerySpec = QuerySpec(
+    "q186_cusum_changepoint",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS k,
+      |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS cum,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      |  FROM daily),
+      |c AS (
+      |  SELECT event_type, day, k, n,
+      |    abs(CAST(n AS HUGEINT) * cum - CAST(k AS HUGEINT) * s) AS absc
+      |  FROM w),
+      |r AS (
+      |  SELECT event_type, day, k, n, absc,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY absc DESC, day) AS rn
+      |  FROM c)
+      |SELECT event_type, n AS n_days, day AS peak_day,
+      |  CAST(absc AS BIGINT) AS peak_cusum,
+      |  CAST(k * 1000000 // n AS BIGINT) AS peak_pos_ppm
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+    cusumChangepoint(Tables.events(s, dir))
+  }
+
+  /** The q186 operator on any (event_type, ts, value) frame. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("vmu")).as("y"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wTot = Window.partitionBy("event_type")
+    val c = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("y")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wTot))
+      .withColumn("s", sum(col("y")).over(wTot))
+      .withColumn("absc", abs(expr(
+        "CAST(n AS DECIMAL(38,0)) * cum - CAST(k AS DECIMAL(38,0)) * s")))
+    c.withColumn("rn",
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("absc").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("peak_day"),
+        orOverflowError(col("absc").cast("long"), "q186 peak_cusum")
+          .as("peak_cusum"),
+        expr("CAST(k * 1000000 div n AS LONG)").as("peak_pos_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -1570,6 +1697,7 @@ object Advanced {
     q152SegmentOverlapHll, q153AbTestZ, q154TableFingerprint,
     q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder, q170PageRank,
     q171Twap, q172ParetoFrontier, q174Reconciliation, q175AssocRules,
-    q176MarkovTransitions, q180TopkChurn)
+    q176MarkovTransitions, q180TopkChurn, q185DowSeasonality,
+    q186CusumChangepoint)
 
 }

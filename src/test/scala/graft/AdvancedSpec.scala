@@ -547,6 +547,39 @@ class AdvancedSpec extends SparkSpec {
       s"wrong frontier: ${f.toSeq}")
   }
 
+  test("q185 dow seasonality: a planted 2x-Sunday rhythm indexes above/below parity exactly") {
+    import spark.implicits._
+    // 2024-01-07 is a Sunday; two weeks of daily singles, Sundays at 2.0
+    val days = (0 until 14).map(i => java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val ev = days.map { d =>
+      val isSun = d.getDayOfWeek == java.time.DayOfWeek.SUNDAY
+      ("m", java.sql.Timestamp.valueOf(d.atStartOfDay),
+        if (isSun) 2.0 else 1.0)
+    }.toDF("event_type", "ts", "value")
+    val r = queries.Advanced.dowSeasonality(ev).collect()
+      .map(x => x.getAs[Int]("dow") -> x.getAs[Long]("idx_ppm")).toMap
+    // overall mean = (2*2 + 12*1)/14 = 16/14; sunday idx = 2/(16/14)
+    assert(r(0) == BigInt(2) * 14 * 1000000 / 16, s"sunday idx ${r(0)}")
+    assert(r(1) == BigInt(1) * 14 * 1000000 / 16, s"weekday idx ${r(1)}")
+    assert(r.size == 7 && r(0) > 1000000L && r(1) < 1000000L)
+  }
+
+  test("q186 CUSUM: a planted level shift peaks at the last pre-shift day") {
+    import spark.implicits._
+    val ev = (1 to 10).map { k =>
+      ("m", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, k).atStartOfDay),
+        if (k <= 5) 10.0 else 20.0)
+    }.toDF("event_type", "ts", "value")
+    val r = queries.Advanced.cusumChangepoint(ev).collect().head
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[java.sql.Date]("peak_day").toString == "2024-01-05",
+      s"peak at ${r.getAs[java.sql.Date]("peak_day")}")
+    // |C_5| = |10·(5·10e6) − 5·150e6| = 250e6, the mean-free peak
+    assert(r.getAs[Long]("peak_cusum") == 250000000L)
+    assert(r.getAs[Long]("peak_pos_ppm") == 500000L)
+  }
+
   test("q172 Pareto two-phase: multi-stripe differential vs brute force, boundaries included") {
     import spark.implicits._
     // a tiny stripe width forces CROSS-stripe domination, stripe-boundary

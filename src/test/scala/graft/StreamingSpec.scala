@@ -851,7 +851,12 @@ class StreamingSpec extends SparkSpec {
     // crash AFTER the rollup's fold but BEFORE vocab/bins apply ---------
     val art = tmpDir("cap_art")
     val ck2 = tmpDir("cap_ck2")
-    val poison = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // TWO injected crashes at DIFFERENT artifact boundaries: first after
+    // the rollup's fold (vocab/bins unapplied), then on a later batch
+    // after vocab (bins unapplied) — each restart replays the failed
+    // batch from the checkpoint against partially-advanced artifacts
+    val poisonAfterRollup = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val poisonAfterVocab = new java.util.concurrent.atomic.AtomicBoolean(true)
     def startMaint() = Streaming.parquetFileSource(spark, corpus, schema)
       .writeStream.option("checkpointLocation", ck2)
       .trigger(Trigger.AvailableNow())
@@ -859,27 +864,31 @@ class StreamingSpec extends SparkSpec {
         val s = batch.sparkSession
         val b = batch.persist()
         try {
-          // compactEvery = 1 → the rollup FOLDS on batch 1 (2 live > 1);
-          // the poison then kills the run mid-batch: rollup folded,
-          // vocab/bins not yet applied — the worst crash window
+          // compactEvery = 1 → the rollup FOLDS on batch 1 (2 live > 1)
           Rollup.applyMaintenanceBatch(s, s"$art/rollup",
             Rollup.statsRollup(b, keysR), id, keysR,
             Rollup.mergeRollups(_, _, keysR), compactEvery = 1)
-          if (id >= 1 && poison.getAndSet(false))
-            sys.error("injected mid-fold crash")
+          if (id >= 1 && poisonAfterRollup.getAndSet(false))
+            sys.error("injected mid-fold crash (after rollup)")
           Rollup.applyMaintenanceBatch(s, s"$art/vocab",
             Rollup.vocabSketch(b, keysV), id, keysV,
             Rollup.mergeVocab(_, _, keysV), compactEvery = 1)
+          if (id >= 2 && poisonAfterVocab.getAndSet(false))
+            sys.error("injected mid-fold crash (after vocab)")
           Rollup.applyMaintenanceBatch(s, s"$art/bins",
             Rollup.docBins(b), id, Seq("g", "v"),
             Rollup.mergeBins, compactEvery = 1)
         } finally { b.unpersist(); () }
       }.start()
-    val crashed = intercept[Exception](startMaint().awaitTermination())
-    assert(crashed.getMessage != null)
-    // restart from the SAME checkpoint: the failed batch replays (same id,
-    // same file) — the rollup re-apply is an idempotent overwrite below
-    // its own fold watermark; vocab/bins catch up
+    val crash1 = intercept[Exception](startMaint().awaitTermination())
+    assert(crash1.getMessage != null)
+    // restart from the SAME checkpoint: the failed batch replays (same
+    // id, same file) — re-applies below a fold watermark are idempotent
+    // overwrites; the lagging artifacts catch up. The second poison
+    // kills this run too, at the other boundary…
+    val crash2 = intercept[Exception](startMaint().awaitTermination())
+    assert(crash2.getMessage != null)
+    // …and the third run drains to completion
     startMaint().awaitTermination()
 
     assert(rollupRows(Rollup.readMaintainedRollup(spark, art)) == wantRollup,
