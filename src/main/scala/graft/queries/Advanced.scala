@@ -1688,6 +1688,92 @@ object Advanced {
       .orderBy("event_type")
   }
 
+  /** Exactness bound for q187: the closed-form EWMA numerator carries
+    * 2^(n−1) weights, so past 60 daily points the DECIMAL(38,0)
+    * products saturate — the guard raises loudly (chunk the series or
+    * coarsen to weekly partials past it). A dial, not a constant: the
+    * q158-family bins discipline applied to the time axis. */
+  final val EwmaMaxDays = 60
+
+  /** q187: EWMA level card (α = 1/2) per event type — "is today's
+    * reading noise or a move?" The smoothed level weights yesterday
+    * half as much as today, so one outlier day cannot yank the
+    * baseline the way q151's raw month-over-month delta can. EXACT
+    * integer arithmetic end to end via the closed form
+    * `s_n = (2·y_1 + Σ_{i≥2} y_i·2^{i−1}) / 2^n` — power-of-two
+    * weights are `1 << (i−1)` in both engines, the division is one
+    * floor-div at the end, and the spike ratio `last/ewma` publishes
+    * in cross-multiplied ppm. Completes the q185/q186 monitoring trio
+    * (seasonality profile, break location, smoothed level).
+    *
+    * Scale shape: ONE map-side-combined aggregate folds the corpus to
+    * ≤ types×days partials; the weighting and fold ride that metadata
+    * frame. [[EwmaMaxDays]] bounds the exact form — guarded loudly. */
+  val q187EwmaLevel: QuerySpec = QuerySpec(
+    "q187_ewma_level",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, y,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS k,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM daily),
+      |f AS (
+      |  SELECT event_type, n,
+      |    sum(CAST(y AS HUGEINT) *
+      |      (CAST(1 AS BIGINT) << CAST(CASE WHEN k = 1 THEN 1
+      |        ELSE k - 1 END AS INT))) AS num,
+      |    max(CASE WHEN k = n THEN y END) AS last_y
+      |  FROM w GROUP BY event_type, n)
+      |SELECT event_type, n AS n_days, last_y AS last_micro,
+      |  CAST(num // (CAST(1 AS BIGINT) << CAST(n AS INT)) AS BIGINT)
+      |    AS ewma_micro,
+      |  CAST(CAST(last_y AS HUGEINT) * 1000000
+      |    // (num // (CAST(1 AS BIGINT) << CAST(n AS INT))) AS BIGINT)
+      |    AS last_vs_ewma_ppm
+      |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+    ewmaLevel(Tables.events(s, dir))
+  }
+
+  /** The q187 operator on any (event_type, ts, value) frame. */
+  def ewmaLevel(events: DataFrame, maxDays: Int = EwmaMaxDays): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("vmu")).as("y"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wTot = Window.partitionBy("event_type")
+    val w = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wTot))
+    val f = w.groupBy("event_type", "n")
+      .agg(
+        sum(expr("CAST(y AS DECIMAL(38,0)) * " +
+          "shiftleft(1L, CAST(CASE WHEN k = 1 THEN 1 ELSE k - 1 END AS INT))"))
+          .as("num"),
+        max(when(col("k") === col("n"), col("y"))).as("last_y"))
+    f.select(col("event_type"),
+        // the guard rides the n column every output row carries
+        when(col("n") <= maxDays, col("n"))
+          .otherwise(raise_error(lit(
+            s"q187: series exceeds $maxDays daily points — the " +
+              "2^(n-1) exact weights saturate DECIMAL(38,0); chunk the " +
+              "series or coarsen to weekly partials (see EwmaMaxDays)")))
+          .as("n_days"),
+        col("last_y").as("last_micro"),
+        expr("CAST(num div (CAST(1 AS DECIMAL(38,0)) * shiftleft(1L, CAST(n AS INT))) AS LONG)")
+          .as("ewma_micro"),
+        expr("CAST(CAST(last_y AS DECIMAL(38,0)) * 1000000 div " +
+          "(num div (CAST(1 AS DECIMAL(38,0)) * shiftleft(1L, CAST(n AS INT)))) AS LONG)")
+          .as("last_vs_ewma_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q40RestSource, q41AsofJoin, q42Sessionize, q43QualityBySource,
     q48EventAttribution, q54AsofNative, q58Funnel, q70AnomalyZscore,
@@ -1698,6 +1784,6 @@ object Advanced {
     q157SlidingDistinctHll, q162TrendSlope, q165OutOfOrder, q170PageRank,
     q171Twap, q172ParetoFrontier, q174Reconciliation, q175AssocRules,
     q176MarkovTransitions, q180TopkChurn, q185DowSeasonality,
-    q186CusumChangepoint)
+    q186CusumChangepoint, q187EwmaLevel)
 
 }

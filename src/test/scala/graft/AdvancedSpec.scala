@@ -580,6 +580,34 @@ class AdvancedSpec extends SparkSpec {
     assert(r.getAs[Long]("peak_pos_ppm") == 500000L)
   }
 
+  test("q187 EWMA: constant series returns the constant; a final spike reads above parity; guard fires past the day bound") {
+    import spark.implicits._
+    def series(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      ("m", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay), v)
+    }.toDF("event_type", "ts", "value")
+    // constant: s_n = c exactly at any length (weights sum to 2^n)
+    val flat = queries.Advanced.ewmaLevel(series(Seq.fill(10)(3.0)))
+      .collect().head
+    assert(flat.getAs[Long]("ewma_micro") == 3000000L)
+    assert(flat.getAs[Long]("last_vs_ewma_ppm") == 1000000L)
+    // spike on the last day: s_n = (baseline + spike)/2 → ratio ~2x
+    val spiked = queries.Advanced.ewmaLevel(
+      series(Seq.fill(9)(3.0) :+ 9.0)).collect().head
+    // s_10 = 9/2 + 3·(1/4+…) = 4.5 + 3·(1/2 − 2^-9·…) exact check:
+    // num = 2·3e6 + Σ_{i=2..9} 3e6·2^(i−1) + 9e6·2^9; den = 2^10
+    val num = BigInt(2) * 3000000 +
+      (2 to 9).map(i => BigInt(3000000) * (BigInt(1) << (i - 1))).sum +
+      BigInt(9000000) * (BigInt(1) << 9)
+    assert(spiked.getAs[Long]("ewma_micro") == (num / BigInt(1024)).toLong)
+    assert(spiked.getAs[Long]("last_vs_ewma_ppm") >= 1500000L)
+    // loud guard past the exactness bound
+    val e = intercept[Exception](
+      queries.Advanced.ewmaLevel(series(Seq.fill(8)(3.0)), maxDays = 5)
+        .collect())
+    assert(e.getMessage.contains("daily points"), e.getMessage)
+  }
+
   test("q172 Pareto two-phase: multi-stripe differential vs brute force, boundaries included") {
     import spark.implicits._
     // a tiny stripe width forces CROSS-stripe domination, stripe-boundary
