@@ -967,13 +967,16 @@ object Advanced {
   /** The driftVsRollup overflow discipline for the exact-integer test
     * family (q153/q162): these expressions are built from NON-NULL
     * aggregates, so a NULL can only mean a saturated DECIMAL(38,0)
-    * product or an overflowed LONG cast under non-ANSI mode — and a NULL
-    * verdict silently reads as "not significant"/"not rising" downstream.
-    * Surface it as a loud per-row failure instead. */
+    * product, an overflowed LONG cast under non-ANSI mode, or an
+    * integer `div` whose denominator aggregated to zero (e.g. a q185
+    * slice whose micro-unit values sum to 0) — and a NULL verdict
+    * silently reads as "not significant"/"not rising" downstream.
+    * Surface it as a loud per-row failure naming both causes. */
   private def orOverflowError(value: Column, what: String): Column =
     when(value.isNotNull, value).otherwise(raise_error(lit(
-      s"$what: DECIMAL(38,0)/LONG overflow in exact integer arithmetic — " +
-        "downscale units before multiplying (see Scaladoc bound)")))
+      s"$what: NULL in exact integer arithmetic — either DECIMAL(38,0)/" +
+        "LONG overflow (downscale units before multiplying, see Scaladoc " +
+        "bound) or an integer div by a zero-sum denominator slice")))
 
   /** q162: per-group trend slope — "is this slice drifting up or
     * down?" as an EXACT least-squares line over the daily series: the
@@ -1688,27 +1691,39 @@ object Advanced {
       .orderBy("event_type")
   }
 
-  /** Exactness bound for q187: the closed-form EWMA numerator carries
-    * 2^(n−1) weights, so past 60 daily points the DECIMAL(38,0)
-    * products saturate — the guard raises loudly (chunk the series or
-    * coarsen to weekly partials past it). A dial, not a constant: the
-    * q158-family bins discipline applied to the time axis. */
-  final val EwmaMaxDays = 60
+  /** State bound for q187: the per-type daily series is collected into
+    * one array (the types×days metadata-frame discipline), so the bound
+    * is on SERIES LENGTH, not arithmetic magnitude — the per-step
+    * integer recurrence `s_k = (s_{k−1} + y_k) div 2` never grows past
+    * max(|y|), so there is no exactness cliff anymore (round 9 capped
+    * this at 60 because the old `2^(n−1)` closed form saturated
+    * DECIMAL(38,0); the recurrence removed that). 36 600 daily points ≈
+    * a century of monitoring — past it, coarsen to weekly partials. */
+  final val EwmaMaxDays = 36600
 
   /** q187: EWMA level card (α = 1/2) per event type — "is today's
     * reading noise or a move?" The smoothed level weights yesterday
     * half as much as today, so one outlier day cannot yank the
     * baseline the way q151's raw month-over-month delta can. EXACT
-    * integer arithmetic end to end via the closed form
-    * `s_n = (2·y_1 + Σ_{i≥2} y_i·2^{i−1}) / 2^n` — power-of-two
-    * weights are `1 << (i−1)` in both engines, the division is one
-    * floor-div at the end, and the spike ratio `last/ewma` publishes
-    * in cross-multiplied ppm. Completes the q185/q186 monitoring trio
+    * integer arithmetic end to end via the per-step recurrence
+    * `s_1 = y_1; s_k = (s_{k−1} + y_k) div 2` folded left-to-right
+    * over the ordered daily series — each step is one add and one
+    * integer halving, so the running level NEVER grows past the data's
+    * own magnitude (the round-9 closed form carried `2^(n−1)` weights
+    * and saturated DECIMAL(38,0) at 61 days; by
+    * `⌊(⌊a/b⌋+c)/d⌋ = ⌊(a+bc)/(bd)⌋` the recurrence computes the
+    * identical value with no magnitude growth — pinned in
+    * AdvancedSpec). The spike ratio `last/ewma` publishes in
+    * cross-multiplied ppm. Completes the q185/q186 monitoring trio
     * (seasonality profile, break location, smoothed level).
     *
     * Scale shape: ONE map-side-combined aggregate folds the corpus to
-    * ≤ types×days partials; the weighting and fold ride that metadata
-    * frame. [[EwmaMaxDays]] bounds the exact form — guarded loudly. */
+    * ≤ types×days partials; `collect_list` then gathers ONE bounded
+    * array per type (the q158-bins metadata discipline —
+    * [[EwmaMaxDays]] ≈ a century of days, loud guard riding BOTH
+    * served columns so column pruning cannot drop it) and the fold is
+    * a single `aggregate()` higher-order expression over that array —
+    * no per-row state, no driver collect. */
   val q187EwmaLevel: QuerySpec = QuerySpec(
     "q187_ewma_level",
     """WITH daily AS (
@@ -1716,26 +1731,18 @@ object Advanced {
       |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
       |      AS y
       |  FROM events GROUP BY 1, 2),
-      |w AS (
-      |  SELECT event_type, day, y,
-      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-      |      AS BIGINT) AS k,
-      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-      |  FROM daily),
-      |f AS (
-      |  SELECT event_type, n,
-      |    sum(CAST(y AS HUGEINT) *
-      |      (CAST(1 AS BIGINT) << CAST(CASE WHEN k = 1 THEN 1
-      |        ELSE k - 1 END AS INT))) AS num,
-      |    max(CASE WHEN k = n THEN y END) AS last_y
-      |  FROM w GROUP BY event_type, n)
-      |SELECT event_type, n AS n_days, last_y AS last_micro,
-      |  CAST(num // (CAST(1 AS BIGINT) << CAST(n AS INT)) AS BIGINT)
+      |ser AS (
+      |  SELECT event_type, list(y ORDER BY day) AS ys
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(len(ys) AS BIGINT) AS n_days,
+      |  ys[-1] AS last_micro,
+      |  CAST(list_reduce(ys, (a, b) -> (a + b) // 2) AS BIGINT)
       |    AS ewma_micro,
-      |  CAST(CAST(last_y AS HUGEINT) * 1000000
-      |    // (num // (CAST(1 AS BIGINT) << CAST(n AS INT))) AS BIGINT)
+      |  CAST(CAST(ys[-1] AS HUGEINT) * 1000000
+      |    // list_reduce(ys, (a, b) -> (a + b) // 2) AS BIGINT)
       |    AS last_vs_ewma_ppm
-      |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+      |FROM ser ORDER BY event_type""".stripMargin) { (s, dir) =>
     ewmaLevel(Tables.events(s, dir))
   }
 
@@ -1746,30 +1753,32 @@ object Advanced {
         floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
       .groupBy("event_type", "day")
       .agg(sum(col("vmu")).as("y"))
-    val wOrd = Window.partitionBy("event_type").orderBy("day")
-    val wTot = Window.partitionBy("event_type")
-    val w = daily
-      .withColumn("k", row_number().over(wOrd).cast("long"))
-      .withColumn("n", count(lit(1)).over(wTot))
-    val f = w.groupBy("event_type", "n")
-      .agg(
-        sum(expr("CAST(y AS DECIMAL(38,0)) * " +
-          "shiftleft(1L, CAST(CASE WHEN k = 1 THEN 1 ELSE k - 1 END AS INT))"))
-          .as("num"),
-        max(when(col("k") === col("n"), col("y"))).as("last_y"))
-    f.select(col("event_type"),
-        // the guard rides the n column every output row carries
-        when(col("n") <= maxDays, col("n"))
-          .otherwise(raise_error(lit(
-            s"q187: series exceeds $maxDays daily points — the " +
-              "2^(n-1) exact weights saturate DECIMAL(38,0); chunk the " +
-              "series or coarsen to weekly partials (see EwmaMaxDays)")))
-          .as("n_days"),
-        col("last_y").as("last_micro"),
-        expr("CAST(num div (CAST(1 AS DECIMAL(38,0)) * shiftleft(1L, CAST(n AS INT))) AS LONG)")
-          .as("ewma_micro"),
-        expr("CAST(CAST(last_y AS DECIMAL(38,0)) * 1000000 div " +
-          "(num div (CAST(1 AS DECIMAL(38,0)) * shiftleft(1L, CAST(n AS INT)))) AS LONG)")
+    // one ordered array per type: ≤ types×days structs, sorted by day
+    // (struct sort order is field order, day first)
+    val ser = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("ser"))
+    // the guard wraps EVERY served column (not just n_days): a caller
+    // projecting only ewma_micro/last_vs_ewma_ppm must still trip it —
+    // unused projections are pruned, so a guard riding one column
+    // protects nothing for a query that drops that column
+    def guarded(value: Column): Column =
+      when(size(col("ser")) <= maxDays, value)
+        .otherwise(raise_error(lit(
+          s"q187: series exceeds $maxDays daily points — the per-type " +
+            "collected daily array outgrows the metadata-frame bound; " +
+            "coarsen to weekly partials (see EwmaMaxDays)")))
+    val s = ser.select(col("event_type"),
+      guarded(size(col("ser")).cast("long")).as("n_days"),
+      guarded(element_at(col("ser"), -1).getField("y")).as("last_micro"),
+      guarded(expr(
+        "aggregate(slice(ser, 2, size(ser) - 1), element_at(ser, 1).y, " +
+          "(acc, x) -> (acc + x.y) div 2)")).as("ewma_micro"))
+    s.select(col("event_type"), col("n_days"), col("last_micro"),
+        col("ewma_micro"),
+        orOverflowError(expr(
+          "CAST(CAST(last_micro AS DECIMAL(38,0)) * 1000000 " +
+            "div ewma_micro AS LONG)"), "q187 last_vs_ewma_ppm")
           .as("last_vs_ewma_ppm"))
       .orderBy("event_type")
   }

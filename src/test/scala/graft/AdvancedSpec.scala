@@ -601,11 +601,61 @@ class AdvancedSpec extends SparkSpec {
       BigInt(9000000) * (BigInt(1) << 9)
     assert(spiked.getAs[Long]("ewma_micro") == (num / BigInt(1024)).toLong)
     assert(spiked.getAs[Long]("last_vs_ewma_ppm") >= 1500000L)
-    // loud guard past the exactness bound
+    // loud guard past the state bound
     val e = intercept[Exception](
       queries.Advanced.ewmaLevel(series(Seq.fill(8)(3.0)), maxDays = 5)
         .collect())
     assert(e.getMessage.contains("daily points"), e.getMessage)
+    // the guard rides EVERY served column: projecting only ewma_micro
+    // must still trip it (column pruning would drop an n_days-only guard)
+    val e2 = intercept[Exception](
+      queries.Advanced.ewmaLevel(series(Seq.fill(8)(3.0)), maxDays = 5)
+        .select("ewma_micro").collect())
+    assert(e2.getMessage.contains("daily points"), e2.getMessage)
+  }
+
+  test("q187 EWMA recurrence ≡ the 2^(n−1) closed form for n ≤ 60, and stays exact at 365+ days") {
+    import spark.implicits._
+    def series(vals: Seq[Long]) = vals.zipWithIndex.map { case (v, i) =>
+      ("m", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2023, 1, 1).plusDays(i).atStartOfDay),
+        v.toDouble)
+    }.toDF("event_type", "ts", "value")
+    // deterministic pseudo-random series (no Random: reproducible seed)
+    def planted(n: Int): Seq[Long] =
+      (1 to n).map(k => ((k * 2654435761L) % 997L) + 1L)
+    def closedForm(micro: Seq[BigInt]): BigInt = {
+      // s_n = (2·y_1 + Σ_{i≥2} y_i·2^{i−1}) div 2^n — the round-9 form
+      val num = BigInt(2) * micro.head +
+        micro.zipWithIndex.drop(1)
+          .map { case (y, i) => y * (BigInt(1) << i) }.sum
+      num / (BigInt(1) << micro.size)
+    }
+    def recurrence(micro: Seq[Long]): Long =
+      micro.reduceLeft((acc, y) => (acc + y) / 2)
+    for (n <- Seq(1, 2, 7, 31, 60)) {
+      val vals = planted(n)
+      val micro = vals.map(v => BigInt(v) * 1000000)
+      val r = queries.Advanced.ewmaLevel(series(vals)).collect().head
+      assert(r.getAs[Long]("ewma_micro") == closedForm(micro).toLong,
+        s"n=$n: recurrence ${r.getAs[Long]("ewma_micro")} != closed " +
+          s"form ${closedForm(micro)}")
+      assert(r.getAs[Long]("ewma_micro") ==
+        recurrence(micro.map(_.toLong)), s"n=$n scala-fold mismatch")
+    }
+    // past the old 60-day cliff: 400 daily points, still exact — the
+    // closed form's 2^399 weights would saturate DECIMAL(38,0); the
+    // recurrence matches a driver-side BigInt-free integer fold
+    val n = 400
+    val vals = planted(n)
+    val r = queries.Advanced.ewmaLevel(series(vals)).collect().head
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    val expected = recurrence(vals.map(_ * 1000000L))
+    assert(r.getAs[Long]("ewma_micro") == expected,
+      s"400-day series: ${r.getAs[Long]("ewma_micro")} != $expected")
+    assert(r.getAs[Long]("last_micro") == vals.last * 1000000L)
+    assert(r.getAs[Long]("last_vs_ewma_ppm") ==
+      (BigInt(vals.last) * 1000000L * 1000000L / expected).toLong)
   }
 
   test("q172 Pareto two-phase: multi-stripe differential vs brute force, boundaries included") {
