@@ -1574,9 +1574,11 @@ object Advanced {
     * products with the loud overflow guard.
     *
     * Scale shape: ONE map-side-combined aggregate folds the corpus to
-    * ≤ types×7 rows; the per-type totals re-aggregate THAT metadata and
-    * broadcast back. Day-of-week alignment: Spark's `dayofweek` is
-    * 1=Sunday, DuckDB's is 0=Sunday — the Spark side subtracts 1. */
+    * the shared ≤ types×days [[dailyPartials]] state; the dow roll-up,
+    * per-type totals, and index arithmetic all ride THAT metadata
+    * (small side broadcast back). Day-of-week alignment: Spark's
+    * `dayofweek` is 1=Sunday, DuckDB's is 0=Sunday — the Spark side
+    * subtracts 1. */
   val q185DowSeasonality: QuerySpec = QuerySpec(
     "q185_dow_seasonality",
     """WITH c AS (
@@ -1599,13 +1601,37 @@ object Advanced {
     dowSeasonality(Tables.events(s, dir))
   }
 
-  /** The q185 operator on any (event_type, ts, value) frame. */
-  def dowSeasonality(events: DataFrame): DataFrame = {
-    val c = events.select(col("event_type"),
-      (dayofweek(to_date(col("ts"))) - 1).as("dow"),
-      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
-    val d = c.groupBy("event_type", "dow")
+  /** The shared daily-partials state behind the q185/q186/q187
+    * monitoring trio — and their LIVE form: ONE map-side-combined
+    * aggregate keyed by (event_type, day) holding the day's event count
+    * and micro-unit value sum. The same expression runs on a batch
+    * frame and as a COMPLETE-mode streaming aggregation (the
+    * [[graft.queries.Profiling.distTestBins]] state-is-the-result
+    * pattern: mergeable by sum, no watermark, state bounded by
+    * types×days, NOT corpus size). [[dowFromDaily]] /
+    * [[cusumFromDaily]] / [[ewmaFromDaily]] derive the full cards from
+    * this state with metadata-only arithmetic, so a stream re-publishes
+    * the whole monitoring trio after every micro-batch. */
+  def dailyPartials(events: DataFrame): DataFrame =
+    events.select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
+      .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_events"), sum(col("vmu")).as("sum_mu"))
+
+  /** The q185 operator on any (event_type, ts, value) frame. */
+  def dowSeasonality(events: DataFrame): DataFrame =
+    dowFromDaily(dailyPartials(events))
+
+  /** q185 from [[dailyPartials]] state alone (live-monitor form): the
+    * dow roll-up sums the daily partials — counts of counts and sums of
+    * sums are exact, so stream ≡ batch by construction. */
+  def dowFromDaily(daily: DataFrame): DataFrame = {
+    val d = daily
+      .select(col("event_type"), (dayofweek(col("day")) - 1).as("dow"),
+        col("n_events"), col("sum_mu"))
+      .groupBy("event_type", "dow")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_mu")).as("sum_mu"))
     val t = d.groupBy("event_type")
       .agg(sum(col("n_events")).as("cnt_all"),
         sum(col("sum_mu")).as("sum_all"))
@@ -1664,12 +1690,14 @@ object Advanced {
   }
 
   /** The q186 operator on any (event_type, ts, value) frame. */
-  def cusumChangepoint(events: DataFrame): DataFrame = {
-    val daily = events
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
-      .groupBy("event_type", "day")
-      .agg(sum(col("vmu")).as("y"))
+  def cusumChangepoint(events: DataFrame): DataFrame =
+    cusumFromDaily(dailyPartials(events))
+
+  /** q186 from [[dailyPartials]] state alone (live-monitor form): the
+    * windows ride the ≤ types×days state frame directly. */
+  def cusumFromDaily(dailyState: DataFrame): DataFrame = {
+    val daily = dailyState
+      .select(col("event_type"), col("day"), col("sum_mu").as("y"))
     val wOrd = Window.partitionBy("event_type").orderBy("day")
     val wTot = Window.partitionBy("event_type")
     val c = daily
@@ -1747,12 +1775,14 @@ object Advanced {
   }
 
   /** The q187 operator on any (event_type, ts, value) frame. */
-  def ewmaLevel(events: DataFrame, maxDays: Int = EwmaMaxDays): DataFrame = {
-    val daily = events
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vmu"))
-      .groupBy("event_type", "day")
-      .agg(sum(col("vmu")).as("y"))
+  def ewmaLevel(events: DataFrame, maxDays: Int = EwmaMaxDays): DataFrame =
+    ewmaFromDaily(dailyPartials(events), maxDays)
+
+  /** q187 from [[dailyPartials]] state alone (live-monitor form). */
+  def ewmaFromDaily(dailyState: DataFrame,
+      maxDays: Int = EwmaMaxDays): DataFrame = {
+    val daily = dailyState
+      .select(col("event_type"), col("day"), col("sum_mu").as("y"))
     // one ordered array per type: ≤ types×days structs, sorted by day
     // (struct sort order is field order, day first)
     val ser = daily.groupBy("event_type")

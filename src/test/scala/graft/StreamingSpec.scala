@@ -577,6 +577,63 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch estimate split at ${r.getAs[java.sql.Date]("window_start")}"))
   }
 
+  test("streaming monitoring trio: complete-mode daily partials derive q185/q186/q187 exactly after EVERY micro-batch") {
+    // the trio's shared types×days state is the same state-is-the-result
+    // class as distTestBins: complete-mode aggregation with the full
+    // seasonality/change-point/EWMA cards re-derivable per micro-batch —
+    // each batch's derivation must EQUAL the batch operator run over the
+    // exact file prefix that batch has seen
+    import graft.queries.Advanced
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(spark, sf)
+    val inDir = tmpDir("trio_stream_in")
+    // three interleaved chunks as single files with strictly increasing
+    // mtimes: maxFilesPerTrigger=1 + oldest-first ordering makes batch i
+    // ingest exactly file i (all three cards move on every batch)
+    val now = System.currentTimeMillis()
+    val chunkPaths = (0 until 3).map { i =>
+      val staging = tmpDir(s"trio_stage$i")
+      events.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, s"c$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (3 - i) * 60000L))
+      dst.getAbsolutePath
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val seenBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Advanced.dailyPartials(
+        Streaming.parquetFileSource(spark, inDir, schema))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmpDir("trio_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (state: DataFrame, id: Long) =>
+        val s = state.persist()
+        try {
+          val prefix = s.sparkSession.read
+            .parquet(chunkPaths.take(id.toInt + 1): _*)
+          def same(live: DataFrame, batch: DataFrame, what: String): Unit =
+            assert(live.exceptAll(batch).count() == 0 &&
+              batch.exceptAll(live).count() == 0,
+              s"batch $id: live $what diverges from the batch operator")
+          same(Advanced.dowFromDaily(s),
+            Advanced.dowSeasonality(prefix), "q185 dow seasonality")
+          same(Advanced.cusumFromDaily(s),
+            Advanced.cusumChangepoint(prefix), "q186 CUSUM change-point")
+          same(Advanced.ewmaFromDaily(s),
+            Advanced.ewmaLevel(prefix), "q187 EWMA level")
+          seenBatches.incrementAndGet()
+          ()
+        } finally { s.unpersist(); () }
+      }.start()
+    q.awaitTermination()
+    assert(seenBatches.get() == 3,
+      s"expected 3 micro-batches, saw ${seenBatches.get()}")
+  }
+
   test("streaming stats rollup: complete-mode partials equal the batch rollup") {
     // the maintained aggregate IS streaming-capable: same expression
     // tree, groups-bounded state, no watermark needed (complete mode)
