@@ -598,61 +598,111 @@ object Rollup {
     * Concurrency contract: this path is READ-ONLY — crashed-swap repair
     * belongs to the writer ([[applyMaintenanceBatch]]), because a reader
     * cannot distinguish a crashed publish from one in flight. Plain
-    * parquet has no snapshot isolation, so a read that materializes
-    * WHILE a fold is publishing/GC-ing can observe vanished files and
-    * should be retried; what is guaranteed is that a consumer never
-    * mutates the writer's state and never double-counts a partial. */
+    * parquet has no snapshot isolation, so a snapshot that materializes
+    * WHILE a fold is publishing/GC-ing can observe vanished files — that
+    * race is handled HERE: the whole snapshot (re-list base + partials,
+    * re-read watermark, re-materialize) retries up to
+    * [[ReadMaintainedAttempts]] times on a vanished-file failure, and
+    * each retry sees the fold further along (the fold is monotone:
+    * GC'd partials are below the NEW base's watermark), so a retry
+    * never double-counts and the LAST attempt's failure is surfaced.
+    * What is guaranteed: a consumer never mutates the writer's state
+    * and never double-counts a partial. */
   def readMaintained(spark: SparkSession, dir: String, keys: Seq[String],
       merge: (DataFrame, DataFrame) => DataFrame,
-      upTo: Option[Long] = None): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
-    val hasBase = fs.exists(basePath) ||
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base__backup"))
-    val partsPath = new org.apache.hadoop.fs.Path(s"$dir/parts")
-    val hasParts = fs.exists(partsPath) && fs.listStatus(partsPath).nonEmpty
-    require(hasBase || hasParts, s"readMaintained: nothing published under $dir")
-    // Base is materialized EAGERLY (localCheckpoint — group-cardinality
-    // metadata) and its watermark is taken from THAT snapshot, never from
-    // a separate scan: with two scans a compaction completing in between
-    // could serve the NEW base content against the OLD watermark and
-    // double-count not-yet-GC'd partials. Snapshot order matters too —
-    // base FIRST, partials after: a fold racing this read can only make
-    // partials vanish (ABOVE the snapshot's watermark → an undercount the
-    // scaladoc's retry caveat covers), never reappear below it.
-    val base =
-      if (!hasBase) None
-      else Some(graft.pipeline.Store
-        .readRecoverableReadOnly(spark, s"$dir/base", "maintenance base")
-        .localCheckpoint(true))
-    val upto: Long = base match {
-      case None => -1L
-      case Some(b) =>
-        val r = b.select(max(col("__upto"))).head()
-        // all-empty-partials base → rows=0 → NULL max; see readUpto
-        if (r.isNullAt(0)) -1L else r.getLong(0)
+      upTo: Option[Long] = None): DataFrame =
+    readMaintainedRetrying(spark, dir, keys, merge, upTo, _ => ())
+
+  /** Bounded retry budget for [[readMaintained]]'s snapshot: a fold
+    * completes at most once per read window, so one re-list normally
+    * suffices; 3 covers a compaction landing during the retry itself. */
+  final val ReadMaintainedAttempts = 3
+
+  /** A vanished-file failure anywhere in the cause chain: the signature
+    * of a maintenance fold's publish/GC completing mid-materialization
+    * (Spark wraps the task's FileNotFoundException in SparkException
+    * layers; a vanished directory surfaces as PATH_NOT_FOUND). */
+  private def isVanishedFile(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
+      t =>
+        t.isInstanceOf[java.io.FileNotFoundException] || {
+          val m = t.getMessage
+          m != null && (m.contains("FileNotFoundException") ||
+            m.contains("PATH_NOT_FOUND") || m.contains("does not exist"))
+        }
     }
-    val parts =
-      if (!hasParts) None
-      else {
-        // partials are metadata too (≤ compactEvery group-cardinality
-        // frames) — snapshot them eagerly as well, so the window in
-        // which a racing fold's GC can yank files out from under a lazy
-        // consumer plan closes at return time, not at some later action
-        val live = spark.read.parquet(s"$dir/parts")
-          .filter(col("batch") > upto &&
-            upTo.map(col("batch") <= _).getOrElse(lit(true)))
-          .drop("batch")
-          .localCheckpoint(true)
-        Some(live)
+
+  /** [[readMaintained]]'s snapshot loop with an injectable race hook
+    * (test-only: called with the attempt number after the partials
+    * listing, inside the window a racing fold's GC can hit). */
+  private[graft] def readMaintainedRetrying(spark: SparkSession,
+      dir: String, keys: Seq[String],
+      merge: (DataFrame, DataFrame) => DataFrame,
+      upTo: Option[Long], raceHook: Int => Unit): DataFrame = {
+    def snapshot(attempt: Int): DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+      val hasBase = fs.exists(basePath) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base__backup"))
+      val partsPath = new org.apache.hadoop.fs.Path(s"$dir/parts")
+      val hasParts = fs.exists(partsPath) && fs.listStatus(partsPath).nonEmpty
+      require(hasBase || hasParts,
+        s"readMaintained: nothing published under $dir")
+      // Base is materialized EAGERLY (localCheckpoint — group-cardinality
+      // metadata) and its watermark is taken from THAT snapshot, never from
+      // a separate scan: with two scans a compaction completing in between
+      // could serve the NEW base content against the OLD watermark and
+      // double-count not-yet-GC'd partials. Snapshot order matters too —
+      // base FIRST, partials after: a fold racing this read can only make
+      // partials vanish (ABOVE the snapshot's watermark → the retried
+      // vanished-file failure), never reappear below it.
+      val base =
+        if (!hasBase) None
+        else Some(graft.pipeline.Store
+          .readRecoverableReadOnly(spark, s"$dir/base", "maintenance base")
+          .localCheckpoint(true))
+      val upto: Long = base match {
+        case None => -1L
+        case Some(b) =>
+          val r = b.select(max(col("__upto"))).head()
+          // all-empty-partials base → rows=0 → NULL max; see readUpto
+          if (r.isNullAt(0)) -1L else r.getLong(0)
       }
-    (base.map(_.drop("__upto")), parts) match {
-      case (Some(b), Some(p)) => merge(b, p)
-      case (Some(b), None) => b
-      case (None, Some(p)) => merge(p, p.limit(0))
-      case _ => sys.error("unreachable")
+      val parts =
+        if (!hasParts) None
+        else {
+          // partials are metadata too (≤ compactEvery group-cardinality
+          // frames) — snapshot them eagerly as well, so a racing fold's
+          // GC is confined to THIS materialization (and one retry of it),
+          // never to some later consumer action on a lazy plan
+          val listed = spark.read.parquet(s"$dir/parts")
+          raceHook(attempt)
+          val live = listed
+            .filter(col("batch") > upto &&
+              upTo.map(col("batch") <= _).getOrElse(lit(true)))
+            .drop("batch")
+            .localCheckpoint(true)
+          Some(live)
+        }
+      (base.map(_.drop("__upto")), parts) match {
+        case (Some(b), Some(p)) => merge(b, p)
+        case (Some(b), None) => b
+        case (None, Some(p)) => merge(p, p.limit(0))
+        case _ => sys.error("unreachable")
+      }
     }
+    var attempt = 1
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      try out = Some(snapshot(attempt))
+      catch {
+        case e: Throwable
+            if attempt < ReadMaintainedAttempts && isVanishedFile(e) =>
+          attempt += 1
+      }
+    }
+    out.get
   }
 
   /** Per-batch value-bins partial over documents (g = source,

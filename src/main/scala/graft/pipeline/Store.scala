@@ -816,8 +816,10 @@ object Store {
     * present, else the `__backup` DIRECTLY — the last committed version
     * either way. Plain parquet has no snapshot isolation: a read racing
     * a live publish can still observe FileNotFound at materialization
-    * time and should be retried — what this guarantees is that readers
-    * never corrupt the writer's protocol. */
+    * time — the maintained-artifact consumer path retries its whole
+    * snapshot on that failure ([[graft.ext.Rollup.readMaintained]]);
+    * what THIS primitive guarantees is that readers never corrupt the
+    * writer's protocol. */
   private[graft] def readRecoverableReadOnly(spark: SparkSession,
       path: String, what: String): DataFrame = {
     val target = new org.apache.hadoop.fs.Path(path)

@@ -226,6 +226,68 @@ class RollupSpec extends SparkSpec {
     assert(Rollup.readMaintainedRollup(spark, dir, keys).count() == 2)
   }
 
+  test("maintenance read: a fold's publish+GC landing mid-snapshot retries and serves the folded state") {
+    import spark.implicits._
+    val keys = Seq("source", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("maint_race").toString
+    val docs = Seq(
+      (1L, "alpha", "en", "s1", 10L), (2L, "beta", "en", "s2", 20L),
+      (3L, "gamma", "en", "s3", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // three live partials, no base yet (compactEvery high)
+    (0L to 2L).foreach { b =>
+      Rollup.applyMaintenanceBatch(spark, s"$dir/rollup",
+        Rollup.statsRollup(docs.filter(col("doc_id") === b + 1), keys),
+        b, keys, Rollup.mergeRollups(_, _, keys), compactEvery = 10)
+    }
+    val want = Rollup.statsRollup(docs, keys).collect().map(_.toSeq).toSet
+    val hookCalls = scala.collection.mutable.ArrayBuffer[Int]()
+    val got = Rollup.readMaintainedRetrying(spark, s"$dir/rollup", keys,
+      Rollup.mergeRollups(_, _, keys), None, { attempt =>
+        hookCalls += attempt
+        if (attempt == 1) {
+          // the racing fold completes NOW — after this snapshot listed
+          // the partials, before it materializes them: batch 3 lands
+          // with compactEvery=1, folding everything into the base and
+          // GC-ing every partial directory out from under the listing
+          Rollup.applyMaintenanceBatch(spark, s"$dir/rollup",
+            Rollup.statsRollup(docs.filter(lit(false)), keys), 3L, keys,
+            Rollup.mergeRollups(_, _, keys), compactEvery = 1)
+        }
+      }).collect().map(_.toSeq).toSet
+    assert(got == want,
+      "retried read must serve the folded state, not fail or undercount")
+    // the first attempt saw live partials and died on their vanished
+    // files; the second found everything in the base (no parts → no
+    // second hook call) — exactly one retry, zero double-counting
+    assert(hookCalls.toSeq == Seq(1),
+      s"expected one raced attempt then a clean base read: $hookCalls")
+
+    // mechanism proof — the retry LOOP observably runs: yank ONE listed
+    // partial directory (no fold), so attempt 1 must die on the vanished
+    // files and attempt 2 must re-list and serve the survivors
+    val dir2 = java.nio.file.Files.createTempDirectory("maint_race2").toString
+    (0L to 2L).foreach { b =>
+      Rollup.applyMaintenanceBatch(spark, s"$dir2/rollup",
+        Rollup.statsRollup(docs.filter(col("doc_id") === b + 1), keys),
+        b, keys, Rollup.mergeRollups(_, _, keys), compactEvery = 10)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hook2 = scala.collection.mutable.ArrayBuffer[Int]()
+    val got2 = Rollup.readMaintainedRetrying(spark, s"$dir2/rollup", keys,
+      Rollup.mergeRollups(_, _, keys), None, { attempt =>
+        hook2 += attempt
+        if (attempt == 1) assert(fs.delete(
+          new org.apache.hadoop.fs.Path(s"$dir2/rollup/parts/batch=2"), true))
+      }).collect().map(_.toSeq).toSet
+    assert(hook2.toSeq == Seq(1, 2),
+      s"attempt 1 must fail on the vanished partial and retry: $hook2")
+    val survivors = Rollup.statsRollup(docs.filter(col("doc_id") <= 2), keys)
+      .collect().map(_.toSeq).toSet
+    assert(got2 == survivors, "retry must re-list and serve the survivors")
+  }
+
   test("bins index: 3-way append in any order ≡ one-shot; derivers read through a crash window") {
     import graft.queries.Profiling
     val events = Tables.events(spark, sf)
