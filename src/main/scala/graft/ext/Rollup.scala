@@ -451,6 +451,13 @@ object Rollup {
     * (identical — same fingerprint) layout is used and the loser's
     * staging is discarded. */
   private val q145BuildLock = new Object
+
+  /** Grace period for GC of superseded q145 layout fingerprints: a
+    * stale sibling younger than this may still be under a concurrent
+    * process's scan (it resolved the old fingerprint just before the
+    * source table changed), so only older ones are deleted — an hour
+    * outlives any single pruned-scan query by orders of magnitude. */
+  private[graft] val Q145StaleGcGraceMs: Long = 60L * 60L * 1000L
   def prunedRangeStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.pipeline.Store
     val docs = Tables.documents(s, dir)
@@ -480,16 +487,24 @@ object Rollup {
             sys.error(s"q145 layout publish failed for $base")
         }
         // GC PUBLISHED builds of superseded fingerprints of this table
-        // (same path key, different content hash) — they can never be
-        // read again. In-flight `__build_<pid>` staging dirs are left
-        // alone: they belong to a concurrent process, which will either
-        // publish (and be GC'd by the next builder) or clean up itself.
+        // (same path key, different content hash) — no future resolve
+        // can pick them, but a cross-process reader that resolved one
+        // BEFORE the table changed may still be mid-scan (readers are
+        // uncoordinated; deleting under them is a FileNotFoundException
+        // mid-query), so the GC is AGE-GATED: only stale siblings whose
+        // publish is older than [[Q145StaleGcGraceMs]] go — any scan
+        // that old has long finished. In-flight `__build_<pid>` staging
+        // dirs are left alone: they belong to a concurrent process,
+        // which will either publish (and age into GC eligibility) or
+        // clean up itself.
+        val cutoff = System.currentTimeMillis() - Q145StaleGcGraceMs
         new java.io.File(tmp).listFiles() match {
           case null => ()
           case fs => fs.filter(f =>
               f.getName.startsWith(s"graft_q145_${pathKey}_") &&
                 !f.getName.contains("__build_") &&
-                f.getName != s"graft_q145_${pathKey}_$fp")
+                f.getName != s"graft_q145_${pathKey}_$fp" &&
+                f.lastModified() < cutoff)
             .foreach(f =>
               org.apache.commons.io.FileUtils.deleteQuietly(f))
         }

@@ -576,21 +576,27 @@ object Store {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.ListBuffer[(String, Long)]()
+    // fold into the ≤64 log2 buckets AS the iterator streams: the
+    // audit's driver state is the bucket map, never a per-file buffer —
+    // file count is a dial, and the op built to FIND a small-file
+    // explosion must not OOM on one
+    val buckets =
+      scala.collection.mutable.Map[Int, (Long, Long, Long, Long)]()
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
-        files += ((f.getPath.toString, f.getLen))
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val b = f.getLen
+        val k = 63 - java.lang.Long.numberOfLeadingZeros(math.max(b, 1L))
+        val (n, t, mn, mx) = buckets.getOrElse(k,
+          (0L, 0L, Long.MaxValue, Long.MinValue))
+        buckets(k) = (n + 1, t + b, math.min(mn, b), math.max(mx, b))
+      }
     }
-    files.toSeq.toDF("file", "bytes")
-      .groupBy((length(bin(greatest(col("bytes"), lit(1L)))) - 1)
-        .cast("int").as("log2_bytes"))
-      .agg(count(lit(1)).as("n_files"),
-        sum(col("bytes")).as("total_bytes"),
-        min(col("bytes")).as("min_bytes"),
-        max(col("bytes")).as("max_bytes"))
+    buckets.toSeq.map { case (k, (n, t, mn, mx)) => (k, n, t, mn, mx) }
+      .toDF("log2_bytes", "n_files", "total_bytes", "min_bytes",
+        "max_bytes")
       .orderBy("log2_bytes")
   }
 
@@ -694,7 +700,7 @@ object Store {
     val existing = readSkipManifest(spark, manifestDir)
     manifestDriverGuard(existing, "manifest append", maxDriverRows)
     val known = existing.select("block").collect().map(_.getString(0)).toSet
-    val fresh = listDataFiles(spark, tableDir)
+    val fresh = listDataFiles(spark, tableDir, maxDriverRows)
       .filterNot { case (rel, _) => known.contains(rel) }
     if (fresh.nonEmpty) {
       // fresh blocks are disjoint from known by construction, so the
@@ -711,9 +717,14 @@ object Store {
 
   /** (tableRelativePath, absolutePath) of every data file under the
     * table directory — one namenode listing, the partition-discovery
-    * class of driver-side metadata. */
-  private def listDataFiles(spark: SparkSession,
-      tableDir: String): Seq[(String, String)] = {
+    * class of driver-side metadata. Bounded like every other manifest
+    * driver buffer: the listing aborts at `maxFiles` (the RemoteIterator
+    * lets it stop before buffering more), so the small-file-explosion
+    * scenario a tiny EXISTING manifest can't catch — first append/sync
+    * against an exploded table — fails loudly instead of OOM-ing the
+    * driver mid-listing. */
+  private def listDataFiles(spark: SparkSession, tableDir: String,
+      maxFiles: Long = MaxManifestDriverRows): Seq[(String, String)] = {
     val prefix = qualifiedPrefix(spark, tableDir)
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -722,9 +733,15 @@ object Store {
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        if (out.size >= maxFiles)
+          sys.error(s"listDataFiles: $tableDir holds more than $maxFiles " +
+            "data files — file count is a dial, not a constant; compact " +
+            "the table's small files or partition the manifest (see " +
+            "MaxManifestDriverRows)")
         out += ((f.getPath.toUri.getPath.stripPrefix(prefix),
           f.getPath.toString))
+      }
     }
     out.toSeq
   }
@@ -755,7 +772,7 @@ object Store {
     val existing = readSkipManifest(spark, manifestDir)
     manifestDriverGuard(existing, "manifest sync", maxDriverRows)
     val known = existing.select("block").collect().map(_.getString(0)).toSet
-    val files = listDataFiles(spark, tableDir)
+    val files = listDataFiles(spark, tableDir, maxDriverRows)
     val current = files.map(_._1).toSet
     val freshPaths = files.collect {
       case (rel, abs) if !known.contains(rel) => abs }

@@ -288,6 +288,40 @@ class RollupSpec extends SparkSpec {
     assert(got2 == survivors, "retry must re-list and serve the survivors")
   }
 
+  test("q145 layout GC is age-gated: young stale fingerprints survive (a reader may be mid-scan), old ones go") {
+    val d = java.nio.file.Files.createTempDirectory("q145_gc").toString
+    Tables.documents(spark, sf).write.parquet(s"$d/documents.parquet")
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = System.getProperty("java.io.tmpdir")
+    val pathKey = md5(d)
+    // plant two superseded published siblings of this table: one fresh
+    // (a concurrent reader could still be scanning it), one past grace
+    def plant(fp: String): java.io.File = {
+      val f = new java.io.File(s"$tmp/graft_q145_${pathKey}_$fp")
+      assert(f.mkdirs())
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f.toString, "_READY"), "ready")
+      f
+    }
+    val young = plant("youngfp")
+    val old = plant("oldfp")
+    assert(old.setLastModified(
+      System.currentTimeMillis() - Rollup.Q145StaleGcGraceMs - 60000L))
+    try {
+      assert(Rollup.prunedRangeStats(spark, d)._1.count() > 0)
+      assert(young.exists(),
+        "a stale sibling inside the grace period must survive the GC")
+      assert(!old.exists(), "a stale sibling past the grace period must go")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(young)
+      org.apache.commons.io.FileUtils.deleteQuietly(old)
+      new java.io.File(tmp).listFiles().toSeq
+        .filter(_.getName.startsWith(s"graft_q145_$pathKey"))
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+  }
+
   test("bins index: 3-way append in any order ≡ one-shot; derivers read through a crash window") {
     import graft.queries.Profiling
     val events = Tables.events(spark, sf)

@@ -697,6 +697,23 @@ class StoreSpec extends SparkSpec {
     val nar = Store.skipPrunedScan(spark, table, manifest, "doc_id",
       ids.head, ids.head, maxDriverRows = 2L)
     assert(nar.count() >= 1L)
+    // the FRESH-listing path is guarded too: a tiny existing manifest
+    // must not let an exploded table directory buffer every new file
+    // status onto the driver (first append/sync after the explosion)
+    val small = java.nio.file.Files.createTempDirectory("fresh_guard").toString
+    val t2 = s"$small/table"
+    val m2 = s"$small/manifest"
+    spark.range(1).selectExpr("id AS doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(t2)
+    Store.buildSkipManifest(spark, t2, m2, Seq("doc_id"))
+    (2 to 5).foreach(i => spark.range(i, i + 1).selectExpr("id AS doc_id")
+      .coalesce(1).write.mode("append").parquet(t2))
+    val e4 = intercept[RuntimeException](Store.appendToSkipManifest(
+      spark, t2, m2, Seq("doc_id"), maxDriverRows = 2L))
+    assert(e4.getMessage.contains("data files"), e4.getMessage)
+    val e5 = intercept[RuntimeException](Store.syncSkipManifest(
+      spark, t2, m2, Seq("doc_id"), maxDriverRows = 2L))
+    assert(e5.getMessage.contains("data files"), e5.getMessage)
   }
 
   test("skip manifest: append scans only the new files; crash window recovers") {
