@@ -76,6 +76,76 @@ class PlanSweepSpec extends SparkSpec {
     carts ++ badBnlj
   }
 
+  /** Queries adjudicated to carry an UNPARTITIONED WindowExec: each
+    * global window rides a metadata frame (bins / digit classes /
+    * stripes / band thresholds / bootstrap means — cardinality set by a
+    * value DOMAIN or a constant, never by corpus size, each loudly
+    * guarded at its documented bound), where one partition is the
+    * point: the whole frame is at most a few thousand rows. Nothing may
+    * join this list without the same written adjudication in the
+    * operator's scaladoc. */
+  private val metadataGlobalWindowAllowed: Set[String] = Set(
+    "q158_ks_drift", // CDF cum over value-domain bins (binsGuard)
+    "q159_mann_whitney", // rank cum over the same guarded bins state
+    "q161_benford_audit", // cum over ≤9 leading-digit classes
+    "q166_percentile_rank", // cum over value-domain bins (binsGuard)
+    "q169_bootstrap_ci", // rank over exactly 32 resample means
+    "q172_pareto_frontier", // prefix-max over O(stripes) boundary rows
+    "q84_budget_select") // cum over ≤ O(100) quality-band thresholds
+
+  /** InMemoryTableScan is a LEAF that hides the cache-build subplan —
+    * descend into it, or a global window buried under a persist()
+    * escapes the sweep. */
+  private def cachedPlans(p: SparkPlan): Seq[SparkPlan] =
+    p.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+
+  private def allPlans(root: SparkPlan): Seq[SparkPlan] = {
+    val direct = withSubqueryPlans(root)
+    direct ++ direct.flatMap(cachedPlans).flatMap(allPlans)
+  }
+
+  private def globalWindows(root: SparkPlan): Seq[String] =
+    allPlans(root).flatMap(_.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        "unpartitioned WindowExec over " +
+          w.windowExpression.map(_.toString.take(60)).mkString("; ")
+    }).distinct
+
+  test("registry sweep: every WindowExec partitions, except adjudicated metadata frames") {
+    // A window with an empty partition spec funnels its whole input
+    // through ONE task — the quiet single-partition bottleneck a 100 TB
+    // plan cannot carry. Every global window in the registry must ride
+    // an adjudicated bounded metadata frame, allowlisted BY QUERY so a
+    // new query (or a refactor widening a helper's input) fails here
+    // the day it ships, not in a 1000-executor postmortem. sparkPlan
+    // (pre-AQE) is exact for this: AQE neither adds nor removes
+    // WindowExec nodes, and the cache descent covers the subplans an
+    // executed AQE tree would hide behind InMemoryTableScan leaves.
+    val verdicts = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val plan =
+          try q(spark, sf).queryExecution.sparkPlan
+          catch {
+            case e: Exception => fail(s"$name failed to plan: ${e.getMessage}")
+          }
+        val hits = globalWindows(plan)
+        if (metadataGlobalWindowAllowed(name)) {
+          // a stale allowlist row is a failure too: the adjudication
+          // must die with the plan shape it adjudicated
+          if (hits.isEmpty)
+            Seq(s"$name: allowlisted but carries NO global window — " +
+              "remove the stale adjudication")
+          else Nil
+        } else hits.map(o => s"$name: $o")
+    }
+    assert(verdicts.isEmpty,
+      s"unadjudicated global windows in the registry:\n${verdicts.mkString("\n")}")
+  }
+
   test("registry sweep: no cartesian products; BNLJ broadcasts only reductions") {
     val verdicts = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
