@@ -1204,11 +1204,101 @@ object TextAnalysis {
     sourceVocabOverlap(Tables.documents(s, dir))
   }
 
+  /** Pairwise source overlap WEIGHTED by token frequency — the second
+    * axis of the q184 mixture diagnostic. Presence-Jaccard treats a
+    * token seen once like a token carrying half the corpus, so two
+    * sources sharing only long-tail vocabulary and two mirroring each
+    * other's high-frequency mass score the same; the cosine over the
+    * per-source token-COUNT vectors separates them (mirrored mass →
+    * cosine near 1 even when Jaccard is modest), which is the actual
+    * drop-a-mirror decision input. Published exact where possible
+    * (shared-token count; total tokens) plus the cosine in floor'd ppm:
+    * dot and the squared norms accumulate in DECIMAL(38,0) (loudly
+    * guarded — counts can reach 10^11 per token at corpus scale, so
+    * their products leave LONG), and the single irrational step runs
+    * the IDENTICAL double expression in both engines
+    * (`floor(dot / sqrt(ss1·ss2) · 10⁶)` — one cast per operand, one
+    * sqrt, IEEE ops are bit-stable across engines when the expression
+    * shape matches).
+    *
+    * Scale shape: identical to q184 — ONE token explode into the
+    * (source, token, count) frame, a vocab-keyed self-equi-join with
+    * sources²-bounded per-token fanout (never all-pairs documents),
+    * and the sources² crossJoin of the per-source size METADATA frame
+    * as the pair axis so zero-overlap pairs surface. */
+  def sourceWeightedOverlap(docs: DataFrame): DataFrame = {
+    def loud(value: Column, what: String): Column =
+      when(value.isNotNull, value).otherwise(raise_error(lit(
+        s"$what: DECIMAL(38,0) overflow in exact integer arithmetic — " +
+          "downscale token counts before multiplying")))
+    val cnt = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val sizes = cnt.groupBy("source").agg(
+      sum(col("c")).as("n"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+    val dots = cnt.as("a")
+      .join(cnt.as("b"), col("a.token") === col("b.token") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("a.c").cast("decimal(38,0)") * col("b.c")).as("dot"))
+    sizes.select(col("source").as("s1"), col("n").as("n1"),
+        col("ss").as("ss1"))
+      .crossJoin(sizes.select(col("source").as("s2"), col("n").as("n2"),
+        col("ss").as("ss2")))
+      .filter(col("s1") < col("s2"))
+      .join(dots, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        floor(
+          // a NULL dot from the left join means a ZERO-overlap pair;
+          // a NULL dot on an EXISTING pair (n_common non-null) means
+          // the decimal sum saturated — only that raises
+          when(col("n_common").isNull, lit(0.0))
+            .otherwise(loud(col("dot"), "q188 dot").cast("double")) /
+            sqrt(loud(col("ss1"), "q188 ss1").cast("double") *
+              loud(col("ss2"), "q188 ss2").cast("double")) * lit(1000000.0))
+          .cast("long").as("cosine_ppm"))
+      .orderBy("s1", "s2")
+  }
+
+  /** q188: the token-frequency-weighted source-overlap card. */
+  val q188SourceWeightedOverlap: QuerySpec = QuerySpec(
+    "q188_source_weighted_overlap",
+    """WITH cnt AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY source, token),
+      |sz AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(CAST(c AS HUGEINT) * c) AS ss
+      |  FROM cnt GROUP BY source),
+      |dt AS (
+      |  SELECT a.source AS s1, b.source AS s2,
+      |    CAST(count(*) AS BIGINT) AS n_common,
+      |    sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+      |  FROM cnt a JOIN cnt b
+      |    ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT z1.source AS s1, z2.source AS s2, z1.n AS n1, z2.n AS n2,
+      |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(floor(CAST(coalesce(dot, 0) AS DOUBLE)
+      |    / sqrt(CAST(z1.ss AS DOUBLE) * CAST(z2.ss AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS cosine_ppm
+      |FROM sz z1 JOIN sz z2 ON z1.source < z2.source
+      |LEFT JOIN dt ON dt.s1 = z1.source AND dt.s2 = z2.source
+      |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    sourceWeightedOverlap(Tables.documents(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
     q95BpeMerges, q96BpeEncode, q108TokenizerFertility,
     q116SourceQualityQuantiles, q119CmsHeavyHitters, q121Bm25Search,
-    q124SourceNovelty, q184SourceVocabOverlap)
+    q124SourceNovelty, q184SourceVocabOverlap, q188SourceWeightedOverlap)
 }

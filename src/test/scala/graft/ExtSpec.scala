@@ -238,6 +238,35 @@ class ExtSpec extends SparkSpec {
     assert(r(("s2", "s3")) == (0L, 0L))
   }
 
+  test("weighted source overlap: equal Jaccard splits by cosine; mirrored mass reads high, long-tail low") {
+    // A and B mirror the high-frequency token; A and C share one
+    // long-tail token. Presence-Jaccard CANNOT tell the pairs apart
+    // (both 1/3) — the weighted cosine is the discriminator q188 adds.
+    val docs = docsDf(1L -> "the the the the cat", 2L -> "the the the dog",
+      3L -> "cat zebra")
+      .withColumn("source",
+        expr("CASE doc_id WHEN 1 THEN 'A' WHEN 2 THEN 'B' ELSE 'C' END"))
+      .withColumn("lang", lit("en"))
+    val jac = TextAnalysis.sourceVocabOverlap(docs).collect()
+      .map(x => (x.getAs[String]("s1"), x.getAs[String]("s2")) ->
+        x.getAs[Long]("jaccard_ppm")).toMap
+    assert(jac(("A", "B")) == jac(("A", "C")),
+      "fixture broke: the pairs must tie on presence-Jaccard")
+    val r = TextAnalysis.sourceWeightedOverlap(docs).collect()
+      .map(x => (x.getAs[String]("s1"), x.getAs[String]("s2")) ->
+        (x.getAs[Long]("n_common"), x.getAs[Long]("cosine_ppm"))).toMap
+    assert(r.size == 3, s"3 pairs expected, got ${r.keySet}")
+    // A: the=4, cat=1 (ss=17); B: the=3, dog=1 (ss=10); C: cat=1,
+    // zebra=1 (ss=2) — expected ppm via the same IEEE expression shape
+    def ppm(dot: Double, ss1: Double, ss2: Double): Long =
+      math.floor(dot / math.sqrt(ss1 * ss2) * 1000000.0).toLong
+    assert(r(("A", "B")) == (1L, ppm(12.0, 17.0, 10.0)))
+    assert(r(("A", "C")) == (1L, ppm(1.0, 17.0, 2.0)))
+    assert(r(("B", "C")) == (0L, 0L), "zero-overlap pair must be present")
+    assert(r(("A", "B"))._2 > 900000L && r(("A", "C"))._2 < 200000L,
+      "mirrored mass must read near 1, long-tail sharing near 0")
+  }
+
   test("bpe merge cache: cached table equals a fresh induction, and repeat calls hit the cache") {
     val fresh = TextAnalysis.bpeMerges(Tables.documents(spark, sf))
       .orderBy("round").collect()
