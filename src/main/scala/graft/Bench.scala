@@ -121,12 +121,19 @@ object Bench {
     // target/bench_full.json, never this line.
     // Keys are the bare query NUMBER ("146" = q146_...): at 150+ queries
     // the repeated "q" alone costs ~150 chars of the ~1900 budget.
+    // Whole numbers print bare ("4", not "4.0") and the detail pointer
+    // lives only in the full line/file: measured 1902 chars at 185
+    // queries with both, back under ~1860 without — the tail budget
+    // buys ~10 more queries before the next trim.
+    def num1(x: Double): String = {
+      val v = math.rint(x * 10) / 10
+      if (v == math.rint(v)) v.toLong.toString else v.toString
+    }
     val compactQs = results.map { case (k, (med, _)) =>
-      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
-        (math.rint(med * 10) / 10)
+      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + num1(med)
     }.mkString("{", ",", "}")
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters,"min_total":${r3(minTotal)},"queries":$compactQs,"sf":"$sfDir","detail":"target/bench_full.json"$failedJson}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters,"min_total":${r3(minTotal)},"queries":$compactQs,"sf":"$sfDir"$failedJson}""")
     spark.stop()
   }
 }
