@@ -433,24 +433,36 @@ object Dedup {
     * 500² oracle-side pairs at the gate SF is nothing for DuckDB, and an
     * algorithm-independent oracle is exactly what proves the banded
     * pigeonhole join loses no pairs. */
-  private def simhashOracleSql(maxHamming: Int): String = {
+  /** DuckDB CTE chain replaying [[simhash]] over any (doc_id, text)
+    * relation, ending in a `{sigCte}(doc_id, simhash)` CTE — same
+    * single-source-of-truth discipline as [[minhashPairsSqlCtesFrom]],
+    * so q29's oracle and any detector-composition oracle (q190) share
+    * the exact signature arithmetic. */
+  private[ext] def simhashSigSqlCtesFrom(srcRel: String,
+      sigCte: String = "sig"): String = {
     val bitSums = (0 until SimhashBits).map { b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$b"
     }.mkString(",\n    ")
     val sigExpr = (0 until SimhashBits)
       .map(b => s"(CASE WHEN bit_$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    "WITH tok AS (\n" +
-      "  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),\n" +
-      "th AS (SELECT doc_id, " + md5Hash48Sql("token") + " AS h FROM tok),\n" +
-      "bits AS (SELECT doc_id,\n    " + bitSums + "\n  FROM th GROUP BY doc_id),\n" +
-      s"sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM bits)\n" +
+    s"${sigCte}_tok AS (\n" +
+      s"  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $srcRel),\n" +
+      s"${sigCte}_th AS (SELECT doc_id, " + md5Hash48Sql("token") +
+      s" AS h FROM ${sigCte}_tok),\n" +
+      s"${sigCte}_bits AS (SELECT doc_id,\n    " + bitSums +
+      s"\n  FROM ${sigCte}_th GROUP BY doc_id),\n" +
+      s"$sigCte AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash " +
+      s"FROM ${sigCte}_bits)"
+  }
+
+  private def simhashOracleSql(maxHamming: Int): String =
+    "WITH " + simhashSigSqlCtesFrom("documents") + "\n" +
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n" +
       "  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n" +
       "FROM sig a JOIN sig b ON a.doc_id < b.doc_id\n" +
       s"WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming\n" +
       "ORDER BY doc_a, doc_b"
-  }
 
   /** SimHash near-dup pairs over the FULL corpus via the banded
     * hamming-ball equi-join (oracle: all-pairs replay of the same
@@ -1560,11 +1572,137 @@ object Dedup {
     dupSpanProfile(Tables.documents(s, dir)).orderBy("doc_id")
   }
 
+  /** Per-source agreement card between the two sub-quadratic near-dup
+    * detector families: doc-level verdicts (does the doc participate in
+    * ANY flagged pair?) from the MinHash-banded path ([[minhashCandidates]],
+    * shingle-set similarity — order-sensitive) and the SimHash hamming
+    * path ([[simhashPairs]], token-bag similarity — order-blind), folded
+    * into the 2×2 confusion counts plus exact-integer observed/chance
+    * agreement and Cohen's kappa in ppm. q106 calibrates ONE detector
+    * against exact Jaccard; this card measures where the two FAMILIES
+    * diverge per source — the input to "which detector do we trust on
+    * this feed", and a drift alarm when a source's kappa moves.
+    *
+    * Exactness: all four cells are integer counts; po = (a+d)/n,
+    * pe = (r₁c₁ + r₀c₀)/n², kappa = (po−pe)/(1−pe) are computed as one
+    * integer floor-division each after clearing denominators —
+    * DECIMAL(38,0) holds 10⁶·n² exactly past 10¹⁵ docs per source, and
+    * Spark `div` and DuckDB `//` share truncation-toward-zero semantics
+    * (kappa may be negative). kappa_ppm is NULL only in the degenerate
+    * pe = 1 slice (both detectors unanimous), via the same nullif in
+    * both engines.
+    *
+    * Scale shape: both detectors are the existing banded equi-join
+    * paths; verdicts are two DISTINCT contractions of the pair frames
+    * joined back id-to-id; the card itself is one per-source hash-agg
+    * folding to a sources-bounded metadata frame. Nothing new shuffles
+    * the text. */
+  def detectorAgreement(docs: DataFrame, minEstimate: Double,
+      maxHamming: Int): DataFrame = {
+    val mhFlag = minhashCandidates(docs, minEstimate)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().withColumn("mh", lit(true))
+    val shFlag = simhashPairs(docs, maxHamming)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().withColumn("sh", lit(true))
+    val flagged = docs.select("doc_id", "source")
+      .join(mhFlag, Seq("doc_id"), "left")
+      .join(shFlag, Seq("doc_id"), "left")
+      .select(col("source"), coalesce(col("mh"), lit(false)).as("mh"),
+        coalesce(col("sh"), lit(false)).as("sh"))
+    flagged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mh") && col("sh"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("mh") && !col("sh"), 1L).otherwise(0L)).as("n_minhash_only"),
+        sum(when(!col("mh") && col("sh"), 1L).otherwise(0L)).as("n_simhash_only"),
+        sum(when(!col("mh") && !col("sh"), 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("chance", expr(
+        "(CAST(n_both AS DECIMAL(38,0)) + n_minhash_only)" +
+          " * (CAST(n_both AS DECIMAL(38,0)) + n_simhash_only)" +
+          " + (CAST(n_simhash_only AS DECIMAL(38,0)) + n_neither)" +
+          " * (CAST(n_minhash_only AS DECIMAL(38,0)) + n_neither)"))
+      .withColumn("nn", expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs"))
+      .select(col("source"), col("n_docs"), col("n_both"),
+        col("n_minhash_only"), col("n_simhash_only"), col("n_neither"),
+        expr("CAST((1000000 * (n_both + n_neither)) DIV n_docs AS BIGINT)")
+          .as("po_ppm"),
+        expr("CAST((1000000 * chance) DIV nn AS BIGINT)").as("pe_ppm"),
+        expr("CAST((1000000 * (CAST(n_docs AS DECIMAL(38,0))" +
+          " * (n_both + n_neither) - chance))" +
+          " DIV nullif(nn - chance, 0) AS BIGINT)").as("kappa_ppm"))
+      .orderBy("source")
+  }
+
+  /** q190: the detector-agreement card over the corpus with two planted
+    * duplicate classes chosen to SPLIT the detectors: exact copies
+    * (doc_id%7==0, +1000000 — both families flag) and token-REVERSED
+    * copies (doc_id%11==3, +3000000 — identical token bag, so SimHash
+    * sees hamming 0, while the 3-gram shingle set is destroyed and
+    * MinHash stays silent). Kappa then quantifies exactly the
+    * order-sensitivity gap between the families. Oracle: the shared
+    * minhash/simhash CTE generators over the same injected corpus. */
+  val q190DetectorKappa: QuerySpec = QuerySpec(
+    "q190_detector_kappa", {
+      val minAgree = math.ceil(0.5 * MinhashK).toInt
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text,
+        |    source
+        |  FROM documents WHERE doc_id % 11 = 3),
+        |""".stripMargin +
+        minhashPairsSqlCtesFrom("corpus", minAgree) + ",\n" +
+        simhashSigSqlCtesFrom("corpus", "sh_sig") + ",\n" +
+        """sh_pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sh_sig a JOIN sh_sig b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+          |mh_flag AS (SELECT DISTINCT doc_id FROM (
+          |  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+          |sh_flag AS (SELECT DISTINCT doc_id FROM (
+          |  SELECT doc_a AS doc_id FROM sh_pairs UNION ALL SELECT doc_b AS doc_id FROM sh_pairs)),
+          |f AS (
+          |  SELECT c.source, m.doc_id IS NOT NULL AS mh, s2.doc_id IS NOT NULL AS sh
+          |  FROM corpus c
+          |  LEFT JOIN mh_flag m ON m.doc_id = c.doc_id
+          |  LEFT JOIN sh_flag s2 ON s2.doc_id = c.doc_id),
+          |conf AS (
+          |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(coalesce(sum(CASE WHEN mh AND sh THEN 1 END), 0) AS HUGEINT) AS aa,
+          |    CAST(coalesce(sum(CASE WHEN mh AND NOT sh THEN 1 END), 0) AS HUGEINT) AS bb,
+          |    CAST(coalesce(sum(CASE WHEN NOT mh AND sh THEN 1 END), 0) AS HUGEINT) AS cc,
+          |    CAST(coalesce(sum(CASE WHEN NOT mh AND NOT sh THEN 1 END), 0) AS HUGEINT) AS dd
+          |  FROM f GROUP BY source)
+          |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(aa AS BIGINT) AS n_both,
+          |  CAST(bb AS BIGINT) AS n_minhash_only, CAST(cc AS BIGINT) AS n_simhash_only,
+          |  CAST(dd AS BIGINT) AS n_neither,
+          |  CAST((1000000 * (aa + dd)) // n AS BIGINT) AS po_ppm,
+          |  CAST((1000000 * ((aa+bb)*(aa+cc) + (cc+dd)*(bb+dd))) // (n*n) AS BIGINT) AS pe_ppm,
+          |  CAST((1000000 * (n*(aa+dd) - ((aa+bb)*(aa+cc) + (cc+dd)*(bb+dd))))
+          |    // nullif(n*n - ((aa+bb)*(aa+cc) + (cc+dd)*(bb+dd)), 0) AS BIGINT) AS kappa_ppm
+          |FROM conf ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "text", "source")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("source")))
+      .unionByName(d.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"),
+          col("source")))
+    detectorAgreement(corpus, 0.5, 2)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q26ExactDedup, q27NgramJaccard, q28MinhashLsh, q29Simhash, q55Containment,
     q60NearDupClusters, q65Decontaminate, q71IncrementalDedup,
     q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
     q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
     q94BloomAdmit, q106MinhashRecall, q107QualityKeeper,
-    q110BoilerplateSpans, q128DupSpanProfile)
+    q110BoilerplateSpans, q128DupSpanProfile, q190DetectorKappa)
 }

@@ -80,6 +80,90 @@ object Redaction {
         + when(col("customer_email").isNull, 0).otherwise(1)).as("n_redacted"))
   }
 
+  /** k-anonymity risk card over a structured identity table: group rows
+    * by their quasi-identifier tuple, measure each group's size k (the
+    * number of people hiding behind identical quasi-identifiers), and
+    * fold the k distribution into the five buckets a privacy review
+    * actually reads — k=1 (unique, re-identifiable outright), k=2,
+    * k=3-4, k=5-9, k>=10. Complements [[redactOrders]]: redaction
+    * removes DIRECT identifiers; this card quantifies the residual
+    * linkage risk carried by the columns that stay (the reference's
+    * validators check PII *shape*, `/root/reference/src/validation.py:
+    * 145-158`; neither engine side re-identifies anyone — the card is
+    * pure counting).
+    *
+    * Scale shape: ONE map-side-combined hash-agg on the quasi-identifier
+    * tuple (the only full-data shuffle, bounded by distinct-tuple
+    * cardinality), then a second agg folding the group frame to a single
+    * row of bucket counters, exploded to the fixed five-row card — the
+    * q63 funnel discipline: no unpartitioned window, no cross join, no
+    * driver collect. rows_ppm is exact integer arithmetic
+    * (1e6·n_rows div total; 1e6·n ≤ 1e18 keeps LONG exact past 10^12
+    * rows). */
+  def kAnonymityCard(customers: DataFrame): DataFrame = {
+    val groups = customers
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 5000.0d).cast("int").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    val buckets: Seq[(Int, String, Column)] = Seq(
+      (1, "k=1", col("k") === 1),
+      (2, "k=2", col("k") === 2),
+      (3, "k=3-4", col("k").between(3, 4)),
+      (5, "k=5-9", col("k").between(5, 9)),
+      (10, "k>=10", col("k") >= 10))
+    val folded = groups.agg(
+      sum(col("k")).as("total"),
+      buckets.flatMap { case (kf, _, cond) =>
+        Seq(
+          coalesce(sum(when(cond, lit(1L))), lit(0L)).as(s"g_$kf"),
+          coalesce(sum(when(cond, col("k"))), lit(0L)).as(s"r_$kf"))
+      }: _*)
+    folded
+      .select(col("total"), explode(array(buckets.map { case (kf, label, _) =>
+        struct(lit(kf).as("k_floor"), lit(label).as("bucket"),
+          col(s"g_$kf").as("n_groups"), col(s"r_$kf").as("n_rows"))
+      }: _*)).as("s"))
+      .select(col("s.k_floor"), col("s.bucket"), col("s.n_groups"),
+        col("s.n_rows"),
+        expr("CAST((1000000 * s.n_rows) DIV total AS BIGINT)").as("rows_ppm"))
+      .orderBy("k_floor")
+  }
+
+  /** q189: the k-anonymity card over the customer table with the
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band) — the classic linkage-attack surface: none of the three
+    * columns is an identifier alone, their combination often is. */
+  val q189KAnonymity: QuerySpec = QuerySpec(
+    "q189_k_anonymity",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 5000.0) AS INT) AS bal_band,
+      |    count(*) AS k
+      |  FROM customer GROUP BY 1, 2, 3),
+      |t AS (
+      |  SELECT CAST(sum(k) AS BIGINT) AS total,
+      |    CAST(coalesce(sum(CASE WHEN k = 1 THEN 1 END), 0) AS BIGINT) AS g_1,
+      |    CAST(coalesce(sum(CASE WHEN k = 1 THEN k END), 0) AS BIGINT) AS r_1,
+      |    CAST(coalesce(sum(CASE WHEN k = 2 THEN 1 END), 0) AS BIGINT) AS g_2,
+      |    CAST(coalesce(sum(CASE WHEN k = 2 THEN k END), 0) AS BIGINT) AS r_2,
+      |    CAST(coalesce(sum(CASE WHEN k BETWEEN 3 AND 4 THEN 1 END), 0) AS BIGINT) AS g_3,
+      |    CAST(coalesce(sum(CASE WHEN k BETWEEN 3 AND 4 THEN k END), 0) AS BIGINT) AS r_3,
+      |    CAST(coalesce(sum(CASE WHEN k BETWEEN 5 AND 9 THEN 1 END), 0) AS BIGINT) AS g_5,
+      |    CAST(coalesce(sum(CASE WHEN k BETWEEN 5 AND 9 THEN k END), 0) AS BIGINT) AS r_5,
+      |    CAST(coalesce(sum(CASE WHEN k >= 10 THEN 1 END), 0) AS BIGINT) AS g_10,
+      |    CAST(coalesce(sum(CASE WHEN k >= 10 THEN k END), 0) AS BIGINT) AS r_10
+      |  FROM g)
+      |SELECT * FROM (
+      |  SELECT 1 AS k_floor, 'k=1' AS bucket, g_1 AS n_groups, r_1 AS n_rows,
+      |    CAST((1000000 * r_1) // total AS BIGINT) AS rows_ppm FROM t
+      |  UNION ALL SELECT 2, 'k=2', g_2, r_2, CAST((1000000 * r_2) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 3, 'k=3-4', g_3, r_3, CAST((1000000 * r_3) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 5, 'k=5-9', g_5, r_5, CAST((1000000 * r_5) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 10, 'k>=10', g_10, r_10, CAST((1000000 * r_10) // total AS BIGINT) FROM t)
+      |ORDER BY k_floor""".stripMargin) { (s, dir) =>
+    kAnonymityCard(graft.Tables.customer(s, dir))
+  }
+
   /** q66: redaction over the deterministically-dirty domain (so the
     * null-safety path is exercised: %83 rows arrive with a null name and
     * must leave with one). */
@@ -104,5 +188,5 @@ object Redaction {
     redactOrders(OrdersDomain.dirtyFromTpch(s, dir).orderBy("order_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q66PiiRedact)
+  val all: Seq[QuerySpec] = Seq(q66PiiRedact, q189KAnonymity)
 }

@@ -1294,11 +1294,117 @@ object TextAnalysis {
     sourceWeightedOverlap(Tables.documents(s, dir))
   }
 
+  /** Vocabulary coverage / OOV rate at fixed vocab budgets — the
+    * tokenizer-sizing card: "if the vocabulary keeps only the top-B
+    * types, what fraction of corpus TOKEN occurrences is covered, and
+    * what hits OOV?" (the curve that picks a BPE/vocab size before
+    * induction, complementing q95's merges and q108's fertility).
+    *
+    * EXACT at any scale without ranking the vocabulary: fold token
+    * counts into the frequency-of-frequencies frame (count value →
+    * how many types have it, total mass) — Zipf-bounded metadata
+    * (distinct count VALUES, not distinct tokens), thousands of rows on
+    * web corpora of any size. A cumulative window over that frame
+    * (ordered by count desc; keys are distinct by construction) gives
+    * types-above / mass-above each count class; budget B's boundary
+    * falls inside exactly one class, and because every type in a class
+    * has the SAME count, the covered mass `mass_above +
+    * (B − types_above)·cnt` is exact no matter which tie types a real
+    * tokenizer would pick. The budget probe is a 3-row broadcast
+    * range-join against that frame (BNLJ over two aggregate-reduced
+    * sides). coverage_ppm is integer floor arithmetic — DECIMAL(38,0) /
+    * HUGEINT clears 10⁶·mass past 10¹⁶ tokens.
+    *
+    * The unpartitioned window is adjudicated in PlanSweepSpec's
+    * metadata-frame allowlist: the freq-of-freq frame's cardinality is
+    * set by the count-value DOMAIN (≤ distinct frequencies, Zipf-tiny),
+    * never by corpus size. */
+  def vocabCoverage(docs: DataFrame, budgets: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty && budgets.forall(_ >= 1), s"bad budgets: $budgets")
+    val tc = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ff = tc.groupBy("cnt").agg(count(lit(1)).as("n_tok"))
+      .withColumn("mass", col("cnt") * col("n_tok"))
+    val above = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = ff
+      .withColumn("tok_above", coalesce(sum(col("n_tok")).over(above), lit(0L)))
+      .withColumn("mass_above", coalesce(sum(col("mass")).over(above), lit(0L)))
+    val bud = ff
+      .agg(sum(col("n_tok")).as("vocab_size"),
+        sum(col("mass")).as("total_tokens"))
+      .select(explode(array(budgets.map(lit(_)): _*)).as("budget"),
+        col("vocab_size"), col("total_tokens"))
+    bud
+      .join(ranked,
+        col("tok_above") < col("budget")
+          && col("budget") <= col("tok_above") + col("n_tok"), "left")
+      .select(col("budget"), col("vocab_size"), col("total_tokens"),
+        when(col("budget") >= col("vocab_size"), col("total_tokens"))
+          .otherwise(col("mass_above")
+            + (col("budget") - col("tok_above")) * col("cnt"))
+          .as("covered_tokens"))
+      .withColumn("coverage_ppm", expr(
+        "CAST((1000000 * CAST(covered_tokens AS DECIMAL(38,0)))" +
+          " DIV total_tokens AS BIGINT)"))
+      .withColumn("oov_ppm", lit(1000000L) - col("coverage_ppm"))
+      .orderBy("budget")
+  }
+
+  /** q191: the coverage curve over `documents`. Budgets sit below this
+    * corpus's 31-type vocabulary (5/10/20) so every scale factor shows a
+    * real partial-coverage curve, plus one past it (50) pinning the
+    * full-coverage clamp; a web-corpus deployment would run the same
+    * operator at 10³…10⁵. */
+  val q191VocabCoverage: QuerySpec = QuerySpec(
+    "q191_vocab_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |tc AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok WHERE token <> '' GROUP BY token),
+      |ff AS (
+      |  SELECT cnt, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(cnt * count(*) AS BIGINT) AS mass
+      |  FROM tc GROUP BY cnt),
+      |rk AS (
+      |  SELECT cnt, n_tok, mass,
+      |    CAST(coalesce(sum(n_tok) OVER (ORDER BY cnt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_above,
+      |    CAST(coalesce(sum(mass) OVER (ORDER BY cnt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS mass_above
+      |  FROM ff),
+      |tot AS (
+      |  SELECT CAST(sum(n_tok) AS BIGINT) AS vocab_size,
+      |    CAST(sum(mass) AS BIGINT) AS total_tokens
+      |  FROM ff),
+      |bud AS (SELECT unnest([5, 10, 20, 50]) AS budget),
+      |j AS (
+      |  SELECT b.budget, t.vocab_size, t.total_tokens,
+      |    CASE WHEN b.budget >= t.vocab_size THEN t.total_tokens
+      |      ELSE r.mass_above + (b.budget - r.tok_above) * r.cnt END AS covered_tokens
+      |  FROM bud b CROSS JOIN tot t
+      |  LEFT JOIN rk r ON r.tok_above < b.budget
+      |    AND b.budget <= r.tok_above + r.n_tok)
+      |SELECT budget, vocab_size, total_tokens,
+      |  CAST(covered_tokens AS BIGINT) AS covered_tokens,
+      |  CAST((1000000 * CAST(covered_tokens AS HUGEINT)) // total_tokens
+      |    AS BIGINT) AS coverage_ppm,
+      |  CAST(1000000 - (1000000 * CAST(covered_tokens AS HUGEINT))
+      |    // total_tokens AS BIGINT) AS oov_ppm
+      |FROM j ORDER BY budget""".stripMargin) { (s, dir) =>
+    vocabCoverage(Tables.documents(s, dir), Seq(5, 10, 20, 50))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
     q56VocabTopk, q67RepetitionFilter, q68TfidfTerms, q72DataCard,
     q95BpeMerges, q96BpeEncode, q108TokenizerFertility,
     q116SourceQualityQuantiles, q119CmsHeavyHitters, q121Bm25Search,
-    q124SourceNovelty, q184SourceVocabOverlap, q188SourceWeightedOverlap)
+    q124SourceNovelty, q184SourceVocabOverlap, q188SourceWeightedOverlap,
+    q191VocabCoverage)
 }

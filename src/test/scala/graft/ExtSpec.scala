@@ -267,6 +267,74 @@ class ExtSpec extends SparkSpec {
       "mirrored mass must read near 1, long-tail sharing near 0")
   }
 
+  test("k-anonymity card: planted group sizes land in the right buckets, ppm exact") {
+    import graft.ext.Redaction
+    def cust(n: Int, nation: Int, seg: String, bal: Double) =
+      (0 until n).map(i => (s"c$nation$seg$bal$i", nation, seg, bal))
+    val rows = cust(1, 1, "A", 100.0) ++ cust(1, 1, "A", -10.0) ++ // bands 0 and -1 must split
+      cust(2, 1, "B", 100.0) ++ cust(3, 2, "A", 100.0) ++
+      cust(5, 2, "B", 100.0) ++ cust(10, 3, "A", 100.0)
+    val df = spark.createDataFrame(rows).toDF("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_custkey", monotonically_increasing_id())
+    val out = Redaction.kAnonymityCard(df).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("rows_ppm"))).toMap
+    // 22 rows total; the negative balance is its own quasi-identifier group
+    assert(out("k=1") == (2L, 2L, 2000000L / 22))
+    assert(out("k=2") == (1L, 2L, 2000000L / 22))
+    assert(out("k=3-4") == (1L, 3L, 3000000L / 22))
+    assert(out("k=5-9") == (1L, 5L, 5000000L / 22))
+    assert(out("k>=10") == (1L, 10L, 10000000L / 22))
+  }
+
+  test("detector agreement: exact copies agree, reversed copies split, kappa exact; unanimous slice is NULL") {
+    val docs = docsDf(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox jumps", // exact copy: both families flag
+      3L -> "alpha beta gamma delta",
+      4L -> "delta gamma beta alpha", // reversed: SimHash 0-hamming, shingles disjoint
+      5L -> "zulu yankee xray whiskey victor") // unique: neither
+      .withColumn("source", lit("s"))
+    val r = Dedup.detectorAgreement(docs, 0.5, 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getAs[Long]("n_both"), row.getAs[Long]("n_minhash_only"),
+      row.getAs[Long]("n_simhash_only"), row.getAs[Long]("n_neither"))
+      == ((2L, 0L, 2L, 1L)))
+    // po=(2+1)/5, chance=(2)(4)+(3)(1)=11: kappa = 1e6*(5*3-11) div (25-11)
+    assert(row.getAs[Long]("po_ppm") == 600000L)
+    assert(row.getAs[Long]("pe_ppm") == 440000L)
+    assert(row.getAs[Long]("kappa_ppm") == 4000000L / 14)
+    // unanimous slice (nothing flagged): pe=1 is degenerate, kappa NULL
+    val calm = docsDf(
+      1L -> "one two three four",
+      2L -> "five six seven eight",
+      3L -> "nine ten eleven twelve").withColumn("source", lit("s"))
+    val c = Dedup.detectorAgreement(calm, 0.5, 2).collect().head
+    assert(c.getAs[Long]("po_ppm") == 1000000L)
+    assert(c.isNullAt(c.fieldIndex("kappa_ppm")),
+      "kappa over a unanimous slice must be NULL, not a fabricated number")
+  }
+
+  test("vocab coverage: hand-computed curve, tie classes exact, full coverage clamps") {
+    val docs = docsDf(1L -> "a a a a b b c")
+    val out = TextAnalysis.vocabCoverage(docs, Seq(1, 2, 3, 5)).collect()
+      .map(r => r.getAs[Int]("budget") ->
+        (r.getAs[Long]("covered_tokens"), r.getAs[Long]("coverage_ppm"),
+          r.getAs[Long]("oov_ppm"))).toMap
+    assert(out(1) == (4L, 4000000L / 7, 1000000L - 4000000L / 7))
+    assert(out(2) == (6L, 6000000L / 7, 1000000L - 6000000L / 7))
+    assert(out(3) == (7L, 1000000L, 0L), "budget = vocab size is full coverage")
+    assert(out(5) == (7L, 1000000L, 0L), "budget past vocab size clamps")
+    // tie class: b and d both have count 2 — the boundary mass is exact
+    // regardless of which type a real tokenizer would admit
+    val tie = docsDf(1L -> "a a a b b d d")
+    val t = TextAnalysis.vocabCoverage(tie, Seq(2)).collect().head
+    assert(t.getAs[Long]("covered_tokens") == 5L) // 3 (a) + 1·2 from the tie class
+    assert(t.getAs[Long]("coverage_ppm") == 5000000L / 7)
+  }
+
   test("bpe merge cache: cached table equals a fresh induction, and repeat calls hit the cache") {
     val fresh = TextAnalysis.bpeMerges(Tables.documents(spark, sf))
       .orderBy("round").collect()

@@ -91,7 +91,8 @@ class PlanSweepSpec extends SparkSpec {
     "q166_percentile_rank", // cum over value-domain bins (binsGuard)
     "q169_bootstrap_ci", // rank over exactly 32 resample means
     "q172_pareto_frontier", // prefix-max over O(stripes) boundary rows
-    "q84_budget_select") // cum over ≤ O(100) quality-band thresholds
+    "q84_budget_select", // cum over ≤ O(100) quality-band thresholds
+    "q191_vocab_coverage") // cum over the Zipf-bounded freq-of-freq frame
 
   /** InMemoryTableScan is a LEAF that hides the cache-build subplan —
     * descend into it, or a global window buried under a persist()
