@@ -100,23 +100,56 @@ object Redaction {
     * driver collect. rows_ppm is exact integer arithmetic
     * (1e6·n_rows div total; 1e6·n ≤ 1e18 keeps LONG exact past 10^12
     * rows). */
-  def kAnonymityCard(customers: DataFrame): DataFrame = {
-    val groups = customers
-      .groupBy(col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / 5000.0d).cast("int").as("bal_band"))
-      .agg(count(lit(1)).as("k"))
-    val buckets: Seq[(Int, String, Column)] = Seq(
+  def kAnonymityCard(customers: DataFrame,
+      bandWidth: Double = 5000.0d): DataFrame =
+    kAnonymityFromPairs(privacyPairs(customers, bandWidth))
+
+  /** The shared STREAMABLE state behind all three privacy cards
+    * (q189/q192/q193): counts keyed by the full
+    * (quasi-identifier, sensitive) tuple — one map-side-combined
+    * hash-agg, mergeable by sum, no watermark, state bounded by the
+    * tuple DOMAIN (nations × bands × segments), not by row count. The
+    * same expression runs on a batch frame and as a COMPLETE-mode
+    * streaming aggregation (the distTestBins / dailyPartials
+    * state-is-the-result pattern), and [[kAnonymityFromPairs]] /
+    * [[lDiversityFromPairs]] / [[tClosenessFromPairs]] derive the full
+    * cards from this state with metadata-only arithmetic — so a stream
+    * of arriving identity rows re-publishes the whole privacy review
+    * after every micro-batch (StreamingSpec pins stream ≡ batch for
+    * all three). */
+  def privacyPairs(customers: DataFrame,
+      bandWidth: Double = 1000.0d): DataFrame =
+    customers
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / bandWidth).cast("int").as("bal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q189 from [[privacyPairs]] state alone: the pair count IS k for
+    * the (nation, band, segment) quasi-identifier tuple. */
+  def kAnonymityFromPairs(pairs: DataFrame): DataFrame = {
+    val groups = pairs.select(col("cnt").as("k"))
+    bucketCard(groups, col("k"), Seq(
       (1, "k=1", col("k") === 1),
       (2, "k=2", col("k") === 2),
       (3, "k=3-4", col("k").between(3, 4)),
       (5, "k=5-9", col("k").between(5, 9)),
-      (10, "k>=10", col("k") >= 10))
+      (10, "k>=10", col("k") >= 10)))
+  }
+
+  /** Shared bucket fold for the privacy cards: a per-group frame folds
+    * to ONE row of (total, per-bucket group/row counters) and explodes
+    * to the fixed card — the q63 funnel discipline (no window, no cross
+    * join, no driver collect). Bucket predicates read the group frame's
+    * own columns; `rows` is the group's row weight. */
+  private def bucketCard(groups: DataFrame, rows: Column,
+      buckets: Seq[(Int, String, Column)]): DataFrame = {
     val folded = groups.agg(
-      sum(col("k")).as("total"),
+      sum(rows).as("total"),
       buckets.flatMap { case (kf, _, cond) =>
         Seq(
           coalesce(sum(when(cond, lit(1L))), lit(0L)).as(s"g_$kf"),
-          coalesce(sum(when(cond, col("k"))), lit(0L)).as(s"r_$kf"))
+          coalesce(sum(when(cond, rows)), lit(0L)).as(s"r_$kf"))
       }: _*)
     folded
       .select(col("total"), explode(array(buckets.map { case (kf, label, _) =>
@@ -127,6 +160,35 @@ object Redaction {
         col("s.n_rows"),
         expr("CAST((1000000 * s.n_rows) DIV total AS BIGINT)").as("rows_ppm"))
       .orderBy("k_floor")
+  }
+
+  /** l-diversity risk card — the homogeneity-attack companion to
+    * [[kAnonymityCard]]: a group can be k-large and still disclosing if
+    * every member shares one SENSITIVE value (an attacker who links a
+    * person to the group learns the attribute without identifying the
+    * row). Per quasi-identifier group, l = distinct sensitive values;
+    * the card folds l into the review buckets l=1 (homogeneous —
+    * disclosing), l=2, l=3-4, l>=5, weighted by group row count.
+    *
+    * Scale shape: one two-level hash-agg — (QI, sensitive) distinct
+    * pairs, then the QI group fold carrying l and k — followed by the
+    * same one-row bucket fold as [[kAnonymityCard]]. Both aggregations
+    * are map-side combined; nothing else shuffles. */
+  def lDiversityCard(customers: DataFrame,
+      bandWidth: Double = 1000.0d): DataFrame =
+    lDiversityFromPairs(privacyPairs(customers, bandWidth))
+
+  /** q192 from [[privacyPairs]] state alone: l = pair rows per QI
+    * group, k = their count sum — both metadata-only folds. */
+  def lDiversityFromPairs(pairs: DataFrame): DataFrame = {
+    val groups = pairs
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("l"), sum(col("cnt")).as("k"))
+    bucketCard(groups, col("k"), Seq(
+      (1, "l=1", col("l") === 1),
+      (2, "l=2", col("l") === 2),
+      (3, "l=3-4", col("l").between(3, 4)),
+      (5, "l>=5", col("l") >= 5)))
   }
 
   /** q189: the k-anonymity card over the customer table with the
@@ -164,6 +226,144 @@ object Redaction {
     kAnonymityCard(graft.Tables.customer(s, dir))
   }
 
+  /** t-closeness risk card — the third classic privacy audit, closing
+    * the k-anonymity / l-diversity / t-closeness trio: a group can be
+    * k-large AND l-diverse yet still leak when its sensitive
+    * DISTRIBUTION deviates from the table's (a group that is 90% one
+    * segment against a uniform global tells an attacker a lot — the
+    * skew IS the disclosure). Per quasi-identifier group, t = the
+    * total-variation distance `½·Σ_s |p_g(s) − p(s)|` between the
+    * group's sensitive distribution and the global one, computed EXACTLY
+    * in cross-multiplied integers (`Σ|cnt_gs·T − c_s·k_g|` over
+    * DECIMAL(38,0), one floor division to ppm — clears 10¹² rows), then
+    * folded row-weighted into review buckets (t ≤ 0.1 close / ≤ 0.2 /
+    * ≤ 0.35 / > 0.35 disclosing).
+    *
+    * Scale shape: the (QI, sensitive) pair agg feeds three bounded
+    * frames — QI groups, the sensitive-DOMAIN global counts (≤ a few
+    * dozen rows), and the 1-row total; the (group × sensitive) axis is
+    * a linear crossJoin against that broadcast domain frame (absent
+    * segments MUST appear: their |0·T − c_s·k| mass is exactly what a
+    * missing-category skew contributes), one per-group fold, then the
+    * shared one-row bucket card. No unpartitioned window, no driver
+    * collect. */
+  def tClosenessCard(customers: DataFrame,
+      bandWidth: Double = 1000.0d): DataFrame =
+    tClosenessFromPairs(privacyPairs(customers, bandWidth))
+
+  /** q193 from [[privacyPairs]] state alone: groups, the global
+    * sensitive mix, and the TVD axis are all folds of the pair frame. */
+  def tClosenessFromPairs(pairs: DataFrame): DataFrame = {
+    val groups = pairs.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("cnt")).as("k"))
+    val global = pairs.groupBy(col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("cs"))
+      .crossJoin(broadcast(pairs.agg(sum(col("cnt")).as("tt"))))
+    val axis = groups.crossJoin(broadcast(global))
+    val tv = axis
+      .join(pairs, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(max(col("k")).as("k"), max(col("tt")).as("tt"),
+        sum(expr("abs(CAST(cnt AS DECIMAL(38,0)) * tt" +
+          " - CAST(cs AS DECIMAL(38,0)) * k)")).as("num"))
+      .withColumn("tvd_ppm", expr(
+        "CAST((1000000 * num) DIV (2 * CAST(k AS DECIMAL(38,0)) * tt)" +
+          " AS BIGINT)"))
+    bucketCard(tv, col("k"), Seq(
+      (1, "t<=0.10", col("tvd_ppm") <= 100000),
+      (2, "t<=0.20", col("tvd_ppm").between(100001, 200000)),
+      (3, "t<=0.35", col("tvd_ppm").between(200001, 350000)),
+      (4, "t>0.35", col("tvd_ppm") > 350000)))
+  }
+
+  /** q193: the t-closeness card over customer — same quasi-identifiers
+    * and sensitive attribute as q192, so the two cards read as one
+    * review: q192 says how many segments a group spans, q193 how far
+    * its segment MIX sits from the table's. */
+  val q193TCloseness: QuerySpec = QuerySpec(
+    "q193_t_closeness",
+    """WITH pairs AS (
+      |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band,
+      |    c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT c_nationkey, bal_band, CAST(sum(cnt) AS BIGINT) AS k
+      |  FROM pairs GROUP BY 1, 2),
+      |gl AS (
+      |  SELECT c_mktsegment, CAST(sum(cnt) AS BIGINT) AS cs
+      |  FROM pairs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM pairs),
+      |axis AS (
+      |  SELECT g.c_nationkey, g.bal_band, g.k, gl.c_mktsegment, gl.cs, tot.tt
+      |  FROM g CROSS JOIN gl CROSS JOIN tot),
+      |j AS (
+      |  SELECT a.c_nationkey, a.bal_band, a.k, a.tt, a.cs,
+      |    coalesce(p.cnt, 0) AS cnt
+      |  FROM axis a LEFT JOIN pairs p
+      |    ON p.c_nationkey = a.c_nationkey AND p.bal_band = a.bal_band
+      |    AND p.c_mktsegment = a.c_mktsegment),
+      |tv AS (
+      |  SELECT c_nationkey, bal_band, max(k) AS k,
+      |    CAST((1000000 * sum(abs(CAST(cnt AS HUGEINT) * tt
+      |      - CAST(cs AS HUGEINT) * k)))
+      |      // (2 * CAST(max(k) AS HUGEINT) * max(tt)) AS BIGINT) AS tvd_ppm
+      |  FROM j GROUP BY 1, 2),
+      |t AS (
+      |  SELECT CAST(sum(k) AS BIGINT) AS total,
+      |    CAST(coalesce(sum(CASE WHEN tvd_ppm <= 100000 THEN 1 END), 0) AS BIGINT) AS g_1,
+      |    CAST(coalesce(sum(CASE WHEN tvd_ppm <= 100000 THEN k END), 0) AS BIGINT) AS r_1,
+      |    CAST(coalesce(sum(CASE WHEN tvd_ppm BETWEEN 100001 AND 200000 THEN 1 END), 0) AS BIGINT) AS g_2,
+      |    CAST(coalesce(sum(CASE WHEN tvd_ppm BETWEEN 100001 AND 200000 THEN k END), 0) AS BIGINT) AS r_2,
+      |    CAST(coalesce(sum(CASE WHEN tvd_ppm BETWEEN 200001 AND 350000 THEN 1 END), 0) AS BIGINT) AS g_3,
+      |    CAST(coalesce(sum(CASE WHEN tvd_ppm BETWEEN 200001 AND 350000 THEN k END), 0) AS BIGINT) AS r_3,
+      |    CAST(coalesce(sum(CASE WHEN tvd_ppm > 350000 THEN 1 END), 0) AS BIGINT) AS g_4,
+      |    CAST(coalesce(sum(CASE WHEN tvd_ppm > 350000 THEN k END), 0) AS BIGINT) AS r_4
+      |  FROM tv)
+      |SELECT * FROM (
+      |  SELECT 1 AS k_floor, 't<=0.10' AS bucket, g_1 AS n_groups, r_1 AS n_rows,
+      |    CAST((1000000 * r_1) // total AS BIGINT) AS rows_ppm FROM t
+      |  UNION ALL SELECT 2, 't<=0.20', g_2, r_2, CAST((1000000 * r_2) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 3, 't<=0.35', g_3, r_3, CAST((1000000 * r_3) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 4, 't>0.35', g_4, r_4, CAST((1000000 * r_4) // total AS BIGINT) FROM t)
+      |ORDER BY k_floor""".stripMargin) { (s, dir) =>
+    tClosenessCard(graft.Tables.customer(s, dir))
+  }
+
+  /** q192: the l-diversity card over customer with quasi-identifiers
+    * (nation, balance band) and market segment as the sensitive
+    * attribute — the pairing where q189's tuple deliberately DROPS the
+    * segment so it can play the sensitive role. */
+  val q192LDiversity: QuerySpec = QuerySpec(
+    "q192_l_diversity",
+    """WITH pairs AS (
+      |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band,
+      |    c_mktsegment, count(*) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT c_nationkey, bal_band, count(*) AS l, sum(cnt) AS k
+      |  FROM pairs GROUP BY 1, 2),
+      |t AS (
+      |  SELECT CAST(sum(k) AS BIGINT) AS total,
+      |    CAST(coalesce(sum(CASE WHEN l = 1 THEN 1 END), 0) AS BIGINT) AS g_1,
+      |    CAST(coalesce(sum(CASE WHEN l = 1 THEN k END), 0) AS BIGINT) AS r_1,
+      |    CAST(coalesce(sum(CASE WHEN l = 2 THEN 1 END), 0) AS BIGINT) AS g_2,
+      |    CAST(coalesce(sum(CASE WHEN l = 2 THEN k END), 0) AS BIGINT) AS r_2,
+      |    CAST(coalesce(sum(CASE WHEN l BETWEEN 3 AND 4 THEN 1 END), 0) AS BIGINT) AS g_3,
+      |    CAST(coalesce(sum(CASE WHEN l BETWEEN 3 AND 4 THEN k END), 0) AS BIGINT) AS r_3,
+      |    CAST(coalesce(sum(CASE WHEN l >= 5 THEN 1 END), 0) AS BIGINT) AS g_5,
+      |    CAST(coalesce(sum(CASE WHEN l >= 5 THEN k END), 0) AS BIGINT) AS r_5
+      |  FROM g)
+      |SELECT * FROM (
+      |  SELECT 1 AS k_floor, 'l=1' AS bucket, g_1 AS n_groups, r_1 AS n_rows,
+      |    CAST((1000000 * r_1) // total AS BIGINT) AS rows_ppm FROM t
+      |  UNION ALL SELECT 2, 'l=2', g_2, r_2, CAST((1000000 * r_2) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 3, 'l=3-4', g_3, r_3, CAST((1000000 * r_3) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 5, 'l>=5', g_5, r_5, CAST((1000000 * r_5) // total AS BIGINT) FROM t)
+      |ORDER BY k_floor""".stripMargin) { (s, dir) =>
+    lDiversityCard(graft.Tables.customer(s, dir))
+  }
+
   /** q66: redaction over the deterministically-dirty domain (so the
     * null-safety path is exercised: %83 rows arrive with a null name and
     * must leave with one). */
@@ -188,5 +388,6 @@ object Redaction {
     redactOrders(OrdersDomain.dirtyFromTpch(s, dir).orderBy("order_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q66PiiRedact, q189KAnonymity)
+  val all: Seq[QuerySpec] = Seq(q66PiiRedact, q189KAnonymity, q192LDiversity,
+    q193TCloseness)
 }

@@ -288,6 +288,46 @@ class ExtSpec extends SparkSpec {
     assert(out("k>=10") == (1L, 10L, 10000000L / 22))
   }
 
+  test("l-diversity card: homogeneous groups land in l=1, diversity counted per group, row-weighted ppm exact") {
+    import graft.ext.Redaction
+    def cust(nation: Int, segs: Seq[String]) =
+      segs.zipWithIndex.map { case (seg, i) => (s"c$nation$i", nation, seg, 100.0) }
+    val rows = cust(1, Seq("A", "A", "A")) ++ // l=1 (homogeneous), k=3
+      cust(2, Seq("A", "B")) ++ // l=2, k=2
+      cust(3, Seq("A", "A", "B", "C")) ++ // l=3, k=4
+      cust(4, Seq("A", "B", "C", "D", "E")) // l=5, k=5
+    val df = spark.createDataFrame(rows).toDF("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_custkey", monotonically_increasing_id())
+    val out = Redaction.lDiversityCard(df).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("rows_ppm"))).toMap
+    assert(out("l=1") == (1L, 3L, 3000000L / 14))
+    assert(out("l=2") == (1L, 2L, 2000000L / 14))
+    assert(out("l=3-4") == (1L, 4L, 4000000L / 14))
+    assert(out("l>=5") == (1L, 5L, 5000000L / 14))
+  }
+
+  test("t-closeness card: hand-computed TVD, absent-segment mass counted, row-weighted ppm exact") {
+    import graft.ext.Redaction
+    // nation 1: A,B (k=2, balanced) vs nation 2: all A (k=6).
+    // Global A=7/8, B=1/8. TVD(n1) = 0.375 (>0.35 bucket),
+    // TVD(n2) = 0.125 (<=0.20 bucket) — n2's missing segment B MUST
+    // contribute |0 - 1/8| or the skew reads as closeness.
+    val rows = Seq(("a1", 1, "A", 100.0), ("b1", 1, "B", 100.0)) ++
+      (1 to 6).map(i => (s"a2$i", 2, "A", 100.0))
+    val df = spark.createDataFrame(rows).toDF("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_custkey", monotonically_increasing_id())
+    val out = Redaction.tClosenessCard(df).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("rows_ppm"))).toMap
+    assert(out("t<=0.10") == (0L, 0L, 0L))
+    assert(out("t<=0.20") == (1L, 6L, 750000L)) // nation 2 at 125000 ppm
+    assert(out("t<=0.35") == (0L, 0L, 0L))
+    assert(out("t>0.35") == (1L, 2L, 250000L)) // nation 1 at 375000 ppm
+  }
+
   test("detector agreement: exact copies agree, reversed copies split, kappa exact; unanimous slice is NULL") {
     val docs = docsDf(
       1L -> "the quick brown fox jumps",

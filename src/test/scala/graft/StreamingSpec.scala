@@ -577,6 +577,61 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch estimate split at ${r.getAs[java.sql.Date]("window_start")}"))
   }
 
+  test("streaming privacy trio: complete-mode pair counts derive q189/q192/q193 exactly after EVERY micro-batch") {
+    // the privacy cards' shared (QI, sensitive) pair state is the same
+    // state-is-the-result class as dailyPartials: a COMPLETE-mode count
+    // aggregation bounded by the tuple domain, with all three review
+    // cards re-derivable per micro-batch — each batch's derivation must
+    // EQUAL the batch operator run over the exact file prefix seen
+    import graft.ext.Redaction
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val customers = Tables.customer(spark, sf)
+    val inDir = tmpDir("privacy_stream_in")
+    val now = System.currentTimeMillis()
+    val chunkPaths = (0 until 3).map { i =>
+      val staging = tmpDir(s"privacy_stage$i")
+      customers.filter(col("c_custkey") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, s"c$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (3 - i) * 60000L))
+      dst.getAbsolutePath
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val seenBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Redaction.privacyPairs(
+        Streaming.parquetFileSource(spark, inDir, schema))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmpDir("privacy_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (state: DataFrame, id: Long) =>
+        val s = state.persist()
+        try {
+          val prefix = s.sparkSession.read
+            .parquet(chunkPaths.take(id.toInt + 1): _*)
+          def same(live: DataFrame, batch: DataFrame, what: String): Unit =
+            assert(live.exceptAll(batch).count() == 0 &&
+              batch.exceptAll(live).count() == 0,
+              s"batch $id: live $what diverges from the batch operator")
+          same(Redaction.kAnonymityFromPairs(s),
+            Redaction.kAnonymityCard(prefix, bandWidth = 1000.0),
+            "q189 k-anonymity")
+          same(Redaction.lDiversityFromPairs(s),
+            Redaction.lDiversityCard(prefix), "q192 l-diversity")
+          same(Redaction.tClosenessFromPairs(s),
+            Redaction.tClosenessCard(prefix), "q193 t-closeness")
+          seenBatches.incrementAndGet()
+          ()
+        } finally { s.unpersist(); () }
+      }.start()
+    q.awaitTermination()
+    assert(seenBatches.get() == 3,
+      s"expected 3 micro-batches, saw ${seenBatches.get()}")
+  }
+
   test("streaming monitoring trio: complete-mode daily partials derive q185/q186/q187 exactly after EVERY micro-batch") {
     // the trio's shared types×days state is the same state-is-the-result
     // class as distTestBins: complete-mode aggregation with the full
