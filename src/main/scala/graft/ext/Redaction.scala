@@ -364,6 +364,63 @@ object Redaction {
     lDiversityCard(graft.Tables.customer(s, dir))
   }
 
+  /** Generalization sweep — the DECISION layer over the privacy cards:
+    * k-anonymity is usually repaired by COARSENING a quasi-identifier
+    * (wider balance bands here), and the reviewer's question is "what is
+    * the finest generalization that still protects?". For each candidate
+    * band width, the sweep reports the k<5 at-risk share of rows under
+    * the (nation, band, segment) tuple — the monotone curve a policy
+    * threshold cuts.
+    *
+    * Scale shape: ONE shuffle, not one per width — each row explodes to
+    * |widths| candidate rows first (linear expansion by a literal-array
+    * axis), then a single map-side-combined hash-agg on
+    * (width, QI tuple) and a |widths|-row fold. Exact integer ppm. */
+  def generalizationSweep(customers: DataFrame,
+      widths: Seq[Int] = Seq(1000, 2500, 5000, 10000)): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1), s"bad widths: $widths")
+    val groups = customers
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
+        explode(array(widths.map(lit(_)): _*)).as("band_width"))
+      .groupBy(col("band_width"), col("c_nationkey"),
+        floor(col("c_acctbal") / col("band_width").cast("double"))
+          .cast("int").as("bal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("k"))
+    groups.groupBy("band_width")
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
+        coalesce(sum(when(col("k") < 5, col("k"))), lit(0L))
+          .as("at_risk_rows"))
+      .select(col("band_width"), col("n_groups"), col("n_rows"),
+        col("at_risk_rows"),
+        expr("CAST((1000000 * at_risk_rows) DIV n_rows AS BIGINT)")
+          .as("at_risk_ppm"))
+      .orderBy("band_width")
+  }
+
+  /** q194: the sweep over customer at the four candidate band widths —
+    * read top-down, the first row whose at_risk_ppm clears the policy
+    * bar is the finest safe generalization. */
+  val q194GeneralizationSweep: QuerySpec = QuerySpec(
+    "q194_generalization_sweep",
+    """WITH w AS (SELECT unnest([1000, 2500, 5000, 10000]) AS band_width),
+      |g AS (
+      |  SELECT w.band_width, c_nationkey,
+      |    CAST(floor(c_acctbal / CAST(w.band_width AS DOUBLE)) AS INT) AS bal_band,
+      |    c_mktsegment, count(*) AS k
+      |  FROM customer CROSS JOIN w
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT band_width,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(k) AS BIGINT) AS n_rows,
+      |  CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT) AS at_risk_rows,
+      |  CAST((1000000 * coalesce(sum(CASE WHEN k < 5 THEN k END), 0))
+      |    // CAST(sum(k) AS BIGINT) AS BIGINT) AS at_risk_ppm
+      |FROM g GROUP BY band_width
+      |ORDER BY band_width""".stripMargin) { (s, dir) =>
+    generalizationSweep(graft.Tables.customer(s, dir))
+  }
+
   /** q66: redaction over the deterministically-dirty domain (so the
     * null-safety path is exercised: %83 rows arrive with a null name and
     * must leave with one). */
@@ -389,5 +446,5 @@ object Redaction {
   }
 
   val all: Seq[QuerySpec] = Seq(q66PiiRedact, q189KAnonymity, q192LDiversity,
-    q193TCloseness)
+    q193TCloseness, q194GeneralizationSweep)
 }

@@ -288,6 +288,25 @@ class ExtSpec extends SparkSpec {
     assert(out("k>=10") == (1L, 10L, 10000000L / 22))
   }
 
+  test("generalization sweep: coarser bands monotonically shrink the at-risk share") {
+    import graft.ext.Redaction
+    // one nation/segment, balances spread so each width regroups them:
+    // width 1000 -> three k=2 groups (all at risk), width 2500 -> k=5+k=1
+    // (one row at risk), width >= 5000 -> one k=6 group (safe)
+    val rows = Seq(100.0, 600.0, 1100.0, 1600.0, 2100.0, 2600.0)
+      .zipWithIndex.map { case (bal, i) => (s"c$i", 1, "A", bal) }
+    val df = spark.createDataFrame(rows).toDF("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_custkey", monotonically_increasing_id())
+    val out = Redaction.generalizationSweep(df).collect()
+      .map(r => r.getAs[Int]("band_width") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("at_risk_rows"), r.getAs[Long]("at_risk_ppm"))).toMap
+    assert(out(1000) == (3L, 6L, 6L, 1000000L))
+    assert(out(2500) == (2L, 6L, 1L, 1000000L / 6))
+    assert(out(5000) == (1L, 6L, 0L, 0L))
+    assert(out(10000) == (1L, 6L, 0L, 0L))
+  }
+
   test("l-diversity card: homogeneous groups land in l=1, diversity counted per group, row-weighted ppm exact") {
     import graft.ext.Redaction
     def cust(nation: Int, segs: Seq[String]) =
