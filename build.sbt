@@ -15,6 +15,11 @@ run / fork := true
 // the round driver tail-captures stdout and parses the benchmark's final
 // JSON line, which must start with '{' at column 0 to be machine-readable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's closing "[success] Total time: ..." line would land AFTER
+// that JSON line, eating ~60 chars of the driver's ~2000-char stdout tail
+// (the compact bench line sits at ~1886 chars at 191 queries). Suppress it
+// so the JSON line IS the last stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
