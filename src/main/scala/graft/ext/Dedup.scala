@@ -1625,8 +1625,8 @@ object Dedup {
       .withColumn("nn", expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs"))
       .select(col("source"), col("n_docs"), col("n_both"),
         col("n_minhash_only"), col("n_simhash_only"), col("n_neither"),
-        expr("CAST((1000000 * (n_both + n_neither)) DIV n_docs AS BIGINT)")
-          .as("po_ppm"),
+        expr("CAST((1000000 * (CAST(n_both AS DECIMAL(38,0)) + n_neither))" +
+          " DIV n_docs AS BIGINT)").as("po_ppm"),
         expr("CAST((1000000 * chance) DIV nn AS BIGINT)").as("pe_ppm"),
         expr("CAST((1000000 * (CAST(n_docs AS DECIMAL(38,0))" +
           " * (n_both + n_neither) - chance))" +

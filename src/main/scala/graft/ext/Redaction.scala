@@ -115,8 +115,12 @@ object Redaction {
     * [[lDiversityFromPairs]] / [[tClosenessFromPairs]] derive the full
     * cards from this state with metadata-only arithmetic — so a stream
     * of arriving identity rows re-publishes the whole privacy review
-    * after every micro-batch (StreamingSpec pins stream ≡ batch for
-    * all three). */
+    * after every micro-batch. The registered q189 card uses the COARSER
+    * 5000 band; [[coarsenPrivacyPairs]] derives it exactly from this
+    * default 1000-band state (nested-width floor identity), so one
+    * maintained state genuinely serves all three registered cards —
+    * StreamingSpec pins stream ≡ batch for all three at their
+    * registered widths. */
   def privacyPairs(customers: DataFrame,
       bandWidth: Double = 1000.0d): DataFrame =
     customers
@@ -124,6 +128,24 @@ object Redaction {
         floor(col("c_acctbal") / bandWidth).cast("int").as("bal_band"),
         col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Coarsen a [[privacyPairs]] state to a band width `factor`× wider —
+    * EXACT when widths nest, because `floor(floor(x/w)/f) = floor(x/(w·f))`
+    * for any real x and positive integer w, f (holds for negative
+    * balances too; ExtSpec pins it). This is what lets ONE maintained
+    * 1000-band pair state serve the registered 5000-band q189 card as
+    * well as q192/q193, without touching the raw table. A non-nested
+    * width (e.g. 2500 from 1000) is NOT derivable from the state —
+    * re-aggregate from the table for those. */
+  def coarsenPrivacyPairs(pairs: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"coarsening factor must be >= 1, got $factor")
+    pairs
+      .groupBy(col("c_nationkey"),
+        floor(col("bal_band").cast("double") / factor).cast("int")
+          .as("bal_band"),
+        col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** q189 from [[privacyPairs]] state alone: the pair count IS k for
     * the (nation, band, segment) quasi-identifier tuple. */
@@ -252,7 +274,16 @@ object Redaction {
     tClosenessFromPairs(privacyPairs(customers, bandWidth))
 
   /** q193 from [[privacyPairs]] state alone: groups, the global
-    * sensitive mix, and the TVD axis are all folds of the pair frame. */
+    * sensitive mix, and the TVD axis are all folds of the pair frame.
+    * The frame is referenced FOUR times (groups, global, total, the
+    * axis join); this operator deliberately does not cache it (a
+    * `.persist()` inside a lazy operator leaks an InMemoryRelation per
+    * invocation — the [[Dedup.minhashCandidates]] convention), so a
+    * caller deriving from a RAW table at true scale should persist the
+    * pairs frame first and pass it here — exactly what the streaming
+    * path does (`state.persist()` in StreamingSpec). From a maintained
+    * state the frame is domain-bounded metadata and recomputation is
+    * noise. */
   def tClosenessFromPairs(pairs: DataFrame): DataFrame = {
     val groups = pairs.groupBy(col("c_nationkey"), col("bal_band"))
       .agg(sum(col("cnt")).as("k"))
@@ -369,16 +400,28 @@ object Redaction {
     * (wider balance bands here), and the reviewer's question is "what is
     * the finest generalization that still protects?". For each candidate
     * band width, the sweep reports the k<5 at-risk share of rows under
-    * the (nation, band, segment) tuple — the monotone curve a policy
-    * threshold cuts.
+    * the (nation, band, segment) tuple — a curve a policy threshold cuts.
+    *
+    * The "first width that clears the bar is the finest safe one"
+    * reading rule needs the curve MONOTONE, and monotonicity only holds
+    * when the widths NEST (each divides the next): then every coarser
+    * band is a union of whole finer bands, groups only merge, k per
+    * group only grows, and the k<5 row share is nonincreasing. A
+    * non-nested step (2500 after 1000) can SPLIT a band boundary and
+    * make the curve rise — so nesting is enforced loudly, not assumed.
     *
     * Scale shape: ONE shuffle, not one per width — each row explodes to
     * |widths| candidate rows first (linear expansion by a literal-array
     * axis), then a single map-side-combined hash-agg on
     * (width, QI tuple) and a |widths|-row fold. Exact integer ppm. */
   def generalizationSweep(customers: DataFrame,
-      widths: Seq[Int] = Seq(1000, 2500, 5000, 10000)): DataFrame = {
+      widths: Seq[Int] = Seq(500, 1000, 5000, 10000)): DataFrame = {
     require(widths.nonEmpty && widths.forall(_ >= 1), s"bad widths: $widths")
+    require(widths.sliding(2).forall {
+      case Seq(a, b) => b % a == 0
+      case _ => true
+    }, s"widths must be a nested chain (each divides the next) for the " +
+      s"monotone finest-safe-width reading to hold, got $widths")
     val groups = customers
       .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
         explode(array(widths.map(lit(_)): _*)).as("band_width"))
@@ -398,12 +441,13 @@ object Redaction {
       .orderBy("band_width")
   }
 
-  /** q194: the sweep over customer at the four candidate band widths —
+  /** q194: the sweep over customer at four NESTED candidate widths —
     * read top-down, the first row whose at_risk_ppm clears the policy
-    * bar is the finest safe generalization. */
+    * bar is the finest safe generalization (valid because the chain
+    * nests; see [[generalizationSweep]]). */
   val q194GeneralizationSweep: QuerySpec = QuerySpec(
     "q194_generalization_sweep",
-    """WITH w AS (SELECT unnest([1000, 2500, 5000, 10000]) AS band_width),
+    """WITH w AS (SELECT unnest([500, 1000, 5000, 10000]) AS band_width),
       |g AS (
       |  SELECT w.band_width, c_nationkey,
       |    CAST(floor(c_acctbal / CAST(w.band_width AS DOUBLE)) AS INT) AS bal_band,

