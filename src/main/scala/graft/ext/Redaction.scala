@@ -465,6 +465,83 @@ object Redaction {
     generalizationSweep(graft.Tables.customer(s, dir))
   }
 
+  /** Conservative phone-like pattern (char-class only — portable to
+    * RE2): 3-3-4 digit groups with dash separators. */
+  final val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Corpus PII incidence card — the DETECTION side of the privacy pass
+    * over the training-corpus table itself ([[redactOrders]] removes
+    * identifiers from the structured orders domain; this measures how
+    * much PII-shaped text leaks into `documents.text`, per source — the
+    * number a privacy review reads before deciding which sources need
+    * the redaction pass at all). Per source: docs scanned, docs carrying
+    * ≥1 email / phone hit, total hits, and exact per-doc incidence ppm.
+    *
+    * Scale shape: the regex counters are scan-local codegen'd
+    * projections (zero shuffle); the card is one per-source
+    * map-side-combined hash-agg to a sources-bounded frame. Patterns
+    * are backref-free char classes, identical in Java regex and RE2. */
+  def piiIncidence(docs: DataFrame): DataFrame = {
+    val nEmails = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+    val nPhones = size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+    docs
+      .select(col("source"), nEmails.as("ne"), nPhones.as("np"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("np") > 0, 1L).otherwise(0L)).as("docs_with_phone"),
+        sum(col("ne").cast("long")).as("n_emails"),
+        sum(col("np").cast("long")).as("n_phones"))
+      .select(col("source"), col("n_docs"), col("docs_with_email"),
+        col("docs_with_phone"), col("n_emails"), col("n_phones"),
+        expr("CAST((1000000 * docs_with_email) DIV n_docs AS BIGINT)")
+          .as("email_doc_ppm"),
+        expr("CAST((1000000 * docs_with_phone) DIV n_docs AS BIGINT)")
+          .as("phone_doc_ppm"))
+      .orderBy("source")
+  }
+
+  /** q195: the incidence card over `documents` with PII planted into
+    * deterministic doc_id slices (the synthetic corpus is clean, so the
+    * detectors need work: %13==5 docs gain an email, %17==3 docs a
+    * phone, the CRT overlap class (%221==122) both — giving every
+    * source nonzero and DIFFERING incidence). */
+  val q195PiiIncidence: QuerySpec = QuerySpec(
+    "q195_pii_incidence",
+    s"""WITH corpus AS (
+      |  SELECT source,
+      |    text
+      |      || (CASE WHEN doc_id % 13 = 5
+      |          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)
+      |      || (CASE WHEN doc_id % 17 = 3
+      |          THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4242' ELSE '' END)
+      |      AS text
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '$EmailRe')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+      |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '$PhoneRe')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+      |  CAST(sum(len(regexp_extract_all(text, '$EmailRe'))) AS BIGINT) AS n_emails,
+      |  CAST(sum(len(regexp_extract_all(text, '$PhoneRe'))) AS BIGINT) AS n_phones,
+      |  CAST((1000000 * sum(CASE WHEN len(regexp_extract_all(text, '$EmailRe')) > 0 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS email_doc_ppm,
+      |  CAST((1000000 * sum(CASE WHEN len(regexp_extract_all(text, '$PhoneRe')) > 0 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS phone_doc_ppm
+      |FROM corpus GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = graft.Tables.documents(s, dir)
+    val injected = d.select(col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 13 === 5,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 3,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-4242"))).otherwise(lit(""))).as("text"))
+    piiIncidence(injected)
+  }
+
   /** q66: redaction over the deterministically-dirty domain (so the
     * null-safety path is exercised: %83 rows arrive with a null name and
     * must leave with one). */
@@ -490,5 +567,5 @@ object Redaction {
   }
 
   val all: Seq[QuerySpec] = Seq(q66PiiRedact, q189KAnonymity, q192LDiversity,
-    q193TCloseness, q194GeneralizationSweep)
+    q193TCloseness, q194GeneralizationSweep, q195PiiIncidence)
 }

@@ -288,6 +288,24 @@ class ExtSpec extends SparkSpec {
     assert(out("k>=10") == (1L, 10L, 10000000L / 22))
   }
 
+  test("pii incidence: hand-counted email/phone hits, doc-level and occurrence counts split, ppm exact") {
+    import graft.ext.Redaction
+    val docs = docsDf(
+      1L -> "hello bob@x.com world",
+      2L -> "call 555-123-4567 now",
+      3L -> "clean text only",
+      4L -> "two a@b.c c@d.e and 555-000-1111")
+      .withColumn("source", lit("s"))
+    val r = Redaction.piiIncidence(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("docs_with_email") == 2L)
+    assert(r.getAs[Long]("docs_with_phone") == 2L)
+    assert(r.getAs[Long]("n_emails") == 3L, "occurrences, not docs")
+    assert(r.getAs[Long]("n_phones") == 2L)
+    assert(r.getAs[Long]("email_doc_ppm") == 500000L)
+    assert(r.getAs[Long]("phone_doc_ppm") == 500000L)
+  }
+
   test("generalization sweep: nested coarsening monotonically shrinks the at-risk share; non-nested chains refuse") {
     import graft.ext.Redaction
     // one nation/segment, balances spread so each width regroups them:
