@@ -115,28 +115,29 @@ object Bench {
     // prefix (unique by construction), medians rounded to milliseconds.
     // Full names + full precision live in target/bench_full.json and the
     // line above.
-    // 1-dp in the compact line only: measured 1984 chars at 177 queries
-    // with 2-dp — past the driver's ~2000-char stdout tail — vs 1822 at
-    // 1-dp; per-query regression anchors come from BASELINE.md +
-    // target/bench_full.json, never this line.
-    // Keys are the bare query NUMBER ("146" = q146_...): at 150+ queries
-    // the repeated "q" alone costs ~150 chars of the ~1900 budget.
-    // Whole numbers print bare ("4", not "4.0") and the detail pointer
-    // lives only in the full line/file: measured 1902 chars at 185
-    // queries with both, back under ~1860 without — the tail budget
-    // buys ~10 more queries before the next trim.
+    // Round-11 restructure: the per-query MAP form ("146":1.3,...) measured
+    // 1912 chars at 192 queries — the ~1950-char usable tail was full and
+    // every per-char trim (bare-number keys, 1-dp, whole numbers bare, no
+    // "iters", build.sbt's [success] suppression) was already spent. The
+    // compact twin now carries per-query medians as a POSITIONAL array
+    // "qs":[...] ordered by SORTED REGISTRY NAME (the same lexicographic
+    // order as the full line's map and BASELINE.md's anchor table), which
+    // drops the ~6-char "NNN": key per entry: measured 918 chars at 192
+    // queries — ~53% headroom, and each new query costs ~4 chars instead
+    // of ~10. A FAILED query holds position as null (so indices never
+    // shift) and its name still appears in "failed". "n" is the registry
+    // count for a positional sanity check; full names + full precision
+    // live in the first stdout line and target/bench_full.json (named in
+    // "detail").
     def num1(x: Double): String = {
       val v = math.rint(x * 10) / 10
       if (v == math.rint(v)) v.toLong.toString else v.toString
     }
-    val compactQs = results.map { case (k, (med, _)) =>
-      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + num1(med)
-    }.mkString("{", ",", "}")
-    // Totals at 1-dp and no "iters" in the compact twin (full precision
-    // lives in the full line/file): measured 1886 chars at 188 queries
-    // with both — this shaves ~18 chars, keeping 190+ queries inside the
-    // driver's ~1900-char usable tail.
-    println(s"""{"metric":"total","value":${num1(total)},"unit":"sec","min_total":${num1(minTotal)},"queries":$compactQs,"sf":"$sfDir"$failedJson}""")
+    val medByName = results.toMap
+    val compactVals = ordered.map { case (name, _) =>
+      medByName.get(name).map { case (med, _) => num1(med) }.getOrElse("null")
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num1(total)},"unit":"sec","min_total":${num1(minTotal)},"n":${ordered.size},"qs":$compactVals,"detail":"target/bench_full.json","sf":"$sfDir"$failedJson}""")
     spark.stop()
   }
 }
