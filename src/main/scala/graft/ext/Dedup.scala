@@ -31,6 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Every injected-clone id in this file stays below this bound, so the
+    * +1000000 / +3000000 offset ranges can never collide with a base id. */
+  final val InjectedIdBound = 1000000L
+
+  /** Offset an injected clone's doc_id, failing LOUDLY if the base corpus
+    * has grown past [[InjectedIdBound]]: a silent collision would fan out
+    * the flag/dedup joins IDENTICALLY in both engines, so the DuckDB
+    * oracle could never catch the corruption (the repo's "enforced
+    * loudly, not assumed" discipline). Scan-local codegen'd guard — no
+    * extra pass, no shuffle. */
+  def injectedId(id: Column, offset: Long): Column = {
+    require(offset % InjectedIdBound == 0 && offset >= InjectedIdBound,
+      s"injected offsets must be multiples of $InjectedIdBound, got $offset")
+    when(id >= 0 && id < InjectedIdBound, id + offset)
+      .otherwise(raise_error(concat(
+        lit(s"injected-clone id scheme requires base doc_id in " +
+          s"[0, $InjectedIdBound), got "), id.cast("string"))))
+  }
+
   /** Cross-engine-deterministic 32-bit base hash of a string column. */
   private def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
@@ -112,7 +131,18 @@ object Dedup {
 
   /** Exact pairwise Jaccard over distinct shingle sets via shingle
     * equi-join (candidate generation) + per-pair intersection counts. */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame =
+    jaccardPairsWithRaw(docs, minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** [[jaccardPairs]] plus the UNROUNDED `jaccard_raw` column — the form
+    * the pair-frame cache materializes: the public `jaccard` is
+    * round-half-up at 4 decimals, so a threshold re-applied to the
+    * ROUNDED value could admit a pair the fresh operator rejects (raw
+    * 0.29996 rounds to 0.3000); cached consumers re-filter on the raw
+    * value and stay bit-identical to a fresh run. */
+  private[ext] def jaccardPairsWithRaw(docs: DataFrame,
+      minJaccard: Double): DataFrame = {
     val sh = shingleRows(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = sh.as("a")
@@ -126,12 +156,13 @@ object Dedup {
         .withColumnRenamed("n_shingles", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_shingles", "n_b"), "doc_b")
-      .withColumn("jaccard",
+      .withColumn("jaccard_raw",
         col("n_common").cast("double")
           / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= minJaccard)
+      .filter(col("jaccard_raw") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
-        graft.functions.Functions.round4(col("jaccard")).as("jaccard"))
+        graft.functions.Functions.round4(col("jaccard_raw")).as("jaccard"),
+        col("jaccard_raw"))
   }
 
   /** Asymmetric containment: |shingles(a) ∩ shingles(b)| / |shingles(a)| —
@@ -297,6 +328,139 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ---- corpus-fingerprint pair-frame cache --------------------------------
+
+  /** Materialized pair-frame cache — the BPE / q145 layout-cache
+    * discipline applied to the banded detector chains: q27/q28/q29/q60/
+    * q79/q90/q106/q107/q114/q190 each re-derive a MinHash-banded,
+    * SimHash-banded or exact-Jaccard pair frame from raw text, and in a
+    * production pipeline the pair frame is materialized ONCE per corpus
+    * version and every consumer reads it. Each variant is built once per
+    * (source path, content fingerprint) under a ready-marker + rename
+    * protocol and served as parquet from the process temp dir; a
+    * REGENERATED corpus at the same path changes the fingerprint (file
+    * list + sizes + mtimes), so stale frames can never serve, and
+    * superseded fingerprints are garbage-collected age-gated (a
+    * cross-process reader may still be mid-scan on one — the q145 rule).
+    * Cross-process safety: builders stage under a process-unique dir and
+    * publish with a single rename; the loser of a publish race adopts the
+    * winner's identical frame. ExtSpec pins cached ≡ fresh per variant. */
+  private val pairsBuildLock = new Object
+
+  /** Age gate for GC of superseded pair-frame fingerprints (the
+    * [[Rollup.Q145StaleGcGraceMs]] rationale). */
+  private[graft] val PairsStaleGcGraceMs: Long = 60L * 60L * 1000L
+
+  private[ext] def materializedPairFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String, variant: String, build: () => DataFrame): DataFrame = {
+    def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pathKey = md5s(dir)
+    val fp = Rollup.dirFingerprint(s"$dir/documents.parquet")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val base = s"$tmp/graft_pairs_${pathKey}_$fp"
+    val table = s"$base/$variant"
+    pairsBuildLock.synchronized {
+      if (!new java.io.File(s"$table/_READY").exists()) {
+        val stage = s"${base}__build_${variant}_${ProcessHandle.current().pid()}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+        build().write.mode("overwrite").parquet(s"$stage/data")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(stage, "_READY"), "ready")
+        new java.io.File(base).mkdirs()
+        if (!new java.io.File(stage).renameTo(new java.io.File(table))) {
+          // lost the publish race: adopt the winner's identical frame
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+          if (!new java.io.File(s"$table/_READY").exists())
+            sys.error(s"pair-frame publish failed for $table")
+        }
+        // GC published frames of superseded fingerprints of this table —
+        // age-gated, and in-flight __build_ staging dirs left alone
+        val cutoff = System.currentTimeMillis() - PairsStaleGcGraceMs
+        new java.io.File(tmp).listFiles() match {
+          case null => ()
+          case fs => fs.filter(f =>
+              f.getName.startsWith(s"graft_pairs_${pathKey}_") &&
+                !f.getName.contains("__build_") &&
+                f.getName != s"graft_pairs_${pathKey}_$fp" &&
+                f.lastModified() < cutoff)
+            .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+        }
+      }
+    }
+    s.read.parquet(s"$table/data")
+  }
+
+  /** The exact-Jaccard cache's slice bound and threshold floor: ONE frame
+    * (pairs among doc_id < 1000 at raw jaccard ≥ 0.05) serves every exact
+    * consumer — q106 as-is; q107 re-filtered at 0.3; q27/q60/q79
+    * re-filtered at 0.3 AND both ids < 300 (Jaccard is pairwise, so a
+    * sub-slice's pair set is exactly the id-restricted superset frame). */
+  final val JaccardCacheMaxId = 1000
+  final val JaccardCacheFloor = 0.05
+
+  /** Exact-Jaccard pairs for a registered slice, served from the cached
+    * superset frame. Filters run on the cached RAW jaccard (see
+    * [[jaccardPairsWithRaw]]), so results are bit-identical to a fresh
+    * `jaccardPairs(docs.filter(doc_id < maxId), minJaccard)`. */
+  def jaccardPairsCached(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxId: Int, minJaccard: Double): DataFrame = {
+    require(maxId <= JaccardCacheMaxId && minJaccard >= JaccardCacheFloor,
+      s"slice $maxId / threshold $minJaccard not derivable from the " +
+        s"cached frame (<= $JaccardCacheMaxId at >= $JaccardCacheFloor)")
+    materializedPairFrame(s, dir, "jp1000", () =>
+      jaccardPairsWithRaw(
+        graft.Tables.documents(s, dir)
+          .filter(col("doc_id") < JaccardCacheMaxId)
+          .select("doc_id", "text"),
+        JaccardCacheFloor))
+      .filter(col("doc_a") < maxId && col("doc_b") < maxId &&
+        col("jaccard_raw") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash candidates over the raw corpus (or an id-bounded slice of
+    * it), served from ONE cached threshold-0 frame: band collisions are
+    * per-doc, so a slice's candidate set is exactly the id-restricted
+    * full-corpus set, and `est_jaccard` (multiples of 1/16 — exact at 4
+    * decimals) re-filters losslessly. */
+  def minhashCandidatesCached(s: org.apache.spark.sql.SparkSession,
+      dir: String, minEstimate: Double,
+      maxId: Option[Int] = None): DataFrame =
+    materializedPairFrame(s, dir, "mh_full", () =>
+      minhashCandidates(
+        graft.Tables.documents(s, dir).select("doc_id", "text"), 0.0))
+      .filter(col("est_jaccard") >= minEstimate &&
+        maxId.map(m => col("doc_a") < m && col("doc_b") < m)
+          .getOrElse(lit(true)))
+
+  /** MinHash candidates over a NAMED injected-corpus variant (q114's
+    * clone+reformat corpus, q190's clone+reverse corpus): the variant
+    * string IS the construction identity, so callers must pass the same
+    * corpus for the same name — both registered consumers build theirs
+    * from the fingerprinted source table, which also keys the cache. */
+  def minhashCandidatesCachedOn(s: org.apache.spark.sql.SparkSession,
+      dir: String, variant: String, corpus: () => DataFrame,
+      minEstimate: Double): DataFrame =
+    materializedPairFrame(s, dir, s"mh_$variant", () =>
+      minhashCandidates(corpus().select("doc_id", "text"), 0.0))
+      .filter(col("est_jaccard") >= minEstimate)
+
+  /** SimHash pairs over the raw corpus, cached per hamming budget (the
+    * budget shapes the banding itself, so it is part of the key). */
+  def simhashPairsCached(s: org.apache.spark.sql.SparkSession,
+      dir: String, maxHamming: Int): DataFrame =
+    materializedPairFrame(s, dir, s"sh_full_h$maxHamming", () =>
+      simhashPairs(
+        graft.Tables.documents(s, dir).select("doc_id", "text"), maxHamming))
+
+  /** SimHash pairs over a NAMED injected-corpus variant. */
+  def simhashPairsCachedOn(s: org.apache.spark.sql.SparkSession,
+      dir: String, variant: String, corpus: () => DataFrame,
+      maxHamming: Int): DataFrame =
+    materializedPairFrame(s, dir, s"sh_${variant}_h$maxHamming", () =>
+      simhashPairs(corpus().select("doc_id", "text"), maxHamming))
+
   // ---- registered queries ----------------------------------------------
 
   /** Exact dedup with injected duplicates (docs with doc_id%7==0 appear
@@ -316,7 +480,8 @@ object Dedup {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val corpus = d.unionByName(
       d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select(injectedId(col("doc_id"), 1000000L).as("doc_id"),
+          col("text")))
     exactDedupGroups(corpus)
       .select(col("fingerprint"), col("keeper_doc_id"), col("n_copies"))
       .orderBy("keeper_doc_id")
@@ -363,7 +528,7 @@ object Dedup {
     "q27_ngram_jaccard",
     "WITH " + ngramPairsSqlCtes(300, 0.3) + "\n" +
       "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b") { (s, dir) =>
-    jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.3)
+    jaccardPairsCached(s, dir, 300, 0.3)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -424,7 +589,7 @@ object Dedup {
     * signature agreements (5/16 = 0.3125 is the smallest multiple ≥ 0.3). */
   val q28MinhashLsh: QuerySpec = QuerySpec(
     "q28_minhash_lsh", minhashOracleSql(minAgree = 5)) { (s, dir) =>
-    minhashCandidates(Tables.documents(s, dir), 0.3)
+    minhashCandidatesCached(s, dir, 0.3)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -470,7 +635,7 @@ object Dedup {
     * losslessness, not just the arithmetic). */
   val q29Simhash: QuerySpec = QuerySpec(
     "q29_simhash", simhashOracleSql(maxHamming = 2)) { (s, dir) =>
-    simhashPairs(Tables.documents(s, dir), 2)
+    simhashPairsCached(s, dir, 2)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -640,8 +805,7 @@ object Dedup {
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    clustersFromPairs(
-      jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.3))
+    clustersFromPairs(jaccardPairsCached(s, dir, 300, 0.3))
       .orderBy("doc_id")
   }
 
@@ -672,7 +836,7 @@ object Dedup {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val corpus = d.unionByName(
       d.filter(col("doc_id") % 11 === 3)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select(injectedId(col("doc_id"), 3000000L).as("doc_id"),
           concat(upper(col("text")), lit("  !!")).as("text")))
     normalizedDedupGroups(corpus).orderBy("keeper_doc_id")
   }
@@ -1183,8 +1347,7 @@ object Dedup {
     * it value-level on the gate slice). */
   val q79NearDupClustersStar: QuerySpec = QuerySpec(
     "q79_neardup_clusters_star", q60NearDupClusters.oracle.get) { (s, dir) =>
-    clustersFromPairsStar(
-      jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), 0.3))
+    clustersFromPairsStar(jaccardPairsCached(s, dir, 300, 0.3))
       .orderBy("doc_id")
   }
 
@@ -1201,9 +1364,13 @@ object Dedup {
     * unordered sum is deterministic) and floor-rounds via round4 in both
     * engines. */
   def sourceOverlapMatrix(docs: DataFrame,
-      minEstimate: Double = 0.5): DataFrame = {
-    val src = docs.select(col("doc_id"), col("source"))
-    minhashCandidates(docs, minEstimate)
+      minEstimate: Double = 0.5): DataFrame =
+    sourceOverlapMatrixFrom(minhashCandidates(docs, minEstimate),
+      docs.select(col("doc_id"), col("source")))
+
+  /** [[sourceOverlapMatrix]] from an existing (cached) pair frame. */
+  def sourceOverlapMatrixFrom(pairs: DataFrame, src: DataFrame): DataFrame = {
+    pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -1229,7 +1396,9 @@ object Dedup {
       |  ${graft.functions.Functions.round4Sql("avg(est_jaccard)")} AS avg_est
       |FROM lab GROUP BY 1, 2
       |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
-    sourceOverlapMatrix(Tables.documents(s, dir)).orderBy("src_a", "src_b")
+    sourceOverlapMatrixFrom(minhashCandidatesCached(s, dir, 0.5),
+      Tables.documents(s, dir).select(col("doc_id"), col("source")))
+      .orderBy("src_a", "src_b")
   }
 
   // ---- Bloom-filter admission (distributed bit array) -------------------
@@ -1346,9 +1515,15 @@ object Dedup {
     * the quadratic wall the bands exist to avoid); the banded side is
     * the production q28 plan on the same slice; the comparison is an
     * id-pair left join + one tiny per-decile aggregate. */
-  def minhashRecallAudit(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val exact = jaccardPairs(docs, minJaccard)
-    val caught = minhashCandidates(docs, 0.0)
+  def minhashRecallAudit(docs: DataFrame, minJaccard: Double): DataFrame =
+    minhashRecallAuditFrom(jaccardPairs(docs, minJaccard),
+      minhashCandidates(docs, 0.0))
+
+  /** [[minhashRecallAudit]] from existing (cached) exact and banded pair
+    * frames over the same corpus. */
+  def minhashRecallAuditFrom(exact: DataFrame,
+      candidates: DataFrame): DataFrame = {
+    val caught = candidates
       .select(col("doc_a"), col("doc_b"), lit(1L).as("caught"))
     exact.join(caught, Seq("doc_a", "doc_b"), "left")
       .select(floor(col("jaccard") * 10).cast("long").as("band"),
@@ -1383,7 +1558,8 @@ object Dedup {
       |  CAST(sum(caught) * 100 // count(*) AS BIGINT) AS recall_pct
       |FROM j GROUP BY 1
       |ORDER BY band""".stripMargin) { (s, dir) =>
-    minhashRecallAudit(Tables.documents(s, dir).filter(col("doc_id") < 1000), 0.05)
+    minhashRecallAuditFrom(jaccardPairsCached(s, dir, 1000, 0.05),
+      minhashCandidatesCached(s, dir, 0.0, maxId = Some(1000)))
       .orderBy("band")
   }
 
@@ -1403,9 +1579,13 @@ object Dedup {
     * aggregate (map-side combinable — the D3 keep-first idiom, no
     * window), and one keeper re-join on cluster_rep — the same exchange
     * class as the aggregate that produced it. */
-  def qualityKeeperClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def qualityKeeperClusters(docs: DataFrame, minJaccard: Double): DataFrame =
+    qualityKeeperClustersFrom(docs, jaccardPairs(docs, minJaccard))
+
+  /** [[qualityKeeperClusters]] from an existing (cached) pair frame. */
+  def qualityKeeperClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     import graft.functions.Functions.round4
-    val clusters = clustersFromPairs(jaccardPairs(docs, minJaccard))
+    val clusters = clustersFromPairs(pairs)
     val (lenS, ttr, stop) = TextAnalysis.qualityParts(col("text"))
     val scored = docs
       .select(col("doc_id"), TextAnalysis.qualityScore(lenS, ttr, stop).as("q"))
@@ -1454,8 +1634,9 @@ object Dedup {
         |FROM sc JOIN k ON k.cluster_rep = sc.cluster_rep
         |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-    qualityKeeperClusters(
-      Tables.documents(s, dir).filter(col("doc_id") < 1000), 0.3)
+    qualityKeeperClustersFrom(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      jaccardPairsCached(s, dir, 1000, 0.3))
       .orderBy("doc_id")
   }
 
@@ -1598,11 +1779,18 @@ object Dedup {
     * folding to a sources-bounded metadata frame. Nothing new shuffles
     * the text. */
   def detectorAgreement(docs: DataFrame, minEstimate: Double,
-      maxHamming: Int): DataFrame = {
-    val mhFlag = minhashCandidates(docs, minEstimate)
+      maxHamming: Int): DataFrame =
+    detectorAgreementFrom(docs, minhashCandidates(docs, minEstimate),
+      simhashPairs(docs, maxHamming))
+
+  /** [[detectorAgreement]] from existing (cached) pair frames of the two
+    * detector families over the same corpus. */
+  def detectorAgreementFrom(docs: DataFrame, mhPairs: DataFrame,
+      shPairs: DataFrame): DataFrame = {
+    val mhFlag = mhPairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct().withColumn("mh", lit(true))
-    val shFlag = simhashPairs(docs, maxHamming)
+    val shFlag = shPairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct().withColumn("sh", lit(true))
     val flagged = docs.select("doc_id", "source")
@@ -1689,13 +1877,15 @@ object Dedup {
     val d = Tables.documents(s, dir).select("doc_id", "text", "source")
     val corpus = d
       .unionByName(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
-          col("source")))
+        .select(injectedId(col("doc_id"), 1000000L).as("doc_id"),
+          col("text"), col("source")))
       .unionByName(d.filter(col("doc_id") % 11 === 3)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select(injectedId(col("doc_id"), 3000000L).as("doc_id"),
           array_join(reverse(split(col("text"), " ")), " ").as("text"),
           col("source")))
-    detectorAgreement(corpus, 0.5, 2)
+    detectorAgreementFrom(corpus,
+      minhashCandidatesCachedOn(s, dir, "i711r", () => corpus, 0.5),
+      simhashPairsCachedOn(s, dir, "i711r", () => corpus, 2))
   }
 
   val all: Seq[QuerySpec] = Seq(

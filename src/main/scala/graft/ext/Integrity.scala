@@ -174,14 +174,18 @@ object Integrity {
     * joined back on their digest), the q28/q79 banded pair + contraction
     * chain, and three id-only joins from the doc list — every piece the
     * plan its own query ships. */
-  def dedupCard(docs: DataFrame): DataFrame = {
+  def dedupCard(docs: DataFrame): DataFrame =
+    dedupCardFrom(docs, Dedup.minhashCandidates(docs, 0.5))
+
+  /** [[dedupCard]] from an existing (cached) MinHash pair frame. */
+  def dedupCardFrom(docs: DataFrame, mhPairs: DataFrame): DataFrame = {
     val b = docs.select(col("doc_id"), md5(col("text")).as("fp"),
       md5(Dedup.normalizeForDedup(col("text"))).as("nfp"))
     val g1 = b.groupBy("fp").agg(
       min(col("doc_id")).as("exact_keeper"), count(lit(1)).as("c1"))
     val g2 = b.groupBy("nfp").agg(
       min(col("doc_id")).as("norm_keeper"), count(lit(1)).as("c2"))
-    val near = Dedup.clustersFromPairsStar(Dedup.minhashCandidates(docs, 0.5))
+    val near = Dedup.clustersFromPairsStar(mhPairs)
       .withColumnRenamed("cluster_rep", "near_rep")
     b.join(g1, Seq("fp")).join(g2, Seq("nfp"))
       .join(near, Seq("doc_id"), "left")
@@ -244,11 +248,14 @@ object Integrity {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val corpus = d
       .unionByName(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select(Dedup.injectedId(col("doc_id"), 1000000L).as("doc_id"),
+          col("text")))
       .unionByName(d.filter(col("doc_id") % 11 === 3)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
+        .select(Dedup.injectedId(col("doc_id"), 3000000L).as("doc_id"),
           concat(upper(col("text")), lit("  !!")).as("text")))
-    dedupCard(corpus).orderBy("doc_id")
+    dedupCardFrom(corpus,
+      Dedup.minhashCandidatesCachedOn(s, dir, "i711u", () => corpus, 0.5))
+      .orderBy("doc_id")
   }
 
   val all: Seq[QuerySpec] =

@@ -88,9 +88,9 @@ object Redaction {
     * k=3-4, k=5-9, k>=10. Complements [[redactOrders]]: redaction
     * removes DIRECT identifiers; this card quantifies the residual
     * linkage risk carried by the columns that stay (the reference's
-    * validators check PII *shape*, `/root/reference/src/validation.py:
-    * 145-158`; neither engine side re-identifies anyone — the card is
-    * pure counting).
+    * validators check PII *shape* — the email-shape check at
+    * `/root/reference/src/validation.py:127-130`; neither engine side
+    * re-identifies anyone — the card is pure counting).
     *
     * Scale shape: ONE map-side-combined hash-agg on the quasi-identifier
     * tuple (the only full-data shuffle, bounded by distinct-tuple
@@ -104,25 +104,36 @@ object Redaction {
       bandWidth: Double = 5000.0d): DataFrame =
     kAnonymityFromPairs(privacyPairs(customers, bandWidth))
 
-  /** The shared STREAMABLE state behind all three privacy cards
-    * (q189/q192/q193): counts keyed by the full
-    * (quasi-identifier, sensitive) tuple — one map-side-combined
+  /** Base band width of the maintained privacy state: the FINEST width in
+    * q194's enforced nested chain (500/1000/5000/10000), so every
+    * registered privacy consumer — all three cards AND the whole
+    * generalization sweep — derives from ONE state via the nested-width
+    * floor identity (factors 1/2/10/20). A coarser base (the round-10
+    * state used 1000) could not serve the sweep's finest row and would
+    * silently re-aggregate the raw table. */
+  final val PrivacyBaseWidth = 500.0d
+
+  /** The shared STREAMABLE state behind the whole privacy review
+    * (q189/q192/q193 cards AND q194's generalization sweep): counts keyed
+    * by the full (quasi-identifier, sensitive) tuple at the FINEST
+    * registered width [[PrivacyBaseWidth]] — one map-side-combined
     * hash-agg, mergeable by sum, no watermark, state bounded by the
     * tuple DOMAIN (nations × bands × segments), not by row count. The
     * same expression runs on a batch frame and as a COMPLETE-mode
     * streaming aggregation (the distTestBins / dailyPartials
     * state-is-the-result pattern), and [[kAnonymityFromPairs]] /
-    * [[lDiversityFromPairs]] / [[tClosenessFromPairs]] derive the full
-    * cards from this state with metadata-only arithmetic — so a stream
-    * of arriving identity rows re-publishes the whole privacy review
-    * after every micro-batch. The registered q189 card uses the COARSER
-    * 5000 band; [[coarsenPrivacyPairs]] derives it exactly from this
-    * default 1000-band state (nested-width floor identity), so one
-    * maintained state genuinely serves all three registered cards —
-    * StreamingSpec pins stream ≡ batch for all three at their
-    * registered widths. */
+    * [[lDiversityFromPairs]] / [[tClosenessFromPairs]] /
+    * [[generalizationSweepFromPairs]] derive the cards and the sweep from
+    * this state with metadata-only arithmetic — so a stream of arriving
+    * identity rows re-publishes the whole privacy review after every
+    * micro-batch, and the persisted form ([[buildPrivacyState]] /
+    * [[appendToPrivacyState]]) folds a batch in at domain-bounded cost
+    * with ZERO raw-table rescans. The registered q189 card's 5000 band is
+    * [[coarsenPrivacyPairs]] factor 10; q192/q193's 1000 band factor 2;
+    * q194's 500/1000/5000/10000 sweep factors 1/2/10/20 — StreamingSpec
+    * pins stream ≡ batch for all four per micro-batch. */
   def privacyPairs(customers: DataFrame,
-      bandWidth: Double = 1000.0d): DataFrame =
+      bandWidth: Double = PrivacyBaseWidth): DataFrame =
     customers
       .groupBy(col("c_nationkey"),
         floor(col("c_acctbal") / bandWidth).cast("int").as("bal_band"),
@@ -133,10 +144,10 @@ object Redaction {
     * EXACT when widths nest, because `floor(floor(x/w)/f) = floor(x/(w·f))`
     * for any real x and positive integer w, f (holds for negative
     * balances too; ExtSpec pins it). This is what lets ONE maintained
-    * 1000-band pair state serve the registered 5000-band q189 card as
-    * well as q192/q193, without touching the raw table. A non-nested
-    * width (e.g. 2500 from 1000) is NOT derivable from the state —
-    * re-aggregate from the table for those. */
+    * 500-band pair state serve the registered 5000-band q189 card,
+    * q192/q193's 1000 band and q194's whole width chain, without touching
+    * the raw table. A non-nested width (e.g. 750 from 500) is NOT
+    * derivable from the state — re-aggregate from the table for those. */
   def coarsenPrivacyPairs(pairs: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"coarsening factor must be >= 1, got $factor")
     pairs
@@ -417,11 +428,17 @@ object Redaction {
   def generalizationSweep(customers: DataFrame,
       widths: Seq[Int] = Seq(500, 1000, 5000, 10000)): DataFrame = {
     require(widths.nonEmpty && widths.forall(_ >= 1), s"bad widths: $widths")
+    // STRICTLY increasing as well as dividing: a duplicate width
+    // (Seq(500, 500, 5000)) passes the divisibility test but explode
+    // would emit two identical band_width rows per customer into the
+    // same (width, QI) group, doubling every k and corrupting the k<5
+    // at-risk classification for that width.
     require(widths.sliding(2).forall {
-      case Seq(a, b) => b % a == 0
+      case Seq(a, b) => b > a && b % a == 0
       case _ => true
-    }, s"widths must be a nested chain (each divides the next) for the " +
-      s"monotone finest-safe-width reading to hold, got $widths")
+    }, s"widths must be a strictly increasing nested chain (each divides " +
+      s"the next) for the monotone finest-safe-width reading to hold, " +
+      s"got $widths")
     val groups = customers
       .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
         explode(array(widths.map(lit(_)): _*)).as("band_width"))
@@ -430,6 +447,13 @@ object Redaction {
           .cast("int").as("bal_band"),
         col("c_mktsegment"))
       .agg(count(lit(1)).as("k"))
+    sweepFold(groups)
+  }
+
+  /** The sweep's per-width fold, shared by the table-scan and
+    * state-derived forms: a (band_width, k) group frame to the
+    * width-count curve rows. */
+  private def sweepFold(groups: DataFrame): DataFrame =
     groups.groupBy("band_width")
       .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
         coalesce(sum(when(col("k") < 5, col("k"))), lit(0L))
@@ -439,7 +463,81 @@ object Redaction {
         expr("CAST((1000000 * at_risk_rows) DIV n_rows AS BIGINT)")
           .as("at_risk_ppm"))
       .orderBy("band_width")
+
+  /** q194's whole sweep from a [[privacyPairs]] state alone: each
+    * candidate width coarsens the base-width state by its nested factor
+    * (the floor identity — exact, negatives included) and the coarsened
+    * counts ARE the per-group k, so the curve is |widths| folds of a
+    * domain-bounded metadata frame — ZERO raw-table rescans. The widths
+    * must extend the state's own chain: strictly increasing, nested, and
+    * the finest one a multiple of `baseWidth` (enforced loudly — a
+    * non-derivable width silently re-aggregating the table is exactly
+    * the failure this form exists to remove).
+    *
+    * From a RAW table this form would re-aggregate once per width — use
+    * [[generalizationSweep]]'s single exploded-axis shuffle there; this
+    * form is for a maintained/streaming state, where the pair frame is
+    * metadata and the tClosenessFromPairs no-persist convention applies. */
+  def generalizationSweepFromPairs(pairs: DataFrame,
+      baseWidth: Int = PrivacyBaseWidth.toInt,
+      widths: Seq[Int] = Seq(500, 1000, 5000, 10000)): DataFrame = {
+    require(baseWidth >= 1 && widths.nonEmpty, s"bad sweep: $baseWidth $widths")
+    require(widths.head % baseWidth == 0,
+      s"finest width ${widths.head} must be a multiple of the state's " +
+        s"base width $baseWidth — it is not derivable from the state")
+    require(widths.sliding(2).forall {
+      case Seq(a, b) => b > a && b % a == 0
+      case _ => true
+    }, s"widths must be a strictly increasing nested chain (each divides " +
+      s"the next) for the monotone finest-safe-width reading to hold, " +
+      s"got $widths")
+    val perWidth = widths.map { w =>
+      coarsenPrivacyPairs(pairs, w / baseWidth)
+        .select(lit(w).as("band_width"), col("cnt").as("k"))
+    }.reduce(_ unionByName _)
+    sweepFold(perWidth)
   }
+
+  // ---- maintained privacy state (persisted, crash-safe, append ≡ rebuild)
+
+  /** Merge algebra for [[privacyPairs]] states: counts sum per tuple —
+    * the same commutative monoid the distributed aggregate already folds
+    * across partitions, so append ≡ rebuild EXACTLY. */
+  def mergePrivacyPairs(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Persist the base-width pair state: build pays the identity-table
+    * scan once; every later review derives from the state. */
+  def buildPrivacyState(customers: DataFrame, dir: String,
+      bandWidth: Double = PrivacyBaseWidth): Unit =
+    privacyPairs(customers, bandWidth).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/privacy")
+
+  /** Fold a batch of identity rows into the persisted state WITHOUT
+    * rescanning the covered table: batch pairs ∪ stored pairs → one
+    * domain-cardinality aggregate, published with the staging + backup
+    * rename discipline (crashed append leaves the previous state
+    * recoverable; readers never see a half-written merge). */
+  def appendToPrivacyState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame,
+      bandWidth: Double = PrivacyBaseWidth): Unit = {
+    graft.pipeline.Store.repairPublished(spark, s"$dir/privacy",
+      "privacy append")
+    graft.pipeline.Store.publishAtomic(spark,
+      mergePrivacyPairs(readPrivacyState(spark, dir),
+        privacyPairs(batch, bandWidth)),
+      s"$dir/privacy", "privacy append")
+  }
+
+  /** Read the persisted state. Read-only: a crashed append swap is
+    * served from the backup; repair belongs to the next writer op. */
+  def readPrivacyState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/privacy",
+      "privacy read")
 
   /** q194: the sweep over customer at four NESTED candidate widths —
     * read top-down, the first row whose at_risk_ppm clears the policy
@@ -542,6 +640,114 @@ object Redaction {
     piiIncidence(injected)
   }
 
+  /** Redact one PII pattern from a text column with DETERMINISTIC
+    * md5-derived placeholder tokens — the removal side of
+    * [[piiIncidence]] (q195 detects; this removes). Same-value-same-token
+    * (the q66 pseudonym discipline: `prefix` + first 10 md5 hex chars of
+    * the matched text), so cross-document joins and frequency statistics
+    * over the redacted corpus survive — a static mask would destroy them.
+    *
+    * Construction is split/extract/interleave — `split` on the pattern
+    * gives the n+1 kept segments, `regexp_extract_all` the n matches,
+    * and one `aggregate` fold re-interleaves segments with each match's
+    * placeholder. All native higher-order/codegen expressions, zero UDF,
+    * zero shuffle (scan-local projection); patterns are the shared
+    * backref-free char classes, identical in Java regex and RE2. */
+  def redactPattern(text: Column, pattern: String, prefix: String): Column = {
+    val segs = split(text, pattern, -1)
+    val ms = regexp_extract_all(text, lit(pattern), lit(0))
+    // the no-match branch guards the fold: sequence(0, -1) would emit a
+    // DESCENDING [0, -1] range, not an empty one
+    when(text.isNull, lit(null))
+      .when(size(ms) === 0, text)
+      .otherwise(
+        aggregate(
+          sequence(lit(0), size(ms) - 1),
+          element_at(segs, 1),
+          (acc, i) => concat(acc,
+            concat(lit(prefix), substring(md5(element_at(ms, i + 1)), 1, 10)),
+            element_at(segs, i + lit(2)))))
+  }
+
+  /** Corpus-text PII redaction — emails then phones, each match replaced
+    * by its deterministic placeholder, with per-doc replacement counts
+    * for the audit trail and the redacted text carried as an md5 (the
+    * q80 contract: gate-visible without shipping full text through the
+    * oracle compare). Scale shape: one scan-local projection per doc —
+    * no shuffle, no UDF. An ExtSpec pin closes the loop: the redacted
+    * corpus's [[piiIncidence]] is zero. */
+  def redactCorpusText(docs: DataFrame): DataFrame = {
+    val nEmails = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+    val nPhones = size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+    docs
+      .withColumn("__t1", redactPattern(col("text"), EmailRe, "EMAIL_"))
+      .withColumn("n_emails_redacted", nEmails.cast("long"))
+      .withColumn("redacted_text", redactPattern(col("__t1"), PhoneRe, "PHONE_"))
+      .withColumn("n_phones_redacted",
+        size(regexp_extract_all(col("__t1"), lit(PhoneRe), lit(0))).cast("long"))
+      .select(col("doc_id"), col("source"),
+        col("n_emails_redacted"), col("n_phones_redacted"),
+        col("redacted_text"))
+  }
+
+  /** q196: redaction over q195's injected corpus (same planted PII
+    * slices, so the remover provably has work), reporting per-doc
+    * replacement counts and the redacted text's md5. */
+  val q196RedactCorpus: QuerySpec = QuerySpec(
+    "q196_redact_corpus", {
+      def redactCte(inRel: String, outCte: String, pat: String,
+          prefix: String, cntCol: String): String =
+        s"""${outCte}_parts AS (
+          |  SELECT doc_id, source, i,
+          |    segs[i] || (CASE WHEN i <= len(ms)
+          |      THEN '$prefix' || substr(md5(ms[i]), 1, 10) ELSE '' END) AS piece,
+          |    len(ms) AS n_m
+          |  FROM (
+          |    SELECT doc_id, source,
+          |      string_split_regex(text, '$pat') AS segs,
+          |      regexp_extract_all(text, '$pat') AS ms
+          |    FROM $inRel),
+          |  unnest(generate_series(1, len(segs))) AS u(i)),
+          |$outCte AS (
+          |  SELECT doc_id, source,
+          |    string_agg(piece, '' ORDER BY i) AS text,
+          |    CAST(max(n_m) AS BIGINT) AS $cntCol
+          |  FROM ${outCte}_parts GROUP BY doc_id, source)""".stripMargin
+      s"""WITH corpus AS (
+        |  SELECT doc_id, source,
+        |    text
+        |      || (CASE WHEN doc_id % 13 = 5
+        |          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)
+        |      || (CASE WHEN doc_id % 17 = 3
+        |          THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4242' ELSE '' END)
+        |      AS text
+        |  FROM documents),
+        |${redactCte("corpus", "r1", EmailRe, "EMAIL_", "n_emails_redacted")},
+        |${redactCte("r1", "r2", PhoneRe, "PHONE_", "n_phones_redacted")}
+        |SELECT r2.doc_id AS doc_id, r2.source AS source,
+        |  r1.n_emails_redacted AS n_emails_redacted,
+        |  r2.n_phones_redacted AS n_phones_redacted,
+        |  md5(r2.text) AS redacted_md5
+        |FROM r2 JOIN r1 ON r1.doc_id = r2.doc_id
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val d = graft.Tables.documents(s, dir)
+    val injected = d.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 13 === 5,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 3,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-4242"))).otherwise(lit(""))).as("text"))
+    redactCorpusText(injected)
+      .select(col("doc_id"), col("source"),
+        col("n_emails_redacted"), col("n_phones_redacted"),
+        md5(col("redacted_text")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** q66: redaction over the deterministically-dirty domain (so the
     * null-safety path is exercised: %83 rows arrive with a null name and
     * must leave with one). */
@@ -567,5 +773,6 @@ object Redaction {
   }
 
   val all: Seq[QuerySpec] = Seq(q66PiiRedact, q189KAnonymity, q192LDiversity,
-    q193TCloseness, q194GeneralizationSweep, q195PiiIncidence)
+    q193TCloseness, q194GeneralizationSweep, q195PiiIncidence,
+    q196RedactCorpus)
 }

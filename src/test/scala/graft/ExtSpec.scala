@@ -306,6 +306,55 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Long]("phone_doc_ppm") == 500000L)
   }
 
+  test("corpus text redaction: removal closes the q195 loop (incidence 0), tokens are deterministic per value") {
+    import graft.ext.Redaction
+    val rows = Seq(
+      (1L, "s1", "reach alice@example.com or call 555-123-4567 now"),
+      (2L, "s1", "alice@example.com appears again plus bob@other.org"),
+      (3L, "s2", "no pii in this one"),
+      (4L, "s2", "555-123-4567 and 555-999-0000 two phones"),
+      (5L, "s2", "ends with an email a@b.c"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+    val red = Redaction.redactCorpusText(df)
+    val out = red.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_emails_redacted"), r.getAs[Long]("n_phones_redacted"),
+        r.getAs[String]("redacted_text"))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L)
+    assert(out(2L)._1 == 2L && out(3L) == (0L, 0L, "no pii in this one"))
+    assert(out(4L)._2 == 2L && out(5L)._1 == 1L)
+    // deterministic same-value-same-token: alice's placeholder in doc 1
+    // equals alice's in doc 2, and differs from bob's
+    val tok1 = out(1L)._3.split(" ").find(_.startsWith("EMAIL_")).get
+    val toks2 = out(2L)._3.split(" ").filter(_.startsWith("EMAIL_"))
+    assert(toks2.contains(tok1), "same email must map to the same token")
+    assert(toks2.distinct.length == 2, "different emails, different tokens")
+    // distinct phones get distinct tokens; doc 4's two differ
+    assert(out(4L)._3.split(" ").filter(_.startsWith("PHONE_"))
+      .distinct.length == 2)
+    // the loop closes: the redacted corpus has ZERO detectable PII
+    val inc = Redaction.piiIncidence(
+      red.select(col("source"), col("redacted_text").as("text"))).collect()
+    inc.foreach { r =>
+      assert(r.getAs[Long]("docs_with_email") == 0L &&
+        r.getAs[Long]("docs_with_phone") == 0L &&
+        r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_phones") == 0L,
+        s"redacted text still detects PII in source ${r.getAs[String]("source")}")
+    }
+    // null text stays an honest null (missingness statistics survive)
+    val nulled = Redaction.redactCorpusText(
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(9L, "s", null)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))))
+      .collect()(0)
+    assert(nulled.getAs[String]("redacted_text") == null)
+  }
+
   test("generalization sweep: nested coarsening monotonically shrinks the at-risk share; non-nested chains refuse") {
     import graft.ext.Redaction
     // one nation/segment, balances spread so each width regroups them:
@@ -330,6 +379,69 @@ class ExtSpec extends SparkSpec {
       Redaction.generalizationSweep(df, Seq(1000, 2500, 5000))
     }
     assert(e.getMessage.contains("nested chain"))
+    // a DUPLICATE width passes divisibility (500 % 500 == 0) but would
+    // explode two identical band_width rows per customer into the same
+    // (width, QI) group, doubling every k — refused loudly too
+    val dup = intercept[IllegalArgumentException] {
+      Redaction.generalizationSweep(df, Seq(500, 500, 5000))
+    }
+    assert(dup.getMessage.contains("strictly increasing"))
+  }
+
+  test("injectedId offsets clone ids below the bound and fails loudly past it") {
+    val ok = docsDf(3L -> "x", 999999L -> "y")
+      .select(Dedup.injectedId(col("doc_id"), 1000000L).as("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ok.toSeq == Seq(1000003L, 1999999L))
+    // a corpus past the bound would make injected ids collide with base
+    // ids and fan out the flag joins IDENTICALLY in both engines — the
+    // oracle could never catch it, so the operator must refuse at scan
+    val e = intercept[RuntimeException] {
+      docsDf(1000000L -> "z")
+        .select(Dedup.injectedId(col("doc_id"), 3000000L).as("doc_id"))
+        .collect()
+    }
+    assert(e.getMessage.contains("injected-clone id scheme"))
+  }
+
+  test("pair-frame cache: cached frames equal the fresh chains per variant; non-derivable requests refuse") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"cached $what diverges from the fresh chain")
+    // exact-Jaccard: the <300 slice and both registered thresholds are
+    // re-filters of ONE cached (<1000, >=0.05) superset frame — on the
+    // RAW jaccard, so rounding can't admit a pair the fresh op rejects
+    same(Dedup.jaccardPairsCached(spark, sf, 300, 0.3),
+      Dedup.jaccardPairs(docs.filter(col("doc_id") < 300), 0.3), "jp 300/0.3")
+    same(Dedup.jaccardPairsCached(spark, sf, 1000, 0.05),
+      Dedup.jaccardPairs(docs.filter(col("doc_id") < 1000), 0.05),
+      "jp 1000/0.05")
+    same(Dedup.jaccardPairsCached(spark, sf, 1000, 0.3),
+      Dedup.jaccardPairs(docs.filter(col("doc_id") < 1000), 0.3),
+      "jp 1000/0.3")
+    // MinHash: thresholds and id-bounded slices re-filter the cached
+    // threshold-0 full-corpus frame (banding is per-doc, so a slice's
+    // candidate set is exactly the id-restricted full set)
+    same(Dedup.minhashCandidatesCached(spark, sf, 0.3),
+      Dedup.minhashCandidates(docs, 0.3), "mh 0.3")
+    same(Dedup.minhashCandidatesCached(spark, sf, 0.0, maxId = Some(1000)),
+      Dedup.minhashCandidates(docs.filter(col("doc_id") < 1000), 0.0),
+      "mh slice 1000")
+    // SimHash: cached per hamming budget
+    same(Dedup.simhashPairsCached(spark, sf, 2),
+      Dedup.simhashPairs(docs, 2), "sh h2")
+    // a slice or threshold outside the cached frame's reach refuses
+    // loudly instead of silently serving a too-small pair set
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsCached(spark, sf, 2000, 0.3)
+    }
+    assert(e.getMessage.contains("not derivable"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsCached(spark, sf, 300, 0.01)
+    }
+    assert(e2.getMessage.contains("not derivable"))
   }
 
   test("privacy pair coarsening: nested-width derivation equals the direct card, negatives included") {
@@ -346,6 +458,83 @@ class ExtSpec extends SparkSpec {
     assert(fromState.exceptAll(direct).count() == 0 &&
       direct.exceptAll(fromState).count() == 0,
       "coarsened 1000-band state must reproduce the 5000-band card exactly")
+  }
+
+  test("generalization sweep derives from the base-width state exactly; non-derivable widths refuse") {
+    import graft.ext.Redaction
+    // negatives + a boundary-straddling spread so every width regroups
+    val rows = Seq(-750.0, -250.0, 100.0, 600.0, 1100.0, 4999.0, 5001.0,
+      9999.0, 777.0, 777.0)
+      .zipWithIndex.map { case (bal, i) =>
+        (s"c$i", i % 3, if (i % 2 == 0) "A" else "B", bal)
+      }
+    val df = spark.createDataFrame(rows)
+      .toDF("c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val fromState =
+      Redaction.generalizationSweepFromPairs(Redaction.privacyPairs(df))
+    val tableScan = Redaction.generalizationSweep(df)
+    assert(fromState.exceptAll(tableScan).count() == 0 &&
+      tableScan.exceptAll(fromState).count() == 0,
+      "the state-derived sweep must equal the exploded-axis table scan")
+    // ... and at the gate table too (sf0.001 customer), so the pin covers
+    // real balance distributions, not just the fixture
+    val cust = Tables.customer(spark, sf)
+    val fs2 =
+      Redaction.generalizationSweepFromPairs(Redaction.privacyPairs(cust))
+    val ts2 = Redaction.generalizationSweep(cust)
+    assert(fs2.exceptAll(ts2).count() == 0 && ts2.exceptAll(fs2).count() == 0,
+      "state-derived sweep diverges from the table scan on customer")
+    // a width chain whose finest row is NOT a multiple of the state's
+    // base width cannot derive from the state — refuse loudly instead of
+    // silently re-aggregating (the round-10 q194 escape)
+    val e = intercept[IllegalArgumentException] {
+      Redaction.generalizationSweepFromPairs(
+        Redaction.privacyPairs(df), 1000, Seq(500, 1000, 5000, 10000))
+    }
+    assert(e.getMessage.contains("not derivable"))
+  }
+
+  test("privacy state: build + append ≡ rebuild; readers serve a crashed swap; the writer repairs it") {
+    import graft.ext.Redaction
+    val cust = Tables.customer(spark, sf)
+    val first = cust.filter(col("c_custkey") % 2 === 0)
+    val second = cust.filter(col("c_custkey") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("privacy_state").toString
+    Redaction.buildPrivacyState(first, dir)
+    Redaction.appendToPrivacyState(spark, dir, second)
+    val merged = Redaction.readPrivacyState(spark, dir)
+    val oneShot = Redaction.privacyPairs(cust)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "incremental privacy state must equal the one-shot build")
+    // the full review — three cards + the sweep — re-publishes from the
+    // persisted state with zero raw-table rescans
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what from persisted state diverges from the table form")
+    val st = Redaction.readPrivacyState(spark, dir)
+    same(Redaction.kAnonymityFromPairs(Redaction.coarsenPrivacyPairs(st, 10)),
+      Redaction.kAnonymityCard(cust), "q189")
+    same(Redaction.lDiversityFromPairs(Redaction.coarsenPrivacyPairs(st, 2)),
+      Redaction.lDiversityCard(cust), "q192")
+    same(Redaction.tClosenessFromPairs(Redaction.coarsenPrivacyPairs(st, 2)),
+      Redaction.tClosenessCard(cust), "q193")
+    same(Redaction.generalizationSweepFromPairs(st),
+      Redaction.generalizationSweep(cust), "q194")
+    // crash window: state moved aside mid-publish — a CONSUMER read
+    // serves the backup without repairing; the next writer op repairs
+    val p = new java.io.File(dir + "/privacy")
+    assert(p.renameTo(new java.io.File(dir + "/privacy__backup")))
+    val recovered = Redaction.readPrivacyState(spark, dir)
+    assert(recovered.exceptAll(oneShot).count() == 0,
+      "backup recovery lost state")
+    assert(!p.exists(), "a CONSUMER read must not repair the swap")
+    Redaction.appendToPrivacyState(spark, dir, cust.limit(0))
+    assert(p.exists(), "the writer must complete the crashed swap")
+    val repaired = Redaction.readPrivacyState(spark, dir)
+    assert(repaired.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(repaired).count() == 0)
   }
 
   test("l-diversity card: homogeneous groups land in l=1, diversity counted per group, row-weighted ppm exact") {

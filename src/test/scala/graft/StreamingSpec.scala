@@ -577,12 +577,13 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch estimate split at ${r.getAs[java.sql.Date]("window_start")}"))
   }
 
-  test("streaming privacy trio: complete-mode pair counts derive q189/q192/q193 exactly after EVERY micro-batch") {
-    // the privacy cards' shared (QI, sensitive) pair state is the same
+  test("streaming privacy review: complete-mode pair counts derive q189/q192/q193/q194 exactly after EVERY micro-batch") {
+    // the privacy review's shared (QI, sensitive) pair state is the same
     // state-is-the-result class as dailyPartials: a COMPLETE-mode count
     // aggregation bounded by the tuple domain, with all three review
-    // cards re-derivable per micro-batch — each batch's derivation must
-    // EQUAL the batch operator run over the exact file prefix seen
+    // cards AND the generalization sweep re-derivable per micro-batch —
+    // each batch's derivation must EQUAL the batch operator run over the
+    // exact file prefix seen
     import graft.ext.Redaction
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
@@ -616,15 +617,22 @@ class StreamingSpec extends SparkSpec {
             assert(live.exceptAll(batch).count() == 0 &&
               batch.exceptAll(live).count() == 0,
               s"batch $id: live $what diverges from the batch operator")
-          // q189's REGISTERED card uses the coarser 5000 band — derived
-          // from the same 1000-band state via the nested-width identity
+          // the state's base width is 500 (the finest width in q194's
+          // chain); every registered consumer derives via the
+          // nested-width identity: q189's 5000 band factor 10,
+          // q192/q193's 1000 band factor 2, q194's whole sweep
+          // factors 1/2/10/20
           same(Redaction.kAnonymityFromPairs(
-              Redaction.coarsenPrivacyPairs(s, 5)),
+              Redaction.coarsenPrivacyPairs(s, 10)),
             Redaction.kAnonymityCard(prefix), "q189 k-anonymity")
-          same(Redaction.lDiversityFromPairs(s),
+          same(Redaction.lDiversityFromPairs(
+              Redaction.coarsenPrivacyPairs(s, 2)),
             Redaction.lDiversityCard(prefix), "q192 l-diversity")
-          same(Redaction.tClosenessFromPairs(s),
+          same(Redaction.tClosenessFromPairs(
+              Redaction.coarsenPrivacyPairs(s, 2)),
             Redaction.tClosenessCard(prefix), "q193 t-closeness")
+          same(Redaction.generalizationSweepFromPairs(s),
+            Redaction.generalizationSweep(prefix), "q194 sweep")
           seenBatches.incrementAndGet()
           ()
         } finally { s.unpersist(); () }
