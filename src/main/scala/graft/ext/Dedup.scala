@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Every injected-clone id in this file stays below this bound, so the
-    * +1000000 / +3000000 offset ranges can never collide with a base id. */
-  final val InjectedIdBound = 1000000L
+  /** Every injected-clone BASE id must stay below this bound, so the
+    * +1e8 / +3e8 offset ranges can never collide with a base id. The
+    * bound clears the 9x clone-chain corpus (max doc_id ~2.2e7 — its
+    * tier-2 clones sit at offset 2·1e7); a corpus past 1e8 fails LOUDLY
+    * at scan instead of silently fanning out the flag joins identically
+    * in both engines. */
+  final val InjectedIdBound = 100000000L
 
   /** Offset an injected clone's doc_id, failing LOUDLY if the base corpus
     * has grown past [[InjectedIdBound]]: a silent collision would fan out
@@ -438,7 +442,11 @@ object Dedup {
     * clone+reformat corpus, q190's clone+reverse corpus): the variant
     * string IS the construction identity, so callers must pass the same
     * corpus for the same name — both registered consumers build theirs
-    * from the fingerprinted source table, which also keys the cache. */
+    * from the fingerprinted source table, which also keys the cache.
+    * If the CONSTRUCTION changes (offsets, clone rules), the variant
+    * name MUST change with it — the content fingerprint only tracks the
+    * source table, not the code (the `_1e8` suffix marks the round-11
+    * offset scheme). */
   def minhashCandidatesCachedOn(s: org.apache.spark.sql.SparkSession,
       dir: String, variant: String, corpus: () => DataFrame,
       minEstimate: Double): DataFrame =
@@ -470,7 +478,7 @@ object Dedup {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+      |  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 7 = 0)
       |SELECT md5(text) AS fingerprint,
       |  min(doc_id) AS keeper_doc_id,
       |  count(*) AS n_copies
@@ -480,7 +488,7 @@ object Dedup {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val corpus = d.unionByName(
       d.filter(col("doc_id") % 7 === 0)
-        .select(injectedId(col("doc_id"), 1000000L).as("doc_id"),
+        .select(injectedId(col("doc_id"), 100000000L).as("doc_id"),
           col("text")))
     exactDedupGroups(corpus)
       .select(col("fingerprint"), col("keeper_doc_id"), col("n_copies"))
@@ -819,7 +827,7 @@ object Dedup {
     s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 3000000, upper(text) || '  !!' AS text
+      |  SELECT doc_id + 300000000, upper(text) || '  !!' AS text
       |  FROM documents WHERE doc_id % 11 = 3),
       |fp AS (
       |  SELECT doc_id,
@@ -836,7 +844,7 @@ object Dedup {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val corpus = d.unionByName(
       d.filter(col("doc_id") % 11 === 3)
-        .select(injectedId(col("doc_id"), 3000000L).as("doc_id"),
+        .select(injectedId(col("doc_id"), 300000000L).as("doc_id"),
           concat(upper(col("text")), lit("  !!")).as("text")))
     normalizedDedupGroups(corpus).orderBy("keeper_doc_id")
   }
@@ -1824,8 +1832,8 @@ object Dedup {
 
   /** q190: the detector-agreement card over the corpus with two planted
     * duplicate classes chosen to SPLIT the detectors: exact copies
-    * (doc_id%7==0, +1000000 — both families flag) and token-REVERSED
-    * copies (doc_id%11==3, +3000000 — identical token bag, so SimHash
+    * (doc_id%7==0, +1e8 — both families flag) and token-REVERSED
+    * copies (doc_id%11==3, +3e8 — identical token bag, so SimHash
     * sees hamming 0, while the 3-gram shingle set is destroyed and
     * MinHash stays silent). Kappa then quantifies exactly the
     * order-sensitivity gap between the families. Oracle: the shared
@@ -1836,9 +1844,9 @@ object Dedup {
       """WITH corpus AS (
         |  SELECT doc_id, text, source FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 100000000, text, source FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 3000000,
+        |  SELECT doc_id + 300000000,
         |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text,
         |    source
         |  FROM documents WHERE doc_id % 11 = 3),
@@ -1877,15 +1885,15 @@ object Dedup {
     val d = Tables.documents(s, dir).select("doc_id", "text", "source")
     val corpus = d
       .unionByName(d.filter(col("doc_id") % 7 === 0)
-        .select(injectedId(col("doc_id"), 1000000L).as("doc_id"),
+        .select(injectedId(col("doc_id"), 100000000L).as("doc_id"),
           col("text"), col("source")))
       .unionByName(d.filter(col("doc_id") % 11 === 3)
-        .select(injectedId(col("doc_id"), 3000000L).as("doc_id"),
+        .select(injectedId(col("doc_id"), 300000000L).as("doc_id"),
           array_join(reverse(split(col("text"), " ")), " ").as("text"),
           col("source")))
     detectorAgreementFrom(corpus,
-      minhashCandidatesCachedOn(s, dir, "i711r", () => corpus, 0.5),
-      simhashPairsCachedOn(s, dir, "i711r", () => corpus, 2))
+      minhashCandidatesCachedOn(s, dir, "i711r_1e8", () => corpus, 0.5),
+      simhashPairsCachedOn(s, dir, "i711r_1e8", () => corpus, 2))
   }
 
   val all: Seq[QuerySpec] = Seq(

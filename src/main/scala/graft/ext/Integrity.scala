@@ -209,9 +209,9 @@ object Integrity {
         """corpus AS (
           |  SELECT doc_id, text FROM documents
           |  UNION ALL
-          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+          |  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 7 = 0
           |  UNION ALL
-          |  SELECT doc_id + 3000000,
+          |  SELECT doc_id + 300000000,
           |    upper(text) || '  !!' AS text
           |  FROM documents WHERE doc_id % 11 = 3)""".stripMargin
       s"""WITH RECURSIVE $corpusSql,
@@ -248,13 +248,13 @@ object Integrity {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val corpus = d
       .unionByName(d.filter(col("doc_id") % 7 === 0)
-        .select(Dedup.injectedId(col("doc_id"), 1000000L).as("doc_id"),
+        .select(Dedup.injectedId(col("doc_id"), 100000000L).as("doc_id"),
           col("text")))
       .unionByName(d.filter(col("doc_id") % 11 === 3)
-        .select(Dedup.injectedId(col("doc_id"), 3000000L).as("doc_id"),
+        .select(Dedup.injectedId(col("doc_id"), 300000000L).as("doc_id"),
           concat(upper(col("text")), lit("  !!")).as("text")))
     dedupCardFrom(corpus,
-      Dedup.minhashCandidatesCachedOn(s, dir, "i711u", () => corpus, 0.5))
+      Dedup.minhashCandidatesCachedOn(s, dir, "i711u_1e8", () => corpus, 0.5))
       .orderBy("doc_id")
   }
 

@@ -211,9 +211,12 @@ object Sampling {
     * clustering is q79's O(log n) contraction over the (sparse) pair
     * set, and the split itself is scan-local — the only corpus-wide
     * extra vs q64 is the signature aggregate. */
-  def leakageSafeSplit(docs: DataFrame, minEstimate: Double = 0.5): DataFrame = {
-    val clusters = Dedup.clustersFromPairsStar(
-      Dedup.minhashCandidates(docs, minEstimate))
+  def leakageSafeSplit(docs: DataFrame, minEstimate: Double = 0.5): DataFrame =
+    leakageSafeSplitFrom(docs, Dedup.minhashCandidates(docs, minEstimate))
+
+  /** [[leakageSafeSplit]] from an existing (cached) pair frame. */
+  def leakageSafeSplitFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = Dedup.clustersFromPairsStar(pairs)
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -246,7 +249,8 @@ object Sampling {
       |  ${assignSplitSql("coalesce(l.rep, d.doc_id)")} AS split
       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-    leakageSafeSplit(Tables.documents(s, dir)).orderBy("doc_id")
+    leakageSafeSplitFrom(Tables.documents(s, dir),
+      Dedup.minhashCandidatesCached(s, dir, 0.5)).orderBy("doc_id")
   }
 
   /** Per-tier keep rates (percent) for [[qualityTierSample]] — ONE home

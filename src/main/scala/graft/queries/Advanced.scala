@@ -1174,12 +1174,16 @@ object Advanced {
     val rawEdges = op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
       .select(col("a.part").as("src"), col("b.part").as("dst"))
-      .distinct()
-    // out-degree as a window over the SAME src partitioning the
-    // repartition just created — no degree join, no second derivation
-    // of the self-join, one shuffle for the whole build
+    // ONE exchange for the whole build (round 11 — was two): repartition
+    // on src FIRST, then dedupe and take the out-degree window on top —
+    // HashPartitioning(src) satisfies both the (src, dst) dedup's
+    // clustered distribution (a subset partitioning colocates equal
+    // pairs) and the window's src clustering, so neither adds a shuffle.
+    // The earlier distinct-then-repartition order shuffled the full edge
+    // list twice.
     val edges = rawEdges
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy("src")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -389,16 +389,18 @@ class ExtSpec extends SparkSpec {
   }
 
   test("injectedId offsets clone ids below the bound and fails loudly past it") {
-    val ok = docsDf(3L -> "x", 999999L -> "y")
-      .select(Dedup.injectedId(col("doc_id"), 1000000L).as("doc_id"))
+    // 22004999 is the 9x clone-chain corpus's max doc_id — the largest
+    // base id the scheme must accept
+    val ok = docsDf(3L -> "x", 22004999L -> "y")
+      .select(Dedup.injectedId(col("doc_id"), 100000000L).as("doc_id"))
       .collect().map(_.getLong(0)).sorted
-    assert(ok.toSeq == Seq(1000003L, 1999999L))
+    assert(ok.toSeq == Seq(100000003L, 122004999L))
     // a corpus past the bound would make injected ids collide with base
     // ids and fan out the flag joins IDENTICALLY in both engines — the
     // oracle could never catch it, so the operator must refuse at scan
     val e = intercept[RuntimeException] {
-      docsDf(1000000L -> "z")
-        .select(Dedup.injectedId(col("doc_id"), 3000000L).as("doc_id"))
+      docsDf(100000000L -> "z")
+        .select(Dedup.injectedId(col("doc_id"), 300000000L).as("doc_id"))
         .collect()
     }
     assert(e.getMessage.contains("injected-clone id scheme"))
@@ -1751,13 +1753,13 @@ class ExtSpec extends SparkSpec {
   test("dedup card: each detector flags its injected class with the right keeper") {
     val rows = SparkEntry.queries("q114_dedup_card")(spark, sf).collect()
     val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
-    val exactClones = byId.keys.filter(_ >= 1000000L).filter(_ < 3000000L)
-    val normClones = byId.keys.filter(_ >= 3000000L)
+    val exactClones = byId.keys.filter(_ >= 100000000L).filter(_ < 300000000L)
+    val normClones = byId.keys.filter(_ >= 300000000L)
     assert(exactClones.nonEmpty && normClones.nonEmpty, "fixture classes missing")
     exactClones.foreach { id =>
       val r = byId(id)
       assert(r.getAs[Boolean]("in_exact_group"), s"exact clone unflagged: $r")
-      assert(r.getAs[Long]("exact_keeper") == id - 1000000L, s"wrong keeper: $r")
+      assert(r.getAs[Long]("exact_keeper") == id - 100000000L, s"wrong keeper: $r")
       assert(r.getAs[Boolean]("drop_candidate"))
     }
     normClones.foreach { id =>
@@ -1765,7 +1767,7 @@ class ExtSpec extends SparkSpec {
       // reformatting breaks the raw digest but not the canonical one
       assert(!r.getAs[Boolean]("in_exact_group"), s"norm clone in raw group: $r")
       assert(r.getAs[Boolean]("in_norm_group"), s"norm clone unflagged: $r")
-      assert(r.getAs[Long]("norm_keeper") == id - 3000000L, s"wrong keeper: $r")
+      assert(r.getAs[Long]("norm_keeper") == id - 300000000L, s"wrong keeper: $r")
       assert(r.getAs[Boolean]("drop_candidate"))
     }
     // originals that head their groups and sit outside near-dup clusters

@@ -259,14 +259,24 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q90: overlap matrix inherits the banded pair join — no cartesian anywhere") {
+    // since round 11 the candidates come from the materialized pair-frame
+    // cache, so q90's own plan is a pair-frame scan + the two label
+    // joins + one aggregate — still no all-pairs fallback allowed...
     val p = planOf("q90_source_overlap")
-    // candidates must come from the q28 band equi-join (hash join on the
-    // band keys); any all-pairs fallback in the pair mining or the two
-    // source-label attach joins would show up as a cartesian
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"overlap matrix degenerated to all-pairs:\n$p")
-    assert("""band_key""".r.findFirstIn(p).isDefined,
-      s"no banded join key in the candidate stage:\n$p")
+    // ...and the band equi-join lives in the cache BUILDER's plan: the
+    // fresh minhashCandidates chain must join on the band keys, never
+    // all-pairs (this is the plan the one-time build per corpus
+    // fingerprint executes)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val bp = graft.ext.Dedup.minhashCandidates(docs, 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!bp.contains("CartesianProduct") &&
+      !bp.contains("BroadcastNestedLoopJoin"),
+      s"pair-frame build degenerated to all-pairs:\n$bp")
+    assert("""band_key""".r.findFirstIn(bp).isDefined,
+      s"no banded join key in the build's candidate stage:\n$bp")
   }
 
   test("q91: the apply pass is one scan, join-free (rates fold to literals)") {
@@ -739,6 +749,20 @@ class PlanQualitySpec extends SparkSpec {
         s"q170 iterations lost the shuffle-hash score join: $names")
       assert(names.contains("InMemoryTableScanExec"),
         s"q170 re-derives the edge list instead of reading the cache: $names")
+      // the edge BUILD pays exactly ONE exchange after the self-join
+      // (round 11): repartition(src) first, then the (src, dst) dedup and
+      // the out-degree window both reuse that partitioning — a subset
+      // hash partitioning satisfies their clustered distributions. The
+      // earlier distinct-then-repartition order shuffled the edges twice.
+      val buildPlan = edges.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(src#\\d+L, \\d".r
+        .findFirstIn(buildPlan).isDefined,
+        s"edge build lost its src repartition:\n$buildPlan")
+      assert("Exchange hashpartitioning\\(src#\\d+L, dst".r
+        .findFirstIn(buildPlan).isEmpty,
+        s"edge build re-grew the second (src, dst) dedup exchange — the " +
+          s"(src, dst) aggregate and the out-degree window must both " +
+          s"reuse the src repartitioning:\n$buildPlan")
     } finally { edges.unpersist(); () }
   }
 
