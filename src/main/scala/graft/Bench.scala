@@ -122,7 +122,7 @@ object Bench {
     // compact twin now carries per-query medians as a POSITIONAL array
     // "qs":[...] ordered by SORTED REGISTRY NAME (the same lexicographic
     // order as the full line's map and BASELINE.md's anchor table), which
-    // drops the ~6-char "NNN": key per entry: measured 918 chars at 192
+    // drops the ~6-char "NNN": key per entry: measured 894 chars at 192
     // queries — ~53% headroom, and each new query costs ~4 chars instead
     // of ~10. A FAILED query holds position as null (so indices never
     // shift) and its name still appears in "failed". "n" is the registry

@@ -378,16 +378,22 @@ object Dedup {
           if (!new java.io.File(s"$table/_READY").exists())
             sys.error(s"pair-frame publish failed for $table")
         }
-        // GC published frames of superseded fingerprints of this table —
-        // age-gated, and in-flight __build_ staging dirs left alone
+        // GC, age-gated in both arms: (a) published frames of superseded
+        // fingerprints of this table; (b) __build_ staging dirs older
+        // than the grace window — a build takes seconds, so an hour-old
+        // staging dir can only be a CRASHED builder's leak (without this
+        // arm every crashed build strands a full pair-frame copy in tmp
+        // forever: the pre-build cleanup only matches the current pid's
+        // own stage path). In-flight builds are always younger than the
+        // gate.
         val cutoff = System.currentTimeMillis() - PairsStaleGcGraceMs
         new java.io.File(tmp).listFiles() match {
           case null => ()
           case fs => fs.filter(f =>
               f.getName.startsWith(s"graft_pairs_${pathKey}_") &&
-                !f.getName.contains("__build_") &&
-                f.getName != s"graft_pairs_${pathKey}_$fp" &&
-                f.lastModified() < cutoff)
+                f.lastModified() < cutoff &&
+                (f.getName.contains("__build_") ||
+                  f.getName != s"graft_pairs_${pathKey}_$fp"))
             .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
         }
       }

@@ -139,6 +139,11 @@ object Redaction {
         floor(col("c_acctbal") / bandWidth).cast("int").as("bal_band"),
         col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"))
+      // the state is SELF-DESCRIBING: it carries its band width, so a
+      // derivation fed a state built at a different width fails loudly
+      // (the sweep's coarsen guard) instead of producing a silently
+      // mislabeled curve — the width survives persistence and merging
+      .withColumn("band_width", lit(bandWidth))
 
   /** Coarsen a [[privacyPairs]] state to a band width `factor`× wider —
     * EXACT when widths nest, because `floor(floor(x/w)/f) = floor(x/(w·f))`
@@ -155,7 +160,8 @@ object Redaction {
         floor(col("bal_band").cast("double") / factor).cast("int")
           .as("bal_band"),
         col("c_mktsegment"))
-      .agg(sum(col("cnt")).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"),
+        (max(col("band_width")) * factor).as("band_width"))
   }
 
   /** q189 from [[privacyPairs]] state alone: the pair count IS k for
@@ -493,7 +499,19 @@ object Redaction {
       s"got $widths")
     val perWidth = widths.map { w =>
       coarsenPrivacyPairs(pairs, w / baseWidth)
-        .select(lit(w).as("band_width"), col("cnt").as("k"))
+        // the state is self-describing: if the caller's baseWidth does
+        // not match the width the state was actually built at, the
+        // coarsened width disagrees with the label — fail LOUDLY instead
+        // of emitting a silently mislabeled curve
+        .select(
+          when(col("band_width") === w, col("cnt"))
+            .otherwise(raise_error(concat(
+              lit(s"generalizationSweepFromPairs: state width mismatch — " +
+                s"coarsening toward labeled width $w actually produced "),
+              col("band_width").cast("string"),
+              lit(s" (state not built at base width $baseWidth)"))))
+            .as("k"))
+        .select(lit(w).as("band_width"), col("k"))
     }.reduce(_ unionByName _)
     sweepFold(perWidth)
   }
@@ -506,15 +524,33 @@ object Redaction {
   def mergePrivacyPairs(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
       .groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
-      .agg(sum(col("cnt")).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"),
+        min(col("band_width")).as("__wmin"),
+        max(col("band_width")).as("__wmax"))
+      .select(col("c_nationkey"), col("bal_band"), col("c_mktsegment"),
+        col("cnt"),
+        // merging states built at DIFFERENT widths is meaningless (the
+        // bands partition different intervals) — fail loudly where the
+        // widths collide in one tuple group
+        when(col("__wmin") === col("__wmax"), col("__wmax"))
+          .otherwise(raise_error(concat(
+            lit("mergePrivacyPairs: width mismatch — merging states of " +
+              "band widths "), col("__wmin").cast("string"), lit(" and "),
+            col("__wmax").cast("string")))).as("band_width"))
 
   /** Persist the base-width pair state: build pays the identity-table
-    * scan once; every later review derives from the state. */
+    * scan once; every later review derives from the state. A REBUILD
+    * over an existing state goes through the same staging + backup
+    * publish as the append path — a plain Overwrite deletes the live
+    * state before writing, so a crash mid-build would leave readers a
+    * truncated frame they'd serve silently. */
   def buildPrivacyState(customers: DataFrame, dir: String,
-      bandWidth: Double = PrivacyBaseWidth): Unit =
-    privacyPairs(customers, bandWidth).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$dir/privacy")
+      bandWidth: Double = PrivacyBaseWidth): Unit = {
+    val s = customers.sparkSession
+    graft.pipeline.Store.repairPublished(s, s"$dir/privacy", "privacy build")
+    graft.pipeline.Store.publishAtomic(s, privacyPairs(customers, bandWidth),
+      s"$dir/privacy", "privacy build")
+  }
 
   /** Fold a batch of identity rows into the persisted state WITHOUT
     * rescanning the covered table: batch pairs ∪ stored pairs → one
@@ -724,12 +760,20 @@ object Redaction {
         |  FROM documents),
         |${redactCte("corpus", "r1", EmailRe, "EMAIL_", "n_emails_redacted")},
         |${redactCte("r1", "r2", PhoneRe, "PHONE_", "n_phones_redacted")}
-        |SELECT r2.doc_id AS doc_id, r2.source AS source,
+        |SELECT c.doc_id AS doc_id, c.source AS source,
         |  r1.n_emails_redacted AS n_emails_redacted,
         |  r2.n_phones_redacted AS n_phones_redacted,
         |  md5(r2.text) AS redacted_md5
-        |FROM r2 JOIN r1 ON r1.doc_id = r2.doc_id
+        |FROM corpus c
+        |LEFT JOIN r1 ON r1.doc_id = c.doc_id
+        |LEFT JOIN r2 ON r2.doc_id = c.doc_id
         |ORDER BY doc_id""".stripMargin
+      // LEFT JOINs from corpus, not an inner join of the redaction CTEs:
+      // a NULL text vanishes inside string_split_regex/unnest, but the
+      // Spark side honestly KEEPS the row with null counts/md5 — the
+      // oracle must mirror that or a corpus with one null text would
+      // row-count-diverge (none of the swept corpora has one; enforced
+      // loudly, not assumed).
     }) { (s, dir) =>
     val d = graft.Tables.documents(s, dir)
     val injected = d.select(col("doc_id"), col("source"),
@@ -741,11 +785,14 @@ object Redaction {
           concat(lit(" call 555-"),
             lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
             lit("-4242"))).otherwise(lit(""))).as("text"))
-    redactCorpusText(injected)
+    // sort the NARROW input, not the redacted projection: a global sort
+    // above the regex/fold projection samples its child for range
+    // boundaries and re-executes the whole redaction twice (the
+    // redactOrders lesson in this file — measured 2x there)
+    redactCorpusText(injected.orderBy("doc_id"))
       .select(col("doc_id"), col("source"),
         col("n_emails_redacted"), col("n_phones_redacted"),
         md5(col("redacted_text")).as("redacted_md5"))
-      .orderBy("doc_id")
   }
 
   /** q66: redaction over the deterministically-dirty domain (so the

@@ -62,11 +62,18 @@ object Rollup {
       min(col("min_chars")).as("min_chars"),
       max(col("max_chars")).as("max_chars"))
 
-  /** Persist the rollup: build pays the corpus scan once. */
+  /** Persist the rollup: build pays the corpus scan once. A REBUILD over
+    * an existing rollup publishes atomically (staging + backup) like the
+    * append path — plain Overwrite deletes the live artifact first, so a
+    * mid-build crash would leave readers a truncated frame (round-11
+    * hardening, applied to all the build* entry points). */
   def buildStatsRollup(docs: DataFrame, dir: String,
-      keys: Seq[String] = Seq("source", "lang")): Unit =
-    statsRollup(docs, keys).write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/rollup")
+      keys: Seq[String] = Seq("source", "lang")): Unit = {
+    val s = docs.sparkSession
+    graft.pipeline.Store.repairPublished(s, s"$dir/rollup", "rollup build")
+    graft.pipeline.Store.publishAtomic(s, statsRollup(docs, keys),
+      s"$dir/rollup", "rollup build")
+  }
 
   /** Fold a batch into the persisted rollup WITHOUT rescanning the
     * covered corpus: batch partials ∪ stored partials → one group-
@@ -261,9 +268,12 @@ object Rollup {
       .agg(hll_sketch_agg(col("token"), lgK).as("sketch"))
 
   def buildVocabIndex(docs: DataFrame, dir: String,
-      keys: Seq[String] = Seq("source")): Unit =
-    vocabSketch(docs, keys).write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/vocab")
+      keys: Seq[String] = Seq("source")): Unit = {
+    val s = docs.sparkSession
+    graft.pipeline.Store.repairPublished(s, s"$dir/vocab", "vocab build")
+    graft.pipeline.Store.publishAtomic(s, vocabSketch(docs, keys),
+      s"$dir/vocab", "vocab build")
+  }
 
   /** Union a batch's sketches into the persisted index — the same
     * merge-by-union algebra the distributed aggregate already runs
@@ -333,9 +343,12 @@ object Rollup {
     * of exactness a sketch index (q141's HLL, q119's CMS) avoids by
     * giving up exact ranks. Crash-safe through the shared
     * staging+backup publish. */
-  def buildBinsIndex(events: DataFrame, dir: String): Unit =
-    graft.queries.Profiling.medianBins(events)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bins")
+  def buildBinsIndex(events: DataFrame, dir: String): Unit = {
+    val s = events.sparkSession
+    graft.pipeline.Store.repairPublished(s, s"$dir/bins", "bins build")
+    graft.pipeline.Store.publishAtomic(s,
+      graft.queries.Profiling.medianBins(events), s"$dir/bins", "bins build")
+  }
 
   def appendToBinsIndex(spark: SparkSession, dir: String,
       batch: DataFrame): Unit = {
@@ -493,18 +506,20 @@ object Rollup {
         // uncoordinated; deleting under them is a FileNotFoundException
         // mid-query), so the GC is AGE-GATED: only stale siblings whose
         // publish is older than [[Q145StaleGcGraceMs]] go — any scan
-        // that old has long finished. In-flight `__build_<pid>` staging
-        // dirs are left alone: they belong to a concurrent process,
-        // which will either publish (and age into GC eligibility) or
-        // clean up itself.
+        // that old has long finished. `__build_<pid>` staging dirs are
+        // also GC'd once PAST the grace window (round 11): a build takes
+        // seconds, so an hour-old staging dir can only be a crashed
+        // builder's leak — the pre-build cleanup matches only the
+        // current pid's own stage path and would never reclaim it.
+        // In-flight builds are always younger than the gate.
         val cutoff = System.currentTimeMillis() - Q145StaleGcGraceMs
         new java.io.File(tmp).listFiles() match {
           case null => ()
           case fs => fs.filter(f =>
               f.getName.startsWith(s"graft_q145_${pathKey}_") &&
-                !f.getName.contains("__build_") &&
-                f.getName != s"graft_q145_${pathKey}_$fp" &&
-                f.lastModified() < cutoff)
+                f.lastModified() < cutoff &&
+                (f.getName.contains("__build_") ||
+                  f.getName != s"graft_q145_${pathKey}_$fp"))
             .foreach(f =>
               org.apache.commons.io.FileUtils.deleteQuietly(f))
         }

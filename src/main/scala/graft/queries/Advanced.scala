@@ -1180,7 +1180,12 @@ object Advanced {
     // clustered distribution (a subset partitioning colocates equal
     // pairs) and the window's src clustering, so neither adds a shuffle.
     // The earlier distinct-then-repartition order shuffled the full edge
-    // list twice.
+    // list twice. Shipping the PRE-dedup rows through the one exchange
+    // is still a strict win: a (src, dst) duplicate arises once per
+    // SHARED ORDER, and different orders land in different partitions of
+    // the ok-partitioned join output, so the old first exchange's
+    // map-side combine could never fold them either — it shipped
+    // ~raw-rows THEN unique-rows (R + U); this ships R once.
     val edges = rawEdges
       .repartition(col("src"))
       .dropDuplicates("src", "dst")

@@ -494,6 +494,20 @@ class ExtSpec extends SparkSpec {
         Redaction.privacyPairs(df), 1000, Seq(500, 1000, 5000, 10000))
     }
     assert(e.getMessage.contains("not derivable"))
+    // ... and a state BUILT at the wrong width (labels would lie) fails
+    // loudly at runtime via the state's self-describing band_width
+    val wrong = intercept[Exception] {
+      Redaction.generalizationSweepFromPairs(
+        Redaction.privacyPairs(df, 1000.0)).collect()
+    }
+    assert(wrong.getMessage.contains("width mismatch"))
+    // ... as does merging states built at different widths
+    val badMerge = intercept[Exception] {
+      Redaction.mergePrivacyPairs(
+        Redaction.privacyPairs(df, 500.0),
+        Redaction.privacyPairs(df, 1000.0)).collect()
+    }
+    assert(badMerge.getMessage.contains("width mismatch"))
   }
 
   test("privacy state: build + append ≡ rebuild; readers serve a crashed swap; the writer repairs it") {
