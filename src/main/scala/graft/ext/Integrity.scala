@@ -245,14 +245,8 @@ object Integrity {
         |LEFT JOIN labels l ON l.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-    val d = Tables.documents(s, dir).select("doc_id", "text")
-    val corpus = d
-      .unionByName(d.filter(col("doc_id") % 7 === 0)
-        .select(Dedup.injectedId(col("doc_id"), 100000000L).as("doc_id"),
-          col("text")))
-      .unionByName(d.filter(col("doc_id") % 11 === 3)
-        .select(Dedup.injectedId(col("doc_id"), 300000000L).as("doc_id"),
-          concat(upper(col("text")), lit("  !!")).as("text")))
+    val corpus =
+      Dedup.corpusI711u(Tables.documents(s, dir).select("doc_id", "text"))
     dedupCardFrom(corpus,
       Dedup.minhashCandidatesCachedOn(s, dir, "i711u_1e8", () => corpus, 0.5))
       .orderBy("doc_id")

@@ -429,21 +429,22 @@ object Rollup {
     * regenerated table at the same path changes mtimes/sizes, so cache
     * keys derived from this can never serve stale results the way a
     * path-only key can. Driver-side namenode listing — file-count
-    * bounded, the partition-discovery metadata class. */
-  private[graft] def dirFingerprint(path: String): String = {
-    val root = java.nio.file.Paths.get(path)
+    * bounded, the partition-discovery metadata class. Round 12: walks
+    * through the Hadoop FS API (resolved from the path's scheme), so the
+    * fingerprint works against HDFS/S3A tables, not only the local FS. */
+  private[graft] def dirFingerprint(s: SparkSession, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rootUri = fs.getFileStatus(root).getPath.toUri
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      entries += s"$rel|${st.getLen}|${st.getModificationTime}\n"
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
-    val stream = java.nio.file.Files.walk(root)
-    try {
-      stream.sorted().forEach { p =>
-        val rel = root.relativize(p).toString
-        if (!rel.isEmpty && !java.nio.file.Files.isDirectory(p)) {
-          val sz = java.nio.file.Files.size(p)
-          val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
-          md.update(s"$rel|$sz|$mt\n".getBytes("UTF-8"))
-        }
-      }
-    } finally stream.close()
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -451,83 +452,43 @@ object Rollup {
     * on the scan's file metrics without re-running the layout build.
     *
     * The indexed layout is CACHED per source table (one deterministic
-    * directory, built once under a ready-marker + rename protocol): the
-    * realistic shape is "the layout exists, queries probe it", and the
-    * uncached form leaked a full corpus copy into a fresh temp dir on
-    * every invocation — a bench or plan sweep calls this many times per
-    * session. The key is path MD5 + [[dirFingerprint]] (file list, sizes,
-    * mtimes), so a REGENERATED table at the same path gets a fresh build
-    * instead of stale cache hits; stale-fingerprint siblings of the same
-    * table are deleted on publish. Cross-process safety: each builder
-    * stages under a process-unique dir and publishes with a single
-    * rename — if the rename loses to a concurrent builder, the published
-    * (identical — same fingerprint) layout is used and the loser's
-    * staging is discarded. */
-  private val q145BuildLock = new Object
+    * directory, built once): the realistic shape is "the layout exists,
+    * queries probe it", and the uncached form leaked a full corpus copy
+    * into a fresh temp dir on every invocation — a bench or plan sweep
+    * calls this many times per session. Keying, publish protocol, GC and
+    * the cluster-true Hadoop-FS discipline live in [[CorpusCache]]
+    * (round 12 — shared with the pair-frame cache; the two previously
+    * carried forked copies of the policy, and the old `java.io.File`
+    * rename under tmpdir was a local-FS-only construct). */
+  private[graft] val Q145StaleGcGraceMs: Long = CorpusCache.StaleGcGraceMs
 
-  /** Grace period for GC of superseded q145 layout fingerprints: a
-    * stale sibling younger than this may still be under a concurrent
-    * process's scan (it resolved the old fingerprint just before the
-    * source table changed), so only older ones are deleted — an hour
-    * outlives any single pruned-scan query by orders of magnitude. */
-  private[graft] val Q145StaleGcGraceMs: Long = 60L * 60L * 1000L
+  /** Code token for the q145 layout cache key: hashes the layout
+    * parameters the artifact bakes in (range-partition count, sort/stat
+    * column), so changing them invalidates published layouts instead of
+    * silently serving frames laid out under the old scheme. */
+  private[graft] val Q145CodeToken: String =
+    CorpusCache.md5Hex("rp5|doc_id|v1").take(8)
+
   def prunedRangeStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.pipeline.Store
     val docs = Tables.documents(s, dir)
-    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val pathKey = md5(dir)
-    val fp = dirFingerprint(s"$dir/documents.parquet")
-    val tmp = System.getProperty("java.io.tmpdir")
-    val base = s"$tmp/graft_q145_${pathKey}_$fp"
-    val table = s"$base/docs"
-    q145BuildLock.synchronized {
-      if (!new java.io.File(s"$base/_READY").exists()) {
-        val stage = s"${base}__build_${ProcessHandle.current().pid()}"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    val fp = dirFingerprint(s, s"$dir/documents.parquet")
+    val layout = CorpusCache.materialize(s, "graft_q145", dir, fp,
+      Q145CodeToken, "layout", { stage =>
         docs.repartitionByRange(5, col("doc_id")).sortWithinPartitions("doc_id")
           .write.mode("overwrite").parquet(s"$stage/docs")
         Store.buildSkipManifest(s, s"$stage/docs", stage, Seq("doc_id"))
         val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0) // 1-row bound
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(stage, "_MAXID"), maxId.toString)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(stage, "_READY"), "ready")
-        if (!new java.io.File(stage).renameTo(new java.io.File(base))) {
-          // lost the publish race: accept the winner's identical layout
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
-          if (!new java.io.File(s"$base/_READY").exists())
-            sys.error(s"q145 layout publish failed for $base")
-        }
-        // GC PUBLISHED builds of superseded fingerprints of this table
-        // (same path key, different content hash) — no future resolve
-        // can pick them, but a cross-process reader that resolved one
-        // BEFORE the table changed may still be mid-scan (readers are
-        // uncoordinated; deleting under them is a FileNotFoundException
-        // mid-query), so the GC is AGE-GATED: only stale siblings whose
-        // publish is older than [[Q145StaleGcGraceMs]] go — any scan
-        // that old has long finished. `__build_<pid>` staging dirs are
-        // also GC'd once PAST the grace window (round 11): a build takes
-        // seconds, so an hour-old staging dir can only be a crashed
-        // builder's leak — the pre-build cleanup matches only the
-        // current pid's own stage path and would never reclaim it.
-        // In-flight builds are always younger than the gate.
-        val cutoff = System.currentTimeMillis() - Q145StaleGcGraceMs
-        new java.io.File(tmp).listFiles() match {
-          case null => ()
-          case fs => fs.filter(f =>
-              f.getName.startsWith(s"graft_q145_${pathKey}_") &&
-                f.lastModified() < cutoff &&
-                (f.getName.contains("__build_") ||
-                  f.getName != s"graft_q145_${pathKey}_$fp"))
-            .foreach(f =>
-              org.apache.commons.io.FileUtils.deleteQuietly(f))
-        }
-      }
-    }
-    val maxId = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(base, "_MAXID")).trim.toLong
-    val pruned = Store.skipPrunedScan(s, table, base, "doc_id",
+        val hfs = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        CorpusCache.writeSmall(hfs,
+          new org.apache.hadoop.fs.Path(stage, "_MAXID"), maxId.toString)
+      })
+    val hfs = new org.apache.hadoop.fs.Path(layout)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val maxId = CorpusCache.readSmall(hfs,
+      new org.apache.hadoop.fs.Path(layout, "_MAXID")).trim.toLong
+    val pruned = Store.skipPrunedScan(s, s"$layout/docs", layout, "doc_id",
       maxId / 3, maxId / 2)
     val stats = pruned.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),

@@ -581,7 +581,7 @@ object TextAnalysis {
   private[graft] def bpeMergesCached(s: org.apache.spark.sql.SparkSession,
       dir: String, rounds: Int = BpeRounds): Seq[(Int, String, Long)] =
     bpeMergeCache.computeIfAbsent(
-      (Rollup.dirFingerprint(s"$dir/documents.parquet"), rounds),
+      (Rollup.dirFingerprint(s, s"$dir/documents.parquet"), rounds),
       _ => bpeMerges(Tables.documents(s, dir), rounds).orderBy("round")
         .collect()
         .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"),

@@ -288,37 +288,79 @@ class RollupSpec extends SparkSpec {
     assert(got2 == survivors, "retry must re-list and serve the survivors")
   }
 
-  test("q145 layout GC is age-gated: young stale fingerprints survive (a reader may be mid-scan), old ones go") {
+  test("q145 layout GC is age-gated on the NEWEST RECURSIVE mtime: young stale fingerprints and active builds survive, crashed leaks go") {
     val d = java.nio.file.Files.createTempDirectory("q145_gc").toString
     Tables.documents(spark, sf).write.parquet(s"$d/documents.parquet")
     def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tmp = System.getProperty("java.io.tmpdir")
     val pathKey = md5(d)
-    // plant two superseded published siblings of this table: one fresh
-    // (a concurrent reader could still be scanning it), one past grace
-    def plant(fp: String): java.io.File = {
-      val f = new java.io.File(s"$tmp/graft_q145_${pathKey}_$fp")
+    val oldMs = System.currentTimeMillis() - Rollup.Q145StaleGcGraceMs - 60000L
+    // plant superseded siblings of this table's cache key: staleness is
+    // keyed on the newest mtime found RECURSIVELY, so both the dir AND
+    // its files must be backdated to read as past-grace
+    def plant(suffix: String, backdate: Boolean): java.io.File = {
+      val f = new java.io.File(s"$tmp/graft_q145_${pathKey}_$suffix")
       assert(f.mkdirs())
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f.toString, "_READY"), "ready")
+      val ready = new java.io.File(f, "_READY")
+      java.nio.file.Files.writeString(ready.toPath, "ready")
+      if (backdate) { assert(ready.setLastModified(oldMs))
+        assert(f.setLastModified(oldMs)) }
       f
     }
-    val young = plant("youngfp")
-    val old = plant("oldfp")
-    assert(old.setLastModified(
-      System.currentTimeMillis() - Rollup.Q145StaleGcGraceMs - 60000L))
+    val young = plant("youngfp", backdate = false)
+    val old = plant("oldfp", backdate = true)
+    // a crashed builder's staging leak, fully past grace → reaped
+    val crashed = plant("tok_somefp__build_layout_99999", backdate = true)
+    // an ACTIVE long build: top dir mtime old, but a nested file is
+    // fresh (parquet parts keep landing) — the old top-level-mtime gate
+    // reaped exactly this mid-write (the round-12 ADVICE fix)
+    val active = plant("tok_otherfp__build_layout_88888", backdate = true)
+    java.nio.file.Files.writeString(
+      new java.io.File(active, "part-live").toPath, "writing")
     try {
       assert(Rollup.prunedRangeStats(spark, d)._1.count() > 0)
       assert(young.exists(),
         "a stale sibling inside the grace period must survive the GC")
       assert(!old.exists(), "a stale sibling past the grace period must go")
+      assert(!crashed.exists(), "a crashed staging leak past grace must go")
+      assert(active.exists(),
+        "a staging dir with a FRESH nested file is an active build and " +
+          "must survive regardless of its top-level mtime")
     } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(young)
-      org.apache.commons.io.FileUtils.deleteQuietly(old)
       new java.io.File(tmp).listFiles().toSeq
         .filter(_.getName.startsWith(s"graft_q145_$pathKey"))
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+  }
+
+  test("corpus caches honor a configurable non-tmpdir spark.graft.cacheRoot through the Hadoop FS API") {
+    val d = java.nio.file.Files.createTempDirectory("cache_root_src").toString
+    Tables.documents(spark, sf).write.parquet(s"$d/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_cache_root")
+    try {
+      spark.conf.set("spark.graft.cacheRoot", "file:" + root.toString)
+      // q145 layout: builds + probes under the configured root
+      val stats = Rollup.prunedRangeStats(spark, d)._1
+      assert(stats.count() > 0)
+      val entries = root.toFile.listFiles().toSeq.map(_.getName)
+      assert(entries.exists(_.startsWith("graft_q145_")),
+        s"layout cache must land under the configured root, got $entries")
+      // pair frame: cached ≡ fresh through the configured root
+      val cached = graft.ext.Dedup
+        .jaccardPairsCached(spark, d.toString, 300, 0.3)
+        .collect().map(_.toSeq).toSet
+      val fresh = graft.ext.Dedup.jaccardPairs(
+        Tables.documents(spark, sf).filter(col("doc_id") < 300)
+          .select("doc_id", "text"), 0.3).collect().map(_.toSeq).toSet
+      assert(cached == fresh,
+        "pair frame served from a configured cache root diverges")
+      val entries2 = root.toFile.listFiles().toSeq.map(_.getName)
+      assert(entries2.exists(_.startsWith("graft_pairs_")),
+        s"pair-frame cache must land under the configured root, got $entries2")
+    } finally {
+      spark.conf.unset("spark.graft.cacheRoot")
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     }
   }
 
