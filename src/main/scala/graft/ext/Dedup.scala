@@ -266,14 +266,30 @@ object Dedup {
     * InMemoryRelation per invocation for the session's lifetime. At real
     * scale the signature frame is persisted once as a table by the caller
     * and both the band join and the re-join read it. */
-  def minhashCandidates(docs: DataFrame, minEstimate: Double): DataFrame = {
-    val sigs = minhashSignatures(docs)
+  def minhashCandidates(docs: DataFrame, minEstimate: Double): DataFrame =
+    candidatesFromSigs(minhashSignatures(docs), minEstimate)
+
+  /** Band-collision candidates + signature-agreement scores from an
+    * EXISTING signature frame — the shared core of [[minhashCandidates]]
+    * and the maintained pair index ([[buildPairIndex]]), where the
+    * signatures are state and the raw text is never re-shingled. */
+  private[ext] def candidatesFromSigs(sigs: DataFrame,
+      minEstimate: Double): DataFrame = {
     val bands = lshBands(sigs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    scoreCandidates(cand, sigs, minEstimate)
+  }
+
+  /** Score (doc_a, doc_b) candidates by signature agreement — estimates
+    * Jaccard as the fraction of equal MinHash components (multiples of
+    * 1/[[MinhashK]], exact at 4 decimals, so stored scores re-filter
+    * losslessly at any threshold). */
+  private def scoreCandidates(cand: DataFrame, sigs: DataFrame,
+      minEstimate: Double): DataFrame = {
     val sigA = sigs.toDF(sigs.columns.toIndexedSeq.map(c => s"a_$c"): _*)
     val sigB = sigs.toDF(sigs.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val agree = (0 until MinhashK)
@@ -495,6 +511,107 @@ object Dedup {
       maxHamming: Int): DataFrame =
     materializedPairFrame(s, dir, s"sh_${variant}_h$maxHamming", () =>
       simhashPairs(corpus().select("doc_id", "text"), maxHamming))
+
+  // ---- maintained pair index (persisted, crash-safe, append ≡ rebuild) --
+
+  /** Persisted MinHash pair INDEX — the incremental-maintenance twin of
+    * the fingerprint-keyed pair-frame cache above: the cache rebuilds
+    * ALL pairs whenever the corpus fingerprint changes, which is the
+    * right contract for a reproducible corpus VERSION but the wrong cost
+    * model for a live ingest stream, where each admitted batch should
+    * fold in at band-join-the-new-docs cost (q71's admit discipline
+    * applied to the index itself; the [[Similarity.appendToIvfIndex]] /
+    * [[Multimodal.appendToMediaHashIndex]] precedent). State under `dir`:
+    *
+    *  - `sigs`: (doc_id, sig_0..sig_{k-1}) — per-doc MinHash signatures.
+    *    The expensive raw-text shingling is paid exactly once per doc,
+    *    at admit time; no maintenance op ever re-reads covered text.
+    *  - `pairs`: (doc_a, doc_b, est_jaccard) — every band-collision pair
+    *    at threshold 0. Scores are agreement fractions (multiples of
+    *    1/[[MinhashK]], exact at 4 decimals), so [[readPairIndex]]
+    *    re-filters losslessly at any threshold, like the cache.
+    *
+    * Append ≡ rebuild EXACTLY: a band-collision pair is discovered when
+    * the LATER of its two docs arrives — new×stored and new×new band
+    * joins cover every pair involving the batch, stored old×old pairs
+    * are already in the index, and scores depend only on the two sigs.
+    *
+    * Crash discipline (both publishes go through
+    * [[graft.pipeline.Store.publishAtomic]]): the append publishes
+    * `pairs` FIRST, then `sigs`. A crash between the two leaves the
+    * batch's docs out of `sigs`, so a REPLAY of the same batch passes
+    * the id guard, regenerates the identical pair rows, and the merge's
+    * (doc_a, doc_b) dedup makes the replay idempotent — whereas the
+    * reverse order would strand a state whose guard rejects the very
+    * batch needed to finish it. */
+  def buildPairIndex(docs: DataFrame, dir: String): Unit = {
+    import graft.pipeline.Store
+    val s = docs.sparkSession
+    Store.repairPublished(s, s"$dir/sigs", "pair-index build")
+    Store.repairPublished(s, s"$dir/pairs", "pair-index build")
+    Store.publishAtomic(s, minhashSignatures(docs), s"$dir/sigs",
+      "pair-index build")
+    // pairs derive from the PUBLISHED signature table: the band join and
+    // both score joins read one materialized frame instead of replaying
+    // the shingle aggregation three times through the lineage
+    val sigs = Store.readRecoverableReadOnly(s, s"$dir/sigs",
+      "pair-index build")
+    Store.publishAtomic(s, candidatesFromSigs(sigs, 0.0), s"$dir/pairs",
+      "pair-index build")
+  }
+
+  /** Fold one admitted batch into the index WITHOUT re-reading covered
+    * text: shingle + sign the batch only, band-join the new bands
+    * against stored ∪ new bands (old×old can never appear — one side is
+    * always new), score from signatures, merge. The merge's
+    * (doc_a, doc_b) dedup is what makes a crash replay idempotent (see
+    * the class doc); at 100 TB the stored band side co-partitions by
+    * (band, band_key) and the batch side is the small probe. */
+  def appendToPairIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    import graft.pipeline.Store
+    Store.repairPublished(spark, s"$dir/sigs", "pair-index append")
+    Store.repairPublished(spark, s"$dir/pairs", "pair-index append")
+    val oldSigs = Store.readRecoverableReadOnly(spark, s"$dir/sigs",
+      "pair-index append")
+    val newSigs = minhashSignatures(batch)
+    // doc_id is the corpus identity: silently re-admitting a covered id
+    // would double its band rows and corrupt the pair set in ways the
+    // append ≡ rebuild pin could only catch after the fact — fail LOUDLY
+    // (one bounded metadata join; the q71 admit gate runs upstream)
+    val collided = newSigs.select("doc_id")
+      .join(oldSigs.select("doc_id"), "doc_id").limit(1).count()
+    if (collided > 0)
+      sys.error(s"pair-index append: batch contains doc_ids already " +
+        s"covered by $dir/sigs — route batches through the admit gate")
+    val newBands = lshBands(newSigs)
+    val allBands = lshBands(oldSigs).unionByName(newBands)
+    val cand = allBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val allSigs = oldSigs.unionByName(newSigs)
+    val newPairs = scoreCandidates(cand, allSigs, 0.0)
+    val merged = Store.readRecoverableReadOnly(spark, s"$dir/pairs",
+        "pair-index append")
+      .unionByName(newPairs)
+      .dropDuplicates("doc_a", "doc_b")
+    Store.publishAtomic(spark, merged, s"$dir/pairs", "pair-index append")
+    Store.publishAtomic(spark, allSigs, s"$dir/sigs", "pair-index append")
+  }
+
+  /** Candidate pairs at `minEstimate` from the persisted index alone —
+    * zero text scans, lossless threshold re-filter (stored scores are
+    * exact 1/[[MinhashK]] multiples). Read-only: a crashed append swap
+    * is served from its backup; repair belongs to the next writer. */
+  def readPairIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minEstimate: Double): DataFrame =
+    graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/pairs",
+        "pair-index read")
+      .filter(col("est_jaccard") >= minEstimate)
 
   // ---- registered queries ----------------------------------------------
 

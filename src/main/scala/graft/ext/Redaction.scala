@@ -562,9 +562,19 @@ object Redaction {
       bandWidth: Double = PrivacyBaseWidth): Unit = {
     graft.pipeline.Store.repairPublished(spark, s"$dir/privacy",
       "privacy append")
+    val stored = readPrivacyState(spark, dir)
+    // GLOBAL width assert (round 12): mergePrivacyPairs' per-group
+    // min/max guard only fires where the two states share a tuple group
+    // — a wrong-width batch covering only NEW tuples (a new nation, say)
+    // would merge silently, and the cards ignore band_width, so they'd
+    // emit silently wrong results. One domain-bounded metadata read.
+    val widths = stored.select("band_width").distinct()
+      .collect().map(_.getDouble(0))
+    if (!widths.forall(_ == bandWidth))
+      sys.error(s"privacy append: width mismatch — state built at " +
+        s"${widths.mkString(",")}, batch aggregated at $bandWidth")
     graft.pipeline.Store.publishAtomic(spark,
-      mergePrivacyPairs(readPrivacyState(spark, dir),
-        privacyPairs(batch, bandWidth)),
+      mergePrivacyPairs(stored, privacyPairs(batch, bandWidth)),
       s"$dir/privacy", "privacy append")
   }
 
@@ -615,7 +625,19 @@ object Redaction {
     * projections (zero shuffle); the card is one per-source
     * map-side-combined hash-agg to a sources-bounded frame. Patterns
     * are backref-free char classes, identical in Java regex and RE2. */
-  def piiIncidence(docs: DataFrame): DataFrame = {
+  def piiIncidence(docs: DataFrame): DataFrame =
+    incidenceFromPartials(piiPartials(docs))
+
+  /** The STREAMABLE state behind the incidence card — the detection twin
+    * of [[privacyPairs]]: per-source doc/occurrence counters whose merge
+    * algebra is plain sum, so the card is a COMPLETE-mode streaming
+    * aggregation (state bounded by the SOURCE domain, no watermark) and
+    * the persisted form ([[buildPiiState]]) folds an admitted batch in
+    * at counter cost with ZERO corpus rescans — a redaction rollout gets
+    * a live "which sources still leak" monitor from the state alone.
+    * The regex counters are scan-local codegen'd projections; the only
+    * shuffle is the sources-bounded hash-agg. */
+  def piiPartials(docs: DataFrame): DataFrame = {
     val nEmails = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
     val nPhones = size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
     docs
@@ -626,6 +648,23 @@ object Redaction {
         sum(when(col("np") > 0, 1L).otherwise(0L)).as("docs_with_phone"),
         sum(col("ne").cast("long")).as("n_emails"),
         sum(col("np").cast("long")).as("n_phones"))
+  }
+
+  /** Merge algebra for [[piiPartials]] states: every counter sums per
+    * source — the same commutative monoid the distributed aggregate
+    * folds across partitions, so append ≡ rebuild EXACTLY. */
+  def mergePiiPartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("docs_with_email")).as("docs_with_email"),
+        sum(col("docs_with_phone")).as("docs_with_phone"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"))
+
+  /** The q195 card from a [[piiPartials]] state alone — metadata-only
+    * arithmetic over the sources-bounded frame, no corpus touch. */
+  def incidenceFromPartials(partials: DataFrame): DataFrame =
+    partials
       .select(col("source"), col("n_docs"), col("docs_with_email"),
         col("docs_with_phone"), col("n_emails"), col("n_phones"),
         expr("CAST((1000000 * docs_with_email) DIV n_docs AS BIGINT)")
@@ -633,7 +672,34 @@ object Redaction {
         expr("CAST((1000000 * docs_with_phone) DIV n_docs AS BIGINT)")
           .as("phone_doc_ppm"))
       .orderBy("source")
+
+  /** Persist the incidence state (the [[buildPrivacyState]] discipline:
+    * staging + backup atomic publish; a plain Overwrite rebuild would
+    * delete the live artifact before writing). */
+  def buildPiiState(docs: DataFrame, dir: String): Unit = {
+    val s = docs.sparkSession
+    graft.pipeline.Store.repairPublished(s, s"$dir/pii", "pii build")
+    graft.pipeline.Store.publishAtomic(s, piiPartials(docs),
+      s"$dir/pii", "pii build")
   }
+
+  /** Fold an admitted batch of docs into the persisted state WITHOUT
+    * rescanning the covered corpus: batch partials ∪ stored partials →
+    * one sources-bounded aggregate, atomically published. */
+  def appendToPiiState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    graft.pipeline.Store.repairPublished(spark, s"$dir/pii", "pii append")
+    graft.pipeline.Store.publishAtomic(spark,
+      mergePiiPartials(readPiiState(spark, dir), piiPartials(batch)),
+      s"$dir/pii", "pii append")
+  }
+
+  /** Read the persisted state. Read-only: a crashed append swap is
+    * served from the backup; repair belongs to the next writer op. */
+  def readPiiState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/pii",
+      "pii read")
 
   /** q195: the incidence card over `documents` with PII planted into
     * deterministic doc_id slices (the synthetic corpus is clean, so the

@@ -446,6 +446,44 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not derivable"))
   }
 
+  test("pair index: append ≡ rebuild exactly; crash replay idempotent; covered ids refused; reads recover a crashed swap") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val first = docs.filter(col("doc_id") % 3 =!= 0)
+    val second = docs.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("pair_idx").toString
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, what)
+    Dedup.buildPairIndex(first, dir)
+    Dedup.appendToPairIndex(spark, dir, second)
+    // append ≡ rebuild at threshold 0 AND through a lossless re-filter
+    same(Dedup.readPairIndex(spark, dir, 0.0),
+      Dedup.minhashCandidates(docs, 0.0),
+      "appended pair index diverges from a full rebuild")
+    same(Dedup.readPairIndex(spark, dir, 0.5),
+      Dedup.minhashCandidates(docs, 0.5),
+      "threshold re-filter of the index diverges from the fresh operator")
+    // crash replay: pairs published, sigs not yet (the documented crash
+    // window) — replaying the SAME batch must converge, not double-count
+    graft.pipeline.Store.publishAtomic(spark,
+      Dedup.minhashSignatures(first), s"$dir/sigs", "test crash rewind")
+    Dedup.appendToPairIndex(spark, dir, second)
+    same(Dedup.readPairIndex(spark, dir, 0.0),
+      Dedup.minhashCandidates(docs, 0.0),
+      "replay after a mid-append crash must be idempotent")
+    // a batch carrying covered doc_ids is refused loudly
+    val e = intercept[RuntimeException] {
+      Dedup.appendToPairIndex(spark, dir, second.limit(5))
+    }
+    assert(e.getMessage.contains("already"), s"got: ${e.getMessage}")
+    // crashed swap: a consumer read serves the backup without repairing
+    val p = new java.io.File(dir + "/pairs")
+    assert(p.renameTo(new java.io.File(dir + "/pairs__backup")))
+    same(Dedup.readPairIndex(spark, dir, 0.0),
+      Dedup.minhashCandidates(docs, 0.0), "backup recovery lost pairs")
+    assert(!p.exists(), "a CONSUMER read must not repair the swap")
+  }
+
   test("privacy pair coarsening: nested-width derivation equals the direct card, negatives included") {
     import graft.ext.Redaction
     // negative balances exercise the floor identity's sign edge:
@@ -551,6 +589,70 @@ class ExtSpec extends SparkSpec {
     val repaired = Redaction.readPrivacyState(spark, dir)
     assert(repaired.exceptAll(oneShot).count() == 0 &&
       oneShot.exceptAll(repaired).count() == 0)
+  }
+
+  test("privacy append: a wrong-width batch covering only NEW tuples is refused by the global width assert") {
+    import graft.ext.Redaction
+    val cust = Tables.customer(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("privacy_w").toString
+    // state covers nations 0-11; the batch brings ONLY unseen nations,
+    // so no tuple group overlaps and mergePrivacyPairs' per-group
+    // min/max guard can never fire — the append-level assert must
+    Redaction.buildPrivacyState(cust.filter(col("c_nationkey") < 12), dir)
+    val e = intercept[RuntimeException] {
+      Redaction.appendToPrivacyState(spark, dir,
+        cust.filter(col("c_nationkey") >= 12), bandWidth = 1000.0)
+    }
+    assert(e.getMessage.contains("width mismatch"), s"got: ${e.getMessage}")
+    // the right width still appends fine
+    Redaction.appendToPrivacyState(spark, dir,
+      cust.filter(col("c_nationkey") >= 12))
+    val merged = Redaction.readPrivacyState(spark, dir)
+    val oneShot = Redaction.privacyPairs(cust)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0)
+  }
+
+  test("pii state: build + append ≡ rebuild; incidence derives from state alone; crashed swap served from backup") {
+    import graft.ext.Redaction
+    // the q195 injection (deterministic PII planted into id slices) so
+    // every counter is nonzero and differs per source
+    val d = Tables.documents(spark, sf)
+    val docs = d.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 13 === 5,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 3,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-4242"))).otherwise(lit(""))).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("pii_state").toString
+    Redaction.buildPiiState(docs.filter(col("doc_id") % 2 === 0), dir)
+    Redaction.appendToPiiState(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    val merged = Redaction.readPiiState(spark, dir)
+    val oneShot = Redaction.piiPartials(docs)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "incremental pii state must equal the one-shot partials")
+    // sanity: the injection actually planted PII (nonzero counters)
+    assert(merged.agg(sum(col("n_emails"))).collect()(0).getLong(0) > 0)
+    // the card derives from the state with zero corpus rescans
+    val fromState = Redaction.incidenceFromPartials(merged)
+    val batchCard = Redaction.piiIncidence(docs)
+    assert(fromState.exceptAll(batchCard).count() == 0 &&
+      batchCard.exceptAll(fromState).count() == 0,
+      "state-derived incidence diverges from the batch card")
+    // crash window: a consumer read serves the backup without repairing
+    val p = new java.io.File(dir + "/pii")
+    assert(p.renameTo(new java.io.File(dir + "/pii__backup")))
+    val recovered = Redaction.readPiiState(spark, dir)
+    assert(recovered.exceptAll(oneShot).count() == 0,
+      "backup recovery lost pii state")
+    assert(!p.exists(), "a CONSUMER read must not repair the swap")
+    // the next writer op repairs and appends
+    Redaction.appendToPiiState(spark, dir, docs.limit(0))
+    assert(p.exists(), "the writer must complete the crashed swap")
   }
 
   test("l-diversity card: homogeneous groups land in l=1, diversity counted per group, row-weighted ppm exact") {

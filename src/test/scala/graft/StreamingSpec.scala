@@ -642,6 +642,65 @@ class StreamingSpec extends SparkSpec {
       s"expected 3 micro-batches, saw ${seenBatches.get()}")
   }
 
+  test("streaming pii incidence: complete-mode source partials derive the q195 card exactly after EVERY micro-batch") {
+    // the detection twin of the privacy-pairs stream: per-source PII
+    // counters are a COMPLETE-mode aggregation bounded by the source
+    // domain, and the incidence card re-derives from the state per
+    // micro-batch — the live "which sources still leak" monitor a
+    // redaction rollout watches, with zero corpus rescans
+    import graft.ext.Redaction
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    // the q195 injection so every counter is nonzero and moves per batch
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 13 === 5,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 3,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-4242"))).otherwise(lit(""))).as("text"))
+    val inDir = tmpDir("pii_stream_in")
+    val now = System.currentTimeMillis()
+    val chunkPaths = (0 until 3).map { i =>
+      val staging = tmpDir(s"pii_stage$i")
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, s"d$i.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(now - (3 - i) * 60000L))
+      dst.getAbsolutePath
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val seenBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Redaction.piiPartials(
+        Streaming.parquetFileSource(spark, inDir, schema))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmpDir("pii_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (state: DataFrame, id: Long) =>
+        val s = state.persist()
+        try {
+          val prefix = s.sparkSession.read
+            .parquet(chunkPaths.take(id.toInt + 1): _*)
+          val live = Redaction.incidenceFromPartials(s)
+          val batch = Redaction.piiIncidence(prefix)
+          assert(live.exceptAll(batch).count() == 0 &&
+            batch.exceptAll(live).count() == 0,
+            s"batch $id: live incidence diverges from the batch card")
+          seenBatches.incrementAndGet()
+          ()
+        } finally { s.unpersist(); () }
+      }.start()
+    q.awaitTermination()
+    assert(seenBatches.get() == 3,
+      s"expected 3 micro-batches, saw ${seenBatches.get()}")
+  }
+
   test("streaming monitoring trio: complete-mode daily partials derive q185/q186/q187 exactly after EVERY micro-batch") {
     // the trio's shared types×days state is the same state-is-the-result
     // class as distTestBins: complete-mode aggregation with the full
