@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // With the codegen class cache raised (Bench.scala), ~2-3k generated
+  // classes stay live and JIT-compiled across the suite; the JVM's
+  // default 240 MB code cache would silently stop JIT compilation when
+  // full, flipping late-suite queries to interpreted generated code.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -22,6 +22,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Round 12 (the q170 suite-vs-focus investigation's actual root
+      // cause): Spark's compiled-codegen cache holds 100 classes by
+      // default — a 193-query suite in iteration-major order evicts
+      // EVERY query's generated classes between its own iterations, so
+      // each execution pays Janino + JIT again. Measured: q170 7.8→3.3 s,
+      // q171 0.69→0.43, q195 0.45→0.31 in the same window after raising
+      // the cap; the whole round-11 ">1.4x tail" was this. 8192 covers
+      // the registry's ~2-3k distinct codegen units with headroom. A
+      // long-running production session with a wide query mix wants the
+      // same setting (static conf — must be set before session init).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the benchmark set: scan every base table once through
