@@ -19,6 +19,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 100-entry default evicts every generated class between the
+      // 193 queries' executions (see Bench.scala) — correctness is
+      // unaffected, the dump just stops paying Janino+JIT per query
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
