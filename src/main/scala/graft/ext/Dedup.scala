@@ -758,6 +758,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH band-load audit — the operational health metric for banded
+    * dedup at 100 TB: per band, the distinct key count, the LARGEST
+    * bucket (docs sharing one band key), singleton share, and the total
+    * collision-pair volume Σ C(bucket, 2) — which IS the band join's
+    * output size. A hot band key (boilerplate shingles collapsing the
+    * signature rows) turns the "sub-quadratic" band join quadratic in
+    * that bucket; this card is what pages the pipeline owner BEFORE the
+    * join blows up, and what schedules a banding-parameter rebuild (the
+    * [[Similarity.ivfIndexAudit]] discipline applied to LSH). Scale
+    * shape: two map-side-combined hash-aggs — (band, band_key) buckets,
+    * then the 4-row per-band fold; no window, no join, no collect.
+    * Collision arithmetic stays in BIGINT: n·(n−1)/2 overflows only past
+    * ~4.2e9 docs on ONE key, a corpus that has long since paged the
+    * owner via max_bucket. */
+  def bandLoadAudit(docs: DataFrame): DataFrame =
+    lshBands(minhashSignatures(docs))
+      .groupBy("band", "band_key").agg(count(lit(1)).as("n"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_bucket"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singleton_keys"),
+        expr("sum(n * (n - 1) div 2)").as("collision_pairs"))
+      .orderBy("band")
+
+  /** q197: the band-load audit over the corpus — full value-level oracle
+    * (the md5-arithmetic signature chain replays bit-for-bit in DuckDB;
+    * the unused trailing pairs CTE rides along from the shared
+    * generator, one source of truth with q28). */
+  val q197BandLoad: QuerySpec = QuerySpec(
+    "q197_band_load",
+    "WITH " + minhashPairsSqlCtesFrom("documents", 0) + ",\n" +
+      """buckets AS (
+        |  SELECT band, band_key, count(*) AS n
+        |  FROM mh_bands GROUP BY band, band_key)
+        |SELECT band,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(n) AS BIGINT) AS max_bucket,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singleton_keys,
+        |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS collision_pairs
+        |FROM buckets GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+    bandLoadAudit(Tables.documents(s, dir).select("doc_id", "text"))
+  }
+
   /** DuckDB oracle for [[simhash]] + [[simhashPairs]]: identical signature
     * arithmetic (md5-arithmetic token hash), but an all-pairs comparison —
     * 500² oracle-side pairs at the gate SF is nothing for DuckDB, and an
@@ -2052,5 +2096,6 @@ object Dedup {
     q79NearDupClustersStar, q80SpanDedup, q81NormalizedDedup,
     q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
     q94BloomAdmit, q106MinhashRecall, q107QualityKeeper,
-    q110BoilerplateSpans, q128DupSpanProfile, q190DetectorKappa)
+    q110BoilerplateSpans, q128DupSpanProfile, q190DetectorKappa,
+    q197BandLoad)
 }

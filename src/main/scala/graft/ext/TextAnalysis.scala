@@ -1399,6 +1399,63 @@ object TextAnalysis {
     vocabCoverage(Tables.documents(s, dir), Seq(5, 10, 20, 50))
   }
 
+  /** Vocabulary-growth (Heaps' law) curve over corpus prefixes — the
+    * capacity-planning card a tokenizer/vocab owner reads before the
+    * next training run: at the ¼/½/¾/full doc_id prefixes, total token
+    * occurrences, DISTINCT types, hapax legomena (types seen once — the
+    * long-tail mass a vocab cut discards) and the exact type-token
+    * ratio in ppm. A corpus whose distinct-type curve keeps rising
+    * steeply is nowhere near vocab saturation; a flattening curve says
+    * a bigger vocab buys little. Scale shape: ONE token explode joined
+    * to the 4-row broadcast threshold axis (built from the 1-row max
+    * aggregate — a reduced BNLJ build side, the scalar-threshold
+    * pattern), then one (quarter, token) hash-agg and a 4-row fold —
+    * the q194 exploded-axis discipline (one shuffle for all four
+    * prefixes instead of one pass per prefix); no window, no collect.
+    * Exact integers end to end. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val quarters = docs.agg(max(col("doc_id")).as("max_id"))
+      .select(explode(array((1 to 4).map(lit): _*)).as("quarter"),
+        col("max_id"))
+      .select(col("quarter"),
+        expr("((max_id + 1) * quarter) div 4").as("threshold"))
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    toks.join(broadcast(quarters), toks("doc_id") < quarters("threshold"))
+      .groupBy("quarter", "token").agg(count(lit(1)).as("n"))
+      .groupBy("quarter").agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("quarter"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_hapax"),
+        expr("CAST((1000000 * n_distinct_tokens) DIV n_tokens AS BIGINT)")
+          .as("ttr_ppm"))
+      .orderBy("quarter")
+  }
+
+  /** q198: the growth curve over `documents`. */
+  val q198VocabGrowth: QuerySpec = QuerySpec(
+    "q198_vocab_growth",
+    """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+      |q AS (SELECT unnest([1, 2, 3, 4]) AS quarter),
+      |thr AS (SELECT quarter, ((max_id + 1) * quarter) // 4 AS threshold
+      |        FROM q CROSS JOIN mx),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents),
+      |cnt AS (SELECT t.quarter, token, count(*) AS n
+      |        FROM tok JOIN thr t ON tok.doc_id < t.threshold
+      |        GROUP BY 1, 2)
+      |SELECT quarter,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST((1000000 * count(*)) // CAST(sum(n) AS BIGINT) AS BIGINT)
+      |    AS ttr_ppm
+      |FROM cnt GROUP BY quarter ORDER BY quarter""".stripMargin) { (s, dir) =>
+    vocabGrowth(Tables.documents(s, dir))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q63FilterFunnel,
     q21TextStats, q22LangId, q23DocQuality, q24TokenCount, q25Fingerprint,
@@ -1406,5 +1463,5 @@ object TextAnalysis {
     q95BpeMerges, q96BpeEncode, q108TokenizerFertility,
     q116SourceQualityQuantiles, q119CmsHeavyHitters, q121Bm25Search,
     q124SourceNovelty, q184SourceVocabOverlap, q188SourceWeightedOverlap,
-    q191VocabCoverage)
+    q191VocabCoverage, q198VocabGrowth)
 }

@@ -484,6 +484,65 @@ class ExtSpec extends SparkSpec {
     assert(!p.exists(), "a CONSUMER read must not repair the swap")
   }
 
+  test("band-load audit: exact card on a constructed fixture; collision volume bounds the candidate set on the corpus") {
+    import spark.implicits._
+    // three byte-identical docs share ALL four band keys (identical
+    // signatures); the fourth is long/distinct enough to collide with
+    // none — per band: 2 keys, a 3-bucket and a singleton, C(3,2)=3
+    // collision pairs
+    val same = "alpha beta gamma delta epsilon zeta"
+    val fixture = Seq(
+      (0L, same), (1L, same), (2L, same),
+      (3L, "completely different words that share no trigram shingles at all"))
+      .toDF("doc_id", "text")
+    val card = Dedup.bandLoadAudit(fixture).collect()
+    assert(card.length == 4, "one row per band")
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_keys") == 2L, r.toString)
+      assert(r.getAs[Long]("max_bucket") == 3L, r.toString)
+      assert(r.getAs[Long]("n_singleton_keys") == 1L, r.toString)
+      assert(r.getAs[Long]("collision_pairs") == 3L, r.toString)
+    }
+    // corpus-level invariant: the distinct candidate set is at most the
+    // summed per-band collision volume (multi-band pairs dedupe), and
+    // at least any single band's volume could admit — the audit's
+    // collision_pairs IS the band join's pre-distinct output size
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val audit = Dedup.bandLoadAudit(docs).collect()
+    val volume = audit.map(_.getAs[Long]("collision_pairs")).sum
+    val candidates = Dedup.minhashCandidates(docs, 0.0).count()
+    assert(candidates <= volume,
+      s"distinct candidates $candidates exceed summed band volume $volume")
+    assert(volume > 0, "the corpus has near-dup injections; volume must be > 0")
+  }
+
+  test("vocab growth: exact curve on a constructed fixture; monotone and consistent on the corpus") {
+    import spark.implicits._
+    val fixture = Seq((0L, "a b"), (1L, "a c"), (2L, "a"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(fixture).collect()
+      .map(r => (r.getAs[Int]("quarter"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct_tokens"), r.getAs[Long]("n_hapax"),
+        r.getAs[Long]("ttr_ppm")))
+    assert(got.toSeq == Seq(
+      (1, 2L, 2L, 2L, 1000000L),
+      (2, 4L, 3L, 2L, 750000L),
+      (3, 5L, 3L, 2L, 600000L),
+      (4, 7L, 4L, 2L, 571428L)), got.toSeq.toString)
+    // corpus: both curves are non-decreasing in the prefix, and the full
+    // prefix agrees with direct counts over all tokens
+    val docs = Tables.documents(spark, sf)
+    val curve = TextAnalysis.vocabGrowth(docs).collect()
+    val tok = curve.map(_.getAs[Long]("n_tokens"))
+    val dis = curve.map(_.getAs[Long]("n_distinct_tokens"))
+    assert(tok.sameElements(tok.sorted) && dis.sameElements(dis.sorted),
+      "prefix curves must be non-decreasing")
+    val allToks = docs.select(explode(split(col("text"), " ")).as("t"))
+    assert(tok.last == allToks.count(), "full prefix must count every token")
+    assert(dis.last == allToks.distinct().count(),
+      "full prefix must count every distinct type")
+  }
+
   test("privacy pair coarsening: nested-width derivation equals the direct card, negatives included") {
     import graft.ext.Redaction
     // negative balances exercise the floor identity's sign edge:
