@@ -78,7 +78,16 @@ object Bench {
       graft.ext.Dedup.prewarmCaches(spark, sfDir)
       graft.ext.Rollup.prunedRangeStats(spark, sfDir)
       graft.ext.TextAnalysis.bpeMergesCached(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch {
+      // NEVER silent: a failed prewarm shifts the builds back into the
+      // timed first iterations while cache_build_sec reads small —
+      // exactly the skew this number exists to expose. The bench still
+      // runs (queries build caches lazily), but the contamination is on
+      // record in stderr.
+      case t: Throwable =>
+        System.err.println(s"[bench] cache prewarm FAILED — first timed " +
+          s"iterations will pay cold builds: $t")
+    }
     val cacheBuildSec = (System.nanoTime() - tCache) / 1e9
     val failed = scala.collection.mutable.ListBuffer[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {

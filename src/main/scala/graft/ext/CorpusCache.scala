@@ -87,18 +87,35 @@ object CorpusCache {
     val ready = new Path(s"$table/_READY")
     if (!fs.exists(ready)) buildLock.synchronized {
       if (!fs.exists(ready)) {
-        val stage = new Path(
-          s"${base}__build_${variant}_${ProcessHandle.current().pid()}")
-        fs.delete(stage, true)
+        // stage uniqueness: pid alone is NOT unique across the
+        // hosts/containers a shared cacheRoot serves (two containerized
+        // drivers are both pid 1, and the old pre-build delete would
+        // wipe the other's half-written staging) — a UUID component
+        // makes every build's staging private, and crashed leaks are
+        // the age-gated GC's job
+        val stage = new Path(s"${base}__build_${variant}_" +
+          s"${ProcessHandle.current().pid()}_" +
+          java.util.UUID.randomUUID().toString.take(8))
         build(stage.toString)
         writeSmall(fs, new Path(stage, "_READY"), "ready")
         fs.mkdirs(new Path(base))
-        if (!fs.rename(stage, new Path(table))) {
-          // lost the publish race: adopt the winner's identical artifact
-          fs.delete(stage, true)
-          if (!fs.exists(ready))
-            sys.error(s"cache publish failed for $table")
+        // publish-race discipline: Hadoop FileSystem.rename into an
+        // EXISTING directory does not fail like java.io.File.renameTo —
+        // HDFS moves the source INSIDE it, the local FS copies it in —
+        // so a lost race leaves our stage NESTED under the winner's
+        // published table rather than a false return. Handle both
+        // shapes: a false return drops our stage; a true return
+        // followed by a nested-copy probe drops the duplicate. Either
+        // way the winner's identical (same key ⇒ same content)
+        // artifact is the one served, and the final _READY probe is
+        // the invariant.
+        if (!fs.rename(stage, new Path(table))) fs.delete(stage, true)
+        else {
+          val nested = new Path(table, stage.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
         }
+        if (!fs.exists(ready))
+          sys.error(s"cache publish failed for $table")
         gc(fs, root, prefix, pathKey, new Path(base).getName)
       }
     }

@@ -121,10 +121,16 @@ object Dedup {
         .as(outCol))
   }
 
-  /** Distinct 3-gram word shingles per document, exploded to
-    * (doc_id, shingle) rows. */
+  /** Word-shingle width for the near-dup detector family. Part of
+    * [[PairsCodeToken]]: changing it invalidates every cached pair
+    * frame automatically (the token interpolates THIS constant, not a
+    * free-floating copy of it). */
+  final val ShingleWidth = 3
+
+  /** Distinct [[ShingleWidth]]-gram word shingles per document, exploded
+    * to (doc_id, shingle) rows. */
   def shingleRows(docs: DataFrame): DataFrame =
-    gramRows(docs, 3, "shingle", hashed = false)
+    gramRows(docs, ShingleWidth, "shingle", hashed = false)
 
   /** Exact content dedup: group by md5 digest, keep the smallest doc_id
     * (D2/D3 generalized to corpora; one digest shuffle). */
@@ -392,18 +398,18 @@ object Dedup {
     * Hadoop-FS discipline live in [[CorpusCache]] (round 12 — shared
     * with the q145 layout cache). ExtSpec pins cached ≡ fresh per
     * variant. */
-  private[graft] val PairsStaleGcGraceMs: Long = CorpusCache.StaleGcGraceMs
-
   /** Code token for the pair-frame cache key: hashes every algorithm
     * parameter a cached frame bakes in — MinHash k and band count, the
     * shingle width, SimHash bits, and the exact-Jaccard superset frame's
-    * slice/threshold bounds. Changing ANY of these invalidates all
-    * published variants automatically; without the token, a machine that
-    * built frames under the old parameters would silently serve them to
-    * the new code (the `_1e8` variant suffix covers CORPUS-construction
-    * changes the same way, by hand). */
+    * slice/threshold bounds — each interpolated from the constant the
+    * algorithm itself reads, so a parameter change CANNOT miss the
+    * token. Changing any of them invalidates all published variants
+    * automatically; without the token, a machine that built frames
+    * under the old parameters would silently serve them to the new code
+    * (the `_1e8` variant suffix covers CORPUS-construction changes the
+    * same way, by hand). */
   private[graft] val PairsCodeToken: String = CorpusCache.md5Hex(
-    s"mh$MinhashK|b$Bands|sh3|sb$SimhashBits|" +
+    s"mh$MinhashK|b$Bands|sh$ShingleWidth|sb$SimhashBits|" +
       s"jc$JaccardCacheMaxId|f$JaccardCacheFloor|v1").take(8)
 
   private[ext] def materializedPairFrame(s: org.apache.spark.sql.SparkSession,
@@ -537,27 +543,43 @@ object Dedup {
     * are already in the index, and scores depend only on the two sigs.
     *
     * Crash discipline (both publishes go through
-    * [[graft.pipeline.Store.publishAtomic]]): the append publishes
-    * `pairs` FIRST, then `sigs`. A crash between the two leaves the
-    * batch's docs out of `sigs`, so a REPLAY of the same batch passes
-    * the id guard, regenerates the identical pair rows, and the merge's
-    * (doc_a, doc_b) dedup makes the replay idempotent — whereas the
-    * reverse order would strand a state whose guard rejects the very
-    * batch needed to finish it. */
+    * [[graft.pipeline.Store.publishAtomic]]): BOTH ops publish `pairs`
+    * FIRST, then `sigs` — `pairs` is the consumed artifact, so a crash
+    * between the two leaves readers serving the CORRECT (new) pair set
+    * while `sigs` lags one op behind. Recovery follows the same
+    * single-writer contract as every maintained index here
+    * ([[graft.pipeline.Store.publishAtomic]]'s): the writer REPLAYS the
+    * interrupted op before issuing a different one. An append replay
+    * passes the id guard (the batch's docs are still absent from
+    * `sigs`), regenerates the identical pair rows, and the merge's
+    * (doc_a, doc_b) dedup makes it idempotent; a rebuild replay
+    * overwrites both artifacts. The reverse order would be strictly
+    * worse on both paths: a crashed append would strand a state whose
+    * guard rejects the very batch needed to finish it, and a crashed
+    * rebuild would leave readers silently serving the OLD corpus's
+    * pairs under the new signatures. */
   def buildPairIndex(docs: DataFrame, dir: String): Unit = {
     import graft.pipeline.Store
     val s = docs.sparkSession
     Store.repairPublished(s, s"$dir/sigs", "pair-index build")
     Store.repairPublished(s, s"$dir/pairs", "pair-index build")
-    Store.publishAtomic(s, minhashSignatures(docs), s"$dir/sigs",
-      "pair-index build")
-    // pairs derive from the PUBLISHED signature table: the band join and
-    // both score joins read one materialized frame instead of replaying
-    // the shingle aggregation three times through the lineage
-    val sigs = Store.readRecoverableReadOnly(s, s"$dir/sigs",
-      "pair-index build")
-    Store.publishAtomic(s, candidatesFromSigs(sigs, 0.0), s"$dir/pairs",
-      "pair-index build")
+    // sigs are STAGED (not yet published): the band join and both score
+    // joins read one materialized frame instead of replaying the shingle
+    // aggregation three times through the lineage, and `pairs` can
+    // publish first (see the class doc's crash ordering) even though it
+    // derives from the new signatures
+    val staged = s"$dir/sigs__building"
+    minhashSignatures(docs).write.mode("overwrite").parquet(staged)
+    try {
+      val sigs = s.read.parquet(staged)
+      Store.publishAtomic(s, candidatesFromSigs(sigs, 0.0), s"$dir/pairs",
+        "pair-index build")
+      Store.publishAtomic(s, sigs, s"$dir/sigs", "pair-index build")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(staged)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
   }
 
   /** Fold one admitted batch into the index WITHOUT re-reading covered

@@ -462,12 +462,17 @@ object Rollup {
     * rename under tmpdir was a local-FS-only construct). */
   private[graft] val Q145StaleGcGraceMs: Long = CorpusCache.StaleGcGraceMs
 
+  /** q145 layout parameters — interpolated into BOTH the build and
+    * [[Q145CodeToken]], so changing either cannot miss the token. */
+  private[graft] val LayoutRangePartitions = 5
+  private[graft] val LayoutSortCol = "doc_id"
+
   /** Code token for the q145 layout cache key: hashes the layout
     * parameters the artifact bakes in (range-partition count, sort/stat
     * column), so changing them invalidates published layouts instead of
     * silently serving frames laid out under the old scheme. */
   private[graft] val Q145CodeToken: String =
-    CorpusCache.md5Hex("rp5|doc_id|v1").take(8)
+    CorpusCache.md5Hex(s"rp$LayoutRangePartitions|$LayoutSortCol|v1").take(8)
 
   def prunedRangeStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.pipeline.Store
@@ -475,9 +480,10 @@ object Rollup {
     val fp = dirFingerprint(s, s"$dir/documents.parquet")
     val layout = CorpusCache.materialize(s, "graft_q145", dir, fp,
       Q145CodeToken, "layout", { stage =>
-        docs.repartitionByRange(5, col("doc_id")).sortWithinPartitions("doc_id")
+        docs.repartitionByRange(LayoutRangePartitions, col(LayoutSortCol))
+          .sortWithinPartitions(LayoutSortCol)
           .write.mode("overwrite").parquet(s"$stage/docs")
-        Store.buildSkipManifest(s, s"$stage/docs", stage, Seq("doc_id"))
+        Store.buildSkipManifest(s, s"$stage/docs", stage, Seq(LayoutSortCol))
         val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0) // 1-row bound
         val hfs = new org.apache.hadoop.fs.Path(stage)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -488,7 +494,7 @@ object Rollup {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val maxId = CorpusCache.readSmall(hfs,
       new org.apache.hadoop.fs.Path(layout, "_MAXID")).trim.toLong
-    val pruned = Store.skipPrunedScan(s, s"$layout/docs", layout, "doc_id",
+    val pruned = Store.skipPrunedScan(s, s"$layout/docs", layout, LayoutSortCol,
       maxId / 3, maxId / 2)
     val stats = pruned.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),

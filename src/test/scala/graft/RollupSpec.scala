@@ -334,6 +334,50 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("cache publish race: the loser adopts the winner's artifact without nesting a duplicate copy inside it") {
+    // Hadoop FileSystem.rename into an EXISTING directory does not fail
+    // like java.io.File.renameTo — the local FS copies the source INSIDE
+    // it — so a lost publish race must be detected by the nested-copy
+    // probe, not the rename's return value. Simulate the interleaving by
+    // having the build closure itself publish the winner's table before
+    // our rename runs.
+    val root = java.nio.file.Files.createTempDirectory("race_root")
+    try {
+      spark.conf.set("spark.graft.cacheRoot", "file:" + root.toString)
+      val src = java.nio.file.Files.createTempDirectory("race_src").toString
+      val winnerMark = s"$root/winner_marker"
+      val table = graft.ext.CorpusCache.materialize(spark, "graft_race",
+        src, "fpX", "tok1", "variantA", { stage =>
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(stage))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(stage, "payload"), "loser-build")
+          // the "winner" publishes the same key first
+          val winner = s"$root/graft_race_" +
+            graft.ext.CorpusCache.md5Hex(src) + "_tok1_fpX/variantA"
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(winner))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(winner, "payload"), "winner-build")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(winner, "_READY"), "ready")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(winnerMark), "done")
+        })
+      val local = table.stripPrefix("file:")
+      assert(new java.io.File(s"$local/_READY").exists())
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(local, "payload")) == "winner-build",
+        "the winner's artifact must be the one served")
+      val entries = new java.io.File(local).listFiles().map(_.getName).toSet
+      assert(!entries.exists(_.contains("__build_")),
+        s"loser's stage must not nest inside the published table: $entries")
+    } finally {
+      spark.conf.unset("spark.graft.cacheRoot")
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }
+  }
+
   test("corpus caches honor a configurable non-tmpdir spark.graft.cacheRoot through the Hadoop FS API") {
     val d = java.nio.file.Files.createTempDirectory("cache_root_src").toString
     Tables.documents(spark, sf).write.parquet(s"$d/documents.parquet")
