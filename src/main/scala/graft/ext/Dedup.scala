@@ -804,6 +804,68 @@ object Dedup {
         expr("sum(n * (n - 1) div 2)").as("collision_pairs"))
       .orderBy("band")
 
+  /** Duplicate-mass card — the review summary over [[exactDedupGroups]]:
+    * cluster sizes folded into the buckets a dedup review reads (unique /
+    * k=2 / 3-4 / 5-9 / ≥10) with cluster counts, doc counts and the
+    * exact doc-share ppm — "how much of the corpus sits in big duplicate
+    * clusters" is the number that decides whether exact dedup alone
+    * recovers meaningful tokens or the near-dup chains have to run.
+    * One digest hash-agg + the shared one-row bucket fold
+    * ([[Redaction.bucketCard]], the q63/q189 funnel discipline — no
+    * window, no cross join, no driver collect). Ids are irrelevant to
+    * the card (clusters key on content alone), so it takes a bare text
+    * column. */
+  def dupMassCard(corpusText: DataFrame): DataFrame = {
+    val groups = corpusText
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("k"))
+      .select(col("k"))
+    Redaction.bucketCard(groups, col("k"), Seq(
+        (1, "k=1", col("k") === 1),
+        (2, "k=2", col("k") === 2),
+        (3, "k=3-4", col("k").between(3, 4)),
+        (5, "k=5-9", col("k").between(5, 9)),
+        (10, "k>=10", col("k") >= 10)))
+      .withColumnRenamed("n_groups", "n_clusters")
+      .withColumnRenamed("n_rows", "n_docs")
+      .withColumnRenamed("rows_ppm", "docs_ppm")
+  }
+
+  /** q199: the duplicate-mass card over the corpus with q26's injected
+    * clone class (%7 docs duplicated), so the non-unique buckets are
+    * populated and differ from a trivial all-unique card. */
+  val q199DupMass: QuerySpec = QuerySpec(
+    "q199_dup_mass",
+    """WITH corpus AS (
+      |  SELECT text FROM documents
+      |  UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0),
+      |g AS (SELECT count(*) AS k FROM corpus GROUP BY md5(text)),
+      |t AS (
+      |  SELECT CAST(sum(k) AS BIGINT) AS total,
+      |    CAST(coalesce(sum(CASE WHEN k = 1 THEN 1 END), 0) AS BIGINT) AS g_1,
+      |    CAST(coalesce(sum(CASE WHEN k = 1 THEN k END), 0) AS BIGINT) AS r_1,
+      |    CAST(coalesce(sum(CASE WHEN k = 2 THEN 1 END), 0) AS BIGINT) AS g_2,
+      |    CAST(coalesce(sum(CASE WHEN k = 2 THEN k END), 0) AS BIGINT) AS r_2,
+      |    CAST(coalesce(sum(CASE WHEN k BETWEEN 3 AND 4 THEN 1 END), 0) AS BIGINT) AS g_3,
+      |    CAST(coalesce(sum(CASE WHEN k BETWEEN 3 AND 4 THEN k END), 0) AS BIGINT) AS r_3,
+      |    CAST(coalesce(sum(CASE WHEN k BETWEEN 5 AND 9 THEN 1 END), 0) AS BIGINT) AS g_5,
+      |    CAST(coalesce(sum(CASE WHEN k BETWEEN 5 AND 9 THEN k END), 0) AS BIGINT) AS r_5,
+      |    CAST(coalesce(sum(CASE WHEN k >= 10 THEN 1 END), 0) AS BIGINT) AS g_10,
+      |    CAST(coalesce(sum(CASE WHEN k >= 10 THEN k END), 0) AS BIGINT) AS r_10
+      |  FROM g)
+      |SELECT * FROM (
+      |  SELECT 1 AS k_floor, 'k=1' AS bucket, g_1 AS n_clusters, r_1 AS n_docs,
+      |    CAST((1000000 * r_1) // total AS BIGINT) AS docs_ppm FROM t
+      |  UNION ALL SELECT 2, 'k=2', g_2, r_2, CAST((1000000 * r_2) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 3, 'k=3-4', g_3, r_3, CAST((1000000 * r_3) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 5, 'k=5-9', g_5, r_5, CAST((1000000 * r_5) // total AS BIGINT) FROM t
+      |  UNION ALL SELECT 10, 'k>=10', g_10, r_10, CAST((1000000 * r_10) // total AS BIGINT) FROM t)
+      |ORDER BY k_floor""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    dupMassCard(d.select(col("text")).unionAll(
+      d.filter(col("doc_id") % 7 === 0).select(col("text"))))
+  }
+
   /** q197: the band-load audit over the corpus — full value-level oracle
     * (the md5-arithmetic signature chain replays bit-for-bit in DuckDB;
     * the unused trailing pairs CTE rides along from the shared
@@ -2119,5 +2181,5 @@ object Dedup {
     q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
     q94BloomAdmit, q106MinhashRecall, q107QualityKeeper,
     q110BoilerplateSpans, q128DupSpanProfile, q190DetectorKappa,
-    q197BandLoad)
+    q197BandLoad, q199DupMass)
 }

@@ -181,7 +181,7 @@ object Redaction {
     * to the fixed card — the q63 funnel discipline (no window, no cross
     * join, no driver collect). Bucket predicates read the group frame's
     * own columns; `rows` is the group's row weight. */
-  private def bucketCard(groups: DataFrame, rows: Column,
+  private[ext] def bucketCard(groups: DataFrame, rows: Column,
       buckets: Seq[(Int, String, Column)]): DataFrame = {
     val folded = groups.agg(
       sum(rows).as("total"),

@@ -516,6 +516,23 @@ class ExtSpec extends SparkSpec {
     assert(volume > 0, "the corpus has near-dup injections; volume must be > 0")
   }
 
+  test("dup-mass card: exact buckets on a constructed fixture, empty buckets present as zeros") {
+    import spark.implicits._
+    // cluster sizes 1, 2, 3, 10 → total 16 docs
+    val texts = Seq("solo") ++ Seq.fill(2)("pair") ++ Seq.fill(3)("trio") ++
+      Seq.fill(10)("deca")
+    val got = Dedup.dupMassCard(texts.toDF("text")).collect()
+      .map(r => (r.getAs[Int]("k_floor"), r.getAs[String]("bucket"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("docs_ppm")))
+    assert(got.toSeq == Seq(
+      (1, "k=1", 1L, 1L, 62500L),
+      (2, "k=2", 1L, 2L, 125000L),
+      (3, "k=3-4", 1L, 3L, 187500L),
+      (5, "k=5-9", 0L, 0L, 0L),
+      (10, "k>=10", 1L, 10L, 625000L)), got.toSeq.toString)
+  }
+
   test("vocab growth: exact curve on a constructed fixture; monotone and consistent on the corpus") {
     import spark.implicits._
     val fixture = Seq((0L, "a b"), (1L, "a c"), (2L, "a"), (3L, "d d"))
