@@ -16,24 +16,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Round 12 (the q170 suite-vs-focus investigation's actual root
-      // cause): Spark's compiled-codegen cache holds 100 classes by
-      // default — a 193-query suite in iteration-major order evicts
-      // EVERY query's generated classes between its own iterations, so
-      // each execution pays Janino + JIT again. Measured: q170 7.8→3.3 s,
-      // q171 0.69→0.43, q195 0.45→0.31 in the same window after raising
-      // the cap; the whole round-11 ">1.4x tail" was this. 8192 covers
-      // the registry's ~2-3k distinct codegen units with headroom. A
-      // long-running production session with a wide query mix wants the
-      // same setting (static conf — must be set before session init).
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .getOrCreate()
+    // all load-bearing confs (codegen-cache cap, shuffle partitions, UTC,
+    // nanosAsLong) live in ONE factory — see GraftSession's scaladoc
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the benchmark set: scan every base table once through
     // the noop sink (absorbs parquet-footer reads, codegen compiler and JIT
@@ -83,8 +68,10 @@ object Bench {
       // timed first iterations while cache_build_sec reads small —
       // exactly the skew this number exists to expose. The bench still
       // runs (queries build caches lazily), but the contamination is on
-      // record in stderr.
-      case t: Throwable =>
+      // record in stderr. NonFatal only: an OOM/StackOverflow here means
+      // the JVM is corrupted and any timed numbers would be fiction —
+      // let it crash rather than bench a broken process.
+      case scala.util.control.NonFatal(t) =>
         System.err.println(s"[bench] cache prewarm FAILED — first timed " +
           s"iterations will pay cold builds: $t")
     }

@@ -1,7 +1,6 @@
 package graft
 
 import graft.pipeline.{GraftConfig, Ingest, OrdersDomain, Pipeline}
-import org.apache.spark.sql.SparkSession
 
 /** CLI entry mirroring the reference's `run_pipeline.py:263-326`:
   *
@@ -22,14 +21,9 @@ object RunPipeline {
     require(unknown.isEmpty,
       s"unknown flag(s): ${unknown.mkString(", ")} — known: ${known.toSeq.sorted.mkString(", ")}")
     val Array(sfDir, outDir) = positional.take(2)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // all load-bearing confs (codegen-cache cap, shuffle partitions, UTC,
+    // nanosAsLong) live in ONE factory — see GraftSession's scaladoc
+    val spark = GraftSession.build(defaultCpus = "4")
     try {
       if (flags.contains("--health")) {
         val h = Pipeline.healthCheck(spark, sfDir, outDir)

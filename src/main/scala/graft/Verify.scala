@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -12,19 +11,9 @@ object Verify {
       case Array(s, o) => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the 100-entry default evicts every generated class between the
-      // 193 queries' executions (see Bench.scala) — correctness is
-      // unaffected, the dump just stops paying Janino+JIT per query
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // all load-bearing confs (codegen-cache cap, shuffle partitions, UTC,
+    // nanosAsLong) live in ONE factory — see GraftSession's scaladoc
+    val spark = GraftSession.build()
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     selected.foreach { case (name, fn) =>

@@ -11,8 +11,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Cluster-true by construction (round 12): every filesystem touch goes
   * through the Hadoop FS API resolved from the cache ROOT's scheme —
-  * `spark.graft.cacheRoot` if set (HDFS / S3A / any shared URI), else the
-  * local tmpdir for single-machine runs. The previous `java.io.File`
+  * `spark.graft.cacheRoot` if set, else the local tmpdir for
+  * single-machine runs. The publish protocol's atomicity REQUIRES a
+  * filesystem with atomic directory rename (HDFS, local FS, or any
+  * store that implements `FileSystem.rename` atomically) — on S3A,
+  * rename is a non-atomic client-side copy+delete, so a concurrent
+  * reader could observe `_READY` before every data object is visible;
+  * point `cacheRoot` at HDFS (or an HDFS-compatible store) on clusters,
+  * not a raw S3A URI. (The S3-native fix is a magic-committer-style
+  * single-object commit marker listing the data objects; out of scope
+  * while no S3 store is reachable here.) The previous `java.io.File`
   * staging/rename under `java.io.tmpdir` was correct on local[32] but
   * not the 100-TB shape: executors and a second driver don't share /tmp,
   * and rename-atomicity is a local-FS property. This is the same

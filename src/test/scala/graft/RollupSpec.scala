@@ -348,10 +348,14 @@ class RollupSpec extends SparkSpec {
       val winnerMark = s"$root/winner_marker"
       val table = graft.ext.CorpusCache.materialize(spark, "graft_race",
         src, "fpX", "tok1", "variantA", { stage =>
+          // The stage string is a scheme-qualified Hadoop URI
+          // ("file:/tmp/..."); java.nio would treat it as a RELATIVE
+          // path and litter the cwd, so strip the scheme first.
+          val stageLocal = stage.stripPrefix("file:")
           java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(stage))
+            java.nio.file.Paths.get(stageLocal))
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(stage, "payload"), "loser-build")
+            java.nio.file.Paths.get(stageLocal, "payload"), "loser-build")
           // the "winner" publishes the same key first
           val winner = s"$root/graft_race_" +
             graft.ext.CorpusCache.md5Hex(src) + "_tok1_fpX/variantA"
@@ -372,6 +376,9 @@ class RollupSpec extends SparkSpec {
       val entries = new java.io.File(local).listFiles().map(_.getName).toSet
       assert(!entries.exists(_.contains("__build_")),
         s"loser's stage must not nest inside the published table: $entries")
+      assert(!new java.io.File("file:").exists(),
+        "the build closure must not litter the working directory with a " +
+          "literal 'file:' tree (scheme-qualified URI fed to java.nio)")
     } finally {
       spark.conf.unset("spark.graft.cacheRoot")
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
