@@ -542,22 +542,41 @@ object Dedup {
     * joins cover every pair involving the batch, stored old×old pairs
     * are already in the index, and scores depend only on the two sigs.
     *
-    * Crash discipline (both publishes go through
-    * [[graft.pipeline.Store.publishAtomic]]): BOTH ops publish `pairs`
-    * FIRST, then `sigs` — `pairs` is the consumed artifact, so a crash
-    * between the two leaves readers serving the CORRECT (new) pair set
-    * while `sigs` lags one op behind. Recovery follows the same
-    * single-writer contract as every maintained index here
-    * ([[graft.pipeline.Store.publishAtomic]]'s): the writer REPLAYS the
+    * Layout (round 13 — append is O(batch) in PUBLISH IO, not only in
+    * compute): both artifacts are `batch=`-partitioned trees, one
+    * partition per maintenance op, keyed by a DETERMINISTIC
+    * content-derived token of the batch ([[pairBatchToken]]). An append
+    * writes ONLY its own batch's rows — staged under a hidden
+    * `_staging_<token>` dir (invisible to Spark readers), committed with
+    * ONE atomic directory rename to `batch=<token>` — so every
+    * pre-existing file stays byte-identical (asserted in ExtSpec).
+    * The previous shape merged new pairs into the full stored set and
+    * republished BOTH whole artifacts per batch: compute was O(batch)
+    * but publish IO was O(index), the wrong cost model for the live
+    * ingest loop this index exists for. Cross-op duplicate pairs cannot
+    * arise (old×old pairs never reappear — one join side is always
+    * new), so dropping the global merge loses nothing.
+    *
+    * Crash discipline: BOTH ops commit `pairs` FIRST, then `sigs` —
+    * `pairs` is the consumed artifact, so a crash between the two
+    * leaves readers serving the CORRECT (new) pair set while `sigs`
+    * lags one op behind. Recovery follows the same single-writer
+    * contract as every maintained index here: the writer REPLAYS the
     * interrupted op before issuing a different one. An append replay
     * passes the id guard (the batch's docs are still absent from
-    * `sigs`), regenerates the identical pair rows, and the merge's
-    * (doc_a, doc_b) dedup makes it idempotent; a rebuild replay
-    * overwrites both artifacts. The reverse order would be strictly
-    * worse on both paths: a crashed append would strand a state whose
-    * guard rejects the very batch needed to finish it, and a crashed
-    * rebuild would leave readers silently serving the OLD corpus's
-    * pairs under the new signatures. */
+    * `sigs`), derives the SAME batch token from the same content, and
+    * re-commits over its own `batch=` dir — idempotent by construction;
+    * a rebuild replay overwrites both artifacts (the
+    * [[graft.pipeline.Store.publishAtomicWith]] staging+backup swap, so
+    * a crashed REBUILD still serves readers the last committed tree via
+    * the `__backup` path). Crashed append stagings are `_`-hidden (no
+    * reader ever lists them) and swept by the next writer (single
+    * writer ⇒ any staging present at op start is a dead leak). The
+    * reverse commit order would be strictly worse on both paths: a
+    * crashed append would strand a state whose guard rejects the very
+    * batch needed to finish it, and a crashed rebuild would leave
+    * readers silently serving the OLD corpus's pairs under the new
+    * signatures. */
   def buildPairIndex(docs: DataFrame, dir: String): Unit = {
     import graft.pipeline.Store
     val s = docs.sparkSession
@@ -572,9 +591,15 @@ object Dedup {
     minhashSignatures(docs).write.mode("overwrite").parquet(staged)
     try {
       val sigs = s.read.parquet(staged)
-      Store.publishAtomic(s, candidatesFromSigs(sigs, 0.0), s"$dir/pairs",
-        "pair-index build")
-      Store.publishAtomic(s, sigs, s"$dir/sigs", "pair-index build")
+      val tok = pairBatchToken(sigs)
+      Store.publishAtomicWith(s, s"$dir/pairs", "pair-index build") { st =>
+        candidatesFromSigs(sigs, 0.0).withColumn("batch", lit(tok))
+          .write.partitionBy("batch").parquet(st)
+      }
+      Store.publishAtomicWith(s, s"$dir/sigs", "pair-index build") { st =>
+        sigs.withColumn("batch", lit(tok))
+          .write.partitionBy("batch").parquet(st)
+      }
     } finally {
       val p = new org.apache.hadoop.fs.Path(staged)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -582,22 +607,78 @@ object Dedup {
     }
   }
 
+  /** Deterministic content-derived batch token: a replayed append (same
+    * docs) lands on the SAME `batch=` partition and overwrites itself —
+    * the idempotency the dropped global pair merge used to provide. One
+    * bounded 1-row aggregate; the summed per-doc hash is folded into
+    * [0, 1e9) first so the sum stays far from Long overflow (ANSI mode
+    * errors rather than wraps) up to ~9e9 docs per batch. */
+  private[ext] def pairBatchToken(sigs: DataFrame): String = {
+    val r = sigs.agg(count(lit(1)).as("n"),
+      sum(pmod(xxhash64(col("doc_id")), lit(1000000007L))).as("h"),
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).collect()(0)
+    graft.ext.CorpusCache.md5Hex(
+      s"${r.get(0)}_${r.get(1)}_${r.get(2)}_${r.get(3)}").take(16)
+  }
+
+  /** Commit one batch's rows into a `batch=`-partitioned maintained
+    * tree: write to a `_staging_<token>` dir INSIDE the table (hidden —
+    * Spark's file listing skips `_`/`.`-prefixed paths, so no reader
+    * can observe a half-written batch), then one atomic rename to
+    * `batch=<token>`. A replay finding its own token already published
+    * (the crashed-between-commits window) swaps it aside first so the
+    * any-moment reader view is old-batch or new-batch, never partial.
+    * Publish IO is exactly the batch's own files; nothing else in the
+    * tree is opened, rewritten, or moved. */
+  private def commitBatchPartition(spark: org.apache.spark.sql.SparkSession,
+      table: String, token: String, df: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$table/_staging_$token")
+    val dest = new org.apache.hadoop.fs.Path(s"$table/batch=$token")
+    val replaced = new org.apache.hadoop.fs.Path(s"$table/_replaced_$token")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(replaced)) fs.delete(replaced, true)
+    if (fs.exists(dest) && !fs.rename(dest, replaced))
+      sys.error(s"pair-index commit: could not move $dest aside")
+    if (!fs.rename(staging, dest))
+      sys.error(s"pair-index commit: could not publish $staging")
+    fs.delete(replaced, true)
+    ()
+  }
+
+  /** Writer-side sweep of dead maintenance leftovers (`_staging_*` /
+    * `_replaced_*`) under a maintained tree — single-writer contract:
+    * anything hidden present at op start belongs to a crashed op. */
+  private def sweepBatchLeftovers(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_staging_") || n.startsWith("_replaced_"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Fold one admitted batch into the index WITHOUT re-reading covered
     * text: shingle + sign the batch only, band-join the new bands
     * against stored ∪ new bands (old×old can never appear — one side is
-    * always new), score from signatures, merge. The merge's
-    * (doc_a, doc_b) dedup is what makes a crash replay idempotent (see
-    * the class doc); at 100 TB the stored band side co-partitions by
-    * (band, band_key) and the batch side is the small probe. */
+    * always new), score from signatures, and commit ONLY the batch's
+    * rows as a new `batch=` partition per artifact (see the class doc:
+    * publish IO is O(batch); pre-existing files stay byte-identical).
+    * At 100 TB the stored band side co-partitions by (band, band_key)
+    * and the batch side is the small probe. */
   def appendToPairIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
     import graft.pipeline.Store
     Store.repairPublished(spark, s"$dir/sigs", "pair-index append")
     Store.repairPublished(spark, s"$dir/pairs", "pair-index append")
-    val oldSigs = Store.readRecoverableReadOnly(spark, s"$dir/sigs",
-      "pair-index append")
+    sweepBatchLeftovers(spark, s"$dir/pairs")
+    sweepBatchLeftovers(spark, s"$dir/sigs")
+    val oldSigs = readPairIndexSigs(spark, dir)
     // the batch's signatures feed FOUR consumers (the id guard, the band
-    // probe, both score joins, the sigs publish) — stage them as parquet
+    // probe, both score joins, the sigs commit) — stage them as parquet
     // once so the raw-text shingle aggregation runs once, not once per
     // consumer through the lineage (measured 3.1 s → 1.3 s at sf0.1)
     val staged = s"$dir/sigs__incoming"
@@ -614,6 +695,7 @@ object Dedup {
       if (collided > 0)
         sys.error(s"pair-index append: batch contains doc_ids already " +
           s"covered by $dir/sigs — route batches through the admit gate")
+      val tok = pairBatchToken(newSigs)
       val newBands = lshBands(newSigs)
       val allBands = lshBands(oldSigs).unionByName(newBands)
       val cand = allBands.as("x").join(newBands.as("y"),
@@ -625,12 +707,8 @@ object Dedup {
         .distinct()
       val allSigs = oldSigs.unionByName(newSigs)
       val newPairs = scoreCandidates(cand, allSigs, 0.0)
-      val merged = Store.readRecoverableReadOnly(spark, s"$dir/pairs",
-          "pair-index append")
-        .unionByName(newPairs)
-        .dropDuplicates("doc_a", "doc_b")
-      Store.publishAtomic(spark, merged, s"$dir/pairs", "pair-index append")
-      Store.publishAtomic(spark, allSigs, s"$dir/sigs", "pair-index append")
+      commitBatchPartition(spark, s"$dir/pairs", tok, newPairs)
+      commitBatchPartition(spark, s"$dir/sigs", tok, newSigs)
     } finally {
       val p = new org.apache.hadoop.fs.Path(staged)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -640,13 +718,25 @@ object Dedup {
 
   /** Candidate pairs at `minEstimate` from the persisted index alone —
     * zero text scans, lossless threshold re-filter (stored scores are
-    * exact 1/[[MinhashK]] multiples). Read-only: a crashed append swap
-    * is served from its backup; repair belongs to the next writer. */
+    * exact 1/[[MinhashK]] multiples). Read-only: a crashed REBUILD swap
+    * is served from its backup; repair belongs to the next writer. The
+    * internal `batch` partition column is maintenance bookkeeping, not
+    * part of the pair contract — dropped here. */
   def readPairIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       minEstimate: Double): DataFrame =
     graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/pairs",
         "pair-index read")
       .filter(col("est_jaccard") >= minEstimate)
+      .select("doc_a", "doc_b", "est_jaccard")
+
+  /** The index's per-doc MinHash signatures — state for derived
+    * monitors ([[bandLoadFromIndex]]) and the append path's stored
+    * side; same read-only recovery contract as [[readPairIndex]]. */
+  def readPairIndexSigs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.pipeline.Store.readRecoverableReadOnly(spark, s"$dir/sigs",
+        "pair-index sigs read")
+      .select(col("doc_id") +: (0 until MinhashK).map(i => col(s"sig_$i")): _*)
 
   // ---- registered queries ----------------------------------------------
 
@@ -795,7 +885,12 @@ object Dedup {
     * ~4.2e9 docs on ONE key, a corpus that has long since paged the
     * owner via max_bucket. */
   def bandLoadAudit(docs: DataFrame): DataFrame =
-    lshBands(minhashSignatures(docs))
+    bandLoadFromBands(lshBands(minhashSignatures(docs)))
+
+  /** The audit's fold, shared between the text-scan form and the
+    * state-derived form so a metric tweak can't desynchronize them. */
+  private def bandLoadFromBands(bands: DataFrame): DataFrame =
+    bands
       .groupBy("band", "band_key").agg(count(lit(1)).as("n"))
       .groupBy("band").agg(
         count(lit(1)).as("n_keys"),
@@ -803,6 +898,18 @@ object Dedup {
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singleton_keys"),
         expr("sum(n * (n - 1) div 2)").as("collision_pairs"))
       .orderBy("band")
+
+  /** [[bandLoadAudit]] derived from a maintained pair index's PERSISTED
+    * signatures ([[readPairIndexSigs]]) — zero text scans, the
+    * state-derivation discipline of every other monitoring card
+    * (q185–q195): the live band-health monitor for a corpus under
+    * incremental maintenance reads the index, not the corpus. Banding
+    * is a pure function of the signatures, so state-derived ≡ text-scan
+    * exactly (pinned in ExtSpec; the streaming twin re-audits per
+    * admitted micro-batch in StreamingSpec). */
+  def bandLoadFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    bandLoadFromBands(lshBands(readPairIndexSigs(spark, dir)))
 
   /** Duplicate-mass card — the review summary over [[exactDedupGroups]]:
     * cluster sizes folded into the buckets a dedup review reads (unique /

@@ -796,12 +796,24 @@ object Store {
     * `__backup`, rename staging in, drop the backup. A crash between
     * the renames leaves `__backup` for the reader-side recovery. */
   private[graft] def publishAtomic(spark: SparkSession, df: DataFrame,
-      path: String, what: String): Unit = {
+      path: String, what: String): Unit =
+    publishAtomicWith(spark, path, what)(
+      df.write.mode(SaveMode.Overwrite).parquet(_))
+
+  /** [[publishAtomic]] with the staging WRITE under caller control — for
+    * artifacts whose layout a plain `df.write.parquet` can't produce
+    * (e.g. the maintained pair index's `batch=` partition tree). The
+    * swap/backup/recovery protocol is identical; `write` receives the
+    * staging path (pre-cleared — a crashed previous publish may have
+    * left one) and must leave a complete artifact under it. */
+  private[graft] def publishAtomicWith(spark: SparkSession, path: String,
+      what: String)(write: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     val backup = new org.apache.hadoop.fs.Path(path + "__backup")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(staging.toString)
     if (fs.exists(backup)) fs.delete(backup, true)
     if (fs.exists(target) && !fs.rename(target, backup))
       sys.error(s"$what: could not move $target aside")

@@ -446,7 +446,7 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("not derivable"))
   }
 
-  test("pair index: append ≡ rebuild exactly; crash replay idempotent; covered ids refused; reads recover a crashed swap") {
+  test("pair index: append ≡ rebuild exactly; append IO is O(batch); crash replay idempotent; covered ids refused; reads recover a crashed swap") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val first = docs.filter(col("doc_id") % 3 =!= 0)
     val second = docs.filter(col("doc_id") % 3 === 0)
@@ -454,8 +454,37 @@ class ExtSpec extends SparkSpec {
     def same(a: org.apache.spark.sql.DataFrame,
         b: org.apache.spark.sql.DataFrame, what: String): Unit =
       assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, what)
+    // every (path → size, mtime) under the two artifacts — the append's
+    // O(batch)-IO contract is that all of these stay byte-identical
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      Seq("pairs", "sigs").flatMap(t => walk(new java.io.File(s"$dir/$t")))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    def batchDirs(t: String): Set[String] =
+      new java.io.File(s"$dir/$t").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
     Dedup.buildPairIndex(first, dir)
+    val baseState = fileState()
+    val baseBatches = batchDirs("sigs")
+    // a crashed staging leak is invisible to readers and swept by the
+    // next writer
+    val leak = new java.io.File(s"$dir/pairs/_staging_deadbeef")
+    leak.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(leak, "junk").toPath, "crashed build leftovers")
     Dedup.appendToPairIndex(spark, dir, second)
+    assert(!leak.exists(), "next writer must sweep crashed stagings")
+    // O(batch) publish IO: every pre-build file is untouched — the
+    // append added new batch partitions and rewrote NOTHING
+    val afterState = fileState()
+    baseState.foreach { case (p, st) =>
+      assert(afterState.get(p).contains(st),
+        s"append rewrote or removed a pre-existing index file: $p")
+    }
+    assert(batchDirs("sigs").size == 2 && batchDirs("pairs").size == 2,
+      "append must land as ONE new batch partition per artifact")
     // append ≡ rebuild at threshold 0 AND through a lossless re-filter
     same(Dedup.readPairIndex(spark, dir, 0.0),
       Dedup.minhashCandidates(docs, 0.0),
@@ -463,25 +492,49 @@ class ExtSpec extends SparkSpec {
     same(Dedup.readPairIndex(spark, dir, 0.5),
       Dedup.minhashCandidates(docs, 0.5),
       "threshold re-filter of the index diverges from the fresh operator")
-    // crash replay: pairs published, sigs not yet (the documented crash
-    // window) — replaying the SAME batch must converge, not double-count
-    graft.pipeline.Store.publishAtomic(spark,
-      Dedup.minhashSignatures(first), s"$dir/sigs", "test crash rewind")
+    // crash replay: pairs committed, sigs not yet (the documented crash
+    // window — sigs lags one op) — replaying the SAME batch must
+    // converge on the same deterministic batch partition, not
+    // double-count
+    val secondTok = (batchDirs("sigs") -- baseBatches).head
+    assert(org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$dir/sigs/$secondTok")))
     Dedup.appendToPairIndex(spark, dir, second)
     same(Dedup.readPairIndex(spark, dir, 0.0),
       Dedup.minhashCandidates(docs, 0.0),
       "replay after a mid-append crash must be idempotent")
+    assert(batchDirs("pairs").size == 2,
+      "a crash replay must overwrite its own batch partition, not add one")
     // a batch carrying covered doc_ids is refused loudly
     val e = intercept[RuntimeException] {
       Dedup.appendToPairIndex(spark, dir, second.limit(5))
     }
     assert(e.getMessage.contains("already"), s"got: ${e.getMessage}")
-    // crashed swap: a consumer read serves the backup without repairing
+    // crashed REBUILD swap: a consumer read serves the backup without
+    // repairing (appends never swap the tree; rebuilds do)
     val p = new java.io.File(dir + "/pairs")
     assert(p.renameTo(new java.io.File(dir + "/pairs__backup")))
     same(Dedup.readPairIndex(spark, dir, 0.0),
       Dedup.minhashCandidates(docs, 0.0), "backup recovery lost pairs")
     assert(!p.exists(), "a CONSUMER read must not repair the swap")
+  }
+
+  test("band-load audit from the maintained index's persisted signatures ≡ the text-scan audit") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pair_idx_bl").toString
+    Dedup.buildPairIndex(docs.filter(col("doc_id") % 3 =!= 0), dir)
+    Dedup.appendToPairIndex(spark, dir,
+      docs.filter(col("doc_id") % 3 === 0))
+    // state-derived: zero text reads — the audit's plan must not touch
+    // the documents table, only the index's sigs partitions
+    val derived = Dedup.bandLoadFromIndex(spark, dir)
+    assert(derived.queryExecution.executedPlan.toString
+      .contains(s"$dir/sigs".stripPrefix("/")) ||
+      derived.inputFiles.forall(_.contains("/sigs/")),
+      "the derived audit must read the index's sigs, not the corpus")
+    assert(derived.collect().toSeq ==
+      Dedup.bandLoadAudit(docs).collect().toSeq,
+      "state-derived band-load audit diverges from the text-scan audit")
   }
 
   test("band-load audit: exact card on a constructed fixture; collision volume bounds the candidate set on the corpus") {

@@ -1090,4 +1090,49 @@ class StreamingSpec extends SparkSpec {
       "published release manifest diverges from the direct build")
     assert(ledger.count() > 0)
   }
+
+  test("pair-index maintenance stream: per micro-batch, the index-derived band-load audit ≡ the text-scan audit of the admitted prefix") {
+    // The live band-health monitor (q197's state-derived form) in its
+    // production seat: each admitted batch folds into the maintained
+    // pair index at O(batch) publish IO, and the monitor reads the
+    // INDEX's persisted signatures — never the raw corpus — yet must
+    // match a from-scratch text scan of everything admitted so far.
+    import graft.ext.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val in = tmpDir("pidx_stream_in")
+    val idx = tmpDir("pidx_stream_idx") + "/index"
+    val ckpt = tmpDir("pidx_stream_ckpt")
+    // three admitted batches as separate parquet files (1 per trigger)
+    Seq(0, 1, 2).foreach { m =>
+      docs.filter(col("doc_id") % 3 === m).coalesce(1)
+        .write.parquet(s"$in/b$m")
+    }
+    Seq(0, 1, 2).foreach { m =>
+      val part = new java.io.File(s"$in/b$m").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$in/batch_$m.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$in/b$m"))
+    }
+    val admitted = new scala.collection.mutable.ArrayBuffer[Long]()
+    val failures = new scala.collection.mutable.ArrayBuffer[String]()
+    val q = Streaming.parquetFileSource(spark, in, docs.schema)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        if (id == 0L) Dedup.buildPairIndex(batch, idx)
+        else Dedup.appendToPairIndex(s, idx, batch)
+        admitted ++= batch.select("doc_id").collect().map(_.getLong(0))
+        val prefix = docs.filter(col("doc_id").isin(admitted.toSeq: _*))
+        val derived = Dedup.bandLoadFromIndex(s, idx).collect().toSeq
+        val scanned = Dedup.bandLoadAudit(prefix).collect().toSeq
+        if (derived != scanned)
+          failures += s"batch $id: derived=$derived scanned=$scanned"
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(admitted.size == docs.count(), "stream did not admit every doc")
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
