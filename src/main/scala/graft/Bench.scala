@@ -76,6 +76,18 @@ object Bench {
           s"iterations will pay cold builds: $t")
     }
     val cacheBuildSec = (System.nanoTime() - tCache) / 1e9
+    // Cold-build regression gate (round 13): the warm rows stay green no
+    // matter how slow the detector build chain gets — this number is the
+    // ONLY place a build regression can surface. Anchor: 22.4 s cold at
+    // sf0.1 (BASELINE.md, round 12); warm re-probes run ~4.4 s. A run
+    // past 1.5x the cold anchor is flagged loudly (stderr — the JSON
+    // contract is unchanged) so drift can't hide behind green queries.
+    val coldBuildAnchorSec = 22.4
+    if (cacheBuildSec > coldBuildAnchorSec * 1.5)
+      System.err.println(f"[bench] cache_build_sec $cacheBuildSec%.1f s " +
+        f"exceeds 1.5x the cold-build anchor ($coldBuildAnchorSec%.1f s) — " +
+        "the detector build chain has regressed; profile prewarmCaches " +
+        "before trusting this round's cache-warm rows")
     val failed = scala.collection.mutable.ListBuffer[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
