@@ -716,6 +716,48 @@ object Dedup {
     }
   }
 
+  /** Fold the index's accumulated `batch=` partitions into ONE — the
+    * small-file compaction a high-cadence append loop needs (every
+    * append adds a partition; a year of hourly folds is ~9k dirs whose
+    * listing/footer overhead eventually taxes every read). Both
+    * artifacts are rewritten from their OWN stored rows — no text is
+    * re-shingled and no band join re-runs; this is a layout op, not a
+    * recompute — through the [[graft.pipeline.Store.publishAtomicWith]]
+    * staging+backup swap, `pairs` first (the class-doc crash ordering;
+    * a crash between the two publishes leaves both artifacts correct,
+    * one compacted and one not, so no replay is even required).
+    * No-op below two partitions. Returns the partition count folded.
+    * Value-pinned ≡ before, and append-after-compact ≡ rebuild, in
+    * ExtSpec. */
+  def compactPairIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    import graft.pipeline.Store
+    Store.repairPublished(spark, s"$dir/sigs", "pair-index compact")
+    Store.repairPublished(spark, s"$dir/pairs", "pair-index compact")
+    sweepBatchLeftovers(spark, s"$dir/pairs")
+    sweepBatchLeftovers(spark, s"$dir/sigs")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBatches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sigs"))
+      .count(_.getPath.getName.startsWith("batch="))
+    if (nBatches >= 2) {
+      val sigs = readPairIndexSigs(spark, dir)
+      val pairs = readPairIndex(spark, dir, 0.0)
+      val tok = pairBatchToken(sigs)
+      // each publish WRITES its staging from the live tree before any
+      // rename touches that tree, so the swap never reads-after-replace
+      Store.publishAtomicWith(spark, s"$dir/pairs", "pair-index compact") {
+        st => pairs.withColumn("batch", lit(tok))
+          .write.partitionBy("batch").parquet(st)
+      }
+      Store.publishAtomicWith(spark, s"$dir/sigs", "pair-index compact") {
+        st => sigs.withColumn("batch", lit(tok))
+          .write.partitionBy("batch").parquet(st)
+      }
+    }
+    nBatches
+  }
+
   /** Candidate pairs at `minEstimate` from the persisted index alone —
     * zero text scans, lossless threshold re-filter (stored scores are
     * exact 1/[[MinhashK]] multiples). Read-only: a crashed REBUILD swap

@@ -519,6 +519,37 @@ class ExtSpec extends SparkSpec {
     assert(!p.exists(), "a CONSUMER read must not repair the swap")
   }
 
+  test("pair-index compaction folds batch partitions into one, preserves values, and appends keep working after it") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pair_idx_c").toString
+    def batchDirs(t: String): Set[String] =
+      new java.io.File(s"$dir/$t").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, what)
+    Dedup.buildPairIndex(docs.filter(col("doc_id") % 4 === 0), dir)
+    Dedup.appendToPairIndex(spark, dir, docs.filter(col("doc_id") % 4 === 1))
+    Dedup.appendToPairIndex(spark, dir, docs.filter(col("doc_id") % 4 === 2))
+    assert(batchDirs("pairs").size == 3 && batchDirs("sigs").size == 3)
+    val threeQuarters = docs.filter(col("doc_id") % 4 =!= 3)
+    assert(Dedup.compactPairIndex(spark, dir) == 3)
+    assert(batchDirs("pairs").size == 1 && batchDirs("sigs").size == 1,
+      "compaction must fold the tree into one batch partition per artifact")
+    same(Dedup.readPairIndex(spark, dir, 0.0),
+      Dedup.minhashCandidates(threeQuarters, 0.0),
+      "compaction changed the pair set")
+    // a single-partition tree is a layout no-op: nothing is rewritten
+    val before = batchDirs("pairs")
+    assert(Dedup.compactPairIndex(spark, dir) == 1)
+    assert(batchDirs("pairs") == before, "a 1-partition compact must no-op")
+    // the maintenance loop continues over the compacted layout
+    Dedup.appendToPairIndex(spark, dir, docs.filter(col("doc_id") % 4 === 3))
+    same(Dedup.readPairIndex(spark, dir, 0.0),
+      Dedup.minhashCandidates(docs, 0.0),
+      "append after compaction diverges from a full rebuild")
+  }
+
   test("band-load audit from the maintained index's persisted signatures ≡ the text-scan audit") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("pair_idx_bl").toString
