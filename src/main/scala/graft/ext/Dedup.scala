@@ -1035,6 +1035,132 @@ object Dedup {
     bandLoadAudit(Tables.documents(s, dir).select("doc_id", "text"))
   }
 
+  /** q200: dedup yield curve — the card that CHOOSES the near-dup
+    * threshold: for each candidate cutoff (est-Jaccard = t/16, the
+    * detector's native granularity), how many docs and how many
+    * whitespace tokens would star-rule dedup remove (a doc is removed
+    * iff some smaller-id doc estimates ≥ t against it — q79's keeper
+    * discipline). Thresholding is a RE-FILTER of the one cached
+    * threshold-0 pair frame, so five cutoffs cost one 5-row
+    * broadcast-axis join over the pairs (the reduced-BNLJ
+    * scalar-threshold pattern, q198) + one distinct + one token join —
+    * the corpus is never re-shingled per cutoff. Corpus totals are the
+    * 1-row literalize class (q175's nOrders). All ratios are exact
+    * floor-div ppm; est thresholds k/16 are binary-exact doubles, so
+    * the >= comparisons carry no float haze. */
+  val q200DedupYield: QuerySpec = QuerySpec(
+    "q200_dedup_yield",
+    "WITH " + minhashPairsSqlCtesFrom("documents", 8) + """,
+      |tok AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS n_toks FROM tok),
+      |axis AS (SELECT unnest([8, 10, 12, 14, 16]) AS threshold_x16),
+      |rem AS (
+      |  SELECT DISTINCT a.threshold_x16, p.doc_b
+      |  FROM pairs p JOIN axis a
+      |    ON p.est_jaccard >= CAST(a.threshold_x16 AS DOUBLE) / 16),
+      |g AS (
+      |  SELECT threshold_x16, CAST(count(*) AS BIGINT) AS docs_removed,
+      |    CAST(sum(toks) AS BIGINT) AS tokens_removed
+      |  FROM rem JOIN tok ON tok.doc_id = rem.doc_b
+      |  GROUP BY threshold_x16)
+      |SELECT a.threshold_x16,
+      |  CAST(coalesce(docs_removed, 0) AS BIGINT) AS docs_removed,
+      |  CAST(1000000 * coalesce(docs_removed, 0) // n_docs AS BIGINT)
+      |    AS docs_removed_ppm,
+      |  CAST(coalesce(tokens_removed, 0) AS BIGINT) AS tokens_removed,
+      |  CAST(1000000 * coalesce(tokens_removed, 0) // n_toks AS BIGINT)
+      |    AS tokens_removed_ppm
+      |FROM axis a LEFT JOIN g ON g.threshold_x16 = a.threshold_x16
+      |CROSS JOIN tot
+      |ORDER BY a.threshold_x16""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    // 1-row metadata literalize (the q175 nOrders class): folding the
+    // totals in as literals keeps the final pass join-free
+    val totRow = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_toks")).head()
+    val (nDocs, nToks) = (totRow.getLong(0), totRow.getLong(1))
+    val axis = Seq(8, 10, 12, 14, 16).toDF("threshold_x16")
+    val removed = minhashCandidatesCached(s, dir, 0.5)
+      .join(broadcast(axis),
+        col("est_jaccard") >= col("threshold_x16").cast("double") / 16)
+      .select("threshold_x16", "doc_b").distinct()
+    val grouped = removed.join(toks, removed("doc_b") === toks("doc_id"))
+      .groupBy("threshold_x16")
+      .agg(count(lit(1)).as("docs_removed"),
+        sum(col("toks")).as("tokens_removed"))
+    broadcast(axis).join(grouped, Seq("threshold_x16"), "left")
+      .select(col("threshold_x16"),
+        coalesce(col("docs_removed"), lit(0L)).as("docs_removed"),
+        expr(s"CAST(1000000 * coalesce(docs_removed, 0) div $nDocs AS LONG)")
+          .as("docs_removed_ppm"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        expr(s"CAST(1000000 * coalesce(tokens_removed, 0) div $nToks AS LONG)")
+          .as("tokens_removed_ppm"))
+      .orderBy("threshold_x16")
+  }
+
+  /** q201: MinHash calibration card — q106's inverse direction. Recall
+    * (q106) asks "what share of true near-dups does banding catch, by
+    * EXACT band"; this asks "when the estimator reports k/16, what is
+    * the exact Jaccard really, by ESTIMATED band" — the bias/error
+    * profile that decides whether a stored estimate can drive the
+    * threshold directly or needs an exact re-check pass (q107's
+    * two-stage discipline). Both sides come from the cached id<1000
+    * frames (no new shingle pass); pairs whose exact Jaccard sits below
+    * the exact frame's 0.05 floor are COUNTED (`n_below_floor` — the
+    * false-alarm mass) but excluded from the error stats. Error
+    * arithmetic is integer-exact: jaccard and est are 4-dp floor
+    * values, recovered to integer ×10000 via floor(x·10000+0.5) in
+    * both engines, so sums carry no float-order haze. */
+  val q201MinhashCalibration: QuerySpec = QuerySpec(
+    "q201_minhash_calibration",
+    "WITH " + ngramPairsSqlCtesFrom("documents", 0.05, "doc_id < 1000 AND ") +
+      ",\n" + minhashPairsSqlCtesFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 1000)",
+        minAgree = 0, pairsCte = "mh_pairs") + """,
+      |j AS (
+      |  SELECT CAST(m.est_jaccard * 16 AS INTEGER) AS est_x16,
+      |    CAST(floor(m.est_jaccard * 10000 + 0.5) AS BIGINT) AS e4,
+      |    CAST(floor(p.jaccard * 10000 + 0.5) AS BIGINT) AS j4
+      |  FROM mh_pairs m LEFT JOIN pairs p
+      |    ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b)
+      |SELECT est_x16,
+      |  CAST(count(*) AS BIGINT) AS n_candidates,
+      |  CAST(sum(CASE WHEN j4 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below_floor,
+      |  CASE WHEN count(j4) > 0
+      |    THEN CAST(100 * sum(j4) // count(j4) AS BIGINT) END
+      |    AS mean_exact_ppm,
+      |  CASE WHEN count(j4) > 0
+      |    THEN CAST(100 * sum(abs(e4 - j4)) // count(j4) AS BIGINT) END
+      |    AS mean_abs_err_ppm
+      |FROM j GROUP BY est_x16
+      |ORDER BY est_x16""".stripMargin) { (s, dir) =>
+    val est = minhashCandidatesCached(s, dir, 0.0, maxId = Some(1000))
+    val exact = jaccardPairsCached(s, dir, 1000, 0.05)
+    val j = est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select((col("est_jaccard") * 16).cast("int").as("est_x16"),
+        floor(col("est_jaccard") * 10000 + lit(0.5)).cast("long").as("e4"),
+        floor(col("jaccard") * 10000 + lit(0.5)).cast("long").as("j4"))
+    j.groupBy("est_x16")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j4").isNull, 1L).otherwise(0L)).as("n_below_floor"),
+        count(col("j4")).as("nj"),
+        sum(col("j4")).as("sj"),
+        sum(abs(col("e4") - col("j4"))).as("se"))
+      .select(col("est_x16"), col("n_candidates"), col("n_below_floor"),
+        when(col("nj") > 0,
+          expr("CAST(100 * sj div nj AS LONG)")).as("mean_exact_ppm"),
+        when(col("nj") > 0,
+          expr("CAST(100 * se div nj AS LONG)")).as("mean_abs_err_ppm"))
+      .orderBy("est_x16")
+  }
+
   /** DuckDB oracle for [[simhash]] + [[simhashPairs]]: identical signature
     * arithmetic (md5-arithmetic token hash), but an all-pairs comparison —
     * 500² oracle-side pairs at the gate SF is nothing for DuckDB, and an
@@ -2330,5 +2456,5 @@ object Dedup {
     q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
     q94BloomAdmit, q106MinhashRecall, q107QualityKeeper,
     q110BoilerplateSpans, q128DupSpanProfile, q190DetectorKappa,
-    q197BandLoad, q199DupMass)
+    q197BandLoad, q199DupMass, q200DedupYield, q201MinhashCalibration)
 }
