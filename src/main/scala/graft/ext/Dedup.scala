@@ -607,59 +607,22 @@ object Dedup {
     }
   }
 
-  /** Deterministic content-derived batch token: a replayed append (same
-    * docs) lands on the SAME `batch=` partition and overwrites itself —
-    * the idempotency the dropped global pair merge used to provide. One
-    * bounded 1-row aggregate; the summed per-doc hash is folded into
-    * [0, 1e9) first so the sum stays far from Long overflow (ANSI mode
-    * errors rather than wraps) up to ~9e9 docs per batch. */
-  private[ext] def pairBatchToken(sigs: DataFrame): String = {
-    val r = sigs.agg(count(lit(1)).as("n"),
-      sum(pmod(xxhash64(col("doc_id")), lit(1000000007L))).as("h"),
-      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).collect()(0)
-    graft.ext.CorpusCache.md5Hex(
-      s"${r.get(0)}_${r.get(1)}_${r.get(2)}_${r.get(3)}").take(16)
-  }
+  /** Deterministic content-derived batch token over the signatures'
+    * doc_ids — [[graft.pipeline.Store.batchToken]]; a replayed append
+    * (same docs) lands on the SAME `batch=` partition and overwrites
+    * itself, the idempotency the dropped global pair merge used to
+    * provide. The commit/sweep protocol is the shared one in Store
+    * (also behind the IVF and media-hash indexes). */
+  private[ext] def pairBatchToken(sigs: DataFrame): String =
+    graft.pipeline.Store.batchToken(sigs, "doc_id")
 
-  /** Commit one batch's rows into a `batch=`-partitioned maintained
-    * tree: write to a `_staging_<token>` dir INSIDE the table (hidden —
-    * Spark's file listing skips `_`/`.`-prefixed paths, so no reader
-    * can observe a half-written batch), then one atomic rename to
-    * `batch=<token>`. A replay finding its own token already published
-    * (the crashed-between-commits window) swaps it aside first so the
-    * any-moment reader view is old-batch or new-batch, never partial.
-    * Publish IO is exactly the batch's own files; nothing else in the
-    * tree is opened, rewritten, or moved. */
   private def commitBatchPartition(spark: org.apache.spark.sql.SparkSession,
-      table: String, token: String, df: DataFrame): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(s"$table/_staging_$token")
-    val dest = new org.apache.hadoop.fs.Path(s"$table/batch=$token")
-    val replaced = new org.apache.hadoop.fs.Path(s"$table/_replaced_$token")
-    df.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(replaced)) fs.delete(replaced, true)
-    if (fs.exists(dest) && !fs.rename(dest, replaced))
-      sys.error(s"pair-index commit: could not move $dest aside")
-    if (!fs.rename(staging, dest))
-      sys.error(s"pair-index commit: could not publish $staging")
-    fs.delete(replaced, true)
-    ()
-  }
+      table: String, token: String, df: DataFrame): Unit =
+    graft.pipeline.Store.commitBatchPartition(spark, table, token, df)
 
-  /** Writer-side sweep of dead maintenance leftovers (`_staging_*` /
-    * `_replaced_*`) under a maintained tree — single-writer contract:
-    * anything hidden present at op start belongs to a crashed op. */
   private def sweepBatchLeftovers(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(table)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("_staging_") || n.startsWith("_replaced_"))
-        fs.delete(st.getPath, true)
-    }
-  }
+      table: String): Unit =
+    graft.pipeline.Store.sweepBatchLeftovers(spark, table)
 
   /** Fold one admitted batch into the index WITHOUT re-reading covered
     * text: shingle + sign the batch only, band-join the new bands

@@ -381,12 +381,23 @@ object Multimodal {
     * [[Similarity.appendToIvfIndex]]: new batches append their hash rows,
     * no existing file is rewritten. */
   def buildMediaHashIndex(media: DataFrame, dir: String): Unit =
-    hashMedia(media).write.mode("overwrite").parquet(s"$dir/hashes")
+    hashMedia(media)
+      .withColumn("batch", lit(graft.pipeline.Store.batchToken(media, "media_id")))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/hashes")
 
-  /** Append a batch's hashes to a persisted index without a rebuild. */
+  /** Append a batch's hashes to a persisted index without a rebuild —
+    * committed as ONE `batch=` partition keyed by a deterministic
+    * content-derived token (the shared
+    * [[graft.pipeline.Store.commitBatchPartition]] protocol, round 13),
+    * so an at-least-once replay overwrites its own partition instead of
+    * duplicating hash rows, and readers never observe a half-written
+    * batch (hidden staging + one atomic rename). */
   def appendToMediaHashIndex(spark: SparkSession, dir: String,
-      batch: DataFrame): Unit =
-    hashMedia(batch).write.mode("append").parquet(s"$dir/hashes")
+      batch: DataFrame): Unit = {
+    graft.pipeline.Store.sweepBatchLeftovers(spark, s"$dir/hashes")
+    graft.pipeline.Store.commitBatchPartition(spark, s"$dir/hashes",
+      graft.pipeline.Store.batchToken(batch, "media_id"), hashMedia(batch))
+  }
 
   /** Probe a persisted hash index: hash the incoming batch inline (small
     * by contract), band-join against the saved hashes, exact hamming

@@ -398,11 +398,14 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, dir: String): Unit = {
     val cents = ivfCentroids(corpus)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val tok = graft.pipeline.Store.batchToken(corpus, "vec_id")
     assignCells(corpus.select(col("vec_id").as("cand_id"), col("embedding")),
         cents, "cand_id", 1)
       .join(corpus.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
       .withColumn("nrm", l2Norm(col("embedding")))
-      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/cells")
+      .withColumn("batch", lit(tok))
+      .write.mode("overwrite").partitionBy("batch", "cell_id")
+      .parquet(s"$dir/cells")
   }
 
   /** Append new vectors to a persisted index WITHOUT a rebuild — the
@@ -410,18 +413,30 @@ object Similarity {
     * the batch against the SAVED centroids (IVF tolerates centroid
     * staleness — recall drifts only as the data distribution does, so
     * re-running Lloyd is a scheduled maintenance rebuild, not a
-    * per-batch cost) and append cell-partitioned files. Append-only by
-    * construction: no existing file is rewritten, so concurrent probes
-    * stay consistent, and cells the batch doesn't touch keep their file
-    * sets byte-identical (asserted in ExtSpec). */
+    * per-batch cost) and commit the batch as ONE `batch=` partition
+    * with `cell_id` dirs nested inside it (the shared
+    * [[graft.pipeline.Store.commitBatchPartition]] protocol, round 13):
+    * no existing file is rewritten, so concurrent probes stay
+    * consistent and cells the batch doesn't touch keep their file sets
+    * byte-identical (asserted in ExtSpec); the deterministic
+    * content-derived token makes an at-least-once REPLAY overwrite its
+    * own partition instead of double-inserting the batch's vectors —
+    * which would silently inflate the drift audit's occupancy — and the
+    * hidden-staging + atomic-rename commit means a probe never observes
+    * a half-written batch. Probe-side partition pruning on `cell_id`
+    * is unaffected: the prune applies across every batch dir. */
   def appendToIvfIndex(spark: SparkSession, dir: String,
       newVecs: DataFrame): Unit = {
+    graft.pipeline.Store.sweepBatchLeftovers(spark, s"$dir/cells")
     val cents = spark.read.parquet(s"$dir/centroids")
-    assignCells(newVecs.select(col("vec_id").as("cand_id"), col("embedding")),
+    val rows = assignCells(
+        newVecs.select(col("vec_id").as("cand_id"), col("embedding")),
         cents, "cand_id", 1)
       .join(newVecs.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
       .withColumn("nrm", l2Norm(col("embedding")))
-      .write.mode("append").partitionBy("cell_id").parquet(s"$dir/cells")
+    graft.pipeline.Store.commitBatchPartition(spark, s"$dir/cells",
+      graft.pipeline.Store.batchToken(newVecs, "vec_id"), rows,
+      partitionCols = Seq("cell_id"))
   }
 
   /** Probe a persisted index: assign queries to their [[IvfProbes]]

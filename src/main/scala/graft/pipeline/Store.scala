@@ -824,6 +824,74 @@ object Store {
     fs.delete(backup, true)
   }
 
+  // ---- batch=-partitioned maintained-artifact commit protocol ----------
+  // Shared by the maintained pair index (graft.ext.Dedup), the IVF index
+  // (graft.ext.Similarity) and the media-hash index
+  // (graft.ext.Multimodal): an append lands as ONE new `batch=<token>`
+  // partition whose token derives deterministically from the batch's
+  // CONTENT, so publish IO is O(batch) (no pre-existing file is ever
+  // rewritten) and an at-least-once replay overwrites its own partition
+  // instead of double-inserting.
+
+  /** Deterministic content-derived batch token: a replayed batch (same
+    * rows) lands on the SAME `batch=` partition and overwrites itself —
+    * the idempotency a bare `mode("append")` cannot give an
+    * at-least-once maintenance loop. One bounded 1-row aggregate; the
+    * summed per-row hash is folded into [0, 1e9) first so the sum stays
+    * far from Long overflow (ANSI mode errors rather than wraps) up to
+    * ~9e9 rows per batch. */
+  private[graft] def batchToken(df: DataFrame, idCol: String): String = {
+    val r = df.agg(count(lit(1)), sum(pmod(xxhash64(col(idCol)),
+        lit(1000000007L))), min(col(idCol)), max(col(idCol))).collect()(0)
+    graft.ext.CorpusCache.md5Hex(
+      s"${r.get(0)}_${r.get(1)}_${r.get(2)}_${r.get(3)}").take(16)
+  }
+
+  /** Commit one batch's rows into a `batch=`-partitioned maintained
+    * tree: write to a `_staging_<token>` dir INSIDE the table (hidden —
+    * Spark's file listing skips `_`/`.`-prefixed paths, so no reader can
+    * observe a half-written batch), then one atomic rename to
+    * `batch=<token>`. A replay finding its own token already published
+    * swaps it aside first, so the any-moment reader view is old-batch or
+    * new-batch, never partial. `partitionCols` nest further partition
+    * dirs INSIDE the batch dir (the IVF index's `cell_id`), keeping
+    * partition pruning on those columns across batches. Publish IO is
+    * exactly the batch's own files; nothing else in the tree is opened,
+    * rewritten, or moved. */
+  private[graft] def commitBatchPartition(spark: SparkSession,
+      table: String, token: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$table/_staging_$token")
+    val dest = new org.apache.hadoop.fs.Path(s"$table/batch=$token")
+    val replaced = new org.apache.hadoop.fs.Path(s"$table/_replaced_$token")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
+    if (fs.exists(replaced)) fs.delete(replaced, true)
+    if (fs.exists(dest) && !fs.rename(dest, replaced))
+      sys.error(s"batch commit: could not move $dest aside")
+    if (!fs.rename(staging, dest))
+      sys.error(s"batch commit: could not publish $staging")
+    fs.delete(replaced, true)
+    ()
+  }
+
+  /** Writer-side sweep of dead maintenance leftovers (`_staging_*` /
+    * `_replaced_*`) under a maintained tree — single-writer contract:
+    * anything hidden present at op start belongs to a crashed op. */
+  private[graft] def sweepBatchLeftovers(spark: SparkSession,
+      table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_staging_") || n.startsWith("_replaced_"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** WRITER half of [[publishAtomic]]'s crash protocol (single writer by
     * contract): if the target is absent but a `__backup` exists, a crash
     * interrupted the previous publish between its two renames — finish

@@ -1642,6 +1642,21 @@ class ExtSpec extends SparkSpec {
       if (!touched.contains(cell))
         assert(after(cell) == files, s"untouched cell $cell rewritten")
     }
+    // at-least-once REPLAY of the same batch is idempotent: the
+    // deterministic batch token overwrites its own partition instead of
+    // double-inserting (a bare append would silently inflate the drift
+    // audit's occupancy)
+    val rowsAfterFirst = spark.read.parquet(s"$dir/cells").count()
+    val batchDirsAfterFirst = new java.io.File(s"$dir/cells").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    Similarity.appendToIvfIndex(spark, dir,
+      queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    assert(spark.read.parquet(s"$dir/cells").count() == rowsAfterFirst,
+      "replaying an appended batch must not duplicate vectors")
+    assert(new java.io.File(s"$dir/cells").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet ==
+      batchDirsAfterFirst,
+      "a replay must overwrite its own batch partition, not add one")
     // probe-visible at rank 1: an identical vector has cosine 1.0 and the
     // clone shares its original's cell, which is always among the probes
     val top = Similarity.probeIvfIndex(spark, dir, queries, 1).collect()

@@ -171,6 +171,12 @@ class MultimodalSpec extends SparkSpec {
     assert(hits.exists(_.getAs[Long]("index_id") ==
       base.collect().head.getAs[Long]("media_id")),
       "appended clone must collide with its original at hamming 0")
+    // at-least-once replay of the same batch overwrites its own
+    // deterministic batch partition instead of duplicating hash rows
+    val nAfterFirst = spark.read.parquet(s"$dir/hashes").count()
+    Multimodal.appendToMediaHashIndex(spark, dir, clone)
+    assert(spark.read.parquet(s"$dir/hashes").count() == nAfterFirst,
+      "replaying an appended batch must not duplicate hash rows")
     // the probe plan reads the hash parquet, never the media payloads
     val plan = Multimodal.probeMediaHashIndex(spark, dir, clone)
       .queryExecution.sparkPlan.toString
