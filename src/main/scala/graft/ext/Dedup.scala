@@ -1011,6 +1011,38 @@ object Dedup {
     * 1-row literalize class (q175's nOrders). All ratios are exact
     * floor-div ppm; est thresholds k/16 are binary-exact doubles, so
     * the >= comparisons carry no float haze. */
+  /** The q200 operator over any pair frame (doc_b = the star-rule
+    * removal victim) and (doc_id, toks) token frame: removal counts and
+    * token mass at each `thresholdsX16` cutoff, exact floor-div ppm.
+    * `totals` are folded in as literals (1-row metadata literalize) so
+    * the final pass is join-free. */
+  def dedupYieldCurve(pairs: DataFrame, toks: DataFrame,
+      thresholdsX16: Seq[Int]): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val totRow = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_toks")).head()
+    val (nDocs, nToks) = (totRow.getLong(0), totRow.getLong(1))
+    val axis = thresholdsX16.toDF("threshold_x16")
+    val removed = pairs
+      .join(broadcast(axis),
+        col("est_jaccard") >= col("threshold_x16").cast("double") / 16)
+      .select("threshold_x16", "doc_b").distinct()
+    val grouped = removed.join(toks, removed("doc_b") === toks("doc_id"))
+      .groupBy("threshold_x16")
+      .agg(count(lit(1)).as("docs_removed"),
+        sum(col("toks")).as("tokens_removed"))
+    broadcast(axis).join(grouped, Seq("threshold_x16"), "left")
+      .select(col("threshold_x16"),
+        coalesce(col("docs_removed"), lit(0L)).as("docs_removed"),
+        expr(s"CAST(1000000 * coalesce(docs_removed, 0) div $nDocs AS LONG)")
+          .as("docs_removed_ppm"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        expr(s"CAST(1000000 * coalesce(tokens_removed, 0) div $nToks AS LONG)")
+          .as("tokens_removed_ppm"))
+      .orderBy("threshold_x16")
+  }
+
   val q200DedupYield: QuerySpec = QuerySpec(
     "q200_dedup_yield",
     "WITH " + minhashPairsSqlCtesFrom("documents", 8) + """,
@@ -1039,32 +1071,11 @@ object Dedup {
       |FROM axis a LEFT JOIN g ON g.threshold_x16 = a.threshold_x16
       |CROSS JOIN tot
       |ORDER BY a.threshold_x16""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val toks = Tables.documents(s, dir).select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
-    // 1-row metadata literalize (the q175 nOrders class): folding the
-    // totals in as literals keeps the final pass join-free
-    val totRow = toks.agg(count(lit(1)).as("n_docs"),
-      sum(col("toks")).as("n_toks")).head()
-    val (nDocs, nToks) = (totRow.getLong(0), totRow.getLong(1))
-    val axis = Seq(8, 10, 12, 14, 16).toDF("threshold_x16")
-    val removed = minhashCandidatesCached(s, dir, 0.5)
-      .join(broadcast(axis),
-        col("est_jaccard") >= col("threshold_x16").cast("double") / 16)
-      .select("threshold_x16", "doc_b").distinct()
-    val grouped = removed.join(toks, removed("doc_b") === toks("doc_id"))
-      .groupBy("threshold_x16")
-      .agg(count(lit(1)).as("docs_removed"),
-        sum(col("toks")).as("tokens_removed"))
-    broadcast(axis).join(grouped, Seq("threshold_x16"), "left")
-      .select(col("threshold_x16"),
-        coalesce(col("docs_removed"), lit(0L)).as("docs_removed"),
-        expr(s"CAST(1000000 * coalesce(docs_removed, 0) div $nDocs AS LONG)")
-          .as("docs_removed_ppm"),
-        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
-        expr(s"CAST(1000000 * coalesce(tokens_removed, 0) div $nToks AS LONG)")
-          .as("tokens_removed_ppm"))
-      .orderBy("threshold_x16")
+    dedupYieldCurve(
+      minhashCandidatesCached(s, dir, 0.5),
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("toks")),
+      Seq(8, 10, 12, 14, 16))
   }
 
   /** q201: MinHash calibration card — q106's inverse direction. Recall
@@ -1080,6 +1091,28 @@ object Dedup {
     * arithmetic is integer-exact: jaccard and est are 4-dp floor
     * values, recovered to integer ×10000 via floor(x·10000+0.5) in
     * both engines, so sums carry no float-order haze. */
+  /** The q201 operator over any estimated (doc_a, doc_b, est_jaccard)
+    * and exact (doc_a, doc_b, jaccard) pair frames — error profile of
+    * the estimate by estimated band, integer-exact (see the q201 doc). */
+  def minhashCalibrationCard(est: DataFrame, exact: DataFrame): DataFrame = {
+    val j = est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select((col("est_jaccard") * 16).cast("int").as("est_x16"),
+        floor(col("est_jaccard") * 10000 + lit(0.5)).cast("long").as("e4"),
+        floor(col("jaccard") * 10000 + lit(0.5)).cast("long").as("j4"))
+    j.groupBy("est_x16")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j4").isNull, 1L).otherwise(0L)).as("n_below_floor"),
+        count(col("j4")).as("nj"),
+        sum(col("j4")).as("sj"),
+        sum(abs(col("e4") - col("j4"))).as("se"))
+      .select(col("est_x16"), col("n_candidates"), col("n_below_floor"),
+        when(col("nj") > 0,
+          expr("CAST(100 * sj div nj AS LONG)")).as("mean_exact_ppm"),
+        when(col("nj") > 0,
+          expr("CAST(100 * se div nj AS LONG)")).as("mean_abs_err_ppm"))
+      .orderBy("est_x16")
+  }
+
   val q201MinhashCalibration: QuerySpec = QuerySpec(
     "q201_minhash_calibration",
     "WITH " + ngramPairsSqlCtesFrom("documents", 0.05, "doc_id < 1000 AND ") +
@@ -1104,24 +1137,9 @@ object Dedup {
       |    AS mean_abs_err_ppm
       |FROM j GROUP BY est_x16
       |ORDER BY est_x16""".stripMargin) { (s, dir) =>
-    val est = minhashCandidatesCached(s, dir, 0.0, maxId = Some(1000))
-    val exact = jaccardPairsCached(s, dir, 1000, 0.05)
-    val j = est.join(exact, Seq("doc_a", "doc_b"), "left")
-      .select((col("est_jaccard") * 16).cast("int").as("est_x16"),
-        floor(col("est_jaccard") * 10000 + lit(0.5)).cast("long").as("e4"),
-        floor(col("jaccard") * 10000 + lit(0.5)).cast("long").as("j4"))
-    j.groupBy("est_x16")
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("j4").isNull, 1L).otherwise(0L)).as("n_below_floor"),
-        count(col("j4")).as("nj"),
-        sum(col("j4")).as("sj"),
-        sum(abs(col("e4") - col("j4"))).as("se"))
-      .select(col("est_x16"), col("n_candidates"), col("n_below_floor"),
-        when(col("nj") > 0,
-          expr("CAST(100 * sj div nj AS LONG)")).as("mean_exact_ppm"),
-        when(col("nj") > 0,
-          expr("CAST(100 * se div nj AS LONG)")).as("mean_abs_err_ppm"))
-      .orderBy("est_x16")
+    minhashCalibrationCard(
+      minhashCandidatesCached(s, dir, 0.0, maxId = Some(1000)),
+      jaccardPairsCached(s, dir, 1000, 0.05))
   }
 
   /** DuckDB oracle for [[simhash]] + [[simhashPairs]]: identical signature

@@ -550,6 +550,44 @@ class ExtSpec extends SparkSpec {
       "append after compaction diverges from a full rebuild")
   }
 
+  test("dedup yield curve: exact removals/ppm on a constructed pair fixture, zero-removal thresholds included") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 1.0), (1L, 3L, 0.75), (2L, 4L, 0.5))
+      .toDF("doc_a", "doc_b", "est_jaccard")
+    val toks = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("doc_id", "toks")
+    val got = Dedup.dedupYieldCurve(pairs, toks, Seq(8, 12, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (8, 3L, 600000L, 90L, 600000L),     // {2,3,4}: 90 of 150 tokens
+      (12, 2L, 400000L, 50L, 333333L),    // {2,3}
+      (16, 1L, 200000L, 20L, 133333L)),   // {2}
+      s"got $got")
+    // a cutoff nothing reaches still yields a zero row (left-join axis)
+    val withEmpty = Dedup.dedupYieldCurve(
+      pairs.filter(col("est_jaccard") < 0.6), toks, Seq(16)).collect()
+    assert(withEmpty.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((16, 0L)))
+  }
+
+  test("minhash calibration card: exact per-band error stats on a constructed fixture; below-floor mass counted, not averaged") {
+    import spark.implicits._
+    val est = Seq((1L, 2L, 1.0), (1L, 3L, 0.75), (2L, 4L, 0.5), (3L, 4L, 0.5))
+      .toDF("doc_a", "doc_b", "est_jaccard")
+    val exact = Seq((1L, 2L, 0.9), (1L, 3L, 0.7))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.minhashCalibrationCard(est, exact).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(got == Seq(
+      (8, 2L, 2L, -1L, -1L),              // both below the exact floor
+      (12, 1L, 0L, 700000L, 50000L),      // exact 0.70, |0.75-0.70|
+      (16, 1L, 0L, 900000L, 100000L)),    // exact 0.90, |1.00-0.90|
+      s"got $got")
+  }
+
   test("band-load audit from the maintained index's persisted signatures ≡ the text-scan audit") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("pair_idx_bl").toString
