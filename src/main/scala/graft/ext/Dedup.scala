@@ -1078,6 +1078,74 @@ object Dedup {
       Seq(8, 10, 12, 14, 16))
   }
 
+  /** The q202 operator: per-source exact-dup recoverable mass. Keeper =
+    * min doc_id per content digest (q26's star rule); every NON-keeper
+    * copy is charged to ITS OWN source, so a syndicated article that
+    * originated elsewhere still counts against the re-publisher — the
+    * ledger a per-source dedup rollout reads to decide where dedup pays
+    * before near-dup chains run anywhere. One digest hash-agg + one
+    * join back on the digest (same exchange class) + one source
+    * aggregate; ppm shares are per-source floor-div, exact. */
+  def sourceDedupGain(corpus: DataFrame): DataFrame = {
+    val fp = corpus.select(col("doc_id"), col("source"), col("toks"),
+      md5(col("text")).as("fp"))
+    val keepers = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+    fp.join(keepers, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("doc_id") =!= col("keeper_id"), 1L).otherwise(0L))
+          .as("dup_docs"),
+        sum(when(col("doc_id") =!= col("keeper_id"), col("toks"))
+          .otherwise(lit(0L))).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("dup_docs"),
+        expr("CAST(1000000 * dup_docs div n_docs AS LONG)")
+          .as("dup_docs_ppm"),
+        col("dup_tokens"),
+        expr("CAST(1000000 * dup_tokens div n_tokens AS LONG)")
+          .as("dup_tokens_ppm"))
+      .orderBy("source")
+  }
+
+  /** q202: per-source dedup gain over the corpus with q26's injected
+    * clone class (%7 docs duplicated under offset ids, source kept), so
+    * every source shows a non-trivial recoverable mass. */
+  val q202SourceDedupGain: QuerySpec = QuerySpec(
+    "q202_source_dedup_gain",
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, source, text FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |fp AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    md5(text) AS fp
+      |  FROM corpus),
+      |k AS (SELECT fp, min(doc_id) AS keeper_id FROM fp GROUP BY fp),
+      |g AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN fp.doc_id <> k.keeper_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dup_docs,
+      |    CAST(sum(CASE WHEN fp.doc_id <> k.keeper_id THEN toks ELSE 0 END)
+      |      AS BIGINT) AS dup_tokens
+      |  FROM fp JOIN k USING (fp) GROUP BY source)
+      |SELECT source, n_docs, dup_docs,
+      |  CAST(1000000 * dup_docs // n_docs AS BIGINT) AS dup_docs_ppm,
+      |  dup_tokens,
+      |  CAST(1000000 * dup_tokens // n_tokens AS BIGINT) AS dup_tokens_ppm
+      |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select(injectedId(col("doc_id"), 100000000L).as("doc_id"),
+          col("source"), col("text")))
+    sourceDedupGain(corpus.withColumn("toks",
+      size(TextAnalysis.tokens(col("text"))).cast("long")))
+  }
+
   /** q201: MinHash calibration card — q106's inverse direction. Recall
     * (q106) asks "what share of true near-dups does banding catch, by
     * EXACT band"; this asks "when the estimator reports k/16, what is
@@ -2437,5 +2505,6 @@ object Dedup {
     q82WinnowFingerprints, q83WinnowDecontaminate, q90SourceOverlap,
     q94BloomAdmit, q106MinhashRecall, q107QualityKeeper,
     q110BoilerplateSpans, q128DupSpanProfile, q190DetectorKappa,
-    q197BandLoad, q199DupMass, q200DedupYield, q201MinhashCalibration)
+    q197BandLoad, q199DupMass, q200DedupYield, q201MinhashCalibration,
+    q202SourceDedupGain)
 }

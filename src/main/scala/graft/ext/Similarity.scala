@@ -632,6 +632,81 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q203 operator: axis-aligned variance spectrum of an embedding
+    * corpus — the collapse/anisotropy health card. Per dimension the
+    * variance in exact micro-units (avg(x²) − avg(x)², floored at 1e-6
+    * — the q111 rounded-moments discipline: the only float that crosses
+    * the oracle boundary is a rounded per-dim aggregate), then the
+    * 64-row spectrum folds through ORDER-FIXED list arithmetic (sorted
+    * list + sequential folds — no window, no cross join): total
+    * variance, the mass share of the top 1/4/8/16 dimensions, and the
+    * participation ratio (Σv)²/Σv² — the effective dimension count, in
+    * centi-dims. A healthy isotropic space reads participation ≈ dims
+    * and flat top-k shares; an encoder collapsing onto a few directions
+    * (the failure ANN recall + semantic decon quietly inherit) reads
+    * high top-k mass and a small effective dimension. Squares run in
+    * DECIMAL(38,0)/HUGEINT (the q190 exact-integer class — (Σv)² at
+    * var≈100, 64 dims is ~4e19, past BIGINT). Scale shape: one
+    * posexplode + dim-cardinality aggregate (the q32 plan), then
+    * dim-cardinality metadata folds to ONE row. */
+  def embeddingSpectrum(emb: DataFrame): DataFrame = {
+    val perDim = emb
+      .select(posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      .select(col("dim_idx"), col("x").cast("double").as("v"))
+      .groupBy("dim_idx")
+      .agg(avg(col("v")).as("m"), avg(col("v") * col("v")).as("s"))
+      .select(floor((col("s") - col("m") * col("m")) * 1000000 + lit(0.5))
+        .cast("long").as("var_u6"))
+    def topShare(k: Int): Column =
+      expr(s"CAST(1000000 * aggregate(slice(vs, 1, $k), 0L, (a, x) -> a + x)" +
+        " div aggregate(vs, 0L, (a, x) -> a + x) AS LONG)")
+        .as(s"top${k}_share_ppm")
+    perDim
+      .agg(count(lit(1)).cast("int").as("n_dims"),
+        reverse(array_sort(collect_list(col("var_u6")))).as("vs"))
+      .select(col("n_dims"),
+        expr("aggregate(vs, 0L, (a, x) -> a + x)").as("total_var_u6"),
+        topShare(1), topShare(4), topShare(8), topShare(16),
+        expr("CAST((100 * CAST(aggregate(vs, 0L, (a, x) -> a + x) AS DECIMAL(38,0))" +
+          " * aggregate(vs, 0L, (a, x) -> a + x))" +
+          " div aggregate(vs, CAST(0 AS DECIMAL(38,0))," +
+          " (a, x) -> a + CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))" +
+          " AS LONG)").as("participation_centi"))
+      .orderBy("n_dims")
+  }
+
+  /** q203: the variance spectrum over the embeddings table. */
+  val q203EmbeddingSpectrum: QuerySpec = QuerySpec(
+    "q203_embedding_spectrum",
+    """WITH x AS (
+      |  SELECT unnest(generate_series(1, len(embedding))) AS i,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT i, CAST(floor((avg(v * v) - avg(v) * avg(v)) * 1000000
+      |    + 0.5) AS BIGINT) AS var_u6
+      |  FROM x GROUP BY i),
+      |l AS (
+      |  SELECT CAST(count(*) AS INTEGER) AS n_dims,
+      |    list(var_u6 ORDER BY var_u6 DESC) AS vs
+      |  FROM d)
+      |SELECT n_dims,
+      |  CAST(list_sum(vs) AS BIGINT) AS total_var_u6,
+      |  CAST(1000000 * list_sum(vs[1:1]) // list_sum(vs) AS BIGINT)
+      |    AS top1_share_ppm,
+      |  CAST(1000000 * list_sum(vs[1:4]) // list_sum(vs) AS BIGINT)
+      |    AS top4_share_ppm,
+      |  CAST(1000000 * list_sum(vs[1:8]) // list_sum(vs) AS BIGINT)
+      |    AS top8_share_ppm,
+      |  CAST(1000000 * list_sum(vs[1:16]) // list_sum(vs) AS BIGINT)
+      |    AS top16_share_ppm,
+      |  CAST(100 * CAST(list_sum(vs) AS HUGEINT) * CAST(list_sum(vs) AS HUGEINT)
+      |    // list_sum(list_transform(vs, x -> CAST(x AS HUGEINT) * x))
+      |    AS BIGINT) AS participation_centi
+      |FROM l ORDER BY n_dims""".stripMargin) { (s, dir) =>
+    embeddingSpectrum(Tables.embeddings(s, dir))
+  }
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   val q31CosineTopK: QuerySpec = QuerySpec(
     "q31_cosine_topk",
@@ -1369,5 +1444,5 @@ object Similarity {
     q45EmbeddingNearDup, q46EmbeddingNearDupLsh, q74QuantizeStats,
     q85SemanticNearDup, q97AnnRecall, q98SemanticDecontaminate,
     q104CellBalancedSample, q112HardNegatives, q113AnnMrr, q120TopComponent,
-    q123JlDistortion)
+    q123JlDistortion, q203EmbeddingSpectrum)
 }

@@ -588,6 +588,44 @@ class ExtSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("per-source dedup gain: non-keeper copies charged to their own source on a constructed fixture") {
+    import spark.implicits._
+    // "x" appears in BOTH sources: keeper is doc 1 (src a), so src a is
+    // charged one copy (doc 2) and src b one copy (doc 3) — the
+    // syndication case the per-source charge rule exists for
+    val corpus = Seq(
+      (1L, "a", "x", 10L), (2L, "a", "x", 20L),
+      (3L, "b", "x", 30L), (4L, "b", "y", 40L))
+      .toDF("doc_id", "source", "text", "toks")
+    val got = Dedup.sourceDedupGain(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", 2L, 1L, 500000L, 20L, 666666L),
+      ("b", 2L, 1L, 500000L, 30L, 428571L)), s"got $got")
+  }
+
+  test("embedding spectrum: a collapsed space reads effective dim 1; an isotropic pair reads 2") {
+    import spark.implicits._
+    // all variance on dim 0 (values 0/2 -> var 1), dims 1-3 constant
+    val collapsed = Seq(
+      (1L, Array(0f, 5f, 5f, 5f)), (2L, Array(2f, 5f, 5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.embeddingSpectrum(collapsed).collect()(0)
+    assert(c.getInt(0) == 4 && c.getLong(1) == 1000000L)
+    assert(c.getAs[Long]("top1_share_ppm") == 1000000L,
+      "all variance mass must sit in the single varying dimension")
+    assert(c.getAs[Long]("participation_centi") == 100L,
+      "a rank-1 spectrum is effective dimension 1.00")
+    // two equal-variance dims: participation 2.00, top1 exactly half
+    val iso = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(2f, 2f)))
+      .toDF("vec_id", "embedding")
+    val i = Similarity.embeddingSpectrum(iso).collect()(0)
+    assert(i.getAs[Long]("participation_centi") == 200L &&
+      i.getAs[Long]("top1_share_ppm") == 500000L, s"got $i")
+  }
+
   test("band-load audit from the maintained index's persisted signatures ≡ the text-scan audit") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("pair_idx_bl").toString
