@@ -882,7 +882,11 @@ object Redaction {
          |    + CASE WHEN customer_email IS NULL THEN 0 ELSE 1 END) AS n_redacted
          |FROM dirty_domain
          |ORDER BY order_id""".stripMargin) { (s, dir) =>
-    redactOrders(OrdersDomain.dirtyFromTpch(s, dir).orderBy("order_id"))
+    // narrow-sort placement (r13, same as q10): the sort sits between the
+    // join and the domain projection, so the sampling pass skips the
+    // derived columns entirely (the redaction itself was already above
+    // the sort — see the redactCorpusText note)
+    redactOrders(OrdersDomain.dirtyFromTpchOrdered(s, dir))
   }
 
   val all: Seq[QuerySpec] = Seq(q66PiiRedact, q189KAnonymity, q192LDiversity,

@@ -21,7 +21,15 @@ object OrdersDomain {
 
   final val Sources = Seq("api_rest", "file_csv", "file_json", "database")
 
-  def fromTpch(spark: SparkSession, dir: String): DataFrame = {
+  /** The 4-way source join projected to the RAW columns the canonical
+    * record derives from, plus the (cheap) `order_id` key — the narrow
+    * frame the sorted variants below range-partition on. Splitting the
+    * join from [[projectDomain]] lets a global sort sit BETWEEN them, so
+    * the range exchange's boundary-sampling pass (which executes the
+    * full exchange child once, before the real pass does it again) only
+    * ever computes the join + key, never the ~13 derived string/decimal
+    * expressions (guide §1.2/§5: don't compute things twice). */
+  private def joinedRaw(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
@@ -32,6 +40,16 @@ object OrdersDomain {
       .select(
         concat(lit("ORD-"), lpad(col("l_orderkey").cast("string"), 9, "0"),
           lit("-"), col("l_linenumber").cast("string")).as("order_id"),
+        col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_shipdate"),
+        col("c_name"), col("p_name"), col("p_type"))
+  }
+
+  /** Canonical 13-column projection over [[joinedRaw]]'s output — pure
+    * order-preserving column derivation, no shuffle. */
+  private def projectDomain(raw: DataFrame): DataFrame =
+    raw.select(
+        col("order_id"),
         col("c_name").as("customer_name"),
         concat(lower(replace(col("c_name"), lit("#"), lit("."))),
           lit("@example.com")).as("customer_email"),
@@ -48,7 +66,20 @@ object OrdersDomain {
         col("l_orderkey").as("api_post_id"))
       .withColumn("total_amount",
         graft.functions.Functions.round2(col("price") * col("quantity") - col("discount")))
-  }
+
+  def fromTpch(spark: SparkSession, dir: String): DataFrame =
+    projectDomain(joinedRaw(spark, dir))
+
+  /** [[fromTpch]] globally sorted by order_id, with the sort INSIDE the
+    * plan: join → narrow sort → derived-column projection. Identical
+    * rows in identical order to `fromTpch(...).orderBy("order_id")`
+    * (the projection is order-preserving and computes the same
+    * expressions), but the range exchange sorts 9 raw columns instead
+    * of 13 derived ones and — the real win — the sampling pass no
+    * longer evaluates the derived projection at all, so the heavy
+    * expressions run once per query instead of twice. */
+  def fromTpchOrdered(spark: SparkSession, dir: String): DataFrame =
+    projectDomain(joinedRaw(spark, dir).orderBy("order_id"))
 
   /** SQL CTE reproducing [[fromTpch]] for the DuckDB oracle. */
   final val OracleCte: String =
@@ -79,8 +110,32 @@ object OrdersDomain {
     * and invalid values injected on key residues so the clean stage has
     * real work whose effect the oracle can replicate
     * (exercises F1-F5 of SURVEY.md §2.2). */
-  def dirtyFromTpch(spark: SparkSession, dir: String): DataFrame = {
-    val base = fromTpch(spark, dir)
+  def dirtyFromTpch(spark: SparkSession, dir: String): DataFrame =
+    dirtyProject(fromTpch(spark, dir))
+
+  /** [[dirtyFromTpch]] globally sorted by order_id — the [[fromTpchOrdered]]
+    * narrow-sort placement (dirt injection is an order-preserving
+    * projection on top). */
+  def dirtyFromTpchOrdered(spark: SparkSession, dir: String): DataFrame =
+    dirtyProject(fromTpchOrdered(spark, dir))
+
+  /** [[dirtyFromTpch]] range-partitioned (NOT yet sorted) on order_id —
+    * the input shape for the Clean-stage keep-first fusion: the keyed
+    * dedup's ClusteredDistribution(order_id) is satisfied by the range
+    * partitioning (equal keys share a range), EnsureRequirements adds
+    * only the one local (key, tiebreak…) sort the dedup needs, the dedup
+    * preserves both, and a downstream global `orderBy("order_id")` is
+    * then satisfied without a second exchange or sort. One exchange +
+    * one sort where the naive spelling (hash exchange for the dedup,
+    * then a range exchange + sort for the output order) pays two of
+    * each — guide §2.4 "two operations keyed the same way share one
+    * exchange". The exchange child is the NARROW join (9 raw cols), so
+    * the boundary-sampling pass never evaluates the derived columns. */
+  def dirtyFromTpchRanged(spark: SparkSession, dir: String): DataFrame =
+    dirtyProject(projectDomain(
+      joinedRaw(spark, dir).repartitionByRange(col("order_id"))))
+
+  private def dirtyProject(base: DataFrame): DataFrame = {
     base
       .withColumn("quantity",
         when(col("api_post_id") % 97 === 0, lit(null)).otherwise(col("quantity")))

@@ -67,10 +67,17 @@ object Quality {
         (if (has("order_date")) Seq(frac(col("order_date").isNotNull)) else Nil)
 
     // --- consistency (validation.py:156-190)
-    val uniqueRatio =
-      if (has("order_id"))
-        Seq(countDistinct(col("order_id")).cast("double") / count(lit(1)))
-      else Nil
+    // countDistinct is NOT computed in the wide aggregate below: a single
+    // distinct aggregate makes Catalyst rewrite the WHOLE agg as a
+    // two-level group-by-key plan, so every row is shuffled keyed on
+    // order_id carrying ~40 partial-aggregate buffers (measured: the
+    // exchange was q14's dominant stage). Instead the distinct count runs
+    // as its own narrow pass (group-by-key of the key column alone,
+    // map-side combined) and is attached via a 1-row broadcast cross
+    // join; the consistency mean is then composed in the SAME
+    // left-to-right addition order, so the float result is bit-identical
+    // (guide §2.3: shuffle fewer bytes; §1.2: fix the algorithm first).
+    val needsUnique = has("order_id")
     // np.isclose(price*qty, total, rtol=0.01) = |a-b| <= 1e-8 + 0.01|b|
     val totalsClose =
       if (has("price", "quantity", "total_amount"))
@@ -82,7 +89,8 @@ object Quality {
       least(lit(1.0), greatest(lit(0.0),
         coalesce(lit(1.0) - stddev_samp(lens) / avg(lens), lit(1.0))))
     }
-    val consistencyChecks = uniqueRatio ++ totalsClose ++ lengthConsistency
+    // aggregate-expression components other than the unique ratio
+    val consistencyRest = totalsClose ++ lengthConsistency
 
     // --- accuracy (validation.py:192-237)
     val asOfTs = lit(asOf).cast("timestamp")
@@ -110,13 +118,38 @@ object Quality {
     def mean(cs: Seq[Column]): Column =
       if (cs.isEmpty) lit(1.0) else cs.reduce(_ + _) / cs.length
 
-    val agged = df.agg(
+    // wide single pass: every non-distinct aggregate, with the
+    // consistency components emitted separately so the mean can be
+    // re-assembled (same fold order) once the unique ratio arrives
+    val restCols = consistencyRest.zipWithIndex
+      .map { case (c, i) => c.as(s"__cons_$i") }
+    val aggExprs = Seq(
       completeness.as("completeness"),
       (mean(validityChecks) * 100).as("validity"),
-      (mean(consistencyChecks) * 100).as("consistency"),
       (mean(accuracyChecks) * 100).as("accuracy"),
       validRecords.as("valid_records"),
-      count(lit(1)).as("total_records"))
+      count(lit(1)).as("total_records")) ++ restCols
+    val aggedBase = df.agg(aggExprs.head, aggExprs.tail: _*)
+    // narrow distinct pass (only when the key exists), attached as a
+    // 1-row broadcast — the keySkewHistogram literalize pattern
+    val withUnique =
+      if (needsUnique)
+        aggedBase.crossJoin(broadcast(
+          df.agg(countDistinct(col("order_id")).as("__cd"))))
+      else aggedBase
+    val uniqueRatio: Seq[Column] =
+      if (needsUnique)
+        Seq(col("__cd").cast("double") / col("total_records"))
+      else Nil
+    val consistencyChecks: Seq[Column] =
+      uniqueRatio ++ consistencyRest.indices.map(i => col(s"__cons_$i"))
+    val agged = withUnique.select(
+      col("completeness"),
+      col("validity"),
+      (mean(consistencyChecks) * 100).as("consistency"),
+      col("accuracy"),
+      col("valid_records"),
+      col("total_records"))
 
     // floor-based round4, not native round(): these are ratios of small
     // integers, exactly the value class whose shortest decimal

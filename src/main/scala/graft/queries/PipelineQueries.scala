@@ -24,7 +24,11 @@ object PipelineQueries {
         |  ingested_at, api_post_id, total_amount
         |FROM orders_domain
         |ORDER BY order_id""".stripMargin) { (s, dir) =>
-    OrdersDomain.fromTpch(s, dir).orderBy("order_id")
+    // narrow-sort placement (r13): the global sort sits between the join
+    // and the derived-column projection, so the range boundary-sampling
+    // pass computes only the join + key and the 13 derived expressions
+    // run once, above the sort, instead of twice below it
+    OrdersDomain.fromTpchOrdered(s, dir)
   }
 
   /** Cleaning stage over the deterministically-dirty domain
@@ -37,7 +41,13 @@ object PipelineQueries {
         |  ingested_at, api_post_id, total_amount
         |FROM cleaned
         |ORDER BY order_id""".stripMargin) { (s, dir) =>
-    Clean(OrdersDomain.dirtyFromTpch(s, dir)).orderBy("order_id")
+    // exchange-fused spelling (r13): range-partition the dirty domain on
+    // order_id ONCE — the keep-first dedup's clustering requirement is
+    // satisfied by the range partitioning (EnsureRequirements adds only
+    // its local (key, tiebreak…) sort), and the final global order is
+    // satisfied without a second exchange or sort (guide §2.4). Same
+    // rows, same order; one exchange + one sort instead of two + two.
+    Clean(OrdersDomain.dirtyFromTpchRanged(s, dir)).orderBy("order_id")
   }
 
   /** Enrichment stage (~20 derived columns, `src/transformation.py:233-575`)
@@ -51,7 +61,7 @@ object PipelineQueries {
     // order-preserving projection, and range partitioning samples its
     // child to pick boundaries — sorting the enriched output would
     // execute all ~20 derived columns twice (the q66 lesson)
-    Enrich(OrdersDomain.fromTpch(s, dir).orderBy("order_id"),
+    Enrich(OrdersDomain.fromTpchOrdered(s, dir),
       brands = Enrich.PartBrands, categories = Enrich.PartCategories)
       .select(col("order_id"), col("customer_segment"), col("customer_value_tier"),
         col("customer_type"), col("product_brand"), col("product_category_detailed"),
@@ -98,14 +108,15 @@ object PipelineQueries {
         |    + (CASE WHEN dayname(order_date) IN ('Saturday', 'Sunday') THEN 10 ELSE 0 END)) AS risk_score
         |FROM cleaned
         |ORDER BY order_id""".stripMargin) { (s, dir) =>
-    // sort right above the clean stage's dedup shuffle (so boundary
-    // sampling reads the materialized exchange, not the raw scans), then
-    // run enrich + standardize ONCE as order-preserving projections —
-    // sorting the transformed output would execute both stages twice.
-    // Ordering is identical: standardize's upper(order_id) is a no-op on
-    // the already-uppercase ORD- keys.
+    // one fused range exchange (r13): the dirty domain is range-
+    // partitioned on order_id, the keep-first dedup rides that exchange
+    // with its one local sort, the declared orderBy is satisfied without
+    // another exchange, and enrich + standardize run ONCE as
+    // order-preserving projections above it. Ordering is identical:
+    // standardize's upper(order_id) is a no-op on the already-uppercase
+    // ORD- keys.
     val transformed = Standardize(Enrich(
-      Clean(OrdersDomain.dirtyFromTpch(s, dir)).orderBy("order_id"),
+      Clean(OrdersDomain.dirtyFromTpchRanged(s, dir)).orderBy("order_id"),
       brands = Enrich.PartBrands, categories = Enrich.PartCategories))
     transformed.select(
       col("order_id"), col("customer_name"), col("customer_email"),
