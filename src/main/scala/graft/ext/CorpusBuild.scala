@@ -180,37 +180,85 @@ object CorpusBuild {
     * Shared by the ledger (per-stage accounting) and the publisher (the
     * final survivors feed the packed manifest), so the two can never
     * disagree about what the release contains. */
-  private def releaseStages(docs: DataFrame): Seq[(String, DataFrame)] = {
+  /** Per-doc survival flags for the release funnel — ONE frame carrying
+    * (doc_id, text, lang, n_chars, q, in1…in5), where inK ⇔ the doc
+    * survives stage K. The stage filters nest, so every stage frame is a
+    * flag filter of this frame and the ledger is one conditional
+    * aggregate over it. The exact-dedup keeper is taken per fingerprint
+    * group over the FUNNEL SURVIVORS via `min(when(in1, doc_id))` (min
+    * ignores nulls — identical to windowing the filtered s1 frame); the
+    * near-dup loser set is, by construction, a function of the s3
+    * survivor set, so it is built from the flag-filtered s3 exactly as
+    * the old cumulative chain built it and joined back as a flag. */
+  private def flaggedStages(docs: DataFrame): DataFrame = {
     val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
     val q = TextAnalysis.qualityScore(lenScore, ttr, stopRatio)
     val s0 = docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-    val s1 = s0.withColumn("q", q)
-      .filter(col("n_chars") >= TextAnalysis.FunnelMinChars
+    val flagged1 = s0.withColumn("q", q)
+      .withColumn("in1", col("n_chars") >= TextAnalysis.FunnelMinChars
         && col("lang") === TextAnalysis.FunnelLang
         && col("q") >= TextAnalysis.FunnelMinQuality)
-    val s2 = s1.withColumn("fp", md5(col("text")))
-      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text")
+      .withColumn("fp", md5(col("text")))
+      .withColumn("in2", col("in1") &&
+        col("doc_id") === min(when(col("in1"), col("doc_id")))
+          .over(Window.partitionBy("fp")))
     val contaminated = Dedup.evalContamination(docs, evalMod = 50, n = 4)
-      .filter(col("contaminated")).select("doc_id")
-    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("contaminated"))
+      .select(col("doc_id"), lit(true).as("__contam"))
+    val flagged3 = flagged1.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("in3", col("in2") && col("__contam").isNull)
+    val s3 = flagged3.filter(col("in3")).select("doc_id", "text")
     val losers = Dedup.minhashCandidates(s3, NearDupThreshold)
-      .select("doc_b").distinct()
-    val s4 = s3.join(losers, s3("doc_id") === losers("doc_b"), "left_anti")
-    val s5 = s4.filter(Sampling.assignSplit(col("doc_id")) === "train")
-    Seq("0_raw" -> s0, "1_funnel" -> s1, "2_exact_dedup" -> s2,
-      "3_decontaminated" -> s3, "4_near_dedup" -> s4, "5_train_split" -> s5)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__loser", lit(true))
+    flagged3.join(losers, Seq("doc_id"), "left")
+      .withColumn("in4", col("in3") && col("__loser").isNull)
+      .withColumn("in5",
+        col("in4") && Sampling.assignSplit(col("doc_id")) === "train")
+      .drop("fp", "__contam", "__loser")
+  }
+
+  private[graft] def releaseStages(docs: DataFrame): Seq[(String, DataFrame)] = {
+    val f = flaggedStages(docs)
+    Seq(
+      "0_raw" -> f.select("doc_id", "text", "lang", "n_chars"),
+      "1_funnel" -> f.filter(col("in1"))
+        .select("doc_id", "text", "lang", "n_chars", "q"),
+      "2_exact_dedup" -> f.filter(col("in2")).select("doc_id", "text"),
+      "3_decontaminated" -> f.filter(col("in3")).select("doc_id", "text"),
+      "4_near_dedup" -> f.filter(col("in4")).select("doc_id", "text"),
+      "5_train_split" -> f.filter(col("in5")).select("doc_id", "text"))
   }
 
   def releaseLedger(docs: DataFrame): DataFrame = {
+    // ONE conditional aggregate over per-doc survival flags instead of
+    // six unioned aggregates of the cumulative stage frames (guide §1.2:
+    // don't compute things twice — the union form re-tokenized every doc
+    // per stage and re-ran the quality expressions / fingerprint window /
+    // detector joins for every later stage; measured 6 jobs → 2).
+    // Stage filters nest (s5 ⊆ s4 ⊆ … ⊆ s0), so each stage's (n_docs,
+    // n_tokens) is a conditional count/sum over the flagged frame; the
+    // only piece that cannot be a per-doc flag from s0 alone is the
+    // near-dup loser set, which by construction is a function of the s3
+    // SURVIVOR SET — it is built from the flag-filtered s3 exactly as
+    // the stage chain builds it, then joined back as a flag.
+    // Equivalence to the stage-frame spelling is pinned by ExtSpec's
+    // flag-vs-stage differential and the q118 oracle at all sweep SFs.
+    val f = flaggedStages(docs)
     def tok = size(TextAnalysis.tokens(col("text"))).cast("long")
-    releaseStages(docs).map { case (name, df) =>
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(tok), lit(0L)).as("n_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-    }.reduce(_.unionByName(_))
+    val stages = Seq("0_raw" -> lit(true), "1_funnel" -> col("in1"),
+      "2_exact_dedup" -> col("in2"), "3_decontaminated" -> col("in3"),
+      "4_near_dedup" -> col("in4"), "5_train_split" -> col("in5"))
+    val aggs = stages.zipWithIndex.flatMap { case ((_, flag), i) =>
+      Seq(sum(when(flag, 1L).otherwise(0L)).as(s"__d_$i"),
+        coalesce(sum(when(flag, tok)), lit(0L)).as(s"__t_$i"))
+    }
+    f.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stages.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("stage"), col(s"__d_$i").as("n_docs"),
+          col(s"__t_$i").as("n_tokens"))
+      }: _*)).as("s")).select("s.*")
   }
 
   /** The packed manifest of the release's near-dedup survivors (all

@@ -1658,12 +1658,16 @@ object Dedup {
     * SFs (max observed doc-freq: 6 at sf0.1, 18 at the 3x corpus). */
   def winnowPairs(docs: DataFrame, minShared: Long = WinnowMinShared,
       maxDocFreq: Long = WinnowMaxDocFreq): DataFrame = {
-    // the selection scan runs twice (hot-set aggregate + pair join) —
-    // the same deliberate trade as admitBatch's probe re-scan: two
-    // scan-local passes beat caching inside a lazily-returned operator
-    // (session-lifetime leak) or shuffling the selection to reuse it; at
-    // real scale the selection is a materialized index table anyway
-    val s = winnowFingerprints(docs)
+    // ONE fp exchange feeds all three selection consumers (hot-set
+    // aggregate, both pair-join sides) via ReuseExchange — the r12 form
+    // re-evaluated the shingle+md5 selection per consumer (3 corpus
+    // scans). The repartition is not an extra shuffle at scale: a
+    // corpus-sized cold side can't broadcast, so the pair self-join
+    // needs exactly this fp clustering anyway, and the hot aggregate's
+    // two phases ride the same exchange (guide §2.4). Measured at
+    // sf0.1: q82 median 3.33 → 2.85 s (same min), rows identical
+    // (ProfileWinnow differential).
+    val s = winnowFingerprints(docs).repartition(col("fp"))
     val hot = s.groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDocFreq).select("fp")

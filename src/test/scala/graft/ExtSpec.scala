@@ -2215,6 +2215,25 @@ class ExtSpec extends SparkSpec {
     assert(docs.last < docs.head, "ledger shows no curation at all")
   }
 
+  test("release ledger: one-pass flag aggregate == per-stage aggregation") {
+    import graft.ext.CorpusBuild
+    import org.apache.spark.sql.functions._
+    val documents = Tables.documents(spark, sf)
+    val fast = CorpusBuild.releaseLedger(documents).orderBy("stage")
+      .collect().map(r => (r.getAs[String]("stage"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSeq
+    // the r13 pre-optimization spelling: aggregate every stage frame
+    // independently (recomputes the chain per stage — kept here as the
+    // semantic anchor for the one-pass conditional aggregate)
+    val slow = CorpusBuild.releaseStages(documents).map { case (name, df) =>
+      val row = df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(graft.ext.TextAnalysis.tokens(col("text")))
+          .cast("long")), lit(0L)).as("n_tokens")).collect().head
+      (name, row.getAs[Long]("n_docs"), row.getAs[Long]("n_tokens"))
+    }
+    assert(fast == slow, s"flag ledger diverged:\n$fast\nvs\n$slow")
+  }
+
   test("release publish: atomic artifact round-trips, recovers, republishes") {
     import graft.ext.CorpusBuild
     val docs = Tables.documents(spark, sf)
