@@ -223,15 +223,23 @@ object Profiling {
     * it with exact anchors for the correctness gate. */
   def approxProfile(df: DataFrame, numCols: Seq[String],
       strCols: Seq[String] = Nil): DataFrame = {
+    // BOTH quantiles from ONE GK sketch per column via the array form —
+    // two scalar percentile_approx calls each build their own identical
+    // sketch (the sketch state does not depend on the queried quantile,
+    // so the values are bit-identical); measured 2x on the sketch pass
+    // at sf0.1 (ProfileProfiling: 1.30 -> 0.69 s)
     val aggs =
       (numCols ++ strCols).map(c =>
         approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__nd")) ++
-        numCols.flatMap(c => Seq(
-          round(expr(s"percentile_approx($c, 0.5, 10000)").cast("double"), 4)
-            .as(s"${c}__p50"),
-          round(expr(s"percentile_approx($c, 0.99, 10000)").cast("double"), 4)
-            .as(s"${c}__p99")))
+        numCols.map(c =>
+          expr(s"percentile_approx($c, array(0.5, 0.99), 10000)")
+            .as(s"${c}__ap"))
     val one = df.agg(aggs.head, aggs.tail: _*)
+      .select(col("*") +: numCols.flatMap(c => Seq(
+        round(element_at(col(s"${c}__ap"), 1).cast("double"), 4)
+          .as(s"${c}__p50"),
+        round(element_at(col(s"${c}__ap"), 2).cast("double"), 4)
+          .as(s"${c}__p99"))): _*)
     val rows =
       numCols.map(c => struct(
         lit(c).as("column_name"), col(s"${c}__nd").as("approx_distinct"),
@@ -260,12 +268,16 @@ object Profiling {
   private def approxValidationQuery(df: DataFrame, numCols: Seq[String],
       strCols: Seq[String] = Nil): DataFrame = {
     val allCols = numCols ++ strCols
+    // one shared GK sketch per column (array form — see approxProfile)
     val approxAggs =
       allCols.map(c => approx_count_distinct(col(c), rsd = 0.02).as(s"${c}__and")) ++
-        numCols.flatMap(c => Seq(
-          expr(s"percentile_approx($c, 0.5, 10000)").cast("double").as(s"${c}__ap50"),
-          expr(s"percentile_approx($c, 0.99, 10000)").cast("double").as(s"${c}__ap99")))
+        numCols.map(c =>
+          expr(s"percentile_approx($c, array(0.5, 0.99), 10000)")
+            .as(s"${c}__ap"))
     val approx = df.agg(approxAggs.head, approxAggs.tail: _*)
+      .select(col("*") +: numCols.flatMap(c => Seq(
+        element_at(col(s"${c}__ap"), 1).cast("double").as(s"${c}__ap50"),
+        element_at(col(s"${c}__ap"), 2).cast("double").as(s"${c}__ap99"))): _*)
     val checkAggs =
       allCols.flatMap(c => Seq(
         count(col(c)).as(s"${c}__n"),
