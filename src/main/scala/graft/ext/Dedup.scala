@@ -1369,7 +1369,13 @@ object Dedup {
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .distinct().localCheckpoint(true)
     var it = 0
-    var done = edges.isEmpty
+    // carry the row count across rounds: each round compared
+    // next.count() to a RE-COUNT of the previous frame (one extra job
+    // per round on an already-checkpointed frame), and the initial
+    // isEmpty was a second bootstrap job — with tiny per-round data the
+    // loop's cost is job orchestration, not data (guide §1.2)
+    var edgeCount = edges.count()
+    var done = edgeCount == 0L
     while (!done && it < maxIters) {
       val nbrs = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
@@ -1391,8 +1397,10 @@ object Dedup {
         .unionByName(smins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint(true)
-      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      val nextCount = next.count()
+      done = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       it += 1
     }
     if (!done) sys.error(

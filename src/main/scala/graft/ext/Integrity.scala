@@ -179,15 +179,27 @@ object Integrity {
 
   /** [[dedupCard]] from an existing (cached) MinHash pair frame. */
   def dedupCardFrom(docs: DataFrame, mhPairs: DataFrame): DataFrame = {
-    val b = docs.select(col("doc_id"), md5(col("text")).as("fp"),
-      md5(Dedup.normalizeForDedup(col("text"))).as("nfp"))
-    val g1 = b.groupBy("fp").agg(
-      min(col("doc_id")).as("exact_keeper"), count(lit(1)).as("c1"))
-    val g2 = b.groupBy("nfp").agg(
-      min(col("doc_id")).as("norm_keeper"), count(lit(1)).as("c2"))
+    // group stats as WINDOWS over the digest frame instead of two
+    // groupBy-then-join-back passes: the r12 form evaluated the md5 +
+    // normalization digests once per consumer (both group builds, the
+    // probe side, and the final sort's sampling pass — 3x each); the
+    // window form computes them ONCE below the fp exchange, and the two
+    // digest-keyed shuffles carry only (doc_id, fp, nfp). This is also
+    // the 100 TB shape: the per-digest group frames are corpus-sized, so
+    // the join-back could never broadcast at scale (guide §2.4/§3).
+    // min/count over the full partition are value-identical to the
+    // grouped aggregates.
+    import org.apache.spark.sql.expressions.Window
+    val wFp = Window.partitionBy("fp")
+    val wNfp = Window.partitionBy("nfp")
     val near = Dedup.clustersFromPairsStar(mhPairs)
       .withColumnRenamed("cluster_rep", "near_rep")
-    b.join(g1, Seq("fp")).join(g2, Seq("nfp"))
+    docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        md5(Dedup.normalizeForDedup(col("text"))).as("nfp"))
+      .withColumn("exact_keeper", min(col("doc_id")).over(wFp))
+      .withColumn("c1", count(lit(1)).over(wFp))
+      .withColumn("norm_keeper", min(col("doc_id")).over(wNfp))
+      .withColumn("c2", count(lit(1)).over(wNfp))
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("c1") > 1).as("in_exact_group"), col("exact_keeper"),

@@ -378,11 +378,29 @@ object TextAnalysis {
         "transform(sequence(1, size(w) - 1), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
     val n = size(col("w"))
-    val topTok = expr(
-      "array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))")
-    val nDist = size(array_distinct(col("w")))
-    val topBg = expr(
-      "array_max(transform(array_distinct(bg), t -> size(filter(bg, x -> x = t))))")
+    // max multiplicity / distinct count via ONE sorted run-length pass —
+    // O(n log n) per doc vs the r12 form's O(distinct · tokens) nested
+    // filter-per-distinct-token (`array_max(transform(array_distinct(w),
+    // t -> size(filter(w, x -> x = t))))`), which was the query's whole
+    // cost (guide §1.2 step 2: per-task work). Max run length of the
+    // sorted array == max multiplicity; run starts == distinct count —
+    // exact integers, order-independent, value-identical.
+    def maxRun(arr: String) = expr(
+      s"aggregate(array_sort($arr), " +
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), " +
+        "(a, x) -> named_struct('prev', x, " +
+        "  'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1), " +
+        "  'best', GREATEST(a.best, " +
+        "    IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))), " +
+        "a -> a.best)")
+    val topTok = maxRun("w")
+    val nDist = expr(
+      "aggregate(array_sort(w), " +
+        "named_struct('prev', cast(null as string), 'd', 0), " +
+        "(a, x) -> named_struct('prev', x, " +
+        "  'd', a.d + IF(a.prev IS NOT NULL AND x = a.prev, 0, 1)), " +
+        "a -> a.d)")
+    val topBg = maxRun("bg")
     val topTokF = topTok.cast("double") / n
     val dupF = (n - nDist).cast("double") / n
     val topBgF = topBg.cast("double") / (n - 1)
