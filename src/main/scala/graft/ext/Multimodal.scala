@@ -355,8 +355,15 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < DhashBits,
       s"maxHamming must be in [0, $DhashBits), got $maxHamming")
     val hashed = hashMedia(media)
+    // ONE (band, band_val) exchange shared by both self-join sides (r13,
+    // the q82 winnow pattern): the alias-renamed sides are projections
+    // over the same exchange child, so ReuseExchange dedups them and the
+    // payload hash subtree evaluates once for the probe rows instead of
+    // once per side; the join's clustering requirement is satisfied by
+    // the same exchange (guide §2.4). Measured: q99 3 payload scans → 2.
     val probes = bandProbes(
       hashed.select(col("media_id"), col("dhash")), maxHamming)
+      .repartition(col("band"), col("band_val"))
     val near = probes.toDF("id_a", "ha", "band", "band_val")
       .join(probes.toDF("id_b", "hb", "band", "band_val"),
         Seq("band", "band_val"))

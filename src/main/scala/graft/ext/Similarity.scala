@@ -570,8 +570,13 @@ object Similarity {
     * filter after re-attaching vectors — so output pairs are always a
     * subset of the exact pairs; recall is asserted in ExtSpec. */
   def cosineNearDupLsh(corpus: DataFrame, minCos: Double): DataFrame = {
+    // one (table_id, bucket) exchange shared by both self-join sides
+    // (r13, the q99/q82 pattern): lshProbes is a scan-local projection —
+    // no aggregate, so without the explicit repartition there is no
+    // exchange to reuse and the hyperplane dot products evaluate once
+    // per join side
     val probes = lshProbes(corpus, "vec_id", NearDupTables, NearDupBits,
-      NearDupPlaneOffset)
+      NearDupPlaneOffset).repartition(col("table_id"), col("bucket"))
     probes.select(col("vec_id").as("id_a"), col("table_id"), col("bucket"))
       .join(probes.select(col("vec_id").as("id_b"), col("table_id"), col("bucket")),
         Seq("table_id", "bucket"))
