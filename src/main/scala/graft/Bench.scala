@@ -12,6 +12,27 @@ import org.apache.spark.sql.SparkSession
   * systematically advantaged by absorbing JVM/JIT/codegen warmup.
   */
 object Bench {
+
+  /** INDEX-BACKED rows (round 14): every registered query whose timed
+    * region is served by maintained state `prewarmCaches` builds — the
+    * six pair-frame variants (jaccard/minhash/simhash + the i711u/i711r
+    * injected corpora), the q145 indexed layout, and the BPE merge table.
+    * Their per-query seconds measure the CONSUMER of the index, not the
+    * build; `cache_build_sec` carries the build cost (22.4 s cold
+    * anchor). Emitted in both JSON lines ("index_backed" full names /
+    * "ib" positional indices) so these rows cannot be read as raw-compute
+    * query speed. BenchContractSpec pins the list against the registry
+    * and the cache call sites — adding a consumer without extending this
+    * list is the review tripwire. */
+  val IndexBackedQueries: Seq[String] = Seq(
+    "q27_ngram_jaccard", "q28_minhash_lsh", "q29_simhash",
+    "q60_neardup_clusters", "q79_neardup_clusters_star",
+    "q90_source_overlap", "q95_bpe_merges", "q96_bpe_encode",
+    "q106_minhash_recall", "q107_quality_keeper",
+    "q108_tokenizer_fertility", "q114_dedup_card",
+    "q145_manifest_pruned_stats", "q190_detector_kappa",
+    "q200_dedup_yield", "q201_minhash_calibration")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -88,6 +109,8 @@ object Bench {
         f"exceeds 1.5x the cold-build anchor ($coldBuildAnchorSec%.1f s) — " +
         "the detector build chain has regressed; profile prewarmCaches " +
         "before trusting this round's cache-warm rows")
+    val indexBackedJson =
+      IndexBackedQueries.mkString("[\"", "\",\"", "\"]")
     val failed = scala.collection.mutable.ListBuffer[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
@@ -144,7 +167,7 @@ object Bench {
       case (name, _) if !failed.contains(name) =>
         s"\"" + name + "\":" + samples(name).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"min_total":$minTotal,"cache_build_sec":$cacheBuildSec,"queries":$qs,"query_min":$mins,"samples":$samplesJson,"sf":"$sfDir"$failedJson}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"min_total":$minTotal,"cache_build_sec":$cacheBuildSec,"index_backed":$indexBackedJson,"queries":$qs,"query_min":$mins,"samples":$samplesJson,"sf":"$sfDir"$failedJson}"""
     // Full-precision record → file (survives any stdout truncation) + one
     // human-readable print for anyone scrolling the log.
     try java.nio.file.Files.writeString(
@@ -180,7 +203,13 @@ object Bench {
     val compactVals = ordered.map { case (name, _) =>
       medByName.get(name).map { case (med, _) => num1(med) }.getOrElse("null")
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num1(total)},"unit":"sec","min_total":${num1(minTotal)},"cb":${num1(cacheBuildSec)},"n":${ordered.size},"qs":$compactVals,"detail":"target/bench_full.json","sf":"$sfDir"$failedJson}""")
+    // index-backed rows as POSITIONS into the same sorted-registry order
+    // as "qs" (full names are in the full line's "index_backed") — ~4
+    // chars per entry keeps the compact line inside the ~2000-char tail
+    val ibIdx = ordered.map(_._1).zipWithIndex.collect {
+      case (name, i) if IndexBackedQueries.contains(name) => i
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num1(total)},"unit":"sec","min_total":${num1(minTotal)},"cb":${num1(cacheBuildSec)},"n":${ordered.size},"ib":$ibIdx,"qs":$compactVals,"detail":"target/bench_full.json","sf":"$sfDir"$failedJson}""")
     spark.stop()
   }
 }

@@ -251,7 +251,10 @@ object CorpusBuild {
       "2_exact_dedup" -> col("in2"), "3_decontaminated" -> col("in3"),
       "4_near_dedup" -> col("in4"), "5_train_split" -> col("in5"))
     val aggs = stages.zipWithIndex.flatMap { case ((_, flag), i) =>
-      Seq(sum(when(flag, 1L).otherwise(0L)).as(s"__d_$i"),
+      // coalesce like the token sum: on an EMPTY flagged frame (a corpus
+      // whose docs are all in the eval slice) sum() is NULL where the
+      // per-stage count(lit(1)) was 0
+      Seq(coalesce(sum(when(flag, 1L).otherwise(0L)), lit(0L)).as(s"__d_$i"),
         coalesce(sum(when(flag, tok)), lit(0L)).as(s"__t_$i"))
     }
     f.agg(aggs.head, aggs.tail: _*)

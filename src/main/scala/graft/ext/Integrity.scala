@@ -194,7 +194,12 @@ object Integrity {
     val wNfp = Window.partitionBy("nfp")
     val near = Dedup.clustersFromPairsStar(mhPairs)
       .withColumnRenamed("cluster_rep", "near_rep")
-    docs.select(col("doc_id"), md5(col("text")).as("fp"),
+    // NULL-text rows are excluded up front: the pre-window (r12) form's
+    // inner joins on fp/nfp dropped them implicitly (md5(NULL) joins
+    // nothing), while Window.partitionBy groups nulls together — the
+    // filter keeps the two spellings row-identical on any corpus
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
         md5(Dedup.normalizeForDedup(col("text"))).as("nfp"))
       .withColumn("exact_keeper", min(col("doc_id")).over(wFp))
       .withColumn("c1", count(lit(1)).over(wFp))

@@ -385,6 +385,12 @@ object TextAnalysis {
     // cost (guide §1.2 step 2: per-task work). Max run length of the
     // sorted array == max multiplicity; run starts == distinct count —
     // exact integers, order-independent, value-identical.
+    // PRECONDITION (both helpers): arrays are NON-EMPTY with NON-NULL
+    // elements — guaranteed here by `size(w) >= 2` and tokens() never
+    // emitting nulls. On an empty array maxRun returns 0 where the old
+    // array_max(transform(array_distinct(...))) returned NULL, and nDist
+    // counts a null element once per occurrence where array_distinct
+    // counted it once; reusers must re-establish the guard.
     def maxRun(arr: String) = expr(
       s"aggregate(array_sort($arr), " +
         "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), " +

@@ -2222,12 +2222,38 @@ class ExtSpec extends SparkSpec {
     val fast = CorpusBuild.releaseLedger(documents).orderBy("stage")
       .collect().map(r => (r.getAs[String]("stage"),
         r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSeq
-    // the r13 pre-optimization spelling: aggregate every stage frame
-    // independently (recomputes the chain per stage — kept here as the
-    // semantic anchor for the one-pass conditional aggregate)
-    val slow = CorpusBuild.releaseStages(documents).map { case (name, df) =>
+    // the r12 CUMULATIVE chain, inlined independently of flaggedStages
+    // (releaseStages is itself flag-derived now, so anchoring against it
+    // would only pin the conditional aggregate against flag filters of
+    // the same frame): each stage is a filter/window/anti-join of the
+    // previous stage frame, exactly the pre-refactor spelling.
+    import graft.ext.{Dedup, Sampling, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    val (lenScore, ttr, stopRatio) = TextAnalysis.qualityParts(col("text"))
+    val s0 = documents.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val s1 = s0
+      .withColumn("q", TextAnalysis.qualityScore(lenScore, ttr, stopRatio))
+      .filter(col("n_chars") >= TextAnalysis.FunnelMinChars
+        && col("lang") === TextAnalysis.FunnelLang
+        && col("q") >= TextAnalysis.FunnelMinQuality)
+    val s2 = s1.withColumn("__fp", md5(col("text")))
+      .withColumn("__keep",
+        min(col("doc_id")).over(Window.partitionBy("__fp")))
+      .filter(col("doc_id") === col("__keep")).drop("__fp", "__keep")
+    val contaminated = Dedup.evalContamination(documents, evalMod = 50, n = 4)
+      .filter(col("contaminated")).select("doc_id")
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    val losers = Dedup.minhashCandidates(
+        s3.select("doc_id", "text"), CorpusBuild.NearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s4 = s3.join(losers, Seq("doc_id"), "left_anti")
+    val s5 = s4.filter(Sampling.assignSplit(col("doc_id")) === "train")
+    val chain = Seq("0_raw" -> s0, "1_funnel" -> s1, "2_exact_dedup" -> s2,
+      "3_decontaminated" -> s3, "4_near_dedup" -> s4, "5_train_split" -> s5)
+    val slow = chain.map { case (name, df) =>
       val row = df.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(graft.ext.TextAnalysis.tokens(col("text")))
+        coalesce(sum(size(TextAnalysis.tokens(col("text")))
           .cast("long")), lit(0L)).as("n_tokens")).collect().head
       (name, row.getAs[Long]("n_docs"), row.getAs[Long]("n_tokens"))
     }

@@ -74,6 +74,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p63.contains("BroadcastNestedLoopJoin") && !p63.contains("CartesianProduct"))
   }
 
+  test("q11/q13: keep-first dedup + declared order share ONE exchange + ONE sort") {
+    // the r13 fusion: one repartitionByRange(order_id) satisfies BOTH the
+    // dedup's clustered distribution and the output order — a refactor
+    // that reintroduces the second shuffle/sort must fail here
+    for (q <- Seq("q11_clean", "q13_full_transform")) {
+      val p = planOf(q)
+      // node prefixes vary with codegen ("+- *(5) Sort [...") — match the
+      // operator name itself
+      val exchanges = "- Exchange ".r.findAllIn(p).length
+      val sorts = """- (\*\(\d+\) )?Sort \[""".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q: expected 1 shuffle Exchange, got $exchanges:\n$p")
+      assert(sorts == 1, s"$q: expected 1 Sort, got $sorts:\n$p")
+    }
+  }
+
   test("q04: dimension joins broadcast, no cartesian fallback") {
     val p = planOf("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")

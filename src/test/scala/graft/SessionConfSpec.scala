@@ -26,6 +26,17 @@ class SessionConfSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "true")
   }
 
+  test("Bench's index-backed list names registered queries only (round-14 flag)") {
+    // the bench emits these rows under "index_backed"/"ib" so cache-warm
+    // consumers can't be read as raw-compute speed; a renamed or dropped
+    // query must fail here, not silently mislabel the bench output
+    val registry = SparkEntry.queries.keySet
+    val unknown = Bench.IndexBackedQueries.filterNot(registry.contains)
+    assert(unknown.isEmpty, s"index-backed names not in registry: $unknown")
+    assert(Bench.IndexBackedQueries.distinct.size ==
+      Bench.IndexBackedQueries.size, "duplicate index-backed names")
+  }
+
   test("build.sbt forks tests with the widened JVM code cache (pairs with the codegen cap)") {
     // -XX:ReservedCodeCacheSize=512m is the JVM half of the round-12 fix:
     // retaining 8k generated classes is pointless if the JIT'd code is
