@@ -159,19 +159,30 @@ object Profiling {
       |ORDER BY column_name""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    // medians via the distributed rank selection (round 14): the built-in
+    // exact `percentile` merges a buffer holding every distinct value in
+    // ONE final task — the last single-task merge in a registered query
+    // path. exactPercentilesUngrouped reproduces its interpolation
+    // bit-for-bit from the two bracketing order statistics; round4
+    // applies at assembly exactly where round(percentile(...), 4) did.
+    val medWide = exactPercentilesUngrouped(li, cols, 0.5)
+      .groupBy().agg(
+        max(when(col("g") === cols.head, col("p_exact")))
+          .as(s"${cols.head}__median"),
+        cols.tail.map(c => max(when(col("g") === c, col("p_exact")))
+          .as(s"${c}__median")): _*)
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__n"),
       graft.functions.Functions.round4(avg(col(c))).as(s"${c}__mean"),
       round(stddev_samp(col(c)), 4).as(s"${c}__std"),
       round(min(col(c)), 4).as(s"${c}__min"),
-      round(max(col(c)), 4).as(s"${c}__max"),
-      round(expr(s"percentile($c, 0.5)"), 4).as(s"${c}__median")))
-    val one = li.agg(aggs.head, aggs.tail: _*)
+      round(max(col(c)), 4).as(s"${c}__max")))
+    val one = li.agg(aggs.head, aggs.tail: _*).crossJoin(broadcast(medWide))
     one.select(explode(array(cols.map(c => struct(
       lit(c).as("column_name"), col(s"${c}__n").as("n"),
       col(s"${c}__mean").as("mean_v"), col(s"${c}__std").as("std_v"),
       col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"),
-      col(s"${c}__median").as("median_v"))): _*)).as("p"))
+      round(col(s"${c}__median"), 4).as("median_v"))): _*)).as("p"))
       .select("p.*").orderBy("column_name")
   }
 
@@ -278,38 +289,79 @@ object Profiling {
       .select(col("*") +: numCols.flatMap(c => Seq(
         element_at(col(s"${c}__ap"), 1).cast("double").as(s"${c}__ap50"),
         element_at(col(s"${c}__ap"), 2).cast("double").as(s"${c}__ap99"))): _*)
-    val checkAggs =
-      allCols.flatMap(c => Seq(
-        count(col(c)).as(s"${c}__n"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        first(col(s"${c}__and")).as(s"${c}__and"))) ++
-        numCols.flatMap(c => Seq(
-          sum(when(col(c) < col(s"${c}__ap50"), 1L).otherwise(0L)).as(s"${c}__lt50"),
-          sum(when(col(c) <= col(s"${c}__ap50"), 1L).otherwise(0L)).as(s"${c}__le50"),
-          sum(when(col(c) < col(s"${c}__ap99"), 1L).otherwise(0L)).as(s"${c}__lt99"),
-          sum(when(col(c) <= col(s"${c}__ap99"), 1L).otherwise(0L)).as(s"${c}__le99")))
-    val one = df.crossJoin(broadcast(approx)).agg(checkAggs.head, checkAggs.tail: _*)
-    def ndOk(c: String): Column =
-      abs(col(s"${c}__and") - col(s"${c}__nd")).cast("double") <=
-        greatest(col(s"${c}__nd").cast("double") * 0.05, lit(2.0))
-    def rankOk(c: String, q: Double, lt: String, le: String): Column = {
-      val n = col(s"${c}__n").cast("double")
+    // Exact-anchor pass (round 14): ONE value histogram instead of the
+    // multi-countDistinct Expand — the old wide aggregate expanded every
+    // row once per distinct column (×4 through the exchange; measured
+    // 0.95 s of q47's 3.3 s at sf0.1). Exploding to (column, value) and
+    // grouping by the value collapses MAP-SIDE to the distinct values,
+    // and every exact anchor derives from the histogram: n = Σcnt,
+    // exact_distinct = row count, and the GK rank checks are conditional
+    // sums of cnt against the broadcast sketch thresholds. `vkey` is the
+    // value's string form — exact for longs/strings, injective for
+    // doubles by the shortest-round-trip representation (caveat: −0.0
+    // and 0.0 would count as two where countDistinct normalized them;
+    // the profiled columns are non-negative money/quantity/keys).
+    // `vnum` (the double the old code's comparisons coerced to) rides
+    // along for the threshold sums, constant within a vkey group.
+    val pairs = numCols.map(c => struct(lit(c).as("g"),
+        col(c).cast("string").as("vkey"),
+        col(c).cast("double").as("vnum"))) ++
+      strCols.map(c => struct(lit(c).as("g"),
+        col(c).cast("string").as("vkey"),
+        lit(null).cast("double").as("vnum")))
+    val hist = df.select(explode(array(pairs: _*)).as("p")).select("p.*")
+      .filter(col("vkey").isNotNull)
+      .groupBy("g", "vkey")
+      .agg(count(lit(1)).as("cnt"), max(col("vnum")).as("v"))
+    // per-row threshold pick: the sketch row's column for THIS g
+    def pick(suffix: String, over: Seq[String]): Column =
+      over.tail.foldLeft(
+        when(col("g") === over.head, col(s"${over.head}__$suffix"))) {
+        (acc, c) => acc.when(col("g") === c, col(s"${c}__$suffix"))
+      }
+    val checks = hist.crossJoin(broadcast(approx))
+      .groupBy("g")
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("nd"),
+        sum(when(col("v") < pick("ap50", numCols), col("cnt"))
+          .otherwise(0L)).as("lt50"),
+        sum(when(col("v") <= pick("ap50", numCols), col("cnt"))
+          .otherwise(0L)).as("le50"),
+        sum(when(col("v") < pick("ap99", numCols), col("cnt"))
+          .otherwise(0L)).as("lt99"),
+        sum(when(col("v") <= pick("ap99", numCols), col("cnt"))
+          .otherwise(0L)).as("le99"))
+    // left join from the literal column list: a column with zero
+    // non-null values still emits its row (n = 0, all-zero anchors),
+    // exactly as the old wide aggregate did
+    val spark = df.sparkSession
+    import spark.implicits._
+    val one = allCols.toDF("g").join(checks, Seq("g"), "left")
+      .crossJoin(broadcast(approx))
+      .select(col("*"),
+        coalesce(col("n"), lit(0L)).as("__n"),
+        coalesce(col("nd"), lit(0L)).as("__nd"),
+        coalesce(col("lt50"), lit(0L)).as("__lt50"),
+        coalesce(col("le50"), lit(0L)).as("__le50"),
+        coalesce(col("lt99"), lit(0L)).as("__lt99"),
+        coalesce(col("le99"), lit(0L)).as("__le99"))
+    val ndOk: Column =
+      abs(pick("and", allCols) - col("__nd")).cast("double") <=
+        greatest(col("__nd").cast("double") * 0.05, lit(2.0))
+    def rankOk(q: Double, lt: String, le: String): Column = {
+      val n = col("__n").cast("double")
       val slack = n / 1000.0 + 1.0
-      (col(s"${c}__$lt").cast("double") - slack <= n * q) &&
-        (n * q <= col(s"${c}__$le").cast("double") + slack)
+      (col(lt).cast("double") - slack <= n * q) &&
+        (n * q <= col(le).cast("double") + slack)
     }
-    val rows =
-      numCols.map(c => struct(
-        lit(c).as("column_name"), col(s"${c}__n").as("n"),
-        col(s"${c}__nd").as("exact_distinct"), ndOk(c).as("nd_ok"),
-        rankOk(c, 0.5, "lt50", "le50").as("p50_ok"),
-        rankOk(c, 0.99, "lt99", "le99").as("p99_ok"))) ++
-        strCols.map(c => struct(
-          lit(c).as("column_name"), col(s"${c}__n").as("n"),
-          col(s"${c}__nd").as("exact_distinct"), ndOk(c).as("nd_ok"),
-          lit(null).cast("boolean").as("p50_ok"),
-          lit(null).cast("boolean").as("p99_ok")))
-    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+    // p50_ok/p99_ok are NULL for string columns (no sketch percentiles)
+    val isNum: Column =
+      numCols.map(col("g") === _).reduce(_ || _)
+    one.select(col("g").as("column_name"), col("__n").as("n"),
+        col("__nd").as("exact_distinct"), ndOk.as("nd_ok"),
+        when(isNum, rankOk(0.5, "__lt50", "__le50"))
+          .otherwise(lit(null).cast("boolean")).as("p50_ok"),
+        when(isNum, rankOk(0.99, "__lt99", "__le99"))
+          .otherwise(lit(null).cast("boolean")).as("p99_ok"))
       .orderBy("column_name")
   }
 
@@ -717,6 +769,164 @@ object Profiling {
     }
     (small.toSeq ++ big.toSeq).reduceOption(_ unionByName _)
       .getOrElse(frameOf(spark, Nil, outSchema))
+  }
+
+  /** Per-group count/min/max/bucket-width for DOUBLE values — the
+    * [[groupStats]] twin for [[selectDoubleAtRanks]]. Width is double
+    * arithmetic; `greatest(…, MIN_NORMAL)` keeps it positive when a
+    * group holds a single distinct value (bucket 0 for every row). */
+  private def groupStatsDouble(vals: org.apache.spark.sql.DataFrame,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    literalize(
+      vals.groupBy("g").agg(count(lit(1)).as("n"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .withColumn("w", greatest(
+          (col("vmax") - col("vmin")) / lit(buckets.toDouble),
+          lit(java.lang.Double.MIN_NORMAL))))
+
+  /** DOUBLE-valued twin of [[selectAtRanks]]: exact k-th order statistics
+    * of a (g, v: double) frame without a global sort or a single-task
+    * value buffer — the engine behind [[exactPercentilesUngrouped]].
+    * Bucket ids are double arithmetic (`floor((v − vmin) / w)`): FP
+    * rounding can only move a bucket BOUNDARY, never reorder values —
+    * bucket assignment stays monotone in v, which is the only property
+    * the running-count rank location needs; the residual rank resolves
+    * by ordering the one target bucket's rows by v itself. Same
+    * oversize-bucket sub-histogram recursion and single-valued-bucket
+    * shortcut as the long engine (bmin/bmax compared as doubles).
+    * Contract: finite values (no NaN; −0.0 and 0.0 are not
+    * distinguished), low-cardinality `g`. */
+  private def selectDoubleAtRanks(
+      vals: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      ranks: org.apache.spark.sql.DataFrame, buckets: Int,
+      bigBucket: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val spark = vals.sparkSession
+    val bucketed = vals.join(broadcast(stats), "g")
+      .withColumn("b",
+        floor((col("v") - col("vmin")) / col("w")).cast("long"))
+    val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFirst = Window.partitionBy("g", "q").orderBy("b")
+    val target = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(broadcast(ranks), "g")
+      .filter(col("cum") >= col("k"))
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") <= 1)
+      .select(col("g"), col("q"), col("n"), col("k"), col("b").as("tb"),
+        (col("k") - (col("cum") - col("cnt"))).as("residual"),
+        col("cnt").as("bcnt"))
+    val tRows = target.collect() // pass 1 (the histogram) executes here
+    val (bigRows, smallRows) = tRows.partition(_.getAs[Long]("bcnt") > bigBucket)
+    val outSchema = StructType(Seq(target.schema("g"),
+      StructField("q", StringType), StructField("n", LongType),
+      StructField("k", LongType), StructField("v", DoubleType)))
+    def probe(targets: DataFrame): DataFrame =
+      bucketed.as("x").join(broadcast(targets.as("t")),
+          col("x.g") === col("t.g") && col("x.b") === col("t.tb"))
+        .select(col("x.g").as("g"), col("t.q").as("q"), col("t.n").as("n"),
+          col("t.k").as("k"), col("x.v").as("v"), col("x.vmin").as("vmin"),
+          col("x.w").as("w"), col("t.tb").as("tb"),
+          col("t.residual").as("residual"))
+    def rankWithin(probed: DataFrame, residualCol: String): DataFrame = {
+      val w = Window.partitionBy("g", "q").orderBy("v")
+      probed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === col(residualCol))
+        .select("g", "q", "n", "k", "v")
+    }
+    val small = if (smallRows.isEmpty) None
+      else Some(rankWithin(probe(frameOf(spark, smallRows, target.schema)), "residual"))
+    val big = if (bigRows.isEmpty) None else {
+      val bigF = frameOf(spark, bigRows, target.schema)
+      val probedBig = probe(bigF)
+        .withColumn("w2", greatest(col("w") / lit(buckets.toDouble),
+          lit(java.lang.Double.MIN_NORMAL)))
+        .withColumn("b2", floor(
+          (col("v") - (col("vmin") + col("tb") * col("w"))) / col("w2"))
+          .cast("long"))
+      val wCum2 = Window.partitionBy("g", "q").orderBy("b2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFirst2 = Window.partitionBy("g", "q").orderBy("b2")
+      val target2 = probedBig.groupBy("g", "q", "b2")
+        .agg(count(lit(1)).as("cnt2"),
+          min(col("v")).as("bmin"), max(col("v")).as("bmax"))
+        .withColumn("cum2", sum(col("cnt2")).over(wCum2))
+        .join(broadcast(bigF.select("g", "q", "n", "k", "residual")),
+          Seq("g", "q"))
+        .filter(col("cum2") >= col("residual"))
+        .withColumn("rn", row_number().over(wFirst2))
+        .filter(col("rn") <= 1)
+        .select(col("g"), col("q"), col("n"), col("k"), col("b2").as("tb2"),
+          (col("residual") - (col("cum2") - col("cnt2"))).as("residual2"),
+          col("bmin"), col("bmax"))
+      val t2Rows = target2.collect() // sub-histogram pass executes here
+      val (constRows, variedRows) =
+        t2Rows.partition(r => r.getAs[Double]("bmin") == r.getAs[Double]("bmax"))
+      // heavy single value: the target sub-bucket IS bmin — answered from
+      // driver metadata, no ranking task
+      val const2 = if (constRows.isEmpty) None
+        else Some(frameOf(spark, constRows.map(r => Row(
+          r.get(r.fieldIndex("g")), r.getAs[String]("q"),
+          r.getAs[Long]("n"), r.getAs[Long]("k"),
+          r.getAs[Double]("bmin"))), outSchema))
+      val varied = if (variedRows.isEmpty) None
+        else Some(rankWithin(
+          probedBig.join(broadcast(frameOf(spark, variedRows, target2.schema)
+              .select("g", "q", "tb2", "residual2")), Seq("g", "q"))
+            .filter(col("b2") === col("tb2")), "residual2"))
+      (const2.toSeq ++ varied.toSeq).reduceOption(_ unionByName _)
+    }
+    (small.toSeq ++ big.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(frameOf(spark, Nil, outSchema))
+  }
+
+  /** Ungrouped EXACT interpolating percentile over double columns — the
+    * scale form of q18's medians: reproduces Spark's built-in
+    * `percentile(c, p)` bit-for-bit (continuous position `p·(n−1)`, the
+    * `(higher−pos)·lo + (pos−lower)·hi` IEEE interpolation, and the
+    * integral-position / equal-key shortcuts, all straight from
+    * Percentile.getPercentile) — but through [[selectDoubleAtRanks]]'s
+    * two bracketing order statistics instead of the built-in's
+    * TypedImperativeAggregate, whose final task merges a buffer holding
+    * EVERY distinct value with its count (the q70 cliff in ungrouped
+    * form: one JVM owns the whole column at 100 TB). Returns one
+    * (g = column name, n, p_exact) row per column; an all-NULL column
+    * yields no row (the built-in returns NULL there). */
+  def exactPercentilesUngrouped(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String], percentage: Double,
+      bigBucket: Long = BigBucketRows): org.apache.spark.sql.DataFrame = {
+    val vals = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("g"), col(c).cast("double").as("v"))): _*)).as("p"))
+      .select("p.*").filter(col("v").isNotNull)
+    val stats = groupStatsDouble(vals, GroupMedianBuckets)
+    // continuous position pos = p·(n−1) in DOUBLE (exactly the built-in's
+    // arithmetic — never integer rank fractions here, they round the
+    // other side of an integer for some (p, n))
+    val fr = stats.select(col("g"), col("n"),
+        (lit(percentage) * (col("n") - 1L).cast("double")).as("pos"))
+      .withColumn("lower", floor(col("pos")).cast("long"))
+      .withColumn("higher", ceil(col("pos")).cast("long"))
+    val ranks = fr.select(col("g"), lit("lo").as("q"), col("n"),
+        (col("lower") + 1L).as("k"))
+      .unionByName(fr.select(col("g"), lit("hi").as("q"), col("n"),
+        (col("higher") + 1L).as("k")))
+    val sel = selectDoubleAtRanks(vals, stats, ranks,
+      GroupMedianBuckets, bigBucket)
+    val wide = sel.groupBy("g").agg(max(col("n")).as("n"),
+      max(when(col("q") === "lo", col("v"))).as("vlo"),
+      max(when(col("q") === "hi", col("v"))).as("vhi"))
+    wide.join(broadcast(fr.drop("n")), Seq("g"))
+      .select(col("g"), col("n"),
+        when(col("higher") === col("lower"), col("vlo"))
+          .when(col("vlo") === col("vhi"), col("vlo"))
+          .otherwise(
+            (col("higher").cast("double") - col("pos")) * col("vlo") +
+              (col("pos") - col("lower").cast("double")) * col("vhi"))
+          .as("p_exact"))
   }
 
   /** WEIGHTED order statistics without a global sort — the weight-aware

@@ -122,6 +122,55 @@ class ProfilingSpec extends SparkSpec {
       s"divergence on fraction-stress frame:\n$builtin2\n$scalable2")
   }
 
+  test("q18 ungrouped exact percentile ≡ built-in percentile, bit-for-bit (round-14 scale form)") {
+    import graft.queries.Profiling
+    // UNROUNDED doubles compared exactly — the drop-in claim is bitwise,
+    // not 4-decimal
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    for (p <- Seq(0.5, 0.9)) {
+      val builtin = li.agg(
+          expr(s"percentile(${cols.head}, $p)").as(cols.head),
+          cols.tail.map(c => expr(s"percentile($c, $p)").as(c)): _*)
+        .head()
+      val got = Profiling.exactPercentilesUngrouped(li, cols, p)
+        .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("p_exact"))
+        .toMap
+      cols.foreach { c =>
+        assert(got(c) == builtin.getAs[Double](c),
+          s"$c@$p: rank-selection ${got(c)} != builtin ${builtin.getAs[Double](c)}")
+      }
+    }
+    // edge frame: odd/even counts (integral and .5 positions), a single-
+    // distinct-value column, a null-carrying column, and sub-cent value
+    // spacing (quantization-hostile); bigBucket = 0 forces the recursive
+    // sub-histogram + const-bucket branches on the same frame
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val n = 1001
+    val df = (1 to n).map { i =>
+      (rnd.nextDouble() * 1e-4 + 1.0,         // tight range, distinct doubles
+        if (i <= 1000) rnd.nextInt(100) / 7.0 else Double.NaN, // even count via null below
+        42.42,                                 // single distinct value
+        rnd.nextInt(5000) / 100.0)
+    }.toDF("a", "b0", "c", "d")
+      .withColumn("b", when(col("b0").isNaN, lit(null)).otherwise(col("b0")))
+    val cols2 = Seq("a", "b", "c", "d")
+    for (p <- Seq(0.5, 0.25); bb <- Seq(Profiling.BigBucketRows, 0L)) {
+      val builtin = df.agg(
+          expr(s"percentile(${cols2.head}, $p)").as(cols2.head),
+          cols2.tail.map(c => expr(s"percentile($c, $p)").as(c)): _*)
+        .head()
+      val got = Profiling.exactPercentilesUngrouped(df, cols2, p, bb)
+        .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("p_exact"))
+        .toMap
+      cols2.foreach { c =>
+        assert(got(c) == builtin.getAs[Double](c),
+          s"$c@$p bigBucket=$bb: ${got(c)} != ${builtin.getAs[Double](c)}")
+      }
+    }
+  }
+
   test("q156 MAD: planted outlier flags via median/MAD where the mean-based z-score degrades") {
     import spark.implicits._
     // {1..9, 1000}: median = 5 (n=10, rank ceil(n/2)=5), deviations sorted
