@@ -1095,18 +1095,21 @@ object Advanced {
     * iteration 3.
     *
     * Scale shape (the co-partitioned iteration, not the broadcast one):
-    * the edge list is derived ONCE with its out-degree folded in,
-    * hash-partitioned on `src` and persisted (MEMORY_AND_DISK — the
-    * GraphX iteration discipline; a persistent deployment keeps it as a
-    * bucketed table instead). Each of the five iterations is then a
-    * SHUFFLE-HASH join of the O(nodes) score frame INTO that cached
-    * partitioning + one map-side-combined sum by dst: the edges never
-    * re-shuffle, the out-degree is never re-derived, and — critically —
-    * the score frame is never broadcast or collected, so no single
-    * JVM ever has to hold O(nodes) state (node cardinality is
-    * corpus-proportional; a broadcast dies at a billion-node graph).
-    * Scores flow shuffle-to-shuffle: the groupBy(dst) output is already
-    * hash-partitioned on the next round's join key.
+    * the ADJACENCY LIST is derived ONCE — one row per src carrying its
+    * neighbor set and out-degree — hash-partitioned on `src` and
+    * persisted (MEMORY_AND_DISK — the GraphX iteration discipline; a
+    * persistent deployment keeps it as a bucketed table instead). Each
+    * of the five iterations is then a SHUFFLE-HASH join of the O(nodes)
+    * score frame against the O(nodes) cached adjacency rows (the per-src
+    * contribution divides once per node, not once per edge), an explode
+    * to per-edge contributions, and one map-side-combined sum by dst:
+    * the edges never re-shuffle, the out-degree is never re-derived,
+    * and — critically — the score frame is never broadcast or
+    * collected, so no single JVM ever has to hold O(nodes) state (node
+    * cardinality is corpus-proportional; a broadcast dies at a
+    * billion-node graph). Scores flow shuffle-to-shuffle: the
+    * groupBy(dst) output is already hash-partitioned on the next
+    * round's join key.
     * Co-purchase edges are symmetric, so every edge-connected node keeps
     * an inbound sum (no dangling-mass term). Top 20 hubs published
     * (score desc, partkey tiebreak). */
@@ -1136,9 +1139,11 @@ object Advanced {
         |SELECT node AS partkey, CAST(score AS BIGINT) AS score_ppm
         |FROM s$PrIters ORDER BY score DESC, partkey LIMIT 20""".stripMargin
     }) { (s, dir) =>
+    // raw projection — the operator dedups on its own ok exchange (one
+    // shuffle serves dedup + self-join; a caller-side distinct() would
+    // re-grow the second exchange)
     pageRank(s, Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-      .distinct())
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
   }
 
   /** The q170 operator on any (ok, part) co-membership frame: runs the
@@ -1168,39 +1173,70 @@ object Advanced {
     * metadata-light score side ever moves. */
   private[graft] def pageRankPlan(s: SparkSession,
       op: DataFrame): (DataFrame, DataFrame) = {
-    // edge list + out-degree derived ONCE, partitioned on the iteration
-    // join key, persisted: the iteration lineage would otherwise replay
-    // the self-join and the degree aggregate every round
-    val rawEdges = op.as("a").join(op.as("b"),
+    // ONE exchange on ok serves BOTH the (ok, part) membership dedup and
+    // the co-purchase self-join (round 14): hash(ok) satisfies the
+    // dedup's clustered distribution (a subset partitioning colocates
+    // equal pairs) and both join sides reuse the same exchange. The
+    // previous caller-side distinct()-then-join shape shuffled the
+    // membership frame twice (once on (ok, part), once on ok per side).
+    // Dedup lives here, not in the caller, so the operator is correct
+    // for any raw co-membership frame.
+    val mem = op.repartition(col("ok")).dropDuplicates("ok", "part")
+    val rawEdges = mem.as("a").join(mem.as("b"),
         col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
       .select(col("a.part").as("src"), col("b.part").as("dst"))
-    // ONE exchange for the whole build (round 11 — was two): repartition
-    // on src FIRST, then dedupe and take the out-degree window on top —
-    // HashPartitioning(src) satisfies both the (src, dst) dedup's
-    // clustered distribution (a subset partitioning colocates equal
-    // pairs) and the window's src clustering, so neither adds a shuffle.
-    // The earlier distinct-then-repartition order shuffled the full edge
-    // list twice. Shipping the PRE-dedup rows through the one exchange
-    // is still a strict win: a (src, dst) duplicate arises once per
-    // SHARED ORDER, and different orders land in different partitions of
-    // the ok-partitioned join output, so the old first exchange's
-    // map-side combine could never fold them either — it shipped
-    // ~raw-rows THEN unique-rows (R + U); this ships R once.
+    // ADJACENCY-LIST edges (round 14, the GraphX/CSR discipline): ONE
+    // cached row per src carrying the deduped neighbor set and its
+    // out-degree, built by one src-keyed aggregate (collect_set dedups
+    // the (src, dst) pairs; the set's nondeterministic order cannot move
+    // a score — neighbor contributions are exact integer adds). Each
+    // iteration then joins O(nodes) score rows against O(nodes) edge
+    // rows and computes the per-src contribution `score div outdeg`
+    // ONCE PER NODE before exploding to per-edge rows for the dst sum —
+    // the previous per-edge form streamed every edge through the join
+    // and divided once per edge. Hot-vertex caveat: a node's neighbor
+    // array must fit a task — the same bound the previous per-src
+    // out-degree window already imposed.
+    // SCALE-ADAPTIVE iteration width (round 14, guide §2): the cached
+    // adjacency side pins every round's score-exchange partitioning (AQE
+    // cannot coalesce one side of a co-partitioned join when the other
+    // side is a cache), so a session-wide shuffle width — sized for
+    // corpus-scale scans — turns each tiny iteration stage into
+    // conf-many near-empty tasks (measured at sf0.1: 3.9 s at the
+    // session's 32 partitions, 2.1 s at 8, 5.4 s at 1 — the rounds are
+    // stage-overhead-bound above the optimum and single-threaded below
+    // it; also the 8-vs-32-core inversion in PERF_r13). Width targets
+    // ~1 MB of membership-frame estimate per partition (×4 pair fan-out
+    // headroom — these stages are CPU/scheduling-bound, not byte-bound),
+    // clamped to the session width so corpus-scale graphs keep the
+    // cluster's configured parallelism; an UNKNOWN estimate
+    // (defaultSizeInBytes = Long.Max) falls back to the old behavior.
+    val confParts = s.sessionState.conf.numShufflePartitions
+    val opBytes = op.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((opBytes * 4) / (1L << 20))
+      .max(1).min(confParts).toInt
     val edges = rawEdges
-      .repartition(col("src"))
-      .dropDuplicates("src", "dst")
-      .withColumn("outdeg",
-        count(lit(1)).over(Window.partitionBy("src")))
+      .repartition(parts, col("src"))
+      .groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("dsts"))
+      .withColumn("outdeg", size(col("dsts")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize once, before the iterations fan out
-    val s0 = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("score"))
+    // src is unique per adjacency row — s0 needs no distinct pass
+    val s0 = edges.select(col("src").as("node"), lit(1000000L).as("score"))
     val sFinal = (1 to PrIters).foldLeft(s0) { (sc, _) =>
       edges
         .join(sc.hint("shuffle_hash"), col("src") === col("node"))
+        .withColumn("contrib", expr("score div outdeg"))
+        .select(explode(col("dsts")).as("dst"), col("contrib"))
+        // explicit width: hash(dst, parts) feeds the aggregate (complete
+        // mode — clustering already satisfied) AND the next round's join
+        // against the parts-wide cache, so every round runs exactly one
+        // data-sized exchange
+        .repartition(parts, col("dst"))
         .groupBy(col("dst").as("node"))
         .agg((lit(PrBase) +
-          expr(s"($PrDampPct * sum(score div outdeg)) div 100")).as("score"))
+          expr(s"($PrDampPct * sum(contrib)) div 100")).as("score"))
     }
     (sFinal.select(col("node").as("partkey"), col("score").as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("partkey")).limit(20), edges)
@@ -1429,20 +1465,29 @@ object Advanced {
       |JOIN pc pb ON pairs.cons = pb.part
       |CROSS JOIN n
       |ORDER BY n_ab DESC, ante, cons LIMIT 20""".stripMargin) { (s, dir) =>
+    // raw projection — the operator dedups on its own ok exchange (the
+    // q170 pattern: one shuffle serves dedup + self-join; a caller-side
+    // distinct() would re-grow the second exchange)
     assocRules(Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-      .distinct())
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")))
   }
 
-  /** The q175 operator on any distinct (ok, part) basket frame. */
+  /** The q175 operator on any raw (ok, part) basket frame (duplicate
+    * membership rows are deduped internally). */
   def assocRules(op: DataFrame): DataFrame = {
+    // ONE exchange on ok serves the membership dedup, BOTH self-join
+    // sides, and the order count (round 14, the q170 edge-build pattern):
+    // hash(ok) satisfies the (ok, part) dedup's clustered distribution
+    // and the join's co-partitioning, so the previous distinct()-then-
+    // join shape's second shuffle (by ok, per side) disappears.
+    val mem = op.repartition(col("ok")).dropDuplicates("ok", "part")
     // 1-row metadata collect (the groupStats literalize class): folding
     // N in as a literal keeps the final pass a pure equi-join chain — a
     // 1-row crossJoin would plan as a (benign but guard-tripping)
     // nested-loop build
-    val nOrders = op.agg(countDistinct(col("ok"))).head().getLong(0)
-    val pc = op.groupBy("part").agg(count(lit(1)).as("n_part"))
-    val pairs = op.as("a").join(op.as("b"),
+    val nOrders = mem.agg(countDistinct(col("ok"))).head().getLong(0)
+    val pc = mem.groupBy("part").agg(count(lit(1)).as("n_part"))
+    val pairs = mem.as("a").join(mem.as("b"),
         col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
       .groupBy(col("a.part").as("ante"), col("b.part").as("cons"))
       .agg(count(lit(1)).as("n_ab"))
