@@ -2306,11 +2306,16 @@ object Dedup {
           s"i -> struct(i AS pos, concat_ws(' ', slice(w, i, $spanTokens)) AS g))"))
         .as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
+      // ONE g-keyed exchange serves the doc-freq aggregate AND the
+      // rejoin's probe side (round 14, the q82/q99 pattern): without it
+      // the scan-local shingle explode — the operator's per-task cost —
+      // is evaluated once under the aggregate and AGAIN as the probe
+      .repartition(col("g"))
     val dupGrams = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
       .select("g")
-    val marked = grams.join(dupGrams, "g")
+    val marked = grams.join(dupGrams.hint("shuffle_hash"), "g")
     val wPos = Window.partitionBy("doc_id").orderBy("pos")
     val islands = marked
       .withColumn("new_island",

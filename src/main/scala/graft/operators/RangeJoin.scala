@@ -35,9 +35,14 @@ object RangeJoin {
   /** Exact floor division for longs (`floor(c / w)` through doubles
     * loses exactness past 2^53; negative coordinates must round toward
     * -inf, not zero). `c - pmod(c, w)` is exactly divisible, so the
-    * DECIMAL division is exact at any long magnitude. */
+    * LONG integral division is exact at any magnitude (truncation and
+    * floor agree on exact multiples) — the previous DECIMAL(38,0)
+    * detour allocated a Decimal per row on the join's hot path
+    * (round 14, guide §1.2 per-task work). Caveat: coordinates within
+    * `w` of Long.MinValue would overflow the subtraction; real
+    * day/second coordinates are nowhere near it. */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   /** @param points     side whose `pointCol` (long) falls in the interval
     * @param intervals  side carrying `[loCol, hiCol]` (long, inclusive)
@@ -103,11 +108,16 @@ object RangeJoin {
       .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
       .withColumn("__bucket", explode(sequence(
         floorDiv(col(lo), bucketWidth), floorDiv(col(hi), bucketWidth))))
+    // the overlap-start rule in MULTIPLY form: `b == floor(start/w)` ⟺
+    // `b·w ≤ start < (b+1)·w` — two long multiply-compares per candidate
+    // pair instead of a division chain on the join's hottest expression
+    // (round 14; the candidate-pair count is the operator's whole cost)
+    val start = greatest(col(leftLo), col(rightLo))
     expand(left, leftLo, leftHi)
       .join(expand(right, rightLo, rightHi), Seq("__bucket"))
       .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
-      .filter(col("__bucket") ===
-        floorDiv(greatest(col(leftLo), col(rightLo)), bucketWidth))
+      .filter(col("__bucket") * bucketWidth <= start &&
+        start < (col("__bucket") + 1) * bucketWidth)
       .drop("__bucket")
   }
 
