@@ -134,21 +134,27 @@ object Streaming {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
         import spark.implicits._
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val corpus =
-          if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
-            spark.read.parquet(corpusPath).select("doc_id", "text")
-          else Seq.empty[(Long, String)].toDF("doc_id", "text")
-        val admitted = batch.join(
-          graft.ext.Dedup.admitBatch(corpus, batch.select("doc_id", "text"),
-              minJaccard)
-            .filter(col("decision") === "admit").select("doc_id"),
-          "doc_id")
-        admitted.write.mode("append").parquet(corpusPath)
+        // persist: the batch is both the admission probe and the carried
+        // payload of the admitted join — unpersisted, the source re-reads
+        // and the probe's shingle expressions re-run per consumer
+        val batch = batch0.persist()
+        try {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val corpus =
+            if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
+              spark.read.parquet(corpusPath).select("doc_id", "text")
+            else Seq.empty[(Long, String)].toDF("doc_id", "text")
+          val admitted = batch.join(
+            graft.ext.Dedup.admitBatch(corpus, batch.select("doc_id", "text"),
+                minJaccard)
+              .filter(col("decision") === "admit").select("doc_id"),
+            "doc_id")
+          admitted.write.mode("append").parquet(corpusPath)
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -174,26 +180,40 @@ object Streaming {
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val internal = graft.ext.Multimodal.mediaNearDup(batch, maxHamming)
-          .filter(col("near_min_id") < col("media_id"))
-          .select("media_id")
-        val dropIds =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/hashes"))) {
-            val replayed = batch.select("media_id").join(
-              spark.read.parquet(s"$indexPath/hashes").select("media_id"),
-              "media_id")
-            val near = graft.ext.Multimodal
-              .probeMediaHashIndex(spark, indexPath, batch, maxHamming)
-              .select(col("batch_id").as("media_id"))
-            internal.unionByName(replayed).unionByName(near)
-          } else internal
-        val admitted = batch.join(dropIds.distinct(), Seq("media_id"), "left_anti")
-        admitted.write.mode("append").parquet(mediaPath)
-        graft.ext.Multimodal.appendToMediaHashIndex(spark, indexPath, admitted)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        // persist: the batch feeds FOUR hash-bearing consumers (internal
+        // near-dup, replay probe, index probe, the admitted write+append)
+        // — unpersisted, each re-reads the source and re-runs the dHash
+        // expressions (round 14; the maintainStream loop already does
+        // this)
+        val batch = batch0.persist()
+        try {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val internal = graft.ext.Multimodal.mediaNearDup(batch, maxHamming)
+            .filter(col("near_min_id") < col("media_id"))
+            .select("media_id")
+          val dropIds =
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/hashes"))) {
+              val replayed = batch.select("media_id").join(
+                spark.read.parquet(s"$indexPath/hashes").select("media_id"),
+                "media_id")
+              val near = graft.ext.Multimodal
+                .probeMediaHashIndex(spark, indexPath, batch, maxHamming)
+                .select(col("batch_id").as("media_id"))
+              internal.unionByName(replayed).unionByName(near)
+            } else internal
+          // persist: the admitted frame is consumed TWICE (table append +
+          // hash-index append) — unpersisted, the whole drop-id join chain
+          // including both hash passes ran once per consumer
+          val admitted = batch
+            .join(dropIds.distinct(), Seq("media_id"), "left_anti").persist()
+          try {
+            admitted.write.mode("append").parquet(mediaPath)
+            graft.ext.Multimodal.appendToMediaHashIndex(spark, indexPath, admitted)
+          } finally { admitted.unpersist(); () }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
