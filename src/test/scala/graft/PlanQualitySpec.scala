@@ -74,6 +74,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p63.contains("BroadcastNestedLoopJoin") && !p63.contains("CartesianProduct"))
   }
 
+  test("q18: exact medians ride the rank selection — no single-task percentile buffer") {
+    // round 14: the built-in percentile's TypedImperativeAggregate merges
+    // a buffer holding every distinct value in ONE final task; a refactor
+    // that reintroduces it must fail here
+    val p = planOf("q18_numeric_summary")
+    assert(!p.contains("percentile("),
+      s"q18 re-grew the built-in percentile buffer merge:\n$p")
+  }
+
+  test("q47/q59: exact anchors from the value histogram — no countDistinct Expand") {
+    // round 14: the old 3-way countDistinct expanded every row x4 through
+    // the exchange; the histogram form must stay Expand-free
+    for (q <- Seq("q47_approx_profile", "q59_approx_profile_orders")) {
+      val p = planOf(q)
+      assert(!p.contains("Expand"),
+        s"$q re-grew the multi-countDistinct Expand:\n$p")
+    }
+  }
+
   test("q11/q13: keep-first dedup + declared order share ONE exchange + ONE sort") {
     // the r13 fusion: one repartitionByRange(order_id) satisfies BOTH the
     // dedup's clustered distribution and the output order — a refactor
